@@ -1,0 +1,274 @@
+"""Scalar text-feature expressions (SURVEY.md §2.3 F1-F19, F21, F26-F29).
+
+Each function returns a pyspark Column built only from built-in SQL functions,
+so every feature stays inside whole-stage codegen and is reusable unchanged in
+Structured Streaming. Semantics mirror the reference implementations
+(methods/llmmap.py:28-67, methods/dli.py:27-33, methods/style.py:231-302,
+mcp_server.py:446-474) including their Python edge cases:
+- `str.split()` on whitespace returns [] for blank strings,
+- `or 1` / `max(x, 1)` denominators,
+- `str.count` non-overlapping substring counting,
+- `re.MULTILINE` anchors (expressed via the (?m) inline flag),
+- Python `\\w` (Unicode word chars) expressed as [\\p{L}\\p{N}_] which both
+  Java regex and DuckDB's RE2 interpret identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from model_audit_spark.catalogs import (
+    DLI_CERTAINTY_WORDS,
+    DLI_HEDGING_WORDS,
+    DLI_REFUSAL_PHRASES,
+    REFUSAL_HINTS,
+    REFUSAL_OPENERS,
+    STYLE_MARKERS,
+)
+
+# Unicode-portable equivalent of Python's \w (see module docstring).
+WORD_CHARS = r"[\p{L}\p{N}_]+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def strip(col: Column | str) -> Column:
+    """Python str.strip(): remove leading/trailing whitespace incl. newlines."""
+    return F.regexp_replace(F.regexp_replace(_c(col), r"^\s+", ""), r"\s+$", "")
+
+
+def words(col: Column | str) -> Column:
+    """Python text.split(): whitespace tokens, [] for blank input (F1)."""
+    t = strip(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def sentences(col: Column | str) -> Column:
+    """re.split('[.!?]+') -> strip -> drop empties (F2)."""
+    parts = F.split(_c(col), r"[.!?]+")
+    stripped = F.transform(
+        parts,
+        lambda x: F.regexp_replace(F.regexp_replace(x, r"^\s+", ""), r"\s+$", ""),
+    )
+    return F.filter(stripped, lambda x: x != F.lit(""))
+
+
+def count_substr(col: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrences of a literal substring (str.count)."""
+    c = _c(col)
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(
+        needle
+    )
+
+
+def contains_any(col: Column | str, needles: list[str]) -> Column:
+    """True iff any literal needle is a substring (Python `any(n in s)`)."""
+    c = _c(col)
+    out = F.lit(False)
+    for n in needles:
+        out = out | c.contains(n)
+    return out
+
+
+def word_tokens(col: Column | str) -> Column:
+    """re.findall(r'\\w+', text.lower()) — DLI tokenizer (F16)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(WORD_CHARS), 0)
+
+
+def bigrams(words_col: Column) -> Column:
+    """Adjacent word pairs joined by a space (F17, reference dli.py:27-33)."""
+    n = F.size(words_col)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words_col, i), F.element_at(words_col, i + 1)
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llmmap per-response features (F3-F15, reference llmmap.py:28-67)
+# ---------------------------------------------------------------------------
+
+def llmmap_feature_columns(text_col: str = "text") -> dict[str, Column]:
+    """The 13 scalar + 5 marker-category features for one response.
+
+    Returns a name -> Column mapping; select them all in one projection so the
+    words/sentences arrays are computed once (Catalyst CSE collapses the
+    repeated subtrees).
+    """
+    c = F.col(text_col)
+    lo = F.lower(c)
+    w = words(c)
+    s = sentences(c)
+    n_words = F.size(w)
+    total_words = F.greatest(n_words, F.lit(1))
+    n_sent = F.size(s)
+    length = F.length(c)
+
+    feats: dict[str, Column] = {
+        "length_chars": length.cast("double"),
+        "length_words": n_words.cast("double"),
+        "length_sentences": n_sent.cast("double"),
+        # sum(len(w) for w in words) == chars of all words concatenated
+        "avg_word_length":
+            F.length(F.array_join(w, "")) / total_words,
+        "avg_sentence_length":
+            n_words / F.greatest(n_sent, F.lit(1)),
+        "unique_word_ratio":
+            F.size(F.array_distinct(F.transform(w, F.lower))) / total_words,
+        "punctuation_ratio":
+            (length - F.length(F.translate(c, ".,;:!?", "")))
+            / F.greatest(length, F.lit(1)),
+        "newline_ratio":
+            (length - F.length(F.replace(c, F.lit("\n"), F.lit(""))))
+            / F.greatest(length, F.lit(1)),
+        "has_bullet_points": c.rlike(r"(?m)^[\s]*[-*•]\s"),
+        "has_numbered_list": c.rlike(r"(?m)^[\s]*\d+[.)]\s"),
+        "has_markdown_headers": c.rlike(r"(?m)^#+\s"),
+        "has_code_blocks": c.contains("```"),
+        "starts_with_refusal": _starts_with_any(lo, REFUSAL_OPENERS),
+    }
+    for cat, markers in STYLE_MARKERS.items():
+        total = F.lit(0.0)
+        for m in markers:
+            total = total + count_substr(lo, m)
+        feats[f"style_{cat}"] = total / total_words
+    return feats
+
+
+def _starts_with_any(lower_col: Column, prefixes: list[str]) -> Column:
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | lower_col.startswith(p)
+    return out
+
+
+def with_llmmap_features(df, text_col: str = "text"):
+    """Project all llmmap per-response features onto df in one pass."""
+    feats = llmmap_feature_columns(text_col)
+    return df.select("*", *[col.alias(name) for name, col in feats.items()])
+
+
+# ---------------------------------------------------------------------------
+# Language detection (F19, reference style.py:231-238)
+# ---------------------------------------------------------------------------
+
+def cjk_count(col: Column | str) -> Column:
+    c = _c(col)
+    return F.length(c) - F.length(F.regexp_replace(c, "[一-鿿]", ""))
+
+
+def detect_lang(col: Column | str) -> Column:
+    """'zh' if >=10 CJK chars or CJK ratio > 0.15, else 'en'."""
+    c = _c(col)
+    cjk = cjk_count(c)
+    total = F.greatest(F.length(c), F.lit(1))
+    return (
+        F.when(cjk >= 10, F.lit("zh"))
+        .when(cjk / total > 0.15, F.lit("zh"))
+        .otherwise(F.lit("en"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Style-scoring structural flags (reference style.py:248-257)
+# ---------------------------------------------------------------------------
+
+def style_flag_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-text flags computed once, reused across all 12 family scores."""
+    c = F.col(text_col)
+    lo = F.lower(c)
+    return {
+        "text_lower": lo,
+        "text_lang": detect_lang(c),
+        "has_md": c.rlike(r"(?m)^#+\s"),
+        "has_numbered": c.rlike(r"(?m)^\s*\d+[.)]\s"),
+        "has_code_blocks": c.contains("```"),
+        "is_verbose": F.size(words(lo)) > 150,
+        "has_refusal_hint": contains_any(lo, REFUSAL_HINTS),
+    }
+
+
+def text_preview(col: Column | str, max_len: int = 80) -> Column:
+    """First 80 chars + '...', then newlines -> spaces (style.py:326-327)."""
+    c = _c(col)
+    cut = F.when(
+        F.length(c) > max_len,
+        F.concat(F.substring(c, 1, max_len), F.lit("...")),
+    ).otherwise(c)
+    return F.replace(cut, F.lit("\n"), F.lit(" "))
+
+
+# ---------------------------------------------------------------------------
+# DLI response-level predicates (reference dli.py:83-110)
+# ---------------------------------------------------------------------------
+
+def dli_refusal_flag(col: Column | str) -> Column:
+    return contains_any(F.lower(_c(col)), DLI_REFUSAL_PHRASES)
+
+
+def dli_hedging_count(lower_col: Column) -> Column:
+    total = F.lit(0.0)
+    for wd in DLI_HEDGING_WORDS:
+        total = total + count_substr(lower_col, wd)
+    return total
+
+
+def dli_certainty_count(lower_col: Column) -> Column:
+    total = F.lit(0.0)
+    for wd in DLI_CERTAINTY_WORDS:
+        total = total + count_substr(lower_col, wd)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Watermark signals (F26-F29, reference mcp_server.py:446-474)
+# ---------------------------------------------------------------------------
+
+def watermark_columns(text_col: str = "text") -> dict[str, Column]:
+    c = F.col(text_col)
+    w = words(c)
+    n = F.size(w)
+    lens = F.transform(w, lambda x: F.length(x).cast("double"))
+    mean_len = F.aggregate(lens, F.lit(0.0), lambda a, x: a + x) / F.greatest(
+        n, F.lit(1)
+    )
+    variance = F.aggregate(
+        lens, F.lit(0.0), lambda a, x: a + (x - mean_len) * (x - mean_len)
+    ) / F.greatest(n, F.lit(1))
+    bg = bigrams(w)
+    n_bg = F.size(bg)
+    unique_ratio = F.when(n_bg > 0, F.size(F.array_distinct(bg)) / n_bg).otherwise(
+        F.lit(1.0)
+    )
+    zwc = F.length(c) - F.length(
+        F.translate(c, "​‌‍﻿", "")
+    )
+    double_space = (
+        F.length(c) - F.length(F.replace(c, F.lit("  "), F.lit("")))
+    ) / 2
+    stat_applicable = n > 20
+    score = (
+        F.when(stat_applicable & (variance < 2.0), F.lit(0.3)).otherwise(0.0)
+        + F.when(stat_applicable & (unique_ratio < 0.5), F.lit(0.2)).otherwise(0.0)
+        + F.when(zwc > 0, F.lit(0.5)).otherwise(0.0)
+        + F.when(double_space > 3, F.lit(0.2)).otherwise(0.0)
+    )
+    return {
+        "wm_word_len_variance": variance,
+        "wm_bigram_unique_ratio": unique_ratio,
+        "wm_zero_width_count": zwc.cast("bigint"),
+        "wm_double_space_count": double_space.cast("bigint"),
+        "wm_score": F.round(score, 2),
+        "wm_level": F.when(score >= 0.5, "high")
+        .when(score >= 0.3, "medium")
+        .otherwise("low"),
+    }

@@ -1,0 +1,148 @@
+"""Unit-literal tests for the scalar feature layer.
+
+Inputs/expected values ported from the reference test-suite
+(tests/test_llmmap.py:17-87, tests/test_dli.py:15-31, tests/test_style.py:78-91)
+— asserted against DataFrame expressions instead of Python functions.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from model_audit_spark.functions.text import (
+    bigrams,
+    detect_lang,
+    text_preview,
+    watermark_columns,
+    with_llmmap_features,
+    word_tokens,
+)
+
+
+def _features(spark, text):
+    df = spark.createDataFrame([(text,)], "text STRING")
+    return with_llmmap_features(df).collect()[0].asDict()
+
+
+def test_basic_counts(spark):
+    f = _features(spark, "Hello, this is a simple test response.")
+    assert f["length_words"] == 7
+    assert f["length_chars"] == 38
+    assert f["length_sentences"] == 1
+    assert not f["has_code_blocks"]
+    assert not f["starts_with_refusal"]
+
+
+def test_empty_string(spark):
+    f = _features(spark, "")
+    assert f["length_words"] == 0
+    assert f["length_chars"] == 0
+    assert f["length_sentences"] == 0
+    assert f["avg_word_length"] == 0.0
+    assert f["unique_word_ratio"] == 0.0
+
+
+def test_structural_flags(spark):
+    md = "# Header\nSome text\n- bullet one\n- bullet two\n1. numbered\n"
+    f = _features(spark, md)
+    assert f["has_markdown_headers"]
+    assert f["has_bullet_points"]
+    assert f["has_numbered_list"]
+    code = "Here is code:\n```python\nprint('hi')\n```"
+    f2 = _features(spark, code)
+    assert f2["has_code_blocks"]
+
+
+def test_refusal_start(spark):
+    assert _features(spark, "I cannot help with that request.")[
+        "starts_with_refusal"
+    ]
+    assert _features(spark, "Sorry, but no.")["starts_with_refusal"]
+    assert not _features(spark, "Happy to help!")["starts_with_refusal"]
+
+
+def test_numeric_features_exact(spark):
+    # words = [The, cat, sat.] -> avg_word_length = (3+3+4)/3
+    f = _features(spark, "The cat sat.")
+    assert f["length_words"] == 3
+    assert f["length_sentences"] == 1
+    assert f["avg_word_length"] == pytest.approx(10 / 3)
+    assert f["avg_sentence_length"] == pytest.approx(3.0)
+    assert f["punctuation_ratio"] == pytest.approx(1 / 12)
+    # unique lowercased words: the, cat, sat. (with dot) -> 3/3
+    assert f["unique_word_ratio"] == pytest.approx(1.0)
+
+
+def test_marker_scores(spark):
+    # "sorry" + "cannot" -> apologetic count 2 over 6 words
+    f = _features(spark, "Sorry but I cannot do that today")
+    assert f["style_apologetic"] == pytest.approx(2 / 7)
+
+
+def test_marker_substring_semantics(spark):
+    # 'sure' occurs inside 'measure' -> counted (str.count substring semantics)
+    f = _features(spark, "we measure things")
+    assert f["style_helpful"] == pytest.approx(1 / 3)
+
+
+def test_dli_tokenizer_and_bigrams(spark):
+    df = spark.createDataFrame([("a b a b a b",)], "text STRING")
+    out = df.select(
+        word_tokens("text").alias("w")
+    ).select(F.col("w"), bigrams(F.col("w")).alias("bg")).collect()[0]
+    assert out["w"] == ["a", "b", "a", "b", "a", "b"]
+    counts = {}
+    for g in out["bg"]:
+        counts[g] = counts.get(g, 0) + 1
+    assert counts == {"a b": 3, "b a": 2}
+    # single word -> no bigrams
+    single = df.select(bigrams(F.array(F.lit("only"))).alias("bg")).collect()[0]
+    assert single["bg"] == []
+
+
+def test_dli_tokenizer_unicode(spark):
+    df = spark.createDataFrame([("Hello 世界 foo_bar 123!",)], "text STRING")
+    out = df.select(word_tokens("text").alias("w")).collect()[0]
+    assert out["w"] == ["hello", "世界", "foo_bar", "123"]
+
+
+def test_detect_lang(spark):
+    rows = [
+        ("This is an English sentence about machine learning.", "en"),
+        ("这是一段关于机器学习的中文句子，用来测试语言检测功能。", "zh"),
+        ("def f(x):\n    return x  # 这是一个中文注释，解释函数的功能和用法", "zh"),
+        ("", "en"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text STRING")
+    got = [r[0] for r in df.select(detect_lang("text")).collect()]
+    assert got == [lang for _, lang in rows]
+
+
+def test_text_preview(spark):
+    long = "x" * 100 + "\ny"
+    df = spark.createDataFrame([(long,), ("short\ntext",)], "text STRING")
+    got = [r[0] for r in df.select(text_preview("text")).collect()]
+    assert got[0] == "x" * 80 + "..."
+    assert got[1] == "short text"
+
+
+def test_watermark_signals(spark):
+    zw = "normal text" + "​‌"
+    dbl = "a  b  c  d  e" + "  tail"
+    df = spark.createDataFrame([(zw,), (dbl,)], "text STRING")
+    cols = watermark_columns("text")
+    out = df.select(
+        *[c.alias(n) for n, c in cols.items()]
+    ).collect()
+    assert out[0]["wm_zero_width_count"] == 2
+    assert out[0]["wm_score"] >= 0.5
+    assert out[1]["wm_double_space_count"] == 5
+    # word-length variance parity with the python formula
+    words = ["aa", "bbb", "c"]
+    lens = [len(w) for w in words]
+    mean = sum(lens) / len(lens)
+    var = sum((x - mean) ** 2 for x in lens) / len(lens)
+    df2 = spark.createDataFrame([("aa bbb c",)], "text STRING")
+    got = df2.select(cols["wm_word_len_variance"].alias("v")).collect()[0]["v"]
+    assert math.isclose(got, var, rel_tol=1e-12)
