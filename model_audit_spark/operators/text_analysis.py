@@ -1,0 +1,119 @@
+"""Corpus text-analysis operators over the `documents` table (scale
+extension, BASELINE.json north star): language ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is a single projection of built-in SQL expressions (one scan, no
+shuffle) except the bottom-k sketch which adds a per-doc array sort of a
+fixed-width hashed shingle list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from model_audit_spark.functions.text import (
+    detect_lang,
+    strip,
+    word_tokens,
+    words,
+)
+from model_audit_spark.operators.dedup import word_shingles
+
+# A GPT2-ish byte-pair-encoding pre-tokenizer approximation: contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+# Compact English stopword list for the stopword-ratio quality signal.
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "for",
+    "with", "at", "by", "from", "is", "are", "was", "were", "be", "it",
+    "this", "that", "as", "not", "no",
+]
+
+
+def token_count_ws(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text_col))
+
+
+def token_count_bpe(text_col: Column | str) -> Column:
+    """BPE-ish token count via regexp matches (proxy for LLM token cost)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+def doc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc text statistics + composite quality score in [0,1].
+
+    quality_score blends (equal weights): length adequacy (20..400 words),
+    stopword ratio (healthy band around natural prose), mean word length in
+    the 3..8 band, and punctuation sanity (<= 0.1). Deterministic, documented
+    here as the engine's own quality metric (the reference has none).
+    """
+    c = F.col(text_col)
+    toks = word_tokens(c)
+    n_words = F.size(words(c))
+    n_toks = F.size(toks)
+    tot = F.greatest(n_toks, F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    mean_wlen = F.length(F.array_join(toks, "")) / tot
+    punct_ratio = (
+        F.length(c) - F.length(F.translate(c, ".,;:!?", ""))
+    ) / F.greatest(F.length(c), F.lit(1))
+    stop_ratio = stop_hits / tot
+
+    len_score = F.least(
+        F.greatest((n_words - 20) / 80.0, F.lit(0.0)), F.lit(1.0)
+    )
+    stop_score = F.least(stop_ratio / 0.3, F.lit(1.0))
+    wlen_score = F.when(
+        (mean_wlen >= 3.0) & (mean_wlen <= 8.0), 1.0
+    ).otherwise(0.0)
+    punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.0)
+    quality = F.round(
+        0.25 * len_score + 0.25 * stop_score + 0.25 * wlen_score
+        + 0.25 * punct_score,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        n_words.alias("n_words"),
+        n_toks.alias("n_tokens"),
+        token_count_bpe(c).alias("n_bpe_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+        detect_lang(c).alias("lang_pred"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sketch_k: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Content fingerprint + bottom-k shingle sketch per document.
+
+    - content_fp: md5 of the whitespace-normalized lowercase text (robust to
+      formatting-only edits).
+    - sketch: the k lexicographically-smallest md5(shingle) digests joined
+      with '|' — a fixed-width near-dup sketch (bottom-k minhash variant).
+    """
+    c = F.col(text_col)
+    normalized = F.regexp_replace(F.lower(strip(c)), r"\s+", " ")
+    hashed = F.transform(word_shingles(c, shingle_n), F.md5)
+    sketch = F.array_join(F.slice(F.array_sort(hashed), 1, sketch_k), "|")
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("content_fp"),
+        sketch.alias("sketch"),
+    )
