@@ -1,38 +1,599 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship detect pipeline at sf0.001.
+queries()      -> every implemented operator from SURVEY.md §2 + the scale
+                  extensions, as (spark, sf_dir) -> DataFrame callables.
+oracle_sql()   -> DuckDB SQL mirrors (model_audit_spark/oracle.py), generated
+                  from the same catalogs/constants as the Spark expressions.
+
+Column names and float rounding are aligned pairwise between queries() and
+oracle_sql() — the driver hashes values under sorted column names.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from model_audit_spark import oracle as ora
+from model_audit_spark.catalogs import benchmark_df, probes_df
+from model_audit_spark.functions.text import watermark_columns
+from model_audit_spark.operators.audit import audit_verdict, method_comparisons
+from model_audit_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_band_pairs,
+    minhash_signatures,
+    simhash as dedup_simhash_df,
+)
+from model_audit_spark.operators.detect import (
+    detect,
+    detection_distribution,
+    style_scores,
+)
+from model_audit_spark.operators.dli import (
+    behavior_compare,
+    behavior_features,
+    bigram_distribution,
+)
+from model_audit_spark.operators.fingerprint import (
+    cosine_compare,
+    fingerprint_vectors,
+)
+from model_audit_spark.operators.reef import cka_long, embeddings_long
+from model_audit_spark.operators.similarity import (
+    cosine_topk,
+    embedding_cosine_pairs,
+    lsh_topk,
+)
+from model_audit_spark.operators.text_analysis import doc_fingerprints, doc_stats
+from model_audit_spark.functions.text import with_llmmap_features
+from model_audit_spark.catalogs import (
+    BOOL_FEATURES,
+    FINGERPRINT_DIMS,
+    MARKER_CATEGORIES,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read nanos as long and convert to micros precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: style-detect every document at sf0.001 (SURVEY.md §3.1)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return detect(docs, spark, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (lineitem/orders/customer/events)
+# ---------------------------------------------------------------------------
+
+def _q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy(n.n_name)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+def _q_topk_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_window_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+            F.sum("o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_spend"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rk",
+            F.round("running_spend", 2).alias("running_spend"),
+        )
+    )
+
+
+def _q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _q_events_sessionize(spark, sf, gap_seconds: int = 1800):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                > gap_seconds
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (documents as corpus)
+# ---------------------------------------------------------------------------
+
+def _detect_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return detect(docs, spark, "text", "doc_id").select(
+        "doc_id", "predicted_model", "confidence"
+    )
+
+
+def _style_scores_long(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return style_scores(docs, spark, "text", "doc_id").select(
+        "doc_id", "family", "score"
+    )
+
+
+def _detect_distribution(spark, sf):
+    docs = _t(spark, sf, "documents")
+    det = detect(docs, spark, "text", "doc_id")
+    return detection_distribution(det).select(
+        "predicted_model", "n_texts", "pct"
+    )
+
+
+def _llmmap_features_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    feats = with_llmmap_features(docs.select("doc_id", "text"), "text")
+    return feats.select(
+        "doc_id",
+        "length_chars",
+        "length_words",
+        "length_sentences",
+        F.round("avg_word_length", 6).alias("avg_word_length"),
+        F.round("avg_sentence_length", 6).alias("avg_sentence_length"),
+        F.round("unique_word_ratio", 6).alias("unique_word_ratio"),
+        F.round("punctuation_ratio", 6).alias("punctuation_ratio"),
+        F.round("newline_ratio", 6).alias("newline_ratio"),
+        *BOOL_FEATURES,
+        *[
+            F.round(f"style_{c}", 6).alias(f"style_{c}")
+            for c in MARKER_CATEGORIES
+        ],
+    )
+
+
+def _llmmap_fingerprints(spark, sf):
+    docs = _t(spark, sf, "documents")
+    fp = fingerprint_vectors(docs, "source", "text")
+    return fp.select(
+        "source", *[F.round(d, 6).alias(d) for d in FINGERPRINT_DIMS]
+    )
+
+
+def _llmmap_compare_sources(spark, sf):
+    docs = _t(spark, sf, "documents")
+    fp = fingerprint_vectors(docs, "source", "text")
+    cmp_ = cosine_compare(fp, "source")
+    return cmp_.select(
+        "model_a",
+        "model_b",
+        F.round("similarity", 6).alias("similarity"),
+        "is_derived",
+        "threshold",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def _dli_bigrams(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return bigram_distribution(docs, "source", "text").select(
+        "source", "ngram", "cnt", F.round("weight", 6).alias("weight")
+    )
+
+
+def _dli_features(spark, sf):
+    docs = _t(spark, sf, "documents")
+    f8 = behavior_features(docs, "source", "text")
+    return f8.select(
+        "source",
+        *[
+            F.round(c, 6).alias(c)
+            for c in [
+                "refusal_rate", "avg_length", "vocab_diversity",
+                "markdown_rate", "list_rate", "code_block_rate",
+                "hedging_rate", "certainty_rate",
+            ]
+        ],
+    )
+
+
+def _dli_compare_sources(spark, sf):
+    docs = _t(spark, sf, "documents")
+    cmp_ = behavior_compare(docs, "source", "text")
+    return cmp_.select(
+        "model_a",
+        "model_b",
+        F.round("js_divergence", 6).alias("js_divergence"),
+        F.round("bigram_sim", 6).alias("bigram_sim"),
+        F.round("feature_sim", 6).alias("feature_sim"),
+        "similarity",
+        "is_derived",
+    )
+
+
+def _probes_filtered(spark, sf):
+    p = probes_df(spark).filter(
+        F.col("category").isin(["reasoning", "safety_boundary"])
+    )
+    w = Window.orderBy("probe_seq")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("probe_seq", "probe_id", "category")
+    )
+
+
+def _benchmark_detect(spark, sf):
+    bench = benchmark_df(spark)
+    det = detect(bench, spark, "text", "text_id")
+    return det.join(bench.select("text_id", "label"), "text_id").select(
+        "text_id",
+        "predicted_model",
+        "label",
+        (F.col("predicted_model") == F.col("label")).alias("correct"),
+    )
+
+
+def _benchmark_accuracy(spark, sf):
+    det = _benchmark_detect(spark, sf)
+    return det.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("correct").cast("int")).cast("bigint").alias("correct"),
+        F.round(
+            F.sum(F.col("correct").cast("double")) / F.count("*"), 6
+        ).alias("accuracy"),
+    )
+
+
+def _audit_verdict_sources(spark, sf):
+    docs = _t(spark, sf, "documents")
+    resp = docs.filter(F.col("source").isin(["src0", "src1"])).select(
+        F.col("source").alias("model_id"), F.col("text").alias("response")
+    )
+    comps = method_comparisons(resp, spark, "model_id", "response")
+    v = audit_verdict(comps)
+    return v.select(
+        F.round("avg_similarity", 6).alias("avg_similarity"),
+        F.col("derived_votes").cast("bigint").alias("derived_votes"),
+        "total_votes",
+        "verdict",
+        "confidence",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / watermark / dedup / similarity / CKA
+# ---------------------------------------------------------------------------
+
+def _text_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    st = doc_stats(docs, "text", "doc_id")
+    return st.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_pred",
+    )
+
+
+def _lang_distribution(spark, sf):
+    docs = _t(spark, sf, "documents")
+    from model_audit_spark.functions.text import detect_lang
+
+    return (
+        docs.groupBy(detect_lang("text").alias("lang_pred"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _watermark_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    cols = watermark_columns("text")
+    return docs.select(
+        "doc_id",
+        F.round(cols["wm_word_len_variance"], 6).alias(
+            "wm_word_len_variance"
+        ),
+        F.round(cols["wm_bigram_unique_ratio"], 6).alias(
+            "wm_bigram_unique_ratio"
+        ),
+        cols["wm_zero_width_count"].alias("wm_zero_width_count"),
+        cols["wm_double_space_count"].alias("wm_double_space_count"),
+        cols["wm_score"].alias("wm_score"),
+    )
+
+
+def _doc_fingerprints(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return doc_fingerprints(docs, "text", "doc_id")
+
+
+def _dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _dedup_minhash_signatures(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *[f"mh_{i}" for i in range(16)])).alias(
+            "signature"
+        ),
+    )
+
+
+def _dedup_minhash_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
+
+
+def _dedup_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup_simhash_df(docs, "text", "doc_id")
+
+
+def _similarity_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+def _cka_labels(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    x = embeddings_long(emb, 0, 40)
+    y = embeddings_long(emb, 1, 40)
+    return cka_long(x, y).select(F.round("cka", 6).alias("cka"))
+
+
+# Rows-only (no SQL oracle): LSH approximate search + embedding near-dups
+def _ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6)
+
+
+def _embedding_near_dups(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.9)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_top_unshipped": _q3,
+        "q5_regional_revenue": _q5,
+        "q_topk_customers": _q_topk_customers,
+        "q_window_orders": _q_window_orders,
+        "q_events_hourly": _q_events_hourly,
+        "q_events_sessionize": _q_events_sessionize,
+        "detect_documents": _detect_documents,
+        "style_scores_long": _style_scores_long,
+        "detect_distribution": _detect_distribution,
+        "llmmap_features_documents": _llmmap_features_documents,
+        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
+        "llmmap_compare_sources": _llmmap_compare_sources,
+        "dli_bigrams_by_source": _dli_bigrams,
+        "dli_features_by_source": _dli_features,
+        "dli_compare_sources": _dli_compare_sources,
+        "probes_filtered": _probes_filtered,
+        "benchmark_detect": _benchmark_detect,
+        "benchmark_accuracy": _benchmark_accuracy,
+        "audit_verdict_sources": _audit_verdict_sources,
+        "text_stats": _text_stats,
+        "lang_distribution": _lang_distribution,
+        "watermark_documents": _watermark_documents,
+        "doc_fingerprints": _doc_fingerprints,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_signatures": _dedup_minhash_signatures,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_simhash": _dedup_simhash,
+        "similarity_topk": _similarity_topk,
+        "cka_labels": _cka_labels,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_near_dups": _embedding_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": ora.q1_pricing_summary(),
+        "q3_top_unshipped": ora.q3_top_unshipped(),
+        "q5_regional_revenue": ora.q5_regional_revenue(),
+        "q_topk_customers": ora.q_topk_customers(),
+        "q_window_orders": ora.q_window_orders(),
+        "q_events_hourly": ora.q_events_hourly(),
+        "q_events_sessionize": ora.q_events_sessionize(),
+        "detect_documents": ora.detect_documents(),
+        "style_scores_long": ora.style_scores_long(),
+        "detect_distribution": ora.detect_distribution(),
+        "llmmap_features_documents": ora.llmmap_features_documents(),
+        "llmmap_fingerprints_by_source": ora.llmmap_fingerprints_by_source(),
+        "llmmap_compare_sources": ora.llmmap_compare_sources(),
+        "dli_bigrams_by_source": ora.dli_bigrams_by_source(),
+        "dli_features_by_source": ora.dli_features_by_source(),
+        "dli_compare_sources": ora.dli_compare_sources(),
+        "probes_filtered": ora.probes_filtered(),
+        "benchmark_detect": ora.benchmark_detect(),
+        "benchmark_accuracy": ora.benchmark_accuracy(),
+        "audit_verdict_sources": ora.audit_verdict_sources(),
+        "text_stats": ora.text_stats(),
+        "lang_distribution": ora.lang_distribution(),
+        "watermark_documents": ora.watermark_documents(),
+        "doc_fingerprints": ora.doc_fingerprints(),
+        "dedup_exact": ora.dedup_exact(),
+        "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
+        "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
+        "dedup_simhash": ora.dedup_simhash(),
+        "similarity_topk": ora.similarity_topk(),
+        "cka_labels": ora.cka_labels(),
+        # ann_lsh_topk / embedding_near_dups: rows-only (RHP planes are
+        # driver-side literals; replicating them in SQL adds no assurance).
+    }

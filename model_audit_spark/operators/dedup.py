@@ -67,11 +67,17 @@ def minhash_signatures(
     Docs with no shingles get the sentinel 'z'*32 (sorts after any hex)."""
     sh = word_shingles(text_col, shingle_n)
     sentinel = F.lit("z" * 32)
+
+    def _hasher(seed: int):
+        # NB: a default-arg lambda (lambda s, seed=seed: ...) would have
+        # arity 2 and pyspark would bind the array INDEX to the second
+        # parameter — close over the prefix instead.
+        prefix = f"{seed}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     cols = []
     for seed in range(num_hashes):
-        hashed = F.transform(
-            sh, lambda s, seed=seed: F.md5(F.concat(F.lit(f"{seed}|"), s))
-        )
+        hashed = F.transform(sh, _hasher(seed))
         cols.append(
             F.coalesce(F.array_min(hashed), sentinel).alias(f"mh_{seed}")
         )

@@ -1,0 +1,1046 @@
+"""DuckDB oracle SQL for every queries() entry (the driver's t2 gate).
+
+Each builder returns ANSI-ish SQL runnable by DuckDB 1.0 against the
+pre-registered views (region nation customer supplier part orders lineitem
+events documents embeddings). The SQL mirrors the Spark expressions in
+functions/text.py and operators/* exactly — same semantics, same column
+aliases, same float rounding — and is generated from the SAME catalog data
+(catalogs.py), so markers/probes/benchmark literals cannot drift.
+
+Dialect notes (vs Spark SQL):
+- DuckDB regexp_replace needs the 'g' flag for global replacement.
+- Boolean aggregates need CASE ... CAST(1 AS DOUBLE) (Spark casts bools).
+- Numeric literals like 0.20 are DECIMAL in DuckDB — every score constant is
+  ::DOUBLE to force double arithmetic like pyspark's F.lit(float).
+- Lists are 1-indexed in both (element_at / l[i]).
+"""
+
+from __future__ import annotations
+
+import math
+
+from model_audit_spark.catalogs import (
+    BENCHMARK_SAMPLES,
+    BOOL_FEATURES,
+    DLI_CERTAINTY_WORDS,
+    DLI_HEDGING_WORDS,
+    DLI_REFUSAL_PHRASES,
+    FEATURE_RANGES,
+    FINGERPRINT_DIMS,
+    MARKER_CATEGORIES,
+    NUMERIC_FEATURES,
+    PROBES,
+    REFUSAL_HINTS,
+    REFUSAL_OPENERS,
+    STYLE_MARKERS,
+    STYLE_SIGNATURES,
+    sql_quote,
+    sql_str_array,
+)
+
+WORD_CHARS_SQL = r"[\p{L}\p{N}_]+"
+
+
+def _strip(t: str) -> str:
+    return (
+        rf"regexp_replace(regexp_replace({t}, '^\s+', ''), '\s+$', '')"
+    )
+
+
+def _words(t: str) -> str:
+    s = _strip(t)
+    return (
+        rf"CASE WHEN length({s}) = 0 THEN []::VARCHAR[] "
+        rf"ELSE string_split_regex({s}, '\s+') END"
+    )
+
+
+def _sentence_count(t: str) -> str:
+    inner = rf"string_split_regex({t}, '[.!?]+')"
+    stripped = (
+        rf"list_transform({inner}, x -> "
+        rf"regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', ''))"
+    )
+    return rf"len(list_filter({stripped}, x -> x != ''))"
+
+
+def _count_substr(col: str, needle: str) -> str:
+    n = sql_quote(needle)
+    return (
+        f"(length({col}) - length(replace({col}, {n}, ''))) / {len(needle)}"
+    )
+
+
+def _contains_any(col: str, needles: list[str]) -> str:
+    return "(" + " OR ".join(
+        f"contains({col}, {sql_quote(n)})" for n in needles
+    ) + ")"
+
+
+def _tokens(t: str) -> str:
+    return f"regexp_extract_all(lower({t}), '{WORD_CHARS_SQL}')"
+
+
+def _bigrams(w: str) -> str:
+    return (
+        f"CASE WHEN len({w}) < 2 THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len({w})), "
+        f"i -> {w}[i] || ' ' || {w}[i+1]) END"
+    )
+
+
+def _cjk(t: str) -> str:
+    return (
+        f"(length({t}) - length(regexp_replace({t}, '[一-鿿]', '', 'g')))"
+    )
+
+
+def _lang(t: str) -> str:
+    return (
+        f"CASE WHEN {_cjk(t)} >= 10 THEN 'zh' "
+        f"WHEN {_cjk(t)} / greatest(length({t}), 1) > 0.15::DOUBLE THEN 'zh' "
+        f"ELSE 'en' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# llmmap per-response features — mirrors functions/text.py llmmap_feature_columns
+# ---------------------------------------------------------------------------
+
+def _llmmap_feats_cte(base: str, id_cols: str, text: str = "text") -> str:
+    """CTE chain producing `feats` with id_cols + the 18 feature columns."""
+    marker_exprs = []
+    for cat, markers in STYLE_MARKERS.items():
+        total = " + ".join(_count_substr("lo", m) for m in markers)
+        marker_exprs.append(
+            f"({total}) / greatest(len(w), 1) AS style_{cat}"
+        )
+    swr = " OR ".join(
+        f"starts_with(lo, {sql_quote(p)})" for p in REFUSAL_OPENERS
+    )
+    return f"""
+pre AS (
+  SELECT {id_cols}, {text} AS t, lower({text}) AS lo,
+         {_words(text)} AS w
+  FROM {base}
+),
+feats AS (
+  SELECT {id_cols},
+    CAST(length(t) AS DOUBLE) AS length_chars,
+    CAST(len(w) AS DOUBLE) AS length_words,
+    CAST({_sentence_count('t')} AS DOUBLE) AS length_sentences,
+    length(array_to_string(w, '')) / greatest(len(w), 1) AS avg_word_length,
+    len(w) / greatest({_sentence_count('t')}, 1) AS avg_sentence_length,
+    len(list_distinct(list_transform(w, x -> lower(x)))) / greatest(len(w), 1)
+      AS unique_word_ratio,
+    (length(t) - length(translate(t, '.,;:!?', ''))) / greatest(length(t), 1)
+      AS punctuation_ratio,
+    (length(t) - length(replace(t, chr(10), ''))) / greatest(length(t), 1)
+      AS newline_ratio,
+    regexp_matches(t, '(?m)^[\\s]*[-*•]\\s') AS has_bullet_points,
+    regexp_matches(t, '(?m)^[\\s]*\\d+[.)]\\s') AS has_numbered_list,
+    regexp_matches(t, '(?m)^#+\\s') AS has_markdown_headers,
+    contains(t, '```') AS has_code_blocks,
+    ({swr}) AS starts_with_refusal,
+    {", ".join(marker_exprs)}
+  FROM pre
+)"""
+
+
+def _fingerprint_cte(base: str, group: str) -> str:
+    """`fp`: one row per group with the 18 averaged dims (A1)."""
+    aggs = (
+        [f"avg({k}) AS avg_{k}" for k in NUMERIC_FEATURES]
+        + [
+            f"avg(CASE WHEN {k} THEN CAST(1 AS DOUBLE) ELSE 0 END) AS ratio_{k}"
+            for k in BOOL_FEATURES
+        ]
+        + [f"avg(style_{c}) AS style_{c}" for c in MARKER_CATEGORIES]
+    )
+    return f"""{_llmmap_feats_cte(base, group)},
+fp AS (
+  SELECT {group}, {", ".join(aggs)} FROM feats GROUP BY {group}
+)"""
+
+
+def _norm_dim(d: str, col: str) -> str:
+    if d in FEATURE_RANGES:
+        lo, hi = FEATURE_RANGES[d]
+        return (
+            f"greatest(0::DOUBLE, least(1::DOUBLE, "
+            f"({col} - {lo}) / {hi - lo}))"
+        )
+    return col
+
+
+# ---------------------------------------------------------------------------
+# Style scoring — mirrors operators/detect.py style_scores
+# ---------------------------------------------------------------------------
+
+def _signatures_cte() -> str:
+    rows = []
+    for rank, (fam, markers, refusals, md, num, code, verb, lang) in enumerate(
+        STYLE_SIGNATURES
+    ):
+        rows.append(
+            f"({sql_quote(fam)}, {rank}, {sql_str_array(markers)}, "
+            f"{sql_str_array(refusals)}, {str(md).lower()}, "
+            f"{str(num).lower()}, {str(code).lower()}, {str(verb).lower()}, "
+            f"{sql_quote(lang)})"
+        )
+    # 'verbose' is a reserved word in DuckDB -> verbose_flag
+    return (
+        "style_signatures(family, family_rank, markers, refusal_patterns, "
+        "tends_markdown, tends_numbered_lists, tends_code_blocks, "
+        "verbose_flag, lang) AS (VALUES " + ", ".join(rows) + ")"
+    )
+
+
+def _style_scores_ctes(base: str, id_col: str, text: str = "text") -> str:
+    """CTE chain ending in `scores(id_col, family, family_rank, score)`."""
+    hint = _contains_any("text_lower", REFUSAL_HINTS)
+    return f"""{_signatures_cte()},
+flags AS (
+  SELECT {id_col},
+    lower({text}) AS text_lower,
+    {_lang(text)} AS text_lang,
+    regexp_matches({text}, '(?m)^#+\\s') AS has_md,
+    regexp_matches({text}, '(?m)^\\s*\\d+[.)]\\s') AS has_numbered,
+    contains({text}, '```') AS has_code_blocks,
+    len({_words(text)}) > 150 AS is_verbose,
+    {hint} AS has_refusal_hint
+  FROM {base}
+),
+scores AS (
+  SELECT f.{id_col}, s.family, s.family_rank,
+    round(
+      (CASE WHEN f.text_lang = s.lang THEN 0.20::DOUBLE
+            WHEN s.lang = 'both' THEN 0.10::DOUBLE ELSE 0::DOUBLE END)
+      + least(len(list_filter(s.markers, m -> contains(f.text_lower, m)))
+              / 3.0::DOUBLE, 1.0::DOUBLE) * 0.50::DOUBLE
+      + (CASE WHEN f.has_md AND s.tends_markdown THEN 0.05::DOUBLE
+              WHEN f.has_md AND NOT s.tends_markdown THEN -0.02::DOUBLE
+              ELSE 0::DOUBLE END)
+      + (CASE WHEN f.has_numbered AND s.tends_numbered_lists THEN 0.05::DOUBLE
+              WHEN f.has_numbered AND NOT s.tends_numbered_lists
+                THEN -0.02::DOUBLE ELSE 0::DOUBLE END)
+      + (CASE WHEN f.has_code_blocks AND s.tends_code_blocks THEN 0.05::DOUBLE
+              WHEN f.has_code_blocks AND NOT s.tends_code_blocks
+                THEN -0.02::DOUBLE ELSE 0::DOUBLE END)
+      + (CASE WHEN f.is_verbose AND s.verbose_flag THEN 0.05::DOUBLE
+              WHEN f.is_verbose AND NOT s.verbose_flag THEN -0.02::DOUBLE
+              ELSE 0::DOUBLE END)
+      + (CASE WHEN f.has_refusal_hint THEN
+           len(list_filter(s.refusal_patterns,
+                           p -> contains(f.text_lower, p)))
+           / greatest(len(s.refusal_patterns), 1) * 0.10::DOUBLE
+         ELSE 0::DOUBLE END),
+    4) AS score
+  FROM flags f CROSS JOIN style_signatures s
+)"""
+
+
+def _detect_ctes(base: str, id_col: str, text: str = "text") -> str:
+    """CTE chain ending in `detected(id, predicted_model, confidence)`."""
+    return f"""{_style_scores_ctes(base, id_col, text)},
+ranked AS (
+  SELECT {id_col}, family, score,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY score DESC, family_rank ASC) AS rn
+  FROM scores
+),
+detected AS (
+  SELECT {id_col}, family AS predicted_model, score AS confidence
+  FROM ranked WHERE rn = 1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Individual oracle queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped() -> str:
+    return """
+SELECT l.l_orderkey AS o_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_regional_revenue() -> str:
+    return """
+SELECT n.n_name AS nation,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+def q_topk_customers() -> str:
+    return """
+SELECT c.c_custkey, c.c_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_window_orders() -> str:
+    return """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk,
+  round(running_spend, 2) AS running_spend
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER w AS rk,
+    sum(o_totalprice) OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS running_spend
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rk <= 3
+"""
+
+
+def q_events_hourly() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type,
+  count(*) AS n_events,
+  round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR date_diff('second', prev_ts, ts) > {gap_seconds}
+             THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  count(*) AS n_events,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  round(sum(value), 6) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def detect_documents() -> str:
+    return f"WITH {_detect_ctes('documents', 'doc_id')} SELECT * FROM detected"
+
+
+def style_scores_long() -> str:
+    return (
+        f"WITH {_style_scores_ctes('documents', 'doc_id')} "
+        "SELECT doc_id, family, score FROM scores"
+    )
+
+
+def detect_distribution() -> str:
+    return f"""
+WITH {_detect_ctes('documents', 'doc_id')}
+SELECT predicted_model, count(*) AS n_texts,
+  round(count(*) / (sum(count(*)) OVER ()) * 100.0::DOUBLE, 2) AS pct
+FROM detected
+GROUP BY predicted_model
+"""
+
+
+def llmmap_features_documents() -> str:
+    cols = (
+        ["length_chars", "length_words", "length_sentences"]
+        + [
+            "round(avg_word_length, 6) AS avg_word_length",
+            "round(avg_sentence_length, 6) AS avg_sentence_length",
+            "round(unique_word_ratio, 6) AS unique_word_ratio",
+            "round(punctuation_ratio, 6) AS punctuation_ratio",
+            "round(newline_ratio, 6) AS newline_ratio",
+        ]
+        + BOOL_FEATURES
+        + [f"round(style_{c}, 6) AS style_{c}" for c in MARKER_CATEGORIES]
+    )
+    return f"""
+WITH {_llmmap_feats_cte('documents', 'doc_id')}
+SELECT doc_id, {", ".join(cols)} FROM feats
+"""
+
+
+def llmmap_fingerprints_by_source() -> str:
+    dims = [f"round({d}, 6) AS {d}" for d in FINGERPRINT_DIMS]
+    return f"""
+WITH {_fingerprint_cte('documents', 'source')}
+SELECT source, {", ".join(dims)} FROM fp
+"""
+
+
+def llmmap_compare_sources() -> str:
+    dot = " + ".join(
+        f"{_norm_dim(d, f'a.{d}')} * {_norm_dim(d, f'b.{d}')}"
+        for d in FINGERPRINT_DIMS
+    )
+    na = " + ".join(
+        f"{_norm_dim(d, f'a.{d}')} * {_norm_dim(d, f'a.{d}')}"
+        for d in FINGERPRINT_DIMS
+    )
+    nb = " + ".join(
+        f"{_norm_dim(d, f'b.{d}')} * {_norm_dim(d, f'b.{d}')}"
+        for d in FINGERPRINT_DIMS
+    )
+    return f"""
+WITH {_fingerprint_cte('documents', 'source')},
+pairs AS (
+  SELECT a.source AS model_a, b.source AS model_b,
+    CASE WHEN sqrt({na}) = 0 OR sqrt({nb}) = 0 THEN 0::DOUBLE
+         ELSE ({dot}) / (sqrt({na}) * sqrt({nb})) END AS sim
+  FROM fp a JOIN fp b ON a.source < b.source
+)
+SELECT model_a, model_b, round(sim, 6) AS similarity,
+  sim >= 0.85::DOUBLE AS is_derived,
+  0.85::DOUBLE AS threshold,
+  round(least(abs(sim - 0.85::DOUBLE) / 0.15::DOUBLE, 1.0::DOUBLE), 6)
+    AS confidence
+FROM pairs
+"""
+
+
+def _dli_dist_ctes(base: str = "documents", group: str = "source") -> str:
+    return f"""
+toks AS (
+  SELECT {group}, {_tokens('text')} AS w FROM {base}
+),
+bg AS (
+  SELECT {group}, unnest({_bigrams('w')}) AS ngram FROM toks
+),
+cnts AS (
+  SELECT {group}, ngram, count(*) AS cnt FROM bg GROUP BY 1, 2
+),
+topn AS (
+  SELECT * FROM (
+    SELECT {group}, ngram, cnt,
+      row_number() OVER (PARTITION BY {group}
+                         ORDER BY cnt DESC, ngram ASC) AS rn
+    FROM cnts
+  ) WHERE rn <= 100
+),
+dist AS (
+  SELECT {group}, ngram, cnt,
+    cnt / (sum(cnt) OVER (PARTITION BY {group})) AS weight
+  FROM topn
+)"""
+
+
+def dli_bigrams_by_source() -> str:
+    return f"""
+WITH {_dli_dist_ctes()}
+SELECT source, ngram, cnt, round(weight, 6) AS weight FROM dist
+"""
+
+
+def _dli_features_ctes(base: str = "documents", group: str = "source") -> str:
+    refusal = _contains_any("lo", DLI_REFUSAL_PHRASES)
+    hedge = " + ".join(_count_substr("lo", w) for w in DLI_HEDGING_WORDS)
+    cert = " + ".join(_count_substr("lo", w) for w in DLI_CERTAINTY_WORDS)
+    return f"""
+resp AS (
+  SELECT {group},
+    CASE WHEN {refusal} THEN CAST(1 AS DOUBLE) ELSE 0 END AS is_refusal,
+    CAST(len({_words('text')}) AS DOUBLE) AS n_ws_words,
+    CASE WHEN regexp_matches(text, '(?m)^#+\\s')
+         THEN CAST(1 AS DOUBLE) ELSE 0 END AS is_md,
+    CASE WHEN regexp_matches(text, '(?m)^[\\s]*[-*•]\\s')
+         THEN CAST(1 AS DOUBLE) ELSE 0 END AS is_list,
+    CASE WHEN contains(text, '```')
+         THEN CAST(1 AS DOUBLE) ELSE 0 END AS is_code,
+    CAST({hedge} AS DOUBLE) AS hedge_cnt,
+    CAST({cert} AS DOUBLE) AS cert_cnt,
+    {_tokens('text')} AS tokens
+  FROM (SELECT {group}, text, lower(text) AS lo FROM {base})
+),
+per_resp AS (
+  SELECT {group},
+    avg(is_refusal) AS refusal_rate,
+    avg(n_ws_words) AS avg_length,
+    avg(is_md) AS markdown_rate,
+    avg(is_list) AS list_rate,
+    avg(is_code) AS code_block_rate,
+    sum(hedge_cnt) AS hedge_total,
+    sum(cert_cnt) AS cert_total,
+    sum(len(tokens)) AS total_tokens
+  FROM resp GROUP BY {group}
+),
+vocab AS (
+  SELECT {group}, count(DISTINCT tok) AS distinct_tokens
+  FROM (SELECT {group}, unnest(tokens) AS tok FROM resp)
+  GROUP BY {group}
+),
+dlifeat AS (
+  SELECT p.{group},
+    p.refusal_rate,
+    p.avg_length,
+    v.distinct_tokens / greatest(p.total_tokens, 1) AS vocab_diversity,
+    p.markdown_rate,
+    p.list_rate,
+    p.code_block_rate,
+    p.hedge_total / greatest(p.total_tokens, 1) AS hedging_rate,
+    p.cert_total / greatest(p.total_tokens, 1) AS certainty_rate
+  FROM per_resp p JOIN vocab v USING ({group})
+)"""
+
+
+def dli_features_by_source() -> str:
+    cols = [
+        "round(refusal_rate, 6) AS refusal_rate",
+        "round(avg_length, 6) AS avg_length",
+        "round(vocab_diversity, 6) AS vocab_diversity",
+        "round(markdown_rate, 6) AS markdown_rate",
+        "round(list_rate, 6) AS list_rate",
+        "round(code_block_rate, 6) AS code_block_rate",
+        "round(hedging_rate, 6) AS hedging_rate",
+        "round(certainty_rate, 6) AS certainty_rate",
+    ]
+    return f"""
+WITH {_dli_features_ctes()}
+SELECT source, {", ".join(cols)} FROM dlifeat
+"""
+
+
+DLI_FEATURES = [
+    "refusal_rate", "avg_length", "vocab_diversity", "markdown_rate",
+    "list_rate", "code_block_rate", "hedging_rate", "certainty_rate",
+]
+
+
+def _dli_compare_ctes(base: str = "documents", group: str = "source") -> str:
+    dot = " + ".join(f"fa.{f} * fb.{f}" for f in DLI_FEATURES)
+    na = " + ".join(f"fa.{f} * fa.{f}" for f in DLI_FEATURES)
+    nb = " + ".join(f"fb.{f} * fb.{f}" for f in DLI_FEATURES)
+    ln2 = math.log(2)
+    return f"""{_dli_dist_ctes(base, group)},
+{_dli_features_ctes(base, group).lstrip()},
+gpairs AS (
+  SELECT fa.{group} AS model_a, fb.{group} AS model_b
+  FROM dlifeat fa JOIN dlifeat fb ON fa.{group} < fb.{group}
+),
+sides AS (
+  SELECT p.model_a, p.model_b, d.ngram, d.weight AS wa, 0::DOUBLE AS wb
+  FROM gpairs p JOIN dist d ON d.{group} = p.model_a
+  UNION ALL
+  SELECT p.model_a, p.model_b, d.ngram, 0::DOUBLE AS wa, d.weight AS wb
+  FROM gpairs p JOIN dist d ON d.{group} = p.model_b
+),
+merged AS (
+  SELECT model_a, model_b, ngram, sum(wa) AS wa, sum(wb) AS wb
+  FROM sides GROUP BY 1, 2, 3
+),
+normed AS (
+  SELECT model_a, model_b,
+    wa / greatest(sum(wa) OVER (PARTITION BY model_a, model_b), 1e-300) AS p,
+    wb / greatest(sum(wb) OVER (PARTITION BY model_a, model_b), 1e-300) AS q
+  FROM merged
+),
+js AS (
+  SELECT model_a, model_b,
+    (sum(CASE WHEN p > 0 AND (p + q) / 2 > 0
+              THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+     + sum(CASE WHEN q > 0 AND (p + q) / 2 > 0
+                THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)) / 2
+      AS js_divergence
+  FROM normed GROUP BY 1, 2
+),
+dli_cmp AS (
+  SELECT g.model_a, g.model_b,
+    coalesce(j.js_divergence, 0::DOUBLE) AS js_divergence,
+    (1::DOUBLE - least(coalesce(j.js_divergence, 0::DOUBLE) / {ln2!r},
+                       1::DOUBLE)) AS bigram_sim,
+    CASE WHEN sqrt({na}) = 0 OR sqrt({nb}) = 0 THEN 0::DOUBLE
+         ELSE ({dot}) / (sqrt({na}) * sqrt({nb})) END AS feature_sim
+  FROM gpairs g
+  JOIN dlifeat fa ON fa.{group} = g.model_a
+  JOIN dlifeat fb ON fb.{group} = g.model_b
+  LEFT JOIN js j ON j.model_a = g.model_a AND j.model_b = g.model_b
+)"""
+
+
+def dli_compare_sources() -> str:
+    return f"""
+WITH {_dli_compare_ctes()}
+SELECT model_a, model_b,
+  round(js_divergence, 6) AS js_divergence,
+  round(bigram_sim, 6) AS bigram_sim,
+  round(feature_sim, 6) AS feature_sim,
+  round(bigram_sim * 0.4::DOUBLE + feature_sim * 0.6::DOUBLE, 6)
+    AS similarity,
+  (bigram_sim * 0.4::DOUBLE + feature_sim * 0.6::DOUBLE) >= 0.80::DOUBLE
+    AS is_derived
+FROM dli_cmp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog-backed queries (VALUES oracles)
+# ---------------------------------------------------------------------------
+
+def probes_filtered() -> str:
+    rows = ", ".join(
+        f"({i}, {sql_quote(pid)}, {sql_quote(cat)})"
+        for i, (pid, cat, _) in enumerate(PROBES)
+    )
+    return f"""
+WITH probes(probe_seq, probe_id, category) AS (VALUES {rows}),
+filtered AS (
+  SELECT *, row_number() OVER (ORDER BY probe_seq) AS rn
+  FROM probes WHERE category IN ('reasoning', 'safety_boundary')
+)
+SELECT probe_seq, probe_id, category FROM filtered WHERE rn <= 4
+"""
+
+
+def _benchmark_values() -> str:
+    rows = ", ".join(
+        f"({i}, {sql_quote(t)}, {sql_quote(lb)}, {sql_quote(cat)})"
+        for i, (t, lb, cat) in enumerate(BENCHMARK_SAMPLES)
+    )
+    return f"benchmark(text_id, text, label, category) AS (VALUES {rows})"
+
+
+def benchmark_detect() -> str:
+    return f"""
+WITH {_benchmark_values()},
+{_detect_ctes('benchmark', 'text_id').lstrip()}
+SELECT CAST(d.text_id AS BIGINT) AS text_id, d.predicted_model, b.label,
+  d.predicted_model = b.label AS correct
+FROM detected d JOIN benchmark b USING (text_id)
+"""
+
+
+def benchmark_accuracy() -> str:
+    return f"""
+WITH {_benchmark_values()},
+{_detect_ctes('benchmark', 'text_id').lstrip()}
+SELECT count(*) AS total,
+  sum(CASE WHEN d.predicted_model = b.label THEN 1 ELSE 0 END) AS correct,
+  round(sum(CASE WHEN d.predicted_model = b.label
+            THEN CAST(1 AS DOUBLE) ELSE 0 END) / count(*), 6) AS accuracy
+FROM detected d JOIN benchmark b USING (text_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / watermark / dedup / similarity / CKA
+# ---------------------------------------------------------------------------
+
+STOPWORDS_SQL = None  # filled below to avoid circular import
+
+
+def text_stats() -> str:
+    from model_audit_spark.operators.text_analysis import (
+        BPE_PATTERN,
+        STOPWORDS,
+    )
+
+    stop_arr = sql_str_array(STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    {_words('text')} AS w,
+    {_tokens('text')} AS toks
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(w) AS n_words,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, {sql_quote(BPE_PATTERN)})) AS n_bpe_tokens,
+    length(array_to_string(toks, '')) / greatest(len(toks), 1) AS mean_word_len,
+    (length(text) - length(translate(text, '.,;:!?', '')))
+      / greatest(length(text), 1) AS punct_ratio,
+    len(list_filter(toks, t -> list_contains({stop_arr}, t)))
+      / greatest(len(toks), 1) AS stop_ratio,
+    {_lang('text')} AS lang_pred
+  FROM base
+)
+SELECT doc_id,
+  n_chars, n_words, n_tokens, n_bpe_tokens,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(
+    0.25::DOUBLE * least(greatest((n_words - 20) / 80.0::DOUBLE, 0::DOUBLE),
+                         1::DOUBLE)
+    + 0.25::DOUBLE * least(stop_ratio / 0.3::DOUBLE, 1::DOUBLE)
+    + 0.25::DOUBLE * (CASE WHEN mean_word_len >= 3.0::DOUBLE
+                            AND mean_word_len <= 8.0::DOUBLE
+                      THEN 1::DOUBLE ELSE 0::DOUBLE END)
+    + 0.25::DOUBLE * (CASE WHEN punct_ratio <= 0.1::DOUBLE
+                      THEN 1::DOUBLE ELSE 0::DOUBLE END),
+  6) AS quality_score,
+  lang_pred
+FROM stats
+"""
+
+
+def lang_distribution() -> str:
+    return f"""
+SELECT {_lang('text')} AS lang_pred, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def watermark_documents() -> str:
+    w = _words("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {w} AS w FROM documents
+),
+lens AS (
+  SELECT doc_id, text, w,
+    list_transform(w, x -> CAST(length(x) AS DOUBLE)) AS wl,
+    {_bigrams('w')} AS bg
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(wl, x -> (x - list_sum(wl) / greatest(len(wl), 1))
+                                     * (x - list_sum(wl) / greatest(len(wl), 1))))
+      / greatest(len(wl), 1) AS variance,
+    CASE WHEN len(bg) > 0
+         THEN len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+         ELSE 1.0::DOUBLE END AS unique_ratio,
+    length(text) - length(translate(text, '​‌‍﻿', ''))
+      AS zwc,
+    (length(text) - length(replace(text, '  ', ''))) / 2 AS dbl_space,
+    len(w) AS n_words
+  FROM lens
+)
+SELECT doc_id,
+  round(coalesce(variance, 0::DOUBLE), 6) AS wm_word_len_variance,
+  round(unique_ratio, 6) AS wm_bigram_unique_ratio,
+  CAST(zwc AS BIGINT) AS wm_zero_width_count,
+  CAST(dbl_space AS BIGINT) AS wm_double_space_count,
+  round(
+    (CASE WHEN n_words > 20 AND variance < 2.0::DOUBLE
+      THEN 0.3::DOUBLE ELSE 0::DOUBLE END)
+    + (CASE WHEN n_words > 20 AND unique_ratio < 0.5::DOUBLE
+       THEN 0.2::DOUBLE ELSE 0::DOUBLE END)
+    + (CASE WHEN zwc > 0 THEN 0.5::DOUBLE ELSE 0::DOUBLE END)
+    + (CASE WHEN dbl_space > 3 THEN 0.2::DOUBLE ELSE 0::DOUBLE END),
+  2) AS wm_score
+FROM sig
+"""
+
+
+def doc_fingerprints() -> str:
+    shingles = (
+        f"list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(toks) - 1), "
+        f"i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_tokens('text')} AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower({_strip('text')}), '\\s+', ' ', 'g'))
+      AS content_fp,
+    array_to_string(
+      list_slice(list_sort(list_transform({shingles}, s -> md5(s))), 1, 4),
+      '|') AS sketch
+  FROM base
+)
+SELECT doc_id, content_fp, sketch FROM fp
+"""
+
+
+def dedup_exact() -> str:
+    return """
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents
+)
+SELECT doc_id, text_hash,
+  count(*) OVER (PARTITION BY text_hash) AS dup_group_size,
+  row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1 AS is_first
+FROM hashed
+"""
+
+
+def _minhash_ctes(num_hashes: int = 16) -> str:
+    shingles = (
+        "list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
+        "ELSE list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
+    )
+    mh_cols = ", ".join(
+        f"coalesce(list_min(list_transform(sh, s -> md5('{seed}|' || s))), "
+        f"'{'z' * 32}') AS mh_{seed}"
+        for seed in range(num_hashes)
+    )
+    return f"""
+toksrc AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+shing AS (
+  SELECT doc_id, {shingles} AS sh FROM toksrc
+),
+sigs AS (
+  SELECT doc_id, {mh_cols} FROM shing
+)"""
+
+
+def dedup_minhash_signatures() -> str:
+    sig_concat = " || '|' || ".join(f"mh_{i}" for i in range(16))
+    return f"""
+WITH {_minhash_ctes()}
+SELECT doc_id, md5({sig_concat}) AS signature FROM sigs
+"""
+
+
+def dedup_minhash_pairs(min_jaccard: float = 0.5) -> str:
+    bands = []
+    for b in range(4):
+        parts = " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    bands_sql = " UNION ALL ".join(bands)
+    return f"""
+WITH {_minhash_ctes()},
+bandhash AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandhash a JOIN bandhash b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+expl AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+),
+sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM shing
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN expl ea ON ea.doc_id = c.id_a
+  JOIN expl eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+  round(coalesce(i.n_inter, 0)
+        / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1), 6)
+    AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE coalesce(i.n_inter, 0)
+      / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1)
+      >= {min_jaccard!r}
+"""
+
+
+def dedup_simhash(bits: int = 32) -> str:
+    hexval = (
+        "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+    )
+    poly = " + ".join(
+        f"{hexval.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN tok IS NULL THEN 0 "
+        f"WHEN (h32 // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_tokens('text')}) AS tok FROM documents
+  UNION ALL
+  SELECT doc_id, NULL AS tok FROM documents
+    WHERE len({_tokens('text')}) = 0
+),
+md AS (
+  SELECT doc_id, tok, md5(tok) AS h FROM toks
+),
+hashed AS (
+  SELECT doc_id, tok, CASE WHEN tok IS NULL THEN NULL ELSE {poly} END AS h32
+  FROM md
+),
+votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def similarity_topk(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+),
+pairs AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      AS dot,
+    sqrt(list_sum(list_transform(e.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(q.qv,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine_sim
+FROM pairs
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def cka_labels(label_a: int = 0, label_b: int = 1, n: int = 40) -> str:
+    def side(label: int, name: str) -> str:
+        return f"""
+{name}_rows AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sample, embedding
+  FROM embeddings WHERE label = {label}
+  QUALIFY sample < {n}
+),
+{name}_long AS (
+  SELECT sample, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM {name}_rows, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+{name}_c AS (
+  SELECT sample, dim, v - avg(v) OVER (PARTITION BY dim) AS v
+  FROM {name}_long
+)"""
+
+    return f"""
+WITH {side(label_a, 'x').lstrip()},
+{side(label_b, 'y').lstrip()},
+gxy AS (
+  SELECT x.dim AS dx, y.dim AS dy, sum(x.v * y.v) AS c
+  FROM x_c x JOIN y_c y ON x.sample = y.sample GROUP BY 1, 2
+),
+gxx AS (
+  SELECT a.dim AS dx, b.dim AS dy, sum(a.v * b.v) AS c
+  FROM x_c a JOIN x_c b ON a.sample = b.sample GROUP BY 1, 2
+),
+gyy AS (
+  SELECT a.dim AS dx, b.dim AS dy, sum(a.v * b.v) AS c
+  FROM y_c a JOIN y_c b ON a.sample = b.sample GROUP BY 1, 2
+),
+h AS (
+  SELECT (SELECT sum(c * c) FROM gxy) AS hxy,
+         (SELECT sum(c * c) FROM gxx) AS hxx,
+         (SELECT sum(c * c) FROM gyy) AS hyy
+)
+SELECT round(CASE WHEN sqrt(hxx * hyy) < 1e-10 THEN 0::DOUBLE
+             ELSE hxy / sqrt(hxx * hyy) END, 6) AS cka
+FROM h
+"""
+
+
+def audit_verdict_sources(src_a: str = "src0", src_b: str = "src1") -> str:
+    """Two-method audit verdict for one source pair (llmmap + dli vote)."""
+    filt = (
+        f"(SELECT source, text FROM documents "
+        f"WHERE source IN ({sql_quote(src_a)}, {sql_quote(src_b)}))"
+    )
+    dot = " + ".join(
+        f"{_norm_dim(d, f'a.{d}')} * {_norm_dim(d, f'b.{d}')}"
+        for d in FINGERPRINT_DIMS
+    )
+    na = " + ".join(
+        f"{_norm_dim(d, f'a.{d}')} * {_norm_dim(d, f'a.{d}')}"
+        for d in FINGERPRINT_DIMS
+    )
+    nb = " + ".join(
+        f"{_norm_dim(d, f'b.{d}')} * {_norm_dim(d, f'b.{d}')}"
+        for d in FINGERPRINT_DIMS
+    )
+    return f"""
+WITH {_fingerprint_cte(filt + " llm_base", "source")},
+llmmap_cmp AS (
+  SELECT CASE WHEN sqrt({na}) = 0 OR sqrt({nb}) = 0 THEN 0::DOUBLE
+         ELSE ({dot}) / (sqrt({na}) * sqrt({nb})) END AS similarity
+  FROM fp a JOIN fp b ON a.source < b.source
+),
+{_dli_compare_ctes(filt + " dli_base", "source").lstrip()},
+comparisons AS (
+  SELECT 'llmmap' AS method, similarity,
+    similarity >= 0.85::DOUBLE AS is_derived
+  FROM llmmap_cmp
+  UNION ALL
+  SELECT 'dli' AS method,
+    round(bigram_sim * 0.4::DOUBLE + feature_sim * 0.6::DOUBLE, 6)
+      AS similarity,
+    (bigram_sim * 0.4::DOUBLE + feature_sim * 0.6::DOUBLE) >= 0.80::DOUBLE
+      AS is_derived
+  FROM dli_cmp
+)
+SELECT
+  round(avg(similarity), 6) AS avg_similarity,
+  sum(CASE WHEN is_derived THEN 1 ELSE 0 END) AS derived_votes,
+  count(*) AS total_votes,
+  CASE WHEN sum(CASE WHEN is_derived THEN 1 ELSE 0 END) > count(*) / 2.0
+       THEN 'likely_derived'
+       WHEN avg(similarity) < 0.5::DOUBLE THEN 'independent'
+       ELSE 'inconclusive' END AS verdict,
+  round(least(abs(avg(similarity) - 0.85::DOUBLE) / 0.15::DOUBLE,
+              1.0::DOUBLE), 4) AS confidence
+FROM comparisons
+"""

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark AND its oracle_sql()
+mirror on DuckDB against the same parquet tables, then compares:
+row count, sorted column names, dtype classes, and an order-insensitive
+value hash (floats rounded to 6dp, rows sorted by their full string repr).
+
+Usage:
+  python scripts/check_oracle.py [query ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 6)
+        if r == int(r):
+            return str(int(r))
+        return f"{r:.6f}".rstrip("0")
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return canon_cell(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)
+
+
+def frame_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(canon_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = a.split("=", 1)[1]
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from model_audit_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(
+                f"~ {name}: rows-only ({len(srows)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            sh = frame_digest(scols, [list(r) for r in srows])
+            oh = frame_digest(ocols, orows)
+            if sh != oh:
+                problems.append(f"value-hash {sh} vs {oh}")
+        if problems:
+            print(f"✗ {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
+            failures.append(name)
+            # show a small diff sample
+            if sorted(scols) == sorted(ocols):
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = {
+                    "|".join(canon_cell(list(r)[i]) for i in order)
+                    for r in srows
+                }
+                oset = {
+                    "|".join(canon_cell(r[i]) for i in order) for r in orows
+                }
+                only_s = sorted(sset - oset)[:3]
+                only_o = sorted(oset - sset)[:3]
+                print(f"    cols: {[scols[i] for i in order]}")
+                for x in only_s:
+                    print(f"    spark-only:  {x[:200]}")
+                for x in only_o:
+                    print(f"    oracle-only: {x[:200]}")
+        else:
+            print(
+                f"✓ {name}: {len(srows)} rows match  ({time.time()-t0:.1f}s)"
+            )
+    print()
+    if failures:
+        print(f"FAILED: {len(failures)}/{len(names)}: {failures}")
+        sys.exit(1)
+    print(f"ALL MATCH ({len(names)} queries)")
+
+
+if __name__ == "__main__":
+    main()
