@@ -5,9 +5,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count() of the result) after a shared
-warm-up that triggers JVM/codegen warm paths; per-query time is wall-clock of
-the action.
+Each query is executed to completion via a noop-format write (evaluates
+EVERY output column — count() would let Catalyst prune computed columns and
+undercount the work) after a shared warm-up that triggers JVM/codegen warm
+paths; per-query time is wall-clock of the action. Row counts reported per
+query come from a separate cheap count().
 """
 
 from __future__ import annotations
@@ -63,9 +65,9 @@ def main() -> None:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

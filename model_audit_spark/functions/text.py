@@ -80,17 +80,24 @@ def word_tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(_c(col)), F.lit(WORD_CHARS), 0)
 
 
+def ngrams(words_col: Column, n: int = 2) -> Column:
+    """Adjacent n-word grams joined by a space (F17, reference dli.py:27-33).
+
+    Built as arrays_zip over n shifted slices so the tokens array is
+    referenced a CONSTANT number of times — per-element element_at lambdas
+    get the token-array expression inlined by CollapseProject around
+    Generate/Aggregate nodes, turning tokenization O(n²)."""
+    m = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
+    parts = [F.slice(words_col, i + 1, m).alias(f"_g{i}") for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped, lambda t: F.concat_ws(" ", *[t[f"_g{i}"] for i in range(n)])
+    )
+
+
 def bigrams(words_col: Column) -> Column:
     """Adjacent word pairs joined by a space (F17, reference dli.py:27-33)."""
-    n = F.size(words_col)
-    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words_col, i), F.element_at(words_col, i + 1)
-            ),
-        )
-    )
+    return ngrams(words_col, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -238,12 +245,19 @@ def watermark_columns(text_col: str = "text") -> dict[str, Column]:
     w = words(c)
     n = F.size(w)
     lens = F.transform(w, lambda x: F.length(x).cast("double"))
-    mean_len = F.aggregate(lens, F.lit(0.0), lambda a, x: a + x) / F.greatest(
-        n, F.lit(1)
+    # var = E[x²] − E[x]² in ONE array pass. A lambda that references the
+    # mean (itself an array aggregate) re-evaluates it per element → O(n²).
+    # Word lengths are small integers, so the sums are exact in double and
+    # the algebraic form matches Σ(x−mean)²/n at 6dp rounding.
+    denom = F.greatest(n, F.lit(1))
+    sums = F.aggregate(
+        lens,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("q")),
+        lambda a, x: F.struct(
+            (a["s"] + x).alias("s"), (a["q"] + x * x).alias("q")
+        ),
     )
-    variance = F.aggregate(
-        lens, F.lit(0.0), lambda a, x: a + (x - mean_len) * (x - mean_len)
-    ) / F.greatest(n, F.lit(1))
+    variance = sums["q"] / denom - (sums["s"] / denom) * (sums["s"] / denom)
     bg = bigrams(w)
     n_bg = F.size(bg)
     unique_ratio = F.when(n_bg > 0, F.size(F.array_distinct(bg)) / n_bg).otherwise(

@@ -1,19 +1,24 @@
 """Corpus deduplication operators (scale extension, BASELINE.json north star).
 
 - exact_dedup: full-text md5 grouping with deterministic keep-first markers.
-- minhash: word-shingle MinHash + LSH banding. Hash function is
-  md5(seed || '|' || shingle) compared lexicographically — deterministic,
-  portable across Spark and any SQL oracle (no engine-specific hash()).
-  Candidate pairs come from band-hash equality (a shuffle join on band value,
-  Σ bucket² work instead of O(N²)); candidates are then verified with exact
-  Jaccard over distinct shingle sets.
+- minhash: word-shingle MinHash + LSH banding. One md5 per *distinct* shingle
+  (32-bit value from the first 8 hex digits), then k universal-hash
+  permutations h_i(x) = (a_i·x + b_i) mod p with p the smallest prime > 2³²
+  and fixed deterministic coefficients — portable to any SQL oracle and
+  10-100× cheaper than hashing every shingle k times. Signatures are built
+  explode → hash-aggregate (map-side partial min), NOT per-row array lambdas:
+  at 100 TB the shuffle carries only (doc_id, 16×int64). Candidate pairs come
+  from LSH band buckets via groupBy + in-bucket pair expansion (Σ bucket²
+  work, no self-join recompute of the signature plan); candidates are then
+  verified with exact Jaccard over distinct shingle sets.
 - simhash: 32-bit SimHash over word tokens (per-bit sign of summed ±1 votes,
   token hash = first 8 md5 hex digits). Near-dup candidates = equal simhash
   (or banded bytes for hamming<k at scale).
 
-At 100 TB: every stage is explode → hash-aggregate or equi-join on a hash
-key; no driver-side state, no window over the full corpus. Skewed shingles
-(stopword shingles) are bounded because signatures are fixed-width per doc.
+Determinism note: intermediate token/shingle arrays are projected as named
+columns in separate selects so lambda bodies reference an attribute, not the
+tokenizer subtree — Catalyst's CollapseProject keeps multi-referenced
+non-cheap expressions in their own projection, avoiding O(n²) re-evaluation.
 """
 
 from __future__ import annotations
@@ -21,7 +26,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from model_audit_spark.functions.text import word_tokens
+from model_audit_spark.functions.text import ngrams, word_tokens
+
+# Smallest prime > 2^32; minhash permutation modulus and the sentinel
+# signature value for documents with no shingles.
+MINHASH_PRIME = 4294967311
+
+
+def minhash_coeffs(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Fixed (a, b) coefficients for h_i(x) = (a·x + b) mod MINHASH_PRIME.
+
+    a < 2^30 keeps a·x < 2^62 for 32-bit x — no BIGINT overflow in Spark or
+    DuckDB. Derived from Knuth/Weyl multiplicative constants; deterministic
+    so Spark and the SQL oracle agree byte-for-byte."""
+    return [
+        (
+            ((i * 2654435761 + 1013904223) % (1 << 30)) | 1,
+            (i * 805306457 + 123456791) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def exact_dedup(
@@ -40,19 +64,29 @@ def exact_dedup(
     )
 
 
-def word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles from the DLI tokenizer."""
-    w = word_tokens(text_col)
-    size = F.size(w)
-    sh = F.when(size < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), size - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
-            ),
-        )
+def shingles_from_tokens(tokens_col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles from a tokens column (O(n) slice-zip form)."""
+    w = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.array_distinct(ngrams(w, n))
+
+
+def shingles_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh ARRAY<STRING>): distinct word shingles, tokenized once."""
+    t = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+    return t.select(
+        id_col, shingles_from_tokens("_w", shingle_n).alias("sh")
     )
-    return F.array_distinct(sh)
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles straight from text (small inputs only —
+    prefer shingles_df, which avoids lambda re-evaluation of the tokenizer)."""
+    return shingles_from_tokens(word_tokens(text_col), n)
 
 
 def minhash_signatures(
@@ -62,26 +96,37 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}): per-doc MinHash signature (md5-hex minima).
+    """(id, mh_0..mh_{k-1} BIGINT): per-doc MinHash signature.
 
-    Docs with no shingles get the sentinel 'z'*32 (sorts after any hex)."""
-    sh = word_shingles(text_col, shingle_n)
-    sentinel = F.lit("z" * 32)
-
-    def _hasher(seed: int):
-        # NB: a default-arg lambda (lambda s, seed=seed: ...) would have
-        # arity 2 and pyspark would bind the array INDEX to the second
-        # parameter — close over the prefix instead.
-        prefix = f"{seed}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    cols = []
-    for seed in range(num_hashes):
-        hashed = F.transform(sh, _hasher(seed))
-        cols.append(
-            F.coalesce(F.array_min(hashed), sentinel).alias(f"mh_{seed}")
-        )
-    return df.select(F.col(id_col), *cols)
+    explode(shingles) → one md5 per shingle → 32-bit int → k affine
+    permutations minimized in ONE hash aggregate (map-side combine). Docs
+    with no shingles get the sentinel MINHASH_PRIME (> any hash value), so
+    they keep a row and identical empty docs still band-match (their pairs
+    are later killed by jaccard_verify's 0-jaccard filter)."""
+    long = shingles_df(df, text_col, id_col, shingle_n).select(
+        id_col, F.explode("sh").alias("s")
+    )
+    h32 = long.select(
+        id_col,
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    mins = h32.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    )
+    return df.select(F.col(id_col)).join(mins, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(F.col(f"mh_{i}"), F.lit(MINHASH_PRIME))
+            .cast("long")
+            .alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_band_pairs(
@@ -90,7 +135,13 @@ def minhash_band_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band (id_a < id_b)."""
+    """Candidate pairs sharing at least one LSH band (id_a < id_b).
+
+    groupBy(band, band_hash) → sorted id list → in-bucket pair expansion:
+    one shuffle, Σ bucket² pair rows, and the signature plan is evaluated
+    once (a self-join would recompute it per side). At 100 TB a pathological
+    bucket (e.g. boilerplate shingles) shows up as skew here; cap it upstream
+    by filtering ultra-common shingles before signing if needed."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -106,16 +157,24 @@ def minhash_band_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = exploded.select(
-        "band", "bh", F.col(id_col).alias("id_a")
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = exploded.select(
-        "band", "bh", F.col(id_col).alias("id_b")
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -129,9 +188,8 @@ def jaccard_verify(
     min_jaccard: float = 0.0,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs, exact over shingle sets."""
-    shing = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("sh"),
+    shing = shingles_df(df, text_col, id_col, shingle_n).withColumnRenamed(
+        id_col, "_id"
     )
     sizes = shing.select("_id", F.size("sh").alias("n_sh"))
     expl = shing.select("_id", F.explode("sh").alias("s"))

@@ -18,7 +18,7 @@ from model_audit_spark.functions.text import (
     word_tokens,
     words,
 )
-from model_audit_spark.operators.dedup import word_shingles
+from model_audit_spark.operators.dedup import shingles_from_tokens
 
 # A GPT2-ish byte-pair-encoding pre-tokenizer approximation: contractions,
 # letter runs, digit runs, punctuation runs, whitespace runs.
@@ -110,10 +110,17 @@ def doc_fingerprints(
     """
     c = F.col(text_col)
     normalized = F.regexp_replace(F.lower(strip(c)), r"\s+", " ")
-    hashed = F.transform(word_shingles(c, shingle_n), F.md5)
-    sketch = F.array_join(F.slice(F.array_sort(hashed), 1, sketch_k), "|")
-    return df.select(
+    # tokens/shingles staged as named columns so lambdas reference an
+    # attribute, not the tokenizer subtree (avoids O(n²) re-evaluation).
+    staged = df.select(
         F.col(id_col),
         F.md5(normalized).alias("content_fp"),
-        sketch.alias("sketch"),
+        word_tokens(c).alias("_w"),
+    ).select(
+        id_col, "content_fp", shingles_from_tokens("_w", shingle_n).alias("_sh")
+    )
+    hashed = F.transform(F.col("_sh"), F.md5)
+    sketch = F.array_join(F.slice(F.array_sort(hashed), 1, sketch_k), "|")
+    return staged.select(
+        F.col(id_col), "content_fp", sketch.alias("sketch")
     )

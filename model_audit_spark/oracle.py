@@ -755,9 +755,9 @@ lens AS (
 ),
 sig AS (
   SELECT doc_id,
-    list_sum(list_transform(wl, x -> (x - list_sum(wl) / greatest(len(wl), 1))
-                                     * (x - list_sum(wl) / greatest(len(wl), 1))))
-      / greatest(len(wl), 1) AS variance,
+    list_sum(list_transform(wl, x -> x * x)) / greatest(len(wl), 1)
+      - (list_sum(wl) / greatest(len(wl), 1))
+        * (list_sum(wl) / greatest(len(wl), 1)) AS variance,
     CASE WHEN len(bg) > 0
          THEN len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
          ELSE 1.0::DOUBLE END AS unique_ratio,
@@ -819,16 +819,36 @@ FROM hashed
 """
 
 
+def _hex32(hexstr: str) -> str:
+    """SQL: first-8-hex-chars of a lowercase hex string -> BIGINT (0..2^32)."""
+    digit = f"(strpos('0123456789abcdef', substring({hexstr}, {{i}}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(
+            f"{digit.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+        )
+        + ")"
+    )
+
+
 def _minhash_ctes(num_hashes: int = 16) -> str:
+    from model_audit_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
     shingles = (
         "list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
         "ELSE list_transform(range(1, len(toks) - 1), "
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
     )
-    mh_cols = ", ".join(
-        f"coalesce(list_min(list_transform(sh, s -> md5('{seed}|' || s))), "
-        f"'{'z' * 32}') AS mh_{seed}"
-        for seed in range(num_hashes)
+    min_cols = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    sig_cols = ", ".join(
+        f"CAST(coalesce(m.mh_{i}, {MINHASH_PRIME}) AS BIGINT) AS mh_{i}"
+        for i in range(num_hashes)
     )
     return f"""
 toksrc AS (
@@ -837,13 +857,25 @@ toksrc AS (
 shing AS (
   SELECT doc_id, {shingles} AS sh FROM toksrc
 ),
+mh_expl AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+),
+mh_h AS (
+  SELECT doc_id, CAST({_hex32('md5(s)')} AS BIGINT) AS h FROM mh_expl
+),
+mh_min AS (
+  SELECT doc_id, {min_cols} FROM mh_h GROUP BY doc_id
+),
 sigs AS (
-  SELECT doc_id, {mh_cols} FROM shing
+  SELECT d.doc_id, {sig_cols}
+  FROM documents d LEFT JOIN mh_min m ON m.doc_id = d.doc_id
 )"""
 
 
 def dedup_minhash_signatures() -> str:
-    sig_concat = " || '|' || ".join(f"mh_{i}" for i in range(16))
+    sig_concat = " || '|' || ".join(
+        f"CAST(mh_{i} AS VARCHAR)" for i in range(16)
+    )
     return f"""
 WITH {_minhash_ctes()}
 SELECT doc_id, md5({sig_concat}) AS signature FROM sigs
@@ -853,7 +885,9 @@ SELECT doc_id, md5({sig_concat}) AS signature FROM sigs
 def dedup_minhash_pairs(min_jaccard: float = 0.5) -> str:
     bands = []
     for b in range(4):
-        parts = " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+        parts = " || '|' || ".join(
+            f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
         bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
     bands_sql = " UNION ALL ".join(bands)
     return f"""
