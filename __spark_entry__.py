@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 from model_audit_spark import oracle as ora
 from model_audit_spark.catalogs import benchmark_df, probes_df
 from model_audit_spark.functions.text import watermark_columns
-from model_audit_spark.operators.audit import audit_verdict, method_comparisons
+from model_audit_spark.operators.audit import (
+    audit_verdict,
+    claimed_families,
+    consistency_rate,
+    fingerprint_diff_buckets,
+    method_comparisons,
+    probe_style_consistency,
+    style_count_distribution,
+)
 from model_audit_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
@@ -55,6 +63,7 @@ from model_audit_spark.operators.similarity import (
 from model_audit_spark.operators.text_analysis import doc_fingerprints, doc_stats
 from model_audit_spark.functions.text import with_llmmap_features
 from model_audit_spark.catalogs import (
+    AUDIT_MODEL_NAMES,
     BOOL_FEATURES,
     FINGERPRINT_DIMS,
     MARKER_CATEGORIES,
@@ -405,6 +414,78 @@ def _benchmark_accuracy(spark, sf):
     )
 
 
+def _responses_fixture(spark, sf, teacher="src0", student="src1", n=20):
+    """responses(model_id, probe_seq, probe_id, category, response) derived
+    deterministically from documents — stands in for the live probe source
+    exactly like the reference mocks _call_model_api_once."""
+    docs = _t(spark, sf, "documents").filter(
+        F.col("source").isin([teacher, student])
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            F.col("source").alias("model_id"),
+            F.row_number().over(w).alias("probe_seq"),
+            F.col("text").alias("response"),
+        )
+        .filter(F.col("probe_seq") <= n)
+        .withColumn(
+            "probe_id", F.concat(F.lit("p"), F.col("probe_seq").cast("string"))
+        )
+        .withColumn("category", F.lit("synthetic"))
+    )
+
+
+def _probe_style_consistency(spark, sf):
+    resp = _responses_fixture(spark, sf)
+    return probe_style_consistency(resp, spark, "src0", "src1").select(
+        "probe_seq", "probe_id", "category",
+        "teacher_style", "student_style", "is_consistent",
+    )
+
+
+def _audit_consistency_rate(spark, sf):
+    det = _probe_style_consistency(spark, sf)
+    return consistency_rate(det).select(
+        F.col("consistent").cast("bigint").alias("consistent"),
+        "total",
+        "pct",
+    )
+
+
+def _style_count_distribution(spark, sf):
+    det = _probe_style_consistency(spark, sf)
+    return style_count_distribution(det)
+
+
+def _probe_category_counts(spark, sf):
+    return probes_df(spark).groupBy("category").agg(
+        F.count("*").alias("n_probes")
+    )
+
+
+def _benchmark_accuracy_by_class(spark, sf):
+    det = _benchmark_detect(spark, sf)
+    return det.groupBy("label").agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("correct").cast("int")).cast("bigint").alias("correct"),
+        F.round(F.avg(F.col("correct").cast("double")), 6).alias("accuracy"),
+    )
+
+
+def _claimed_families(spark, sf):
+    models = spark.createDataFrame(
+        [(m,) for m in AUDIT_MODEL_NAMES], ["model_id"]
+    )
+    return claimed_families(models, spark)
+
+
+def _fingerprint_diff_buckets(spark, sf):
+    docs = _t(spark, sf, "documents")
+    fp = fingerprint_vectors(docs, "source", "text")
+    return fingerprint_diff_buckets(fp, "src0", "src1")
+
+
 def _audit_verdict_sources(spark, sf):
     docs = _t(spark, sf, "documents")
     resp = docs.filter(F.col("source").isin(["src0", "src1"])).select(
@@ -419,6 +500,97 @@ def _audit_verdict_sources(spark, sf):
         "verdict",
         "confidence",
     )
+
+
+def _memo_pairs(spark, sf):
+    """(pair_id, sample, response, suffix, completion): each src0 document
+    paired with the next one (the last with itself) — a deterministic
+    stand-in for live (true-suffix, model-completion) probe output."""
+    docs = _t(spark, sf, "documents").filter(F.col("source") == "src0")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("sample"),
+        F.coalesce(F.lead("text").over(w), F.col("text")).alias("response"),
+    )
+    s_mid = (F.length("sample") / 2).cast("int")
+    r_mid = (F.length("response") / 2).cast("int")
+    return paired.select(
+        "pair_id",
+        "sample",
+        "response",
+        F.col("sample")
+        .substr(s_mid + 1, F.length("sample") - s_mid)
+        .alias("suffix"),
+        F.col("response")
+        .substr(r_mid + 1, F.length("response") - r_mid)
+        .alias("completion"),
+    )
+
+
+def _memorization_verbatim(spark, sf):
+    from model_audit_spark.operators.memorization import (
+        verbatim_phrase_fraction,
+    )
+
+    return verbatim_phrase_fraction(
+        _memo_pairs(spark, sf), "sample", "response", "pair_id"
+    ).select(
+        "pair_id",
+        F.col("total_phrases").cast("bigint").alias("total_phrases"),
+        F.col("matched_phrases").cast("bigint").alias("matched_phrases"),
+        "score",
+    )
+
+
+def _memorization_levenshtein(spark, sf):
+    from model_audit_spark.operators.memorization import (
+        levenshtein_similarity,
+    )
+
+    pairs = _memo_pairs(spark, sf)
+    return pairs.select(
+        "pair_id",
+        F.round(
+            levenshtein_similarity("suffix", "completion"), 6
+        ).alias("lev_similarity"),
+    )
+
+
+def _memorization_seqmatch(spark, sf):
+    from model_audit_spark.operators.memorization import (
+        sequence_match_scores,
+    )
+
+    return sequence_match_scores(
+        _memo_pairs(spark, sf), "suffix", "completion", "pair_id"
+    )
+
+
+def _llmmap_fingerprint_hashes(spark, sf):
+    from model_audit_spark.operators.fingerprint import fingerprint_hash
+
+    docs = _t(spark, sf, "documents")
+    fp = fingerprint_vectors(docs, "source", "text")
+    return fingerprint_hash(fp, "source").select("source", "fp_hash")
+
+
+def _reef_layer_cka(spark, sf):
+    """Per-layer CKA via the cogrouped pandas kernel (rows-only check:
+    numpy kernel has no SQL twin; cka_labels covers the DataFrame path)."""
+    from model_audit_spark.operators.reef import layer_cka
+
+    emb = _t(spark, sf, "embeddings")
+    w = Window.partitionBy("label", F.col("vec_id") % 4).orderBy("vec_id")
+    hidden = emb.filter(F.col("label").isin([0, 1])).select(
+        F.concat(F.lit("m"), F.col("label").cast("string")).alias("model_id"),
+        (F.col("vec_id") % 4).cast("int").alias("layer"),
+        (F.row_number().over(w) - 1).alias("sample"),
+        F.col("embedding").alias("vec"),
+    ).filter(F.col("sample") < 8)
+    return layer_cka(hidden, "m0", "m1").select(
+        "layer", F.round("cka", 6).alias("cka")
+    ).orderBy("layer")
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +644,19 @@ def _watermark_documents(spark, sf):
 def _doc_fingerprints(spark, sf):
     docs = _t(spark, sf, "documents")
     return doc_fingerprints(docs, "text", "doc_id")
+
+
+def _cache_keys(spark, sf):
+    from model_audit_spark.sources.cache import cache_key
+
+    docs = _t(spark, sf, "documents")
+    models = docs.select(F.col("source").alias("model_id")).distinct()
+    return models.select(
+        "model_id",
+        cache_key("model_id", F.lit("llmmap"), F.lit("openai")).alias(
+            "cache_key"
+        ),
+    )
 
 
 def _dedup_exact(spark, sf):
@@ -546,11 +731,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probes_filtered": _probes_filtered,
         "benchmark_detect": _benchmark_detect,
         "benchmark_accuracy": _benchmark_accuracy,
+        "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
         "audit_verdict_sources": _audit_verdict_sources,
+        "probe_style_consistency": _probe_style_consistency,
+        "audit_consistency_rate": _audit_consistency_rate,
+        "style_count_distribution": _style_count_distribution,
+        "probe_category_counts": _probe_category_counts,
+        "claimed_families": _claimed_families,
+        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
         "text_stats": _text_stats,
         "lang_distribution": _lang_distribution,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
+        "cache_keys": _cache_keys,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
@@ -559,6 +752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cka_labels": _cka_labels,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dups": _embedding_near_dups,
+        "memorization_verbatim": _memorization_verbatim,
+        "memorization_levenshtein": _memorization_levenshtein,
+        "memorization_seqmatch": _memorization_seqmatch,
+        "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
+        "reef_layer_cka": _reef_layer_cka,
     }
 
 
@@ -583,17 +781,30 @@ def oracle_sql() -> dict[str, str]:
         "probes_filtered": ora.probes_filtered(),
         "benchmark_detect": ora.benchmark_detect(),
         "benchmark_accuracy": ora.benchmark_accuracy(),
+        "benchmark_accuracy_by_class": ora.benchmark_accuracy_by_class(),
         "audit_verdict_sources": ora.audit_verdict_sources(),
+        "probe_style_consistency": ora.probe_style_consistency(),
+        "audit_consistency_rate": ora.audit_consistency_rate(),
+        "style_count_distribution": ora.style_count_distribution(),
+        "probe_category_counts": ora.probe_category_counts(),
+        "claimed_families": ora.claimed_families(),
+        "fingerprint_diff_buckets": ora.fingerprint_diff_buckets(),
         "text_stats": ora.text_stats(),
         "lang_distribution": ora.lang_distribution(),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
+        "cache_keys": ora.cache_keys(),
         "dedup_exact": ora.dedup_exact(),
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_simhash": ora.dedup_simhash(),
         "similarity_topk": ora.similarity_topk(),
         "cka_labels": ora.cka_labels(),
-        # ann_lsh_topk / embedding_near_dups: rows-only (RHP planes are
-        # driver-side literals; replicating them in SQL adds no assurance).
+        "memorization_verbatim": ora.memorization_verbatim(),
+        "memorization_levenshtein": ora.memorization_levenshtein(),
+        "llmmap_fingerprint_hashes": ora.llmmap_fingerprint_hashes(),
+        # Rows-only (no SQL twin): ann_lsh_topk / embedding_near_dups (RHP
+        # planes are driver-side literals), memorization_seqmatch (difflib
+        # SequenceMatcher kernel), reef_layer_cka (numpy CKA kernel — the
+        # DataFrame CKA path is oracle-checked as cka_labels).
     }

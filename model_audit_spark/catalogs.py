@@ -394,6 +394,26 @@ FINGERPRINT_DIMS = (
 )
 
 
+# Fixture model names for the claimed-family theta join (J8,
+# engine.py:140-145): one per family, one with no family substring, and one
+# matching two families to pin the first-in-definition-order tie-break.
+AUDIT_MODEL_NAMES = [
+    "gpt-4-turbo-2024-04-09",
+    "claude-3-opus-20240229",
+    "meta-llama/Llama-3-8B-Instruct",
+    "gemini-1.5-pro",
+    "Qwen2.5-72B-Instruct",
+    "deepseek-coder-v2",
+    "mistral-large-2407",
+    "yi-34b-chat",
+    "phi-3-mini",
+    "chatglm3-6b",
+    "cohere-command-r",
+    "my-custom-model",
+    "gpt-4-yi-hybrid",
+]
+
+
 def sql_quote(s: str) -> str:
     """Escape a python string as a single-quoted ANSI SQL literal."""
     return "'" + s.replace("'", "''") + "'"

@@ -17,7 +17,7 @@ the reference mocks `_call_model_api_once`). The audit derives:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from model_audit_spark.operators.detect import style_scores
@@ -139,3 +139,110 @@ def consistency_rate(probe_details: DataFrame) -> DataFrame:
             F.sum(F.col("is_consistent").cast("int")) / F.count("*") * 100.0, 0
         ).alias("pct"),
     )
+
+
+def style_count_distribution(probe_details: DataFrame) -> DataFrame:
+    """A11: Counter of student styles across probes (report.py:548-558).
+
+    (student_style, n, pct) ordered by count desc then style asc (Counter
+    .most_common ties resolve first-seen; style asc is the deterministic
+    stand-in — both sides of the oracle sort identically)."""
+    total = Window.partitionBy()
+    return (
+        probe_details.groupBy("student_style")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "student_style",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(total) * 100.0, 2
+            ).alias("pct"),
+        )
+        .orderBy(F.desc("n"), F.asc("student_style"))
+    )
+
+
+def claimed_families(
+    models: DataFrame, spark: SparkSession, model_col: str = "model_id"
+) -> DataFrame:
+    """J8: first style family (signature-definition order) whose name is a
+    substring of the lowercased model name (engine.py:140-145); NULL when no
+    family matches. Broadcast theta-join against the 12-row catalog."""
+    from model_audit_spark.catalogs import style_signatures_df
+
+    sigs = style_signatures_df(spark).select("family", "family_rank")
+    joined = models.join(
+        F.broadcast(sigs),
+        F.lower(F.col(model_col)).contains(F.col("family")),
+        "left",
+    )
+    return (
+        joined.groupBy(model_col)
+        .agg(
+            F.expr("min_by(family, family_rank)").alias("claimed_family")
+        )
+    )
+
+
+def is_teacher_style(style, teacher) -> Column:
+    """report.py:783-788: style ⊆ teacher-name ∨ teacher-name ⊆ style."""
+    s = F.lower(style if isinstance(style, Column) else F.col(style))
+    t = F.lower(teacher if isinstance(teacher, Column) else F.col(teacher))
+    return t.contains(s) | s.contains(t)
+
+
+# V8 difference-judgment buckets (report.py:735-780). Exact reference
+# strings including the markdown bold the renderer relies on.
+_BUCKETS = ("**完全一致**", "**高度一致**", "接近", "显著不同")
+
+
+def _bucket(diff, thresholds) -> F.Column:
+    t1, t2, t3 = thresholds
+    return (
+        F.when(diff < t1, _BUCKETS[0])
+        .when(diff < t2, _BUCKETS[1])
+        .when(diff < t3, _BUCKETS[2])
+        .otherwise(_BUCKETS[3])
+    )
+
+
+def fingerprint_diff_buckets(
+    fp: DataFrame, model_a: str, model_b: str, group_col: str = "source"
+) -> DataFrame:
+    """V8: per-dimension |a−b| plus the reference's judgment bucket.
+
+    Output: (feature, value_a, value_b, diff, judgment) for one model pair,
+    one row per fingerprint dimension in catalog order."""
+    from model_audit_spark.catalogs import FEATURE_RANGES, FINGERPRINT_DIMS
+
+    a = fp.filter(F.col(group_col) == model_a)
+    b = fp.filter(F.col(group_col) == model_b)
+    pair = a.crossJoin(
+        b.select(*[F.col(d).alias(f"_b_{d}") for d in FINGERPRINT_DIMS])
+    )
+    rows = []
+    for seq, d in enumerate(FINGERPRINT_DIMS):
+        diff = F.abs(F.col(d) - F.col(f"_b_{d}"))
+        if d in FEATURE_RANGES:
+            lo, hi = FEATURE_RANGES[d]
+            norm = diff / (hi - lo) if hi > lo else F.lit(0.0)
+            judgment = _bucket(norm, (0.02, 0.1, 0.2))
+        elif d.startswith("ratio_"):
+            judgment = _bucket(diff, (0.01, 0.05, 0.1))
+        elif d.startswith("style_"):
+            judgment = _bucket(diff, (0.001, 0.003, 0.005))
+        else:
+            judgment = _bucket(diff, (0.01, 0.05, 0.1))
+        rows.append(
+            F.struct(
+                F.lit(seq).alias("feature_seq"),
+                F.lit(d).alias("feature"),
+                F.round(F.col(d), 6).alias("value_a"),
+                F.round(F.col(f"_b_{d}"), 6).alias("value_b"),
+                F.round(diff, 6).alias("diff"),
+                judgment.alias("judgment"),
+            )
+        )
+    return pair.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")

@@ -114,14 +114,19 @@ def fingerprint_hash(fp: DataFrame, group_col: str = "model_id") -> DataFrame:
 
     The reference hashes Python's json.dumps(vector, sort_keys=True)
     (llmmap.py:368); Python float repr is not portably reproducible in SQL,
-    so our canonical form is `dim:round(value,12)` joined with '|' over
-    alphabetically sorted dims. The hash is an internal equality check, not a
-    cross-engine contract — divergence documented per SURVEY.md §7.4.
+    so our canonical form is `dim:printf('%.6f')` joined with '|' over
+    alphabetically sorted dims — fixed-width decimal renders identically in
+    Spark (java.util.Formatter) and DuckDB (printf), making the digest a
+    cross-engine contract. Divergence from the reference's exact digest is
+    documented per SURVEY.md §7.4 (same equality semantics, different
+    canonicalization).
     """
     canon = F.concat_ws(
         "|",
         *[
-            F.concat_ws(":", F.lit(d), F.round(F.col(d), 12).cast("string"))
+            F.concat_ws(
+                ":", F.lit(d), F.format_string("%.6f", F.col(d))
+            )
             for d in sorted(FINGERPRINT_DIMS)
         ],
     )

@@ -80,7 +80,13 @@ def layer_cka(
             return pd.DataFrame({"layer": [key[0]], "cka": [0.0]})
         X = [list(v) for v in pdf_a.sort_values("sample")["vec"]]
         Y = [list(v) for v in pdf_b.sort_values("sample_b")["vec_b"]]
-        return pd.DataFrame({"layer": [key[0]], "cka": [cka_numpy(X, Y)]})
+        # samples align positionally (probe order); truncate to the shared
+        # prefix if one side has fewer rows, like layers are truncated to
+        # min(L_a, L_b)
+        m = min(len(X), len(Y))
+        return pd.DataFrame(
+            {"layer": [key[0]], "cka": [cka_numpy(X[:m], Y[:m])]}
+        )
 
     return (
         a.groupBy("layer")

@@ -807,6 +807,249 @@ SELECT doc_id, content_fp, sketch FROM fp
 """
 
 
+def _responses_consistency_ctes(
+    teacher: str = "src0", student: str = "src1", n_probes: int = 20
+) -> str:
+    """Fixture responses(model_id, probe_seq, response) from documents plus
+    the per-probe style-consistency chain (J2 + J5 + T1 + A9 inputs)."""
+    return f"""
+resp AS (
+  SELECT source AS model_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS probe_seq,
+         text AS response
+  FROM documents WHERE source IN ({sql_quote(teacher)}, {sql_quote(student)})
+  QUALIFY probe_seq <= {n_probes}
+),
+respne AS (
+  SELECT model_id, probe_seq, response AS text FROM resp
+  WHERE length(coalesce(response, '')) > 0
+),
+{_detect_ctes('respne', 'model_id, probe_seq', 'text').lstrip()},
+teacher_side AS (
+  SELECT r.probe_seq,
+         'p' || CAST(r.probe_seq AS VARCHAR) AS probe_id,
+         'synthetic' AS category,
+         coalesce(d.predicted_model, 'unknown') AS teacher_style
+  FROM resp r LEFT JOIN detected d
+    ON d.model_id = r.model_id AND d.probe_seq = r.probe_seq
+  WHERE r.model_id = {sql_quote(teacher)}
+),
+student_side AS (
+  SELECT r.probe_seq,
+         coalesce(d.predicted_model, 'unknown') AS student_style
+  FROM resp r LEFT JOIN detected d
+    ON d.model_id = r.model_id AND d.probe_seq = r.probe_seq
+  WHERE r.model_id = {sql_quote(student)}
+),
+consistency AS (
+  SELECT coalesce(t.probe_seq, s.probe_seq) AS probe_seq,
+         t.probe_id, t.category,
+         coalesce(t.teacher_style, 'unknown') AS teacher_style,
+         coalesce(s.student_style, 'unknown') AS student_style,
+         coalesce(t.teacher_style, 'unknown')
+           = coalesce(s.student_style, 'unknown') AS is_consistent
+  FROM teacher_side t FULL JOIN student_side s ON t.probe_seq = s.probe_seq
+)"""
+
+
+def probe_style_consistency() -> str:
+    return f"""
+WITH {_responses_consistency_ctes()}
+SELECT probe_seq, probe_id, category, teacher_style, student_style,
+       is_consistent
+FROM consistency
+"""
+
+
+def audit_consistency_rate() -> str:
+    return f"""
+WITH {_responses_consistency_ctes()}
+SELECT CAST(sum(CASE WHEN is_consistent THEN 1 ELSE 0 END) AS BIGINT)
+         AS consistent,
+       count(*) AS total,
+       round(sum(CASE WHEN is_consistent THEN CAST(1 AS DOUBLE) ELSE 0 END)
+             / count(*) * 100.0::DOUBLE, 0) AS pct
+FROM consistency
+"""
+
+
+def style_count_distribution() -> str:
+    return f"""
+WITH {_responses_consistency_ctes()}
+SELECT student_style, count(*) AS n,
+       round(count(*) / (sum(count(*)) OVER ()) * 100.0::DOUBLE, 2) AS pct
+FROM consistency
+GROUP BY student_style
+"""
+
+
+def probe_category_counts() -> str:
+    rows = ", ".join(
+        f"({i}, {sql_quote(pid)}, {sql_quote(cat)})"
+        for i, (pid, cat, _) in enumerate(PROBES)
+    )
+    return f"""
+WITH probes(probe_seq, probe_id, category) AS (VALUES {rows})
+SELECT category, count(*) AS n_probes FROM probes GROUP BY category
+"""
+
+
+def benchmark_accuracy_by_class() -> str:
+    return f"""
+WITH {_benchmark_values()},
+{_detect_ctes('benchmark', 'text_id').lstrip()}
+SELECT b.label,
+  count(*) AS total,
+  CAST(sum(CASE WHEN d.predicted_model = b.label THEN 1 ELSE 0 END)
+       AS BIGINT) AS correct,
+  round(sum(CASE WHEN d.predicted_model = b.label
+            THEN CAST(1 AS DOUBLE) ELSE 0 END) / count(*), 6) AS accuracy
+FROM detected d JOIN benchmark b USING (text_id)
+GROUP BY b.label
+"""
+
+
+def claimed_families() -> str:
+    from model_audit_spark.catalogs import AUDIT_MODEL_NAMES
+
+    models = ", ".join(f"({sql_quote(m)})" for m in AUDIT_MODEL_NAMES)
+    return f"""
+WITH {_signatures_cte()},
+models(model_id) AS (VALUES {models})
+SELECT m.model_id, arg_min(s.family, s.family_rank) AS claimed_family
+FROM models m
+LEFT JOIN style_signatures s ON contains(lower(m.model_id), s.family)
+GROUP BY m.model_id
+"""
+
+
+def fingerprint_diff_buckets(
+    model_a: str = "src0", model_b: str = "src1"
+) -> str:
+    """V8 judgment buckets (report.py:735-780) per fingerprint dimension."""
+
+    def bucket(diff: str, t1: float, t2: float, t3: float) -> str:
+        return (
+            f"CASE WHEN {diff} < {t1}::DOUBLE THEN '**完全一致**' "
+            f"WHEN {diff} < {t2}::DOUBLE THEN '**高度一致**' "
+            f"WHEN {diff} < {t3}::DOUBLE THEN '接近' "
+            f"ELSE '显著不同' END"
+        )
+
+    selects = []
+    for seq, d in enumerate(FINGERPRINT_DIMS):
+        diff = f"abs(a.{d} - b.{d})"
+        if d in FEATURE_RANGES:
+            lo, hi = FEATURE_RANGES[d]
+            norm = f"({diff} / {hi - lo}::DOUBLE)" if hi > lo else "0::DOUBLE"
+            judgment = bucket(norm, 0.02, 0.1, 0.2)
+        elif d.startswith("ratio_"):
+            judgment = bucket(diff, 0.01, 0.05, 0.1)
+        elif d.startswith("style_"):
+            judgment = bucket(diff, 0.001, 0.003, 0.005)
+        else:
+            judgment = bucket(diff, 0.01, 0.05, 0.1)
+        selects.append(
+            f"SELECT {seq} AS feature_seq, {sql_quote(d)} AS feature, "
+            f"round(a.{d}, 6) AS value_a, round(b.{d}, 6) AS value_b, "
+            f"round({diff}, 6) AS diff, {judgment} AS judgment "
+            f"FROM fpa a CROSS JOIN fpb b"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH {_fingerprint_cte('documents', 'source')},
+fpa AS (SELECT * FROM fp WHERE source = {sql_quote(model_a)}),
+fpb AS (SELECT * FROM fp WHERE source = {sql_quote(model_b)})
+{union}
+"""
+
+
+def cache_keys(method: str = "llmmap", provider: str = "openai") -> str:
+    """F23 cache key: {method}_{sanitized_model[:40]}_{sha256(...)[ :16]}."""
+    return f"""
+WITH models AS (
+  SELECT DISTINCT source AS model_id FROM documents
+)
+SELECT model_id,
+  '{method}' || '_' ||
+  substring(translate(model_id, '/: ', '___'), 1, 40) || '_' ||
+  substring(sha256('{method}' || ':' || model_id || ':' || '{provider}'), 1, 16)
+    AS cache_key
+FROM models
+"""
+
+
+def _memo_pairs_ctes() -> str:
+    return """
+memo_pairs AS (
+  SELECT doc_id AS pair_id, text AS sample,
+         coalesce(lead(text) OVER (PARTITION BY source ORDER BY doc_id),
+                  text) AS response
+  FROM documents WHERE source = 'src0'
+),
+memo_split AS (
+  SELECT pair_id, sample, response,
+         -- // floors like Spark's int cast; CAST(x/2 AS INTEGER) would ROUND
+         substring(sample, length(sample) // 2 + 1) AS suffix,
+         substring(response, length(response) // 2 + 1) AS completion
+  FROM memo_pairs
+)"""
+
+
+def memorization_verbatim() -> str:
+    w = _words("sample")
+    return f"""
+WITH {_memo_pairs_ctes()},
+st AS (
+  SELECT pair_id, response, {w} AS w FROM memo_split
+),
+st2 AS (
+  SELECT pair_id, response, w,
+         CASE WHEN least(8, len(w) // 4) = 0 THEN 3
+              ELSE least(8, len(w) // 4) END AS pl
+  FROM st
+),
+st3 AS (
+  SELECT pair_id, response,
+    list_transform(
+      CASE WHEN len(w) - pl >= 0
+           THEN range(0, len(w) - pl + 1, pl) ELSE [] END,
+      j -> array_to_string(list_slice(w, j + 1, j + pl), ' ')
+    ) AS phrases
+  FROM st2
+)
+SELECT pair_id,
+  len(phrases) AS total_phrases,
+  len(list_filter(phrases, p -> contains(response, p))) AS matched_phrases,
+  round(CASE WHEN len(phrases) > 0
+        THEN len(list_filter(phrases, p -> contains(response, p)))
+             / CAST(len(phrases) AS DOUBLE)
+        ELSE 0::DOUBLE END, 4) AS score
+FROM st3
+"""
+
+
+def memorization_levenshtein() -> str:
+    return f"""
+WITH {_memo_pairs_ctes()}
+SELECT pair_id,
+  round(1::DOUBLE - levenshtein(trim(suffix), trim(completion))
+        / CAST(greatest(length(trim(suffix)), length(trim(completion)), 1)
+               AS DOUBLE), 6) AS lev_similarity
+FROM memo_split
+"""
+
+
+def llmmap_fingerprint_hashes() -> str:
+    canon = " || '|' || ".join(
+        f"'{d}:' || printf('%.6f', {d})" for d in sorted(FINGERPRINT_DIMS)
+    )
+    return f"""
+WITH {_fingerprint_cte('documents', 'source')}
+SELECT source, substring(md5({canon}), 1, 16) AS fp_hash FROM fp
+"""
+
+
 def dedup_exact() -> str:
     return """
 WITH hashed AS (

@@ -1,0 +1,134 @@
+"""Dedup + similarity operator tests (SURVEY.md §7.2 M7 scale extensions).
+
+Literal-input tests in the style of the reference's pure-function tests
+(tests/test_dli.py:15-112): known duplicates must pair, disjoint texts must
+not, and signatures must be deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from model_audit_spark.functions.text import ngrams
+from model_audit_spark.operators.dedup import (
+    MINHASH_PRIME,
+    exact_dedup,
+    jaccard_verify,
+    minhash_band_pairs,
+    minhash_coeffs,
+    minhash_signatures,
+    shingles_df,
+    simhash,
+)
+from model_audit_spark.operators.similarity import cosine_topk
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the distant purple mountains of the old west"
+)
+# near-duplicate of LONG_A: one word changed
+LONG_A2 = (
+    "the quick brown fox jumps over the lazy cat while the sun sets "
+    "slowly behind the distant purple mountains of the old west"
+)
+LONG_B = (
+    "completely different content about database engines and columnar "
+    "storage formats with vectorized execution and late materialization"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, LONG_A),
+            (2, LONG_A2),
+            (3, LONG_B),
+            (4, LONG_A),  # exact dup of 1
+            (5, ""),  # empty
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("x y",), ("solo",), ("",)], ["text"]
+    )
+    from model_audit_spark.functions.text import word_tokens
+
+    out = df.select(
+        ngrams(word_tokens("text"), 2).alias("bg"),
+        ngrams(word_tokens("text"), 3).alias("tg"),
+    ).collect()
+    assert out[0].bg == ["a b", "b c", "c d"]
+    assert out[0].tg == ["a b c", "b c d"]
+    assert out[1].bg == ["x y"] and out[1].tg == []
+    assert out[2].bg == [] and out[3].bg == []
+
+
+def test_exact_dedup_groups(spark, docs):
+    rows = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert rows[1].text_hash == rows[4].text_hash
+    assert rows[1].dup_group_size == 2 and rows[4].dup_group_size == 2
+    assert rows[1].is_first and not rows[4].is_first
+    assert rows[3].dup_group_size == 1 and rows[3].is_first
+
+
+def test_minhash_coeffs_bounds():
+    for a, b in minhash_coeffs(64):
+        assert 0 < a < (1 << 30) and a % 2 == 1
+        assert 0 <= b < MINHASH_PRIME
+
+
+def test_minhash_signature_deterministic_and_sentinel(spark, docs):
+    s1 = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(docs).collect()}
+    s2 = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(docs).collect()}
+    assert s1 == s2
+    # exact dups share all minima; empty doc gets the sentinel everywhere
+    assert s1[1] == s1[4]
+    assert s1[5] == tuple([MINHASH_PRIME] * 16)
+    assert all(0 <= v <= MINHASH_PRIME for sig in s1.values() for v in sig)
+
+
+def test_minhash_pairs_find_near_dups(spark, docs):
+    sigs = minhash_signatures(docs)
+    pairs = minhash_band_pairs(sigs)
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(docs, pairs, min_jaccard=0.5).collect()
+    }
+    assert verified[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in verified and verified[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in verified)  # disjoint never pairs
+    assert all(a < b for a, b in verified)
+
+
+def test_shingles_df_distinct(spark):
+    df = spark.createDataFrame([(1, "a b a b a b a b")], ["doc_id", "text"])
+    sh = shingles_df(df).collect()[0].sh
+    assert sorted(sh) == ["a b a", "b a b"]
+
+
+def test_simhash_identical_texts_equal(spark, docs):
+    out = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert out[1] == out[4]
+    assert out[1] != out[3]
+    assert out[5] == 0  # empty doc: all votes 0 -> no bits set
+
+
+def test_cosine_topk_self_first(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = cosine_topk(emb, query_vec_id=0, k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].cosine_sim == 1.0
+    assert got[1].cosine_sim > 0.99 and got[2].cosine_sim == 0.0
