@@ -1,0 +1,196 @@
+"""CLI mirroring the reference's command surface (reference cli.py):
+
+  detect DATA_PATH [--field F] [--limit N] [--output CSV|JSON dir]
+  benchmark
+  methods
+  audit --teacher T --student S --responses PARQUET [--report PATH]
+  compare --model-a A --model-b B --responses PARQUET [--method M]
+  cache list|clear --cache-dir DIR
+
+Live API probing is intentionally absent (no network/client libs here);
+audit/compare take a responses parquet with
+(model_id, probe_seq, probe_id, category, response) — the same relation a
+ProbeSource produces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from model_audit_spark.session import get_spark
+
+    return get_spark(app_name="model-audit-spark-cli")
+
+
+def cmd_detect(args) -> int:
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.engine import AuditEngine
+    from model_audit_spark.operators.detect import detection_distribution
+    from model_audit_spark.sources import read_texts, write_csv, write_json
+
+    spark = _spark()
+    texts = read_texts(spark, args.data_path, args.field)
+    if args.limit:
+        texts = texts.limit(args.limit)
+    texts = texts.select(
+        F.monotonically_increasing_id().alias("text_id"), "text"
+    )
+    short = texts.filter(F.size(F.split("text", r"\s+")) < 10).count()
+    if short:
+        print(f"warning: {short} texts have <10 words", file=sys.stderr)
+    det = AuditEngine(spark).detect(texts)
+    det.select(
+        "text_id", "text_preview", "predicted_model", "confidence"
+    ).show(20, truncate=60)
+    print("\nsource distribution:")
+    detection_distribution(det).show(20, truncate=False)
+    if args.output:
+        out = det.select(
+            "text_id", "text_preview", "predicted_model", "confidence"
+        )
+        if args.output.endswith(".json"):
+            write_json(out, args.output, single_file=True)
+        else:
+            write_csv(out, args.output, single_file=True)
+        print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.catalogs import benchmark_df
+    from model_audit_spark.engine import AuditEngine
+
+    spark = _spark()
+    bench = benchmark_df(spark)
+    det = AuditEngine(spark).detect(bench, "text", "text_id")
+    joined = det.join(bench.select("text_id", "label"), "text_id")
+    acc = joined.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("predicted_model") == F.col("label")).cast("int")).alias(
+            "correct"
+        ),
+    ).first()
+    print(f"accuracy: {acc.correct}/{acc.total}")
+    joined.groupBy("label").agg(
+        F.avg(
+            (F.col("predicted_model") == F.col("label")).cast("double")
+        ).alias("accuracy")
+    ).orderBy("label").show(20, truncate=False)
+    return 0 if acc.correct == acc.total else 1
+
+
+def cmd_methods(args) -> int:
+    from model_audit_spark.registry import list_methods
+
+    for name, kind in list_methods().items():
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def _load_responses(spark, path):
+    return spark.read.parquet(path)
+
+
+def cmd_audit(args) -> int:
+    from model_audit_spark.engine import AuditEngine
+    from model_audit_spark.probing import StaticResponseSource
+    from model_audit_spark.report import generate_report
+
+    spark = _spark()
+    resp = _load_responses(spark, args.responses)
+    eng = AuditEngine(spark, StaticResponseSource(resp))
+    result = eng.audit(args.teacher, args.student)
+    md = generate_report(result, fmt=args.format)
+    if args.report:
+        with open(args.report, "w", encoding="utf-8") as f:
+            f.write(md)
+        print(f"wrote {args.report}")
+    else:
+        print(md)
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from model_audit_spark.engine import AuditEngine
+    from model_audit_spark.probing import StaticResponseSource
+
+    spark = _spark()
+    resp = _load_responses(spark, args.responses)
+    eng = AuditEngine(spark, StaticResponseSource(resp))
+    eng.compare(args.model_a, args.model_b, args.method).show(
+        truncate=False
+    )
+    return 0
+
+
+def cmd_cache(args) -> int:
+    from model_audit_spark.sources.cache import FingerprintCache
+
+    spark = _spark()
+    cache = FingerprintCache(spark, args.cache_dir)
+    if args.action == "list":
+        entries = cache.list_entries()
+        if entries is None:
+            print("cache empty")
+        else:
+            entries.show(100, truncate=False)
+    else:
+        print(f"cleared {cache.clear()} entries")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="model-audit-spark",
+        description="PySpark-native LLM fingerprinting / distillation audit",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("detect", help="detect which family wrote each text")
+    d.add_argument("data_path")
+    d.add_argument("--field")
+    d.add_argument("--limit", type=int)
+    d.add_argument("--output")
+    d.set_defaults(fn=cmd_detect)
+
+    b = sub.add_parser("benchmark", help="14-sample accuracy gate")
+    b.set_defaults(fn=cmd_benchmark)
+
+    m = sub.add_parser("methods", help="list fingerprint methods")
+    m.set_defaults(fn=cmd_methods)
+
+    a = sub.add_parser("audit", help="teacher/student distillation audit")
+    a.add_argument("--teacher", required=True)
+    a.add_argument("--student", required=True)
+    a.add_argument("--responses", required=True, help="responses parquet")
+    a.add_argument("--report", help="write markdown report here")
+    a.add_argument("--format", default="markdown", choices=["markdown", "json"])
+    a.set_defaults(fn=cmd_audit)
+
+    c = sub.add_parser("compare", help="compare two models with one method")
+    c.add_argument("--model-a", required=True)
+    c.add_argument("--model-b", required=True)
+    c.add_argument("--method", default="llmmap")
+    c.add_argument("--responses", required=True)
+    c.set_defaults(fn=cmd_compare)
+
+    k = sub.add_parser("cache", help="fingerprint cache admin")
+    k.add_argument("action", choices=["list", "clear"])
+    k.add_argument("--cache-dir", required=True)
+    k.set_defaults(fn=cmd_cache)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,6 +76,69 @@ def style_scores(
     )
 
 
+def detection_columns(text_col: str = "text") -> dict[str, "F.Column"]:
+    """Per-ROW detection: the 12 family scores as literal-parameterized
+    expressions + argmax via array_max over (score, -rank, family) structs.
+
+    No cross join, no aggregate, no shuffle — a pure projection, so it runs
+    identically in batch and Structured Streaming and keeps whole-stage
+    codegen. Semantics match style_scores/detect exactly (same formula,
+    same catalog-order tie-break)."""
+    from model_audit_spark.catalogs import STYLE_SIGNATURES
+
+    flags = style_flag_columns(text_col)
+    lower = flags["text_lower"]
+    lang = flags["text_lang"]
+
+    entries = []
+    for rank, (fam, markers, refusals, md, num, code, verb, sig_lang) in (
+        enumerate(STYLE_SIGNATURES)
+    ):
+        lang_score = (
+            F.when(lang == sig_lang, 0.20)
+            .when(F.lit(sig_lang) == "both", 0.10)
+            .otherwise(0.0)
+        )
+        marker_hits = sum(
+            (lower.contains(m).cast("int") for m in markers), F.lit(0)
+        )
+        marker_score = F.least(marker_hits / 3.0, F.lit(1.0)) * 0.50
+
+        def _term(has, tends: bool):
+            if tends:
+                return F.when(has, 0.05).otherwise(0.0)
+            return F.when(has, -0.02).otherwise(0.0)
+
+        struct_score = (
+            _term(flags["has_md"], md)
+            + _term(flags["has_numbered"], num)
+            + _term(flags["has_code_blocks"], code)
+            + _term(flags["is_verbose"], verb)
+        )
+        refusal_hits = sum(
+            (lower.contains(p).cast("int") for p in refusals), F.lit(0)
+        )
+        refusal_score = F.when(
+            flags["has_refusal_hint"],
+            refusal_hits / max(len(refusals), 1) * 0.10,
+        ).otherwise(0.0)
+        score = F.round(
+            lang_score + marker_score + struct_score + refusal_score, 4
+        )
+        entries.append(
+            F.struct(
+                score.alias("score"),
+                F.lit(-rank).alias("neg_rank"),
+                F.lit(fam).alias("family"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return {
+        "predicted_model": best["family"],
+        "confidence": best["score"],
+    }
+
+
 def detect(
     df: DataFrame,
     spark: SparkSession,
@@ -85,27 +148,32 @@ def detect(
 ) -> DataFrame:
     """Per-text detection result: (id, text_preview, predicted_model, confidence).
 
-    Argmax tie-break = catalog definition order, encoded via family_rank in a
-    single max_by aggregate (no window sort needed).
-    """
-    scored = style_scores(df, spark, text_col, id_col)
-    aggs = [
-        F.expr("max_by(family, struct(score, -family_rank))").alias(
-            "predicted_model"
-        ),
-        F.max("score").alias("confidence"),
-    ]
+    Argmax tie-break = catalog definition order. Default path is the
+    zero-shuffle per-row expression (detection_columns); the scores-map
+    variant keeps the long-format aggregate since it must materialize all
+    12 scores anyway."""
     if with_scores_map:
-        aggs.append(
+        scored = style_scores(df, spark, text_col, id_col)
+        out = scored.groupBy(id_col).agg(
+            F.expr("max_by(family, struct(score, -family_rank))").alias(
+                "predicted_model"
+            ),
+            F.max("score").alias("confidence"),
             F.map_from_entries(
                 F.collect_list(F.struct("family", "score"))
-            ).alias("scores")
+            ).alias("scores"),
         )
-    out = scored.groupBy(id_col).agg(*aggs)
-    previews = df.select(
-        F.col(id_col), text_preview(text_col).alias("text_preview")
+        previews = df.select(
+            F.col(id_col), text_preview(text_col).alias("text_preview")
+        )
+        return out.join(previews, id_col)
+    cols = detection_columns(text_col)
+    return df.select(
+        F.col(id_col),
+        text_preview(text_col).alias("text_preview"),
+        cols["predicted_model"].alias("predicted_model"),
+        cols["confidence"].alias("confidence"),
     )
-    return out.join(previews, id_col)
 
 
 def detection_distribution(detections: DataFrame) -> DataFrame:

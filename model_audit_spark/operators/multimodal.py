@@ -1,0 +1,151 @@
+"""Multimodal columns — opaque binary payloads + typed metadata (scale
+extension per BASELINE.json north star; no reference counterpart).
+
+Pattern: media rides as `content BINARY` plus a typed metadata struct
+(`media_type, width, height, sample_rate, duration_ms, codec`); decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+mapInPandas stages so bytes never round-trip through Python row objects.
+
+The image/audio codec libraries are NOT in this environment, so the decode
+kernels are stubbed: `strict=True` raises NotImplementedError (the
+production path, swap in PIL/torchaudio there); `strict=False` runs a
+deterministic fake decoder (content-hash-seeded) so the Spark plumbing —
+schemas, batch iteration, partition sizing, downstream feature math — is
+real and testable end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, media_type STRING, content BINARY, "
+    "width INT, height INT, sample_rate INT, duration_ms INT, codec STRING"
+)
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+    "mean_luma DOUBLE, content_digest STRING"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id BIGINT, frame_index INT, frame_ts_ms INT, frame_digest STRING"
+)
+
+
+def _fake_pixels(content: bytes, n: int) -> list[int]:
+    """Deterministic stand-in for decoded pixel luma values: bytes of
+    repeated sha256 over the content. Stable across runs/partitions."""
+    out: list[int] = []
+    seed = content or b"\x00"
+    block = hashlib.sha256(seed).digest()
+    while len(out) < n:
+        out.extend(block)
+        block = hashlib.sha256(block).digest()
+    return out[:n]
+
+
+def decode_image_features(
+    media: DataFrame, strict: bool = False
+) -> DataFrame:
+    """Decode → per-image features via mapInPandas (Arrow batches).
+
+    strict=True: raise NotImplementedError where a real decoder (PIL etc.)
+    would run. strict=False: deterministic fake decode, real plumbing."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "image":
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "image decode needs PIL/cv2 — not available in "
+                        "this environment; swap the fake decoder here"
+                    )
+                w = int(r.width or 0)
+                h = int(r.height or 0)
+                n = max(w * h, 1)
+                # cap fake decode work; real decoders stream
+                sample = _fake_pixels(bytes(r.content or b""), min(n, 4096))
+                mean_luma = sum(sample) / len(sample)
+                rows.append(
+                    (
+                        r.media_id,
+                        w,
+                        h,
+                        n,
+                        round(mean_luma, 6),
+                        hashlib.sha256(
+                            bytes(r.content or b"")
+                        ).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "mean_luma",
+                    "content_digest",
+                ],
+            )
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (mapInPandas row
+    expansion — the batch shape a real ffmpeg-backed sampler needs)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "video":
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "video decode needs ffmpeg — not available; swap "
+                        "the fake frame sampler here"
+                    )
+                duration = int(r.duration_ms or 0)
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    digest = hashlib.sha256(
+                        bytes(r.content or b"") + ts.to_bytes(8, "big")
+                    ).hexdigest()[:16]
+                    rows.append((r.media_id, i, ts, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_index",
+                    "frame_ts_ms",
+                    "frame_digest",
+                ],
+            )
+
+    return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Pure-expression metadata profile — no decode, runs at full scan
+    speed: per media_type count, total bytes, avg duration."""
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
+    )

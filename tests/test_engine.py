@@ -1,0 +1,183 @@
+"""Engine facade + registry + probing + report tests (reference
+tests/test_engine.py:86-141, tests/test_registry.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from model_audit_spark.engine import AuditEngine
+from model_audit_spark.probing import (
+    HTTPProbeSource,
+    StaticResponseSource,
+    _retry_call,
+)
+from model_audit_spark.registry import get_fingerprinter, list_methods
+from model_audit_spark.report import generate_report
+
+
+@pytest.fixture()
+def responses(spark):
+    rows = []
+    for seq in range(1, 5):
+        rows.append(
+            (
+                "teacher-gpt-4",
+                seq,
+                f"p{seq}",
+                "qa",
+                "Certainly! Here's a comprehensive breakdown. It's "
+                "important to note that 1) first 2) second. Let me know "
+                "if you'd like more detail.",
+            )
+        )
+        rows.append(
+            (
+                "student-model",
+                seq,
+                f"p{seq}",
+                "qa",
+                "Certainly! Here's a comprehensive breakdown. It's "
+                "important to note that 1) first 2) second. Let me know "
+                "if you'd like more detail.",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "model_id STRING, probe_seq INT, probe_id STRING, category STRING, "
+        "response STRING",
+    )
+
+
+def test_registry_lists_methods_and_rejects_unknown():
+    methods = list_methods()
+    assert methods == {
+        "llmmap": "blackbox",
+        "dli": "blackbox",
+        "reef": "whitebox",
+    }
+    # 'style' is NOT registered — reference parity (registry.py:27-29)
+    with pytest.raises(ValueError, match="dli, llmmap, reef"):
+        get_fingerprinter("style")
+
+
+def test_audit_identical_responses_likely_derived(spark, responses):
+    eng = AuditEngine(spark, StaticResponseSource(responses))
+    result = eng.audit("teacher-gpt-4", "student-model")
+    v = result.verdict.first()
+    assert v.verdict == "likely_derived"
+    assert v.derived_votes == v.total_votes == 2  # llmmap + dli
+    assert abs(v.avg_similarity - 1.0) < 1e-9
+    cons = result.consistency.first()
+    assert cons.consistent == cons.total == 4
+    methods = {r.method for r in result.comparisons.collect()}
+    assert methods == {"llmmap", "dli"}
+
+
+def test_audit_empty_responses_skips_dli(spark):
+    rows = [
+        ("a", 1, "p1", "qa", ""),
+        ("b", 1, "p1", "qa", ""),
+    ]
+    resp = spark.createDataFrame(
+        rows,
+        "model_id STRING, probe_seq INT, probe_id STRING, category STRING, "
+        "response STRING",
+    )
+    eng = AuditEngine(spark, StaticResponseSource(resp))
+    result = eng.audit("a", "b")
+    assert result.skipped_methods == ["dli"]
+    assert {r.method for r in result.comparisons.collect()} == {"llmmap"}
+
+
+def test_compare_single_method(spark, responses):
+    eng = AuditEngine(spark, StaticResponseSource(responses))
+    row = eng.compare("teacher-gpt-4", "student-model", "llmmap").first()
+    assert row.similarity == pytest.approx(1.0)
+    assert row.is_derived
+
+
+def test_verify_claimed_family_match(spark, responses):
+    eng = AuditEngine(spark, StaticResponseSource(responses))
+    row = eng.verify("teacher-gpt-4").first()
+    assert row.claimed_family == "gpt-4"
+    assert row.best_match in {"gpt-4", "gpt-3.5"}
+    # model with responses but no family substring in its name
+    renamed = eng.probe_source.responses.withColumn(
+        "model_id", F.lit("mystery-model")
+    )
+    eng2 = AuditEngine(spark, StaticResponseSource(renamed))
+    row2 = eng2.verify("mystery-model").first()
+    assert row2.claimed_family == "unknown" and not row2.verified
+    # and no responses at all -> explicit reason row
+    row3 = eng.verify("not-probed").first()
+    assert not row3.verified and row3.reason == "no responses"
+
+
+def test_detect_via_engine(spark):
+    texts = spark.createDataFrame(
+        [(0, "你好！这是一个测试。我们来分析一下这个问题。")],
+        "text_id INT, text STRING",
+    )
+    eng = AuditEngine(spark)
+    out = eng.detect(texts).first()
+    assert out.predicted_model  # some family predicted
+
+
+def test_report_sections(spark, responses):
+    eng = AuditEngine(spark, StaticResponseSource(responses))
+    result = eng.audit("teacher-gpt-4", "student-model")
+    md = generate_report(result)
+    for header in [
+        "# 模型蒸馏审计报告",
+        "## 1. 审计对象",
+        "## 2. 审计方法",
+        "## 3. 审计结果",
+        "## 4. 关键发现",
+        "## 5. 结论",
+        "## 6. 局限性声明",
+    ]:
+        assert header in md
+    assert "可能存在蒸馏关系" in md
+    assert "4/4" in md
+    js = generate_report(result, fmt="json")
+    import json
+
+    parsed = json.loads(js)
+    assert parsed["verdict"]["verdict"] == "likely_derived"
+
+
+def test_retry_call_matrix():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    assert _retry_call(flaky, sleep=lambda s: None) == "ok"
+
+    def auth_fail():
+        raise ValueError("401 unauthorized")
+
+    with pytest.raises(ValueError):
+        _retry_call(auth_fail, sleep=lambda s: None)
+
+    def always_empty():
+        return ""
+
+    with pytest.raises(RuntimeError, match="empty response"):
+        _retry_call(always_empty, sleep=lambda s: None)
+
+
+def test_http_probe_source_with_fake_transport(spark):
+    src = HTTPProbeSource(
+        transport=lambda model, prompt: f"{model} says: {prompt[:20]}",
+        concurrency=2,
+    )
+    out = src.probe(spark, ["m1", "m2"])
+    rows = out.collect()
+    assert len(rows) == 40  # 2 models × 20 probes
+    assert all(r.response.startswith(r.model_id) for r in rows)
+    assert {r.model_id for r in rows} == {"m1", "m2"}

@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: schemas, Arrow batch iteration, row expansion,
+deterministic fake decode, and the strict=True stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from model_audit_spark.operators.multimodal import (
+    decode_image_features,
+    media_summary,
+    sample_video_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", 64, 32, None, None, "png"),
+        (2, "image", b"\xff\xd8 other fake", 10, 10, None, None, "jpeg"),
+        (3, "audio", b"RIFF fake", None, None, 16000, 2500, "wav"),
+        (4, "video", b"\x00\x00ftyp fake", 640, 480, None, 3500, "h264"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id BIGINT, media_type STRING, content BINARY, width INT, "
+        "height INT, sample_rate INT, duration_ms INT, codec STRING",
+    )
+
+
+def test_image_features_deterministic(spark, media):
+    a = {r.media_id: r for r in decode_image_features(media).collect()}
+    b = {r.media_id: r for r in decode_image_features(media).collect()}
+    assert set(a) == {1, 2}  # only images
+    assert a[1].n_pixels == 64 * 32
+    assert a[1].mean_luma == b[1].mean_luma  # deterministic fake decode
+    assert a[1].content_digest != a[2].content_digest
+    assert 0 <= a[1].mean_luma <= 255
+
+
+def test_image_strict_raises(spark, media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        decode_image_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
+
+
+def test_video_frame_sampling_row_expansion(spark, media):
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    # 3500 ms at 1000 ms stride -> frames at 0,1000,2000,3000
+    assert [f.frame_ts_ms for f in sorted(frames, key=lambda f: f.frame_index)] == [
+        0,
+        1000,
+        2000,
+        3000,
+    ]
+    assert len({f.frame_digest for f in frames}) == 4
+
+
+def test_media_summary_no_decode(spark, media):
+    rows = {r.media_type: r for r in media_summary(media).collect()}
+    assert rows["image"].n_items == 2
+    assert rows["video"].avg_duration_ms == 3500.0
+    assert rows["audio"].total_bytes == 9
