@@ -292,6 +292,15 @@ def _style_scores_long(spark, sf):
     )
 
 
+def _style_fingerprint(spark, sf):
+    """A4: mean per-family style score over the corpus (style.py:342-354)."""
+    docs = _t(spark, sf, "documents")
+    scored = style_scores(docs, spark, "text", "doc_id")
+    return scored.groupBy("family").agg(
+        F.round(F.avg("score"), 4).alias("style_score")
+    )
+
+
 def _detect_distribution(spark, sf):
     docs = _t(spark, sf, "documents")
     det = detect(docs, spark, "text", "doc_id")
@@ -567,6 +576,15 @@ def _memorization_seqmatch(spark, sf):
     )
 
 
+def _memorization_average(spark, sf):
+    """A10: corpus-level mean memorization score (mcp_server.py:405-407)."""
+    scores = _memorization_verbatim(spark, sf)
+    return scores.agg(
+        F.count("*").alias("n_samples"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
 def _llmmap_fingerprint_hashes(spark, sf):
     from model_audit_spark.operators.fingerprint import fingerprint_hash
 
@@ -721,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": _q_events_sessionize,
         "detect_documents": _detect_documents,
         "style_scores_long": _style_scores_long,
+        "style_fingerprint": _style_fingerprint,
         "detect_distribution": _detect_distribution,
         "llmmap_features_documents": _llmmap_features_documents,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
@@ -753,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dups": _embedding_near_dups,
         "memorization_verbatim": _memorization_verbatim,
+        "memorization_average": _memorization_average,
         "memorization_levenshtein": _memorization_levenshtein,
         "memorization_seqmatch": _memorization_seqmatch,
         "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
@@ -771,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sessionize": ora.q_events_sessionize(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
+        "style_fingerprint": ora.style_fingerprint(),
         "detect_distribution": ora.detect_distribution(),
         "llmmap_features_documents": ora.llmmap_features_documents(),
         "llmmap_fingerprints_by_source": ora.llmmap_fingerprints_by_source(),
@@ -801,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": ora.similarity_topk(),
         "cka_labels": ora.cka_labels(),
         "memorization_verbatim": ora.memorization_verbatim(),
+        "memorization_average": ora.memorization_average(),
         "memorization_levenshtein": ora.memorization_levenshtein(),
         "llmmap_fingerprint_hashes": ora.llmmap_fingerprint_hashes(),
         # Rows-only (no SQL twin): ann_lsh_topk / embedding_near_dups (RHP

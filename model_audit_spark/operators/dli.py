@@ -179,10 +179,15 @@ def behavior_compare(
     threshold: float = DLI_THRESHOLD,
     confidence_k: float = DLI_CONFIDENCE_K,
 ) -> DataFrame:
-    """V4+V7 per unordered group pair: blended DLI similarity verdict row."""
-    dist = bigram_distribution(df, group_col, text_col)
+    """V4+V7 per unordered group pair: blended DLI similarity verdict row.
+
+    The distribution and feature aggregates are tiny (groups × top-100 /
+    groups × 8) but sit on top of a full corpus scan; both are referenced
+    from two sides of the pair join, so persist them — otherwise Spark
+    re-runs the corpus scan per reference (2-4 extra scans at 100 TB)."""
+    dist = bigram_distribution(df, group_col, text_col).persist()
     js = js_divergence_pairs(dist, group_col)
-    feats = behavior_features(df, group_col, text_col)
+    feats = behavior_features(df, group_col, text_col).persist()
     fa = feats.select(
         F.col(group_col).alias("model_a"),
         *[F.col(f).alias(f"a_{f}") for f in DLI_FEATURES],

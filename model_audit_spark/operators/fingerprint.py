@@ -74,8 +74,12 @@ def cosine_compare(
 
     Input: output of fingerprint_vectors. Output one row per unordered pair
     (model_a < model_b): similarity, is_derived, threshold, confidence.
+
+    The fingerprint relation (one row per model) is persisted: it is
+    referenced from both sides of the pair join, and without the persist
+    each side re-runs the corpus-wide feature aggregation beneath it.
     """
-    norm = with_normalized_dims(fp)
+    norm = with_normalized_dims(fp).persist()
     a = norm.select(
         F.col(group_col).alias("model_a"),
         *[F.col(f"n_{d}").alias(f"a_{d}") for d in FINGERPRINT_DIMS],

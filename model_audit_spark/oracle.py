@@ -390,6 +390,15 @@ def style_scores_long() -> str:
     )
 
 
+def style_fingerprint() -> str:
+    """A4: mean per-family style score, rounded 4dp (style.py:342-354)."""
+    return f"""
+WITH {_style_scores_ctes('documents', 'doc_id')}
+SELECT family, round(avg(score), 4) AS style_score
+FROM scores GROUP BY family
+"""
+
+
 def detect_distribution() -> str:
     return f"""
 WITH {_detect_ctes('documents', 'doc_id')}
@@ -1026,6 +1035,15 @@ SELECT pair_id,
              / CAST(len(phrases) AS DOUBLE)
         ELSE 0::DOUBLE END, 4) AS score
 FROM st3
+"""
+
+
+def memorization_average() -> str:
+    """A10: mean memorization score across samples (mcp_server.py:405-407)."""
+    base = memorization_verbatim().strip()
+    return f"""
+WITH scored AS ({base})
+SELECT count(*) AS n_samples, round(avg(score), 6) AS avg_score FROM scored
 """
 
 
