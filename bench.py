@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "cka_labels",
     "audit_verdict_sources",
     "benchmark_accuracy",
+    "style_fingerprint",
+    "probe_style_consistency",
+    "fingerprint_diff_buckets",
+    "memorization_verbatim",
+    "memorization_levenshtein",
+    "cache_keys",
 ]
 
 

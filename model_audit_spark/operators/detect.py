@@ -27,7 +27,27 @@ def style_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Long-format (id, family, family_rank, score) — one row per text × family."""
+    """Long-format (id, family, family_rank, score) — one row per text × family.
+
+    Built by exploding the per-row score-entry array (style_score_entries):
+    the flag columns are evaluated once per TEXT, not once per text×family
+    as a broadcast cross join would after projection collapse — measured 5×
+    on the sf0.1 corpus. The cross-join formulation lives on in
+    style_scores_crossjoin for plan comparison."""
+    return df.select(
+        F.col(id_col),
+        F.explode(style_score_entries(text_col)).alias("e"),
+    ).select(id_col, "e.family", "e.family_rank", "e.score")
+
+
+def style_scores_crossjoin(
+    df: DataFrame,
+    spark: SparkSession,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-join formulation of style_scores (kept for plan comparison and
+    as the shape that generalizes to a non-literal signature table)."""
     flags = style_flag_columns(text_col)
     texts = df.select(
         F.col(id_col), *[c.alias(n) for n, c in flags.items()]
@@ -76,21 +96,18 @@ def style_scores(
     )
 
 
-def detection_columns(text_col: str = "text") -> dict[str, "F.Column"]:
-    """Per-ROW detection: the 12 family scores as literal-parameterized
-    expressions + argmax via array_max over (score, -rank, family) structs.
-
-    No cross join, no aggregate, no shuffle — a pure projection, so it runs
-    identically in batch and Structured Streaming and keeps whole-stage
-    codegen. Semantics match style_scores/detect exactly (same formula,
-    same catalog-order tie-break)."""
+def _family_score_exprs(text_col: str = "text") -> list[tuple[str, int, "F.Column"]]:
+    """(family, rank, score Column) per catalog family — the per-row score
+    expressions shared by detection_columns and style_scores. Literal-
+    parameterized, no cross join; flags are plain subexpressions that
+    Catalyst CSE collapses within the single projection."""
     from model_audit_spark.catalogs import STYLE_SIGNATURES
 
     flags = style_flag_columns(text_col)
     lower = flags["text_lower"]
     lang = flags["text_lang"]
 
-    entries = []
+    out = []
     for rank, (fam, markers, refusals, md, num, code, verb, sig_lang) in (
         enumerate(STYLE_SIGNATURES)
     ):
@@ -125,14 +142,47 @@ def detection_columns(text_col: str = "text") -> dict[str, "F.Column"]:
         score = F.round(
             lang_score + marker_score + struct_score + refusal_score, 4
         )
-        entries.append(
+        out.append((fam, rank, score))
+    return out
+
+
+def style_score_entries(text_col: str = "text") -> "F.Column":
+    """All 12 family scores for one row as an array of structs
+    (family, family_rank, score). Built once per row by the generator —
+    never a per-element lambda over a shared subtree."""
+    return F.array(
+        *[
             F.struct(
-                score.alias("score"),
-                F.lit(-rank).alias("neg_rank"),
                 F.lit(fam).alias("family"),
+                F.lit(rank).alias("family_rank"),
+                score.alias("score"),
             )
+            for fam, rank, score in _family_score_exprs(text_col)
+        ]
+    )
+
+
+def detection_columns(text_col: str = "text") -> dict[str, "F.Column"]:
+    """Per-ROW detection: argmax via array_max over (score, -rank, family)
+    structs built DIRECTLY from the score expressions (a transform over
+    style_score_entries would double the expression tree and codegen cost).
+
+    No cross join, no aggregate, no shuffle — a pure projection, so it runs
+    identically in batch and Structured Streaming and keeps whole-stage
+    codegen. Semantics match style_scores/detect exactly (same formula,
+    same catalog-order tie-break)."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    score.alias("score"),
+                    F.lit(-rank).alias("neg_rank"),
+                    F.lit(fam).alias("family"),
+                )
+                for fam, rank, score in _family_score_exprs(text_col)
+            ]
         )
-    best = F.array_max(F.array(*entries))
+    )
     return {
         "predicted_model": best["family"],
         "confidence": best["score"],

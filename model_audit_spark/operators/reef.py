@@ -125,8 +125,11 @@ def embeddings_long(
     emb: DataFrame, label: int, n_samples: int, label_col: str = "label"
 ) -> DataFrame:
     """(sample, dim, v) long relation for one label group, samples aligned by
-    vec_id order, truncated to n_samples."""
-    w = Window.orderBy("vec_id")
+    vec_id order, truncated to n_samples.
+
+    The window partitions by the (single, filtered) label so the row
+    numbering never degenerates to a global single-partition sort."""
+    w = Window.partitionBy(label_col).orderBy("vec_id")
     return (
         emb.filter(F.col(label_col) == label)
         .withColumn("sample", F.row_number().over(w) - 1)
