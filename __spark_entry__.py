@@ -632,6 +632,26 @@ def _text_stats(spark, sf):
     )
 
 
+def _corpus_stats(spark, sf):
+    """Corpus-level profile: one pass, map-side-combinable aggregates.
+    (approx_count_distinct is the 100 TB variant of the distinct counts;
+    exact kept here so the DuckDB oracle can hash-match.)"""
+    docs = _t(spark, sf, "documents")
+    from model_audit_spark.functions.text import word_tokens
+
+    staged = docs.select(
+        "source", F.col("text"), F.size(word_tokens("text")).alias("n_toks")
+    )
+    return staged.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
 def _lang_distribution(spark, sf):
     docs = _t(spark, sf, "documents")
     from model_audit_spark.functions.text import detect_lang
@@ -759,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claimed_families": _claimed_families,
         "fingerprint_diff_buckets": _fingerprint_diff_buckets,
         "text_stats": _text_stats,
+        "corpus_stats": _corpus_stats,
         "lang_distribution": _lang_distribution,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
@@ -811,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "claimed_families": ora.claimed_families(),
         "fingerprint_diff_buckets": ora.fingerprint_diff_buckets(),
         "text_stats": ora.text_stats(),
+        "corpus_stats": ora.corpus_stats(),
         "lang_distribution": ora.lang_distribution(),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),

@@ -743,6 +743,21 @@ FROM stats
 """
 
 
+def corpus_stats() -> str:
+    return f"""
+WITH staged AS (
+  SELECT source, text, len({_tokens('text')}) AS n_toks FROM documents
+)
+SELECT count(*) AS n_docs,
+  count(DISTINCT source) AS n_sources,
+  count(DISTINCT text) AS n_distinct_texts,
+  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+  round(avg(n_toks), 6) AS avg_tokens,
+  round(avg(length(text)), 6) AS avg_chars
+FROM staged
+"""
+
+
 def lang_distribution() -> str:
     return f"""
 SELECT {_lang('text')} AS lang_pred, count(*) AS n_docs
