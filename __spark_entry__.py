@@ -737,10 +737,17 @@ def _cka_labels(spark, sf):
     return cka_long(x, y).select(F.round("cka", 6).alias("cka"))
 
 
-# Rows-only (no SQL oracle): LSH approximate search + embedding near-dups
+# Rows-only (no SQL oracle): LSH/IVF approximate search + embedding near-dups
 def _ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6)
+
+
+def _ann_ivf_topk(spark, sf):
+    from model_audit_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3)
 
 
 def _embedding_near_dups(spark, sf):
@@ -791,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _similarity_topk,
         "cka_labels": _cka_labels,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
         "memorization_verbatim": _memorization_verbatim,
         "memorization_average": _memorization_average,

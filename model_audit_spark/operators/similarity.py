@@ -154,3 +154,73 @@ def embedding_cosine_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: MLlib KMeans centroids + cluster assignment.
+
+    Returns (assigned DataFrame with `cluster`, centroids list). At scale,
+    persist `assigned` partitioned/bucketed by `cluster` so a probe scans
+    only nprobe partitions; centroids (k × dim floats) stay driver-side —
+    they ARE the index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    base = emb.select(
+        F.col(id_col), as_double_array(vec_col).alias("ev")
+    ).withColumn("features", array_to_vector(F.col("ev")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                predictionCol="cluster")
+    model = km.fit(base)
+    assigned = model.transform(base).select(id_col, "ev", "cluster")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only within the `nprobe`
+    centroid cells nearest to the query (by centroid cosine).
+
+    Complements lsh_topk: IVF adapts cell boundaries to the data
+    distribution (k-means), LSH is data-independent. Both reduce the
+    probe from O(N) to O(N · nprobe / n_clusters) expected."""
+    import math
+
+    assigned, centroids = ivf_index(emb, n_clusters, id_col, vec_col, seed)
+    q = assigned.filter(F.col(id_col) == query_vec_id).first()
+    if q is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    qv = q.ev
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def centroid_sim(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (-centroid_sim(centroids[i]), i),
+    )[:nprobe]
+    cands = assigned.filter(F.col("cluster").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    sim = _dot(F.col("ev"), qlit) / (_norm(F.col("ev")) * F.lit(qn))
+    return (
+        cands.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

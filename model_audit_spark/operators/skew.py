@@ -1,0 +1,57 @@
+"""Skew-handling utilities (SCALE.md rule 8).
+
+AQE's skew-join splitting covers joins; these helpers cover the two shapes
+AQE does not fix:
+
+- salted_count: hot-key aggregation. A groupBy on a key where one value
+  holds most rows bottlenecks the final reducer; salting splits each key
+  into `salt_buckets` partial groups (map-side parallel), then a second
+  tiny aggregate merges partials. Two shuffles, both balanced — the
+  classic two-level aggregation.
+- frequency_capped_explode: explode amplification. Dropping tokens/
+  shingles above a document-frequency cap before a join/bucket stage
+  bounds the Σ bucket² term (boilerplate shingles are the minhash skew
+  hazard named in dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key_col: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-level count per key: (key, n) with balanced reducers.
+
+    Equivalent to groupBy(key).count() for any data; worth the second
+    (tiny) shuffle only when some key dominates."""
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(key_col, "_salt").agg(
+        F.count("*").alias("_partial")
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_partial").cast("bigint").alias("n")
+    )
+
+
+def frequency_capped_explode(
+    df: DataFrame,
+    array_col: str,
+    id_col: str,
+    max_doc_frequency: float = 0.5,
+) -> DataFrame:
+    """Explode an array column, dropping elements that appear in more than
+    `max_doc_frequency` of the documents (computed exactly in one extra
+    aggregate; swap count for approx_count_distinct at 100 TB)."""
+    n_docs = df.count()
+    cap = int(n_docs * max_doc_frequency)
+    exploded = df.select(F.col(id_col), F.explode(array_col).alias("el"))
+    freq = exploded.groupBy("el").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    hot = freq.filter(F.col("_df") > cap).select("el")
+    return exploded.join(F.broadcast(hot), "el", "left_anti")

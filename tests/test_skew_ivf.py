@@ -1,0 +1,51 @@
+"""Skew utilities + IVF search tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from model_audit_spark.operators.similarity import cosine_topk, ivf_topk
+from model_audit_spark.operators.skew import (
+    frequency_capped_explode,
+    salted_count,
+)
+
+
+def test_salted_count_equals_plain_count(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 500 + [("a",)] * 3 + [("b",)] * 7, ["k"]
+    )
+    got = {r.k: r.n for r in salted_count(df, "k", salt_buckets=8).collect()}
+    assert got == {"hot": 500, "a": 3, "b": 7}
+
+
+def test_frequency_capped_explode_drops_boilerplate(spark):
+    rows = [
+        (1, ["common", "x1"]),
+        (2, ["common", "x2"]),
+        (3, ["common", "x3"]),
+        (4, ["common", "x4"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, toks ARRAY<STRING>")
+    kept = frequency_capped_explode(
+        df, "toks", "doc_id", max_doc_frequency=0.5
+    )
+    els = {r.el for r in kept.collect()}
+    assert "common" not in els  # df=4/4 > cap 2
+    assert els == {"x1", "x2", "x3", "x4"}
+
+
+def test_ivf_topk_contains_query_and_overlaps_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+    approx = ivf_topk(emb, 0, 10, n_clusters=8, nprobe=3).collect()
+    ids = [r.vec_id for r in approx]
+    assert ids[0] == 0 and approx[0].cosine_sim == pytest.approx(1.0)
+    # nprobe=3/8 cells: expect meaningful recall vs exact top-10
+    assert len(set(exact) & set(ids)) >= 5
+    # deterministic across runs (seeded kmeans)
+    again = [
+        r.vec_id for r in ivf_topk(emb, 0, 10, n_clusters=8, nprobe=3).collect()
+    ]
+    assert ids == again
