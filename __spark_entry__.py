@@ -219,6 +219,51 @@ def _q_window_orders(spark, sf):
     )
 
 
+def _q_customers_no_orders(spark, sf):
+    """Anti join (J7's batch cache-miss shape): customers with no orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _q_urgent_customers(spark, sf):
+    """Semi join: customers with at least one URGENT order, by segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _q_rollup_revenue(spark, sf):
+    """ROLLUP (year, priority): grouping-set subtotals + grand total."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("order_year").cast("bigint").alias("order_year"),
+            "o_orderpriority",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
 def _q_events_hourly(spark, sf):
     e = _t(spark, sf, "events")
     return (
@@ -354,9 +399,9 @@ def _llmmap_compare_sources(spark, sf):
 
 def _dli_bigrams(spark, sf):
     docs = _t(spark, sf, "documents")
-    return bigram_distribution(docs, "source", "text").select(
-        "source", "ngram", "cnt", F.round("weight", 6).alias("weight")
-    )
+    return bigram_distribution(
+        docs, "source", "text", order_col="doc_id"
+    ).select("source", "ngram", "cnt", F.round("weight", 6).alias("weight"))
 
 
 def _dli_features(spark, sf):
@@ -761,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_unshipped": _q3,
         "q5_regional_revenue": _q5,
         "q_topk_customers": _q_topk_customers,
+        "q_customers_no_orders": _q_customers_no_orders,
+        "q_urgent_customers": _q_urgent_customers,
+        "q_rollup_revenue": _q_rollup_revenue,
         "q_window_orders": _q_window_orders,
         "q_events_hourly": _q_events_hourly,
         "q_events_sessionize": _q_events_sessionize,
@@ -815,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_unshipped": ora.q3_top_unshipped(),
         "q5_regional_revenue": ora.q5_regional_revenue(),
         "q_topk_customers": ora.q_topk_customers(),
+        "q_customers_no_orders": ora.q_customers_no_orders(),
+        "q_urgent_customers": ora.q_urgent_customers(),
+        "q_rollup_revenue": ora.q_rollup_revenue(),
         "q_window_orders": ora.q_window_orders(),
         "q_events_hourly": ora.q_events_hourly(),
         "q_events_sessionize": ora.q_events_sessionize(),

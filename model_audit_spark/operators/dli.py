@@ -43,15 +43,57 @@ DLI_FEATURES = [
 ]
 
 
+_POS_CAP = 1 << 20  # tokens per doc bound for the packed first-seen key
+
+
 def bigram_distribution(
     df: DataFrame,
     group_col: str = "model_id",
     text_col: str = "text",
     top_n: int = 100,
+    order_col: str | None = None,
 ) -> DataFrame:
     """A2: (group, ngram, cnt, weight) — top-N bigrams, weight normalized
-    over the top-N mass."""
-    toks = df.select(F.col(group_col), word_tokens(text_col).alias("w"))
+    over the top-N mass.
+
+    Tie-break at the top-N boundary (T2): with `order_col` (a per-doc
+    ordering column, e.g. doc_id/probe_seq), ties rank by FIRST-SEEN
+    position like the reference's Counter.most_common — first_seen is
+    min(order·2²⁰ + pos), a packed key that stays a pure hash aggregate
+    (no per-group sort; positions capped at 2²⁰ tokens/doc, order values
+    must fit 2⁴³). Without order_col, ties rank by ngram ASC — still
+    deterministic, divergence documented."""
+    toks = df.select(
+        F.col(group_col),
+        *([F.col(order_col).alias("_ord")] if order_col else []),
+        word_tokens(text_col).alias("w"),
+    )
+    if order_col:
+        bgpos = toks.select(
+            group_col,
+            "_ord",
+            F.posexplode(bigrams(F.col("w"))).alias("pos", "ngram"),
+        )
+        packed = F.col("_ord").cast("long") * _POS_CAP + F.least(
+            F.col("pos"), F.lit(_POS_CAP - 1)
+        )
+        counts = bgpos.groupBy(group_col, "ngram").agg(
+            F.count("*").alias("cnt"),
+            F.min(packed).alias("_first_seen"),
+        )
+        w_rank = Window.partitionBy(group_col).orderBy(
+            F.desc("cnt"), F.asc("_first_seen"), F.asc("ngram")
+        )
+        top = counts.withColumn("rn", F.row_number().over(w_rank)).filter(
+            F.col("rn") <= top_n
+        )
+        w_group = Window.partitionBy(group_col)
+        return top.select(
+            group_col,
+            "ngram",
+            "cnt",
+            (F.col("cnt") / F.sum("cnt").over(w_group)).alias("weight"),
+        )
     exploded = toks.select(
         group_col, F.explode(bigrams(F.col("w"))).alias("ngram")
     )

@@ -322,6 +322,36 @@ LIMIT 10
 """
 
 
+def q_customers_no_orders() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_urgent_customers() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_revenue() -> str:
+    return """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+  round(sum(o_totalprice), 2) AS revenue,
+  count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(order_year, o_orderpriority)
+"""
+
+
 def q_window_orders() -> str:
     return """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk,
@@ -493,8 +523,39 @@ dist AS (
 
 
 def dli_bigrams_by_source() -> str:
+    """T2 first-seen tie-break: packed min(ord·2^20 + pos) like dli.py.
+
+    DuckDB list_transform's two-arg lambda index is 1-based vs Spark
+    posexplode's 0-based — order-isomorphic, so min-argmin agrees."""
+    pos_cap = 1 << 20
     return f"""
-WITH {_dli_dist_ctes()}
+WITH toks AS (
+  SELECT source, doc_id, {_tokens('text')} AS w FROM documents
+),
+bgp AS (
+  SELECT source, doc_id,
+    unnest(list_transform({_bigrams('w')},
+      (x, i) -> struct_pack(ngram := x, pos := i))) AS u
+  FROM toks
+),
+cnts AS (
+  SELECT source, u.ngram AS ngram, count(*) AS cnt,
+    min(doc_id * {pos_cap} + least(u.pos, {pos_cap - 1})) AS first_seen
+  FROM bgp GROUP BY 1, 2
+),
+topn AS (
+  SELECT * FROM (
+    SELECT source, ngram, cnt,
+      row_number() OVER (PARTITION BY source
+                         ORDER BY cnt DESC, first_seen ASC, ngram ASC) AS rn
+    FROM cnts
+  ) WHERE rn <= 100
+),
+dist AS (
+  SELECT source, ngram, cnt,
+    cnt / (sum(cnt) OVER (PARTITION BY source)) AS weight
+  FROM topn
+)
 SELECT source, ngram, cnt, round(weight, 6) AS weight FROM dist
 """
 
