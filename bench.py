@@ -63,8 +63,17 @@ def main() -> None:
     spark = get_spark(app_name="model-audit-bench")
     qs = entrymod.queries()
 
-    # warm-up: small scan + a trivial aggregate to JIT the common paths
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # Warm-up: run every benched query once at the smallest SF so the timed
+    # pass measures execution + planning, not first-call JVM/janino codegen
+    # compilation (which is amortized away in any long-running deployment).
+    warm_sf = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        try:
+            qs[name](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # pragma: no cover — warm-up best effort
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -55,6 +55,50 @@ def test_streaming_detect_matches_batch(spark, doc_dir, tmp_path):
     assert got == expected and len(got) == 4
 
 
+def test_events_fixture_streams_windowed_values(spark, tmp_path):
+    """Stream the driver's events table (nanos ts read as long) through a
+    watermarked tumbling-window aggregate; totals must equal batch."""
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams read directories; stage the fixture file in one
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        src_dir / "part-0.parquet",
+    )
+    src = str(src_dir)
+    batch = spark.read.parquet(src).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ev"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_total = spark.sql("select sum(n) as n from ev_windows").first().n
+    assert streamed_total == batch.count()
+
+
 def test_windowed_counts(spark, doc_dir, tmp_path):
     stream = spark.readStream.format("parquet").schema(SCHEMA).load(doc_dir)
     windowed = windowed_detection_counts(stream, "ts", "1 minute")
