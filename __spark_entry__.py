@@ -540,6 +540,66 @@ def _fingerprint_diff_buckets(spark, sf):
     return fingerprint_diff_buckets(fp, "src0", "src1")
 
 
+def _verify_sources(spark, sf):
+    """verify() relational form (engine.py:107-163): per source, style-score
+    the deterministically-ordered concatenation of all its texts, take the
+    best family + claimed-family substring match."""
+    docs = _t(spark, sf, "documents")
+    combined = docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    det = detect(combined, spark, "text", "source").select(
+        F.col("source").alias("model"),
+        F.col("predicted_model").alias("best_match"),
+        F.col("confidence").alias("best_score"),
+    )
+    claimed = claimed_families(
+        det.select(F.col("model").alias("model_id")), spark
+    ).select(
+        F.col("model_id").alias("model"),
+        F.coalesce("claimed_family", F.lit("unknown")).alias(
+            "claimed_family"
+        ),
+    )
+    return det.join(claimed, "model").select(
+        "model",
+        "claimed_family",
+        "best_match",
+        "best_score",
+        (F.col("claimed_family") == F.col("best_match")).alias("verified"),
+    )
+
+
+def _media_profile(spark, sf):
+    """Multimodal plumbing over a deterministic media relation synthesized
+    from documents (no media fixture exists): binary content = utf-8 text,
+    type cycled by doc_id. Exercises the Arrow decode/feature kernels
+    end-to-end (rows-only: the kernels have no SQL twin)."""
+    from model_audit_spark.operators.multimodal import decode_image_features
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        (F.length("text") % 64 + 1).cast("int").alias("width"),
+        (F.length("text") % 32 + 1).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.length("text") * 10).cast("int").alias("duration_ms"),
+        F.lit("synthetic").alias("codec"),
+    )
+    return decode_image_features(media).orderBy("media_id")
+
+
 def _audit_verdict_sources(spark, sf):
     docs = _t(spark, sf, "documents")
     resp = docs.filter(F.col("source").isin(["src0", "src1"])).select(
@@ -827,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_accuracy": _benchmark_accuracy,
         "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
         "audit_verdict_sources": _audit_verdict_sources,
+        "verify_sources": _verify_sources,
+        "media_profile": _media_profile,
         "probe_style_consistency": _probe_style_consistency,
         "audit_consistency_rate": _audit_consistency_rate,
         "style_count_distribution": _style_count_distribution,
@@ -884,6 +946,8 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_accuracy": ora.benchmark_accuracy(),
         "benchmark_accuracy_by_class": ora.benchmark_accuracy_by_class(),
         "audit_verdict_sources": ora.audit_verdict_sources(),
+        "verify_sources": ora.verify_sources(),
+        # media_profile: rows-only (Arrow decode kernel has no SQL twin)
         "probe_style_consistency": ora.probe_style_consistency(),
         "audit_consistency_rate": ora.audit_consistency_rate(),
         "style_count_distribution": ora.style_count_distribution(),

@@ -892,6 +892,28 @@ SELECT doc_id, content_fp, sketch FROM fp
 """
 
 
+def verify_sources() -> str:
+    return f"""
+WITH combined AS (
+  SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY source
+),
+{_detect_ctes('combined', 'source').lstrip()},
+claimed AS (
+  SELECT c.source,
+    coalesce(arg_min(s.family, s.family_rank), 'unknown') AS claimed_family
+  FROM combined c
+  LEFT JOIN style_signatures s ON contains(lower(c.source), s.family)
+  GROUP BY c.source
+)
+SELECT d.source AS model, cl.claimed_family,
+  d.predicted_model AS best_match,
+  d.confidence AS best_score,
+  cl.claimed_family = d.predicted_model AS verified
+FROM detected d JOIN claimed cl ON cl.source = d.source
+"""
+
+
 def _responses_consistency_ctes(
     teacher: str = "src0", student: str = "src1", n_probes: int = 20
 ) -> str:
