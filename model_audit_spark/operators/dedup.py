@@ -187,9 +187,23 @@ def jaccard_verify(
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for candidate pairs, exact over shingle sets."""
-    shing = shingles_df(df, text_col, id_col, shingle_n).withColumnRenamed(
-        id_col, "_id"
+    """(id_a, id_b, jaccard) for candidate pairs, exact over shingle sets.
+
+    The exploded shingle relation is corpus-sized; it is semi-joined down
+    to ids that appear in a candidate pair BEFORE the intersection join,
+    so the heavy join shuffles only candidate documents' shingles (pairs
+    ≪ corpus after LSH banding)."""
+    # referenced by cand_ids, the intersection join, and the final output —
+    # persist so the banding plan beneath it runs once
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
+        .distinct()
+    )
+    shing = (
+        shingles_df(df, text_col, id_col, shingle_n)
+        .withColumnRenamed(id_col, "_id")
+        .join(cand_ids, "_id", "left_semi")
     )
     sizes = shing.select("_id", F.size("sh").alias("n_sh"))
     expl = shing.select("_id", F.explode("sh").alias("s"))
