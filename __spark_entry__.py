@@ -55,6 +55,7 @@ from model_audit_spark.operators.fingerprint import (
     fingerprint_vectors,
 )
 from model_audit_spark.operators.reef import cka_long, embeddings_long
+from model_audit_spark.operators.skew import rebalance_scan
 from model_audit_spark.operators.similarity import (
     cosine_topk,
     embedding_cosine_pairs,
@@ -80,7 +81,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # CPU-heavy expression corpora: a small single-row-group file scans
+        # as one task; rebalance so scoring uses every core (no-op at scale).
+        df = rebalance_scan(df)
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -20,6 +20,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def rebalance_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Restore parallelism lost to small or unsplittable inputs.
+
+    A parquet file with a single row group scans as ONE task no matter how
+    many cores the session has, serializing any CPU-heavy per-row
+    expression work that follows (style scoring, tokenization, minhash).
+    When the scan yields fewer partitions than the session's default
+    parallelism, round-robin repartition up to it; the shuffled bytes are
+    by construction small (the input was too small to split). At cluster
+    scale a 100 TB table scans as thousands of splits, the condition is
+    false, and this is a no-op — no shuffle is added on the big path."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_count(
     df: DataFrame, key_col: str, salt_buckets: int = 32
 ) -> DataFrame:
