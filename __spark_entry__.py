@@ -866,6 +866,45 @@ def _embedding_near_dups(spark, sf):
     return embedding_cosine_pairs(emb, threshold=0.9)
 
 
+def _streaming_source_verdict(spark, sf):
+    """§2.10 stateful streaming (applyInPandasWithState): run the document
+    file stream to completion (availableNow trigger) and return the FINAL
+    running verdict per source — which must equal the batch
+    majority/consistency aggregate the oracle computes."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from model_audit_spark.streaming import running_source_verdict
+
+    name = "verdict_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
+    path = f"{sf}/documents.parquet"
+    # the file source streams directories; stage the table file in one
+    stage = tempfile.mkdtemp(prefix="ma_stream_")
+    os.symlink(path, os.path.join(stage, "part-0.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    q = (
+        running_source_verdict(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("source").orderBy(F.desc("n_texts"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1,
@@ -922,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_seqmatch": _memorization_seqmatch,
         "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
         "reef_layer_cka": _reef_layer_cka,
+        "streaming_source_verdict": _streaming_source_verdict,
     }
 
 
@@ -941,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),
         "detect_distribution": ora.detect_distribution(),
+        "streaming_source_verdict": ora.streaming_source_verdict(),
         "llmmap_features_documents": ora.llmmap_features_documents(),
         "llmmap_fingerprints_by_source": ora.llmmap_fingerprints_by_source(),
         "llmmap_compare_sources": ora.llmmap_compare_sources(),

@@ -439,6 +439,42 @@ GROUP BY predicted_model
 """
 
 
+def streaming_source_verdict() -> str:
+    """Batch twin of streaming.running_source_verdict's FINAL state: after
+    the last micro-batch the per-source running verdict equals this
+    majority/consistency aggregate over all rows (same catalog-order ties,
+    same rounding order)."""
+    return f"""
+WITH {_detect_ctes('documents', 'doc_id')},
+det_src AS (
+  SELECT d.source, t.predicted_model, t.confidence
+  FROM detected t JOIN documents d USING (doc_id)
+),
+fam_counts AS (
+  SELECT ds.source, ds.predicted_model, count(*) AS cnt,
+         min(s.family_rank) AS frank
+  FROM det_src ds
+  JOIN style_signatures s ON ds.predicted_model = s.family
+  GROUP BY ds.source, ds.predicted_model
+),
+top_fam AS (
+  SELECT source, predicted_model, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, frank ASC) AS rn
+  FROM fam_counts
+),
+totals AS (
+  SELECT source, count(*) AS n_texts,
+         round(sum(confidence) / count(*), 4) AS mean_confidence
+  FROM det_src GROUP BY source
+)
+SELECT t.source, t.n_texts, f.predicted_model,
+       round(f.cnt / t.n_texts * 100.0::DOUBLE, 2) AS consistency_rate,
+       t.mean_confidence
+FROM totals t JOIN top_fam f ON t.source = f.source AND f.rn = 1
+"""
+
+
 def llmmap_features_documents() -> str:
     cols = (
         ["length_chars", "length_words", "length_sentences"]

@@ -11,13 +11,24 @@ detect is the SAME projection applied to a readStream relation:
 - detect_stream_from_files: file-source convenience (new parquet/json files
   in a directory become micro-batches) — at scale swap for Kafka with the
   same downstream plan.
+- running_source_verdict: CUSTOM STATEFUL operator (applyInPandasWithState,
+  §2.11 row 1's stateful sibling) — per-source running audit verdict
+  maintained across micro-batches. The 12-family scoring argmax stays
+  JVM-side (the same detection_columns projection as batch detect); the
+  Python state function folds only three small numbers per row, so state
+  is O(#sources × #families) regardless of stream volume.
 """
 
 from __future__ import annotations
 
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from model_audit_spark.catalogs import STYLE_SIGNATURES
 from model_audit_spark.functions.text import text_preview
 from model_audit_spark.operators.detect import detection_columns
 
@@ -59,6 +70,78 @@ def windowed_detection_counts(
             "predicted_model",
             "n_texts",
         )
+    )
+
+
+_FAMILIES: list[str] = [fam for fam, *_ in STYLE_SIGNATURES]
+_RANK: dict[str, int] = {fam: i for i, fam in enumerate(_FAMILIES)}
+
+VERDICT_OUTPUT_SCHEMA = (
+    "source STRING, n_texts BIGINT, predicted_model STRING, "
+    "consistency_rate DOUBLE, mean_confidence DOUBLE"
+)
+_VERDICT_STATE_SCHEMA = "n BIGINT, counts ARRAY<BIGINT>, sum_conf DOUBLE"
+
+
+def running_source_verdict(
+    stream: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source RUNNING verdict across micro-batches (update mode).
+
+    Streaming form of the batch audit verdict (A5+A7+A9 folded): for each
+    source, the majority predicted family so far (catalog-order ties, as
+    batch argmax), the consistency rate (share of texts agreeing with the
+    majority), and mean confidence. Per-row family scoring runs in the
+    stateless JVM projection BEFORE the stateful step; state per source is
+    (n, 12 counts, score sum) — constant-size, so a 100 TB/day stream
+    holds state proportional to the number of distinct sources only.
+    """
+    cols = detection_columns(text_col)
+    scored = stream.select(
+        F.col(source_col).alias("source"),
+        cols["predicted_model"].alias("predicted_model"),
+        cols["confidence"].alias("confidence"),
+    )
+
+    def _fold(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, counts, sum_conf = state.get
+            counts = list(counts)
+        else:
+            n, counts, sum_conf = 0, [0] * len(_FAMILIES), 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            sum_conf += float(pdf["confidence"].sum())
+            for fam, cnt in pdf["predicted_model"].value_counts().items():
+                counts[_RANK[fam]] += int(cnt)
+        state.update((n, counts, sum_conf))
+        top = max(range(len(counts)), key=lambda i: (counts[i], -i))
+        yield pd.DataFrame(
+            [
+                {
+                    "source": key[0],
+                    "n_texts": n,
+                    "predicted_model": _FAMILIES[top],
+                    "consistency_rate": (
+                        round(counts[top] / n * 100.0, 2) if n else 0.0
+                    ),
+                    "mean_confidence": (
+                        round(sum_conf / n, 4) if n else 0.0
+                    ),
+                }
+            ]
+        )
+
+    return scored.groupBy("source").applyInPandasWithState(
+        _fold,
+        VERDICT_OUTPUT_SCHEMA,
+        _VERDICT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

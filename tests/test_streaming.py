@@ -124,3 +124,87 @@ def test_windowed_counts(spark, doc_dir, tmp_path):
         .count()
     )
     assert total_batch >= 1
+
+
+def test_running_source_verdict_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState verdict: state must carry across micro-batches
+    (maxFilesPerTrigger=1 -> one batch per file) and the final emitted row
+    per source must equal the batch expression layer over the union."""
+    from collections import Counter
+
+    from model_audit_spark.streaming import running_source_verdict
+
+    batch1 = [
+        ("src_a", "Certainly! Here's a comprehensive breakdown. It's "
+         "important to note the following points for you."),
+        ("src_a", "I'd be happy to help. Let me think through this "
+         "nuanced question and note different perspectives."),
+        ("src_b", "好的，我来为您详细介绍。具体来说，这个实现的时间复杂度是线性的。"),
+    ]
+    batch2 = [
+        ("src_a", "Certainly! Here's another breakdown. Let me know if "
+         "you'd like me to go in more detail."),
+        ("src_b", "嗯，让我仔细想想。从多个角度看，本质上是状态转移方程的边界条件问题。"),
+    ]
+    in_dir = tmp_path / "verdict_in"
+    in_dir.mkdir()
+    schema = "source STRING, text STRING"
+    for i, rows in enumerate([batch1, batch2]):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "source": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        )
+        pq.write_table(tbl, in_dir / f"batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        running_source_verdict(stream)
+        .writeStream.format("memory")
+        .queryName("verdicts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_verdict"))
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from verdicts").collect()
+    # both sources appear in both files -> 2 emissions each
+    assert len(emitted) == 4
+    final = {}
+    for r in emitted:
+        if r.source not in final or r.n_texts > final[r.source].n_texts:
+            final[r.source] = r
+
+    # batch-side expectation from the same expression layer
+    from model_audit_spark.operators.detect import detection_columns
+
+    union = spark.read.parquet(str(in_dir))
+    cols = detection_columns("text")
+    per_row = union.select(
+        "source",
+        cols["predicted_model"].alias("pred"),
+        cols["confidence"].alias("conf"),
+    ).collect()
+    from model_audit_spark.streaming import _RANK
+
+    for src in ("src_a", "src_b"):
+        rows = [r for r in per_row if r.source == src]
+        counts = Counter(r.pred for r in rows)
+        # same tie rule as the operator: max count, catalog order first
+        top = max(counts.items(), key=lambda kv: (kv[1], -_RANK[kv[0]]))
+        f = final[src]
+        assert f.n_texts == len(rows)
+        assert f.predicted_model == top[0]
+        assert f.consistency_rate == round(top[1] / len(rows) * 100.0, 2)
+        assert f.mean_confidence == round(
+            sum(r.conf for r in rows) / len(rows), 4
+        )
