@@ -836,6 +836,13 @@ def _dedup_simhash(spark, sf):
     return dedup_simhash_df(docs, "text", "doc_id")
 
 
+def _dedup_simhash_pairs(spark, sf):
+    from model_audit_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id")
+
+
 def _similarity_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return cosine_topk(emb, query_vec_id=0, k=10)
@@ -950,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
         "cka_labels": _cka_labels,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1011,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_simhash": ora.dedup_simhash(),
+        "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),
         "cka_labels": ora.cka_labels(),
         "memorization_verbatim": ora.memorization_verbatim(),

@@ -234,6 +234,64 @@ def jaccard_verify(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs with hamming(simhash) <= max_distance.
+
+    Banded LSH self-join, not an O(n²) cross join: the simhash splits
+    into `bands` chunks and only ids sharing a (band, value) bucket are
+    candidate-joined — by pigeonhole every pair within distance
+    `bands - 1` shares at least one intact band, so the default (4, 3)
+    is exact-complete. The exact bit_count(xor) filter then prunes
+    bucket collisions. At scale the join shuffles on (band, value)
+    buckets whose sizes the banding bounds, same shape as
+    minhash_band_pairs; boilerplate-heavy corpora can cap bucket sizes
+    with skew.frequency_capped_explode upstream."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, text_col, id_col, bits)
+    banded = sh.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "simhash", "b.band", "b.bv")
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

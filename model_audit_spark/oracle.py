@@ -1357,6 +1357,34 @@ SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM votes
 """
 
 
+def dedup_simhash_pairs(
+    bits: int = 32, bands: int = 4, max_distance: int = 3
+) -> str:
+    """Banded-hamming twin of dedup.simhash_near_dup_pairs."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_values = ", ".join(f"({i})" for i in range(bands))
+    return f"""
+WITH sims AS ({dedup_simhash(bits)}),
+bands AS (
+  SELECT doc_id, simhash,
+         t.band, (simhash >> (t.band * {band_bits})) & {mask} AS bv
+  FROM sims CROSS JOIN (VALUES {band_values}) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_distance}
+"""
+
+
 def similarity_topk(query_vec_id: int = 0, k: int = 10) -> str:
     return f"""
 WITH q AS (

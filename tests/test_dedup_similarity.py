@@ -132,3 +132,23 @@ def test_cosine_topk_self_first(spark):
     assert [r.vec_id for r in got] == [0, 1, 2]
     assert got[0].cosine_sim == 1.0
     assert got[1].cosine_sim > 0.99 and got[2].cosine_sim == 0.0
+
+
+def test_simhash_near_dup_pairs_complete_vs_brute_force(spark):
+    """Banded hamming join must find EXACTLY the pairs brute force finds at
+    distance <= bands-1 (pigeonhole completeness), on real corpus data."""
+    from model_audit_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a in sims
+        for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, max_distance=3).collect()
+    }
+    assert got == brute and len(got) > 0
