@@ -868,6 +868,17 @@ def _ann_ivf_topk(spark, sf):
     return ivf_topk(emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3)
 
 
+def _embedding_pairs_exact(spark, sf):
+    from model_audit_spark.operators.similarity import (
+        embedding_cosine_pairs_exact,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    # synthetic embeddings are near-orthogonal (max pair ~0.51);
+    # 0.4 keeps the oracle comparison over real rows
+    return embedding_cosine_pairs_exact(emb, threshold=0.4)
+
+
 def _embedding_near_dups(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return embedding_cosine_pairs(emb, threshold=0.9)
@@ -963,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
+        "embedding_pairs_exact": _embedding_pairs_exact,
         "memorization_verbatim": _memorization_verbatim,
         "memorization_average": _memorization_average,
         "memorization_levenshtein": _memorization_levenshtein,
@@ -1021,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": ora.dedup_simhash(),
         "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),
+        "embedding_pairs_exact": ora.embedding_pairs_exact(threshold=0.4),
         "cka_labels": ora.cka_labels(),
         "memorization_verbatim": ora.memorization_verbatim(),
         "memorization_average": ora.memorization_average(),

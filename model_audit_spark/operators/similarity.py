@@ -156,6 +156,28 @@ def embedding_cosine_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+def embedding_cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — the O(N²) VERIFICATION twin of
+    embedding_cosine_pairs (reference for the LSH-bucketed scale path; the
+    LSH output must be a subset of this with high recall). Run only at
+    oracle/test scale; at 100 TB use the bucketed variant."""
+    v = emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def ivf_index(
     emb: DataFrame,
     n_clusters: int = 16,

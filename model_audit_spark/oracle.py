@@ -1385,6 +1385,29 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {max_distance}
 """
 
 
+def embedding_pairs_exact(threshold: float = 0.9) -> str:
+    """Exact twin of similarity.embedding_cosine_pairs_exact."""
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+    6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs
+WHERE cosine_sim >= {threshold}
+"""
+
+
 def similarity_topk(query_vec_id: int = 0, k: int = 10) -> str:
     return f"""
 WITH q AS (

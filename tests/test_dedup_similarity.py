@@ -152,3 +152,40 @@ def test_simhash_near_dup_pairs_complete_vs_brute_force(spark):
         for r in simhash_near_dup_pairs(docs, max_distance=3).collect()
     }
     assert got == brute and len(got) > 0
+
+
+def test_embedding_lsh_pairs_subset_of_exact_and_finds_planted(spark):
+    """LSH near-dup pairs must be a subset of the exact O(n^2) twin, and
+    must find planted near-duplicates (cosine ~1 -> identical sign
+    signature with the seeded hyperplanes)."""
+    import random
+
+    from model_audit_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_exact,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    vecs = []
+    for i in range(30):
+        vecs.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # planted near-dups: tiny perturbations of vectors 0..2
+    for j, base in enumerate(vecs[:3]):
+        vecs.append(
+            (100 + j, [x + rng.gauss(0, 1e-4) for x in base[1]])
+        )
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_exact(emb, threshold=0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.99).collect()
+    }
+    assert lsh <= exact
+    planted = {(0, 100), (1, 101), (2, 102)}
+    assert planted <= lsh
+    assert exact == planted  # nothing else is that close
