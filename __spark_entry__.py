@@ -1034,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),
         "embedding_pairs_exact": ora.embedding_pairs_exact(threshold=0.4),
+        "ann_lsh_topk": ora.ann_lsh_topk(query_vec_id=0, k=10, n_planes=6),
         "cka_labels": ora.cka_labels(),
         "memorization_verbatim": ora.memorization_verbatim(),
         "memorization_average": ora.memorization_average(),
