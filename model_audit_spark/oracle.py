@@ -395,9 +395,12 @@ flagged AS (
   FROM ordered
 ),
 sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  -- CAST: DuckDB window sum(int) yields HUGEINT, which the driver's pandas
+  -- conversion turns into float64 ("3.0" vs Spark's "3") -> hash mismatch.
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -778,7 +781,8 @@ def benchmark_accuracy() -> str:
 WITH {_benchmark_values()},
 {_detect_ctes('benchmark', 'text_id').lstrip()}
 SELECT count(*) AS total,
-  sum(CASE WHEN d.predicted_model = b.label THEN 1 ELSE 0 END) AS correct,
+  CAST(sum(CASE WHEN d.predicted_model = b.label THEN 1 ELSE 0 END)
+       AS BIGINT) AS correct,
   round(sum(CASE WHEN d.predicted_model = b.label
             THEN CAST(1 AS DOUBLE) ELSE 0 END) / count(*), 6) AS accuracy
 FROM detected d JOIN benchmark b USING (text_id)
@@ -1555,7 +1559,8 @@ comparisons AS (
 )
 SELECT
   round(avg(similarity), 6) AS avg_similarity,
-  sum(CASE WHEN is_derived THEN 1 ELSE 0 END) AS derived_votes,
+  CAST(sum(CASE WHEN is_derived THEN 1 ELSE 0 END) AS BIGINT)
+    AS derived_votes,
   count(*) AS total_votes,
   CASE WHEN sum(CASE WHEN is_derived THEN 1 ELSE 0 END) > count(*) / 2.0
        THEN 'likely_derived'

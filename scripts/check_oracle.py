@@ -7,7 +7,11 @@ row count, sorted column names, dtype classes, and an order-insensitive
 value hash (floats rounded to 6dp, rows sorted by their full string repr).
 
 Usage:
-  python scripts/check_oracle.py [query ...] [--sf DIR]
+  python scripts/check_oracle.py [query ...] [--sf=DIR] [--cpus=N]
+
+Defaults to the DRIVER's parallelism (SPARK_GRAFT_CPUS, else 32) so local
+green predicts driver green — round 1 shipped 3 float-sum-order hash
+mismatches because this mirror hard-coded local[8].
 """
 
 from __future__ import annotations
@@ -48,6 +52,54 @@ def canon_cell(v):
     return str(v)
 
 
+def spark_type_class(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt == "boolean":
+        return "bool"
+    if dt in ("date", "timestamp", "timestamp_ntz"):
+        return "ts"
+    if dt.startswith("array"):
+        return "list"
+    if dt == "binary":
+        return "bytes"
+    return dt
+
+
+def duck_type_class(dt) -> str:
+    s = str(dt).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    # HUGEINT deliberately NOT mapped to "int": the driver's pandas
+    # conversion turns it into float64 ("14.0" vs "14") and fails the value
+    # hash even though fetchall() would agree. Force a CAST in the oracle.
+    if s == "HUGEINT":
+        return "hugeint"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "VARCHAR":
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s in ("DATE", "TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"):
+        return "ts"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "list"
+    if s == "BLOB":
+        return "bytes"
+    return s.lower()
+
+
 def frame_digest(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -61,18 +113,23 @@ def frame_digest(cols, rows):
 
 
 def main():
+    import os
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = "/root/testdata/sf0.01"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf = a.split("=", 1)[1]
+        if a.startswith("--cpus="):
+            cpus = int(a.split("=", 1)[1])
 
     import duckdb
 
     import __spark_entry__ as entrymod
     from model_audit_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -113,6 +170,14 @@ def main():
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
         else:
+            stypes = dict(sdf.dtypes)
+            otypes = dict(zip(rel.columns, rel.types))
+            for c in scols:
+                sc = spark_type_class(stypes[c])
+                oc = duck_type_class(otypes[c])
+                if sc != oc:
+                    problems.append(f"dtype[{c}] spark:{sc} vs duckdb:{oc}")
+        if not problems:
             sh = frame_digest(scols, [list(r) for r in srows])
             oh = frame_digest(ocols, orows)
             if sh != oh:
