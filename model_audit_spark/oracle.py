@@ -1430,6 +1430,47 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def embedding_near_dups(
+    threshold: float = 0.4, n_planes: int = 8, dim: int = 64
+) -> str:
+    """Twin of similarity.embedding_cosine_pairs — the LSH-bucketed
+    near-dup pairs. Same trick as ann_lsh_topk: the seeded hyperplanes are
+    deterministic driver-side literals, so the bucket assignment is
+    reproducible in SQL and the approximate result is hash-checkable."""
+    from model_audit_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes)
+    rows = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in p) + "])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pi, pv) AS (VALUES {rows}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v[j] * pv[j])) > 0
+                   THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+    6) AS cosine_sim
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs
+WHERE cosine_sim >= {threshold}
+"""
+
+
 def embedding_pairs_exact(threshold: float = 0.9) -> str:
     """Exact twin of similarity.embedding_cosine_pairs_exact."""
     return f"""
