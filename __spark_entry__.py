@@ -862,10 +862,22 @@ def _ann_lsh_topk(spark, sf):
 
 
 def _ann_ivf_topk(spark, sf):
-    from model_audit_spark.operators.similarity import ivf_topk
+    """IVF ANN with the build step explicit and separable: seeded-sample
+    quantizer (deterministic, SQL-reproducible -> oracle-checked) builds
+    the index; ivf_probe is the declarative query-time path. Production
+    trains with ivf_index_kmeans instead and persists `assigned` bucketed
+    by cluster (similarity.py docstrings)."""
+    from model_audit_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_seeded,
+        ivf_probe,
+    )
 
     emb = _t(spark, sf, "embeddings")
-    return ivf_topk(emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3)
+    centroids = ivf_centroids_seeded(emb, n_clusters=8)
+    assigned = ivf_assign(emb, centroids)
+    return ivf_probe(assigned, query_vec_id=0, centroids=centroids,
+                     k=10, nprobe=3)
 
 
 def _embedding_pairs_exact(spark, sf):
@@ -1052,6 +1064,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, n_planes=4, dim=64
         ),
         "ann_lsh_topk": ora.ann_lsh_topk(query_vec_id=0, k=10, n_planes=6),
+        "ann_ivf_topk": ora.ann_ivf_topk(
+            query_vec_id=0, k=10, n_clusters=8, nprobe=3, dim=64
+        ),
         "cka_labels": ora.cka_labels(),
         "memorization_verbatim": ora.memorization_verbatim(),
         "memorization_average": ora.memorization_average(),

@@ -178,21 +178,23 @@ def embedding_cosine_pairs_exact(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
-def ivf_index(
+def ivf_index_kmeans(
     emb: DataFrame,
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ):
-    """IVF coarse quantizer: MLlib KMeans centroids + cluster assignment.
+    """IVF coarse-quantizer TRAINER (production build step): MLlib KMeans.
 
-    Returns (assigned DataFrame with `cluster`, centroids list). At scale,
-    persist `assigned` partitioned/bucketed by `cluster` so a probe scans
-    only nprobe partitions; centroids (k × dim floats) stay driver-side —
-    they ARE the index."""
+    Returns (assigned DataFrame with `cluster`, centroids list). This is
+    the expensive, iterative part of IVF and runs ONCE at index-build time
+    — at scale, persist `assigned` partitioned/bucketed by `cluster` so a
+    probe scans only nprobe partitions; centroids (k × dim floats) stay
+    driver-side — they ARE the index. Query-time is `ivf_probe`, which
+    never fits anything."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
     base = emb.select(
         F.col(id_col), as_double_array(vec_col).alias("ev")
@@ -205,6 +207,113 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_centroids_seeded(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the n_clusters lowest-id vectors
+    serve as centroids (a random-sample quantizer — the standard cheap
+    alternative to k-means training, and SQL-reproducible so the IVF query
+    can be oracle-checked). Build-time driver action: k × dim floats."""
+    rows = (
+        emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def _centroid_norm(c: list[float]) -> float:
+    import math
+
+    return math.sqrt(sum(x * x for x in c)) or 1.0
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index BUILD: assign each vector to its nearest centroid (max cosine,
+    tie -> lowest cid). Centroids are driver-side literals, so this is a
+    pure zero-shuffle projection (argmax over per-centroid structs, the
+    same shape as detect's family argmax); norm(ev) is a shared positive
+    factor and drops out of the argmax, so only dot/|c| is computed per
+    centroid. At 100 TB: write the result bucketed by `cluster` — that
+    materialized layout IS the inverted file."""
+    ev = as_double_array(vec_col)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(ev, F.array(*[F.lit(float(x)) for x in c]))
+                        / F.lit(_centroid_norm(c))
+                    ).alias("s"),
+                    F.lit(-cid).alias("neg_cid"),
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        ev.alias("ev"),
+        (-best["neg_cid"]).cast("int").alias("cluster"),
+    )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    query_vec_id: int,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-time IVF probe: exact cosine only within the `nprobe` centroid
+    cells nearest to the query. Fully declarative — the query vector and
+    the probed cell ids are DataFrames broadcast into the candidate join,
+    no driver-side .first()/.collect() in the query path.
+
+    Complements lsh_topk: IVF adapts cell boundaries to the data
+    distribution, LSH is data-independent. Both reduce the probe from
+    O(N) to O(N · nprobe / n_clusters) expected."""
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, c, _centroid_norm(c)) for cid, c in enumerate(centroids)],
+        "cid INT, cv ARRAY<DOUBLE>, cn DOUBLE",
+    )
+    qrow = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col("ev").alias("qv")
+    )
+    probe = (
+        cdf.crossJoin(F.broadcast(qrow))
+        .select(
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / F.col("cn")).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cands = assigned.join(
+        F.broadcast(probe), F.col("cluster") == F.col("cid")
+    ).crossJoin(F.broadcast(qrow))
+    sim = _dot(F.col("ev"), F.col("qv")) / (
+        _norm(F.col("ev")) * _norm(F.col("qv"))
+    )
+    return (
+        cands.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -214,35 +323,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF approximate top-k: exact cosine only within the `nprobe`
-    centroid cells nearest to the query (by centroid cosine).
-
-    Complements lsh_topk: IVF adapts cell boundaries to the data
-    distribution (k-means), LSH is data-independent. Both reduce the
-    probe from O(N) to O(N · nprobe / n_clusters) expected."""
-    import math
-
-    assigned, centroids = ivf_index(emb, n_clusters, id_col, vec_col, seed)
-    q = assigned.filter(F.col(id_col) == query_vec_id).first()
-    if q is None:
-        raise ValueError(f"query vec_id {query_vec_id} not found")
-    qv = q.ev
-    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
-
-    def centroid_sim(c: list[float]) -> float:
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
-
-    probe = sorted(
-        range(len(centroids)),
-        key=lambda i: (-centroid_sim(centroids[i]), i),
-    )[:nprobe]
-    cands = assigned.filter(F.col("cluster").isin(probe))
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    sim = _dot(F.col("ev"), qlit) / (_norm(F.col("ev")) * F.lit(qn))
-    return (
-        cands.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    """Convenience build+probe in one call (tests / ad-hoc use). Production
+    splits these: build once (ivf_index_kmeans or ivf_centroids_seeded +
+    ivf_assign, persisted bucketed by cluster), probe many (ivf_probe)."""
+    if quantizer == "kmeans":
+        assigned, centroids = ivf_index_kmeans(
+            emb, n_clusters, id_col, vec_col, seed
+        )
+    else:
+        centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    return ivf_probe(assigned, query_vec_id, centroids, k, nprobe, id_col)

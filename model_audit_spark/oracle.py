@@ -1471,6 +1471,63 @@ WHERE cosine_sim >= {threshold}
 """
 
 
+def ann_ivf_topk(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.ivf_assign + ivf_probe with the seeded-sample
+    quantizer (ivf_centroids_seeded): centroids are the n_clusters
+    lowest-id vectors, so the whole index build is reproducible in SQL.
+    Assignment argmax drops the shared norm(v) factor exactly like the
+    Spark side (dot / |centroid| only), ties break on lowest cid."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {n_clusters})
+),
+scored AS (
+  SELECT vec_id, v, cid,
+    list_sum(list_transform(range(1, {dim} + 1), j -> v[j] * cv[j])) / cn
+      AS s
+  FROM v CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+      list_sum(list_transform(range(1, {dim} + 1), j -> q.qv[j] * c.cv[j]))
+        / c.cn AS s
+    FROM cents c CROSS JOIN q
+    ORDER BY s DESC, c.cid ASC LIMIT {nprobe})
+),
+cands AS (
+  SELECT a.vec_id,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), j -> a.v[j] * q.qv[j]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+    6) AS cosine_sim
+  FROM assigned a JOIN probe USING (cid) CROSS JOIN q
+)
+SELECT vec_id, cosine_sim FROM cands
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def embedding_pairs_exact(threshold: float = 0.9) -> str:
     """Exact twin of similarity.embedding_cosine_pairs_exact."""
     return f"""

@@ -49,3 +49,35 @@ def test_ivf_topk_contains_query_and_overlaps_exact(spark):
         r.vec_id for r in ivf_topk(emb, 0, 10, n_clusters=8, nprobe=3).collect()
     ]
     assert ids == again
+
+
+def test_ivf_seeded_quantizer_split_build_probe(spark):
+    """The oracle-checked path: seeded-sample quantizer, explicit
+    build (assign) / probe split, deterministic across runs."""
+    from model_audit_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_seeded,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids_seeded(emb, n_clusters=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assigned = ivf_assign(emb, cents)
+    # every vector lands in exactly one of the 8 cells
+    assert assigned.count() == emb.count()
+    assert assigned.filter(
+        (F.col("cluster") < 0) | (F.col("cluster") >= 8)
+    ).count() == 0
+    # a centroid's own vector must be assigned to its cell (cos=1 argmax)
+    own = {r.vec_id: r.cluster for r in assigned.filter(
+        F.col("vec_id") < 8).collect()}
+    assert own == {i: i for i in range(8)}
+    res = ivf_probe(assigned, 0, cents, k=10, nprobe=3).collect()
+    ids = [r.vec_id for r in res]
+    assert ids[0] == 0 and res[0].cosine_sim == pytest.approx(1.0)
+    again = [
+        r.vec_id
+        for r in ivf_probe(assigned, 0, cents, k=10, nprobe=3).collect()
+    ]
+    assert ids == again
