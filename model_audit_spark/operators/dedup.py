@@ -192,7 +192,11 @@ def jaccard_verify(
     The exploded shingle relation is corpus-sized; it is semi-joined down
     to ids that appear in a candidate pair BEFORE the intersection join,
     so the heavy join shuffles only candidate documents' shingles (pairs
-    ≪ corpus after LSH banding)."""
+    ≪ corpus after LSH banding).
+
+    0-jaccard pairs (e.g. empty-doc sentinel band collisions from
+    minhash_signatures) are ALWAYS dropped: the filter is `> 0` when
+    min_jaccard == 0, `>= min_jaccard` otherwise."""
     # referenced by cand_ids, the intersection join, and the final output —
     # persist so the banding plan beneath it runs once
     pairs = pairs.persist()
@@ -231,7 +235,9 @@ def jaccard_verify(
             ).alias("jaccard"),
         )
     )
-    return out.filter(F.col("jaccard") >= min_jaccard)
+    if min_jaccard > 0:
+        return out.filter(F.col("jaccard") >= min_jaccard)
+    return out.filter(F.col("jaccard") > 0)
 
 
 def simhash_near_dup_pairs(
@@ -255,7 +261,11 @@ def simhash_near_dup_pairs(
     with skew.frequency_capped_explode upstream."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = simhash(df, text_col, id_col, bits)
+    # persist the simhash aggregate (1 row/doc): both sides of the banded
+    # self-join read it, and without this the full tokenize + 32-vote
+    # hash-agg subtree executes once PER SIDE (verified: 2 FileScans, no
+    # ReusedExchange) — a second full-corpus pass at 100 TB.
+    sh = simhash(df, text_col, id_col, bits).persist()
     banded = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",
