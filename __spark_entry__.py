@@ -582,15 +582,11 @@ def _verify_sources(spark, sf):
     )
 
 
-def _media_profile(spark, sf):
-    """Multimodal plumbing over a deterministic media relation synthesized
-    from documents (no media fixture exists): binary content = utf-8 text,
-    type cycled by doc_id. Exercises the Arrow decode/feature kernels
-    end-to-end (rows-only: the kernels have no SQL twin)."""
-    from model_audit_spark.operators.multimodal import decode_image_features
-
+def _media_relation(spark, sf):
+    """Deterministic media relation synthesized from documents (no media
+    fixture exists): binary content = utf-8 text, type cycled by doc_id."""
     docs = _t(spark, sf, "documents")
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -603,7 +599,34 @@ def _media_profile(spark, sf):
         (F.length("text") * 10).cast("int").alias("duration_ms"),
         F.lit("synthetic").alias("codec"),
     )
-    return decode_image_features(media).orderBy("media_id")
+
+
+def _media_profile(spark, sf):
+    """Multimodal METADATA profile — the SQL-checkable half of the media
+    pipeline: byte length, content md5, magic-bytes prefix, typed metadata.
+    Pure projection over the binary column (no decode, full scan speed);
+    the decode kernels are exercised by the rows-only media_decode."""
+    media = _media_relation(spark, sf)
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length("content").alias("byte_length"),
+        F.md5("content").alias("content_md5"),
+        F.substring(F.hex(F.col("content")), 1, 8).alias("magic_hex"),
+        "width",
+        "height",
+        "duration_ms",
+    )
+
+
+def _media_decode(spark, sf):
+    """Multimodal DECODE plumbing (rows-only: the Arrow mapInPandas decode
+    kernel has no SQL twin — real decoders are stubbed per multimodal.py)."""
+    from model_audit_spark.operators.multimodal import decode_image_features
+
+    return decode_image_features(_media_relation(spark, sf)).orderBy(
+        "media_id"
+    )
 
 
 def _audit_verdict_sources(spark, sf):
@@ -1005,9 +1028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
-        # -- 56-57: rows-only kernels --------------------------------------
+        # -- 56-58: rows-only kernels --------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
         "reef_layer_cka": _reef_layer_cka,
+        "media_decode": _media_decode,
     }
 
 
@@ -1040,7 +1064,8 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_accuracy_by_class": ora.benchmark_accuracy_by_class(),
         "audit_verdict_sources": ora.audit_verdict_sources(),
         "verify_sources": ora.verify_sources(),
-        # media_profile: rows-only (Arrow decode kernel has no SQL twin)
+        "media_profile": ora.media_profile(),
+        # media_decode: rows-only (Arrow decode kernel has no SQL twin)
         "probe_style_consistency": ora.probe_style_consistency(),
         "audit_consistency_rate": ora.audit_consistency_rate(),
         "style_count_distribution": ora.style_count_distribution(),

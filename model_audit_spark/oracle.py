@@ -932,6 +932,26 @@ SELECT doc_id, content_fp, sketch FROM fp
 """
 
 
+def media_profile() -> str:
+    """Twin of __spark_entry__._media_profile: metadata/bytes profile of
+    the synthesized media relation. md5(VARCHAR) hashes the utf-8 bytes —
+    the same digest Spark computes over encode(text,'UTF-8'); hex() is
+    uppercase in both engines."""
+    return """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(octet_length(encode(text)) AS INT) AS byte_length,
+  md5(text) AS content_md5,
+  substr(hex(encode(text)), 1, 8) AS magic_hex,
+  CAST(length(text) % 64 + 1 AS INT) AS width,
+  CAST(length(text) % 32 + 1 AS INT) AS height,
+  CAST(length(text) * 10 AS INT) AS duration_ms
+FROM documents
+"""
+
+
 def verify_sources() -> str:
     return f"""
 WITH combined AS (
