@@ -13,10 +13,12 @@ A ProbeSource turns (models × probes) into the long responses relation
   calls for rate-limit control, not throughput. The stage is marked
   nondeterministic so speculative/stage retries don't re-bill probes.
 
-The HTTP path needs a client library and live credentials — unavailable
-here, so `_call_once` raises NotImplementedError unless a transport is
-injected; the Spark-side plumbing (plan shape, partitioning, retry loop,
-batch schema) is real and tested with a fake transport.
+The default transport is OpenAIWireTransport — the OpenAI-compatible
+chat-completions wire format (reference llmmap.py:200-280: POST
+{base}/v1/chat/completions, max_tokens=500, temperature=0, Bearer auth).
+It imports httpx at call time (guarded — this environment has no HTTP
+client or network, so live calls raise ImportError, which the retry loop
+fail-fasts); tests inject a fake `post` and never touch the network.
 """
 
 from __future__ import annotations
@@ -52,9 +54,9 @@ def _retry_call(
     sleep: Callable[[float], None] = time.sleep,
 ) -> str:
     """Reference retry matrix (llmmap.py:149-197): exponential backoff
-    min(2^attempt, 30); fail-fast on ImportError/ValueError (auth/config
-    errors surface as these); longer backoff on rate limits; retry empty
-    responses."""
+    min(2^attempt, 30); fail-fast on ImportError/ValueError and on auth
+    errors (401/403/unauthorized — reclassified as ValueError like the
+    reference); longer backoff on rate limits; retry empty responses."""
     last_err: Exception | None = None
     for attempt in range(max_retries):
         try:
@@ -65,24 +67,100 @@ def _retry_call(
         except (ImportError, ValueError):
             raise
         except Exception as e:  # noqa: BLE001 — classified below
+            err = str(e).lower()
+            if any(
+                kw in err
+                for kw in (
+                    "401",
+                    "403",
+                    "unauthorized",
+                    "forbidden",
+                    "invalid api key",
+                    "authentication",
+                )
+            ):
+                raise ValueError(f"API auth failure: {e}") from e
             last_err = e
-            if "429" in str(e) or "rate" in str(e).lower():
+            if "429" in err or "rate" in err:
                 sleep(min(2.0 ** (attempt + 2), backoff_cap))
                 continue
         sleep(min(2.0**attempt, backoff_cap))
     raise RuntimeError(f"probe failed after {max_retries} retries: {last_err}")
 
 
+class OpenAIWireTransport:
+    """OpenAI-compatible chat-completions transport (reference
+    llmmap.py:200-280 semantics: POST {api_base}/v1/chat/completions with
+    max_tokens=500, temperature=0.0, Bearer auth, raise on HTTP error,
+    first choice's message content as the response).
+
+    `post` is injectable for offline tests; when None, httpx is imported
+    at call time (guarded — raises ImportError where the library is
+    absent, which _retry_call fail-fasts). Plain attributes only, so the
+    instance pickles into the mapInPandas closure."""
+
+    def __init__(
+        self,
+        api_base: str = "https://api.openai.com",
+        api_key: str = "",
+        timeout: float = 60.0,
+        max_tokens: int = 500,
+        temperature: float = 0.0,
+        post: Callable | None = None,
+    ):
+        self.api_base = api_base
+        self.api_key = api_key
+        self.timeout = timeout
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.post = post
+
+    def __call__(self, model_id: str, prompt: str) -> str:
+        post = self.post
+        if post is None:
+            try:
+                import httpx
+            except ImportError as e:
+                raise ImportError(
+                    "httpx is required for live probing (pip install httpx)"
+                ) from e
+            post = httpx.post
+        headers = (
+            {"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}
+        )
+        resp = post(
+            f"{self.api_base.rstrip('/')}/v1/chat/completions",
+            json={
+                "model": model_id,
+                "messages": [{"role": "user", "content": prompt}],
+                "max_tokens": self.max_tokens,
+                "temperature": self.temperature,
+            },
+            headers=headers,
+            timeout=self.timeout,
+        )
+        resp.raise_for_status()
+        data = resp.json()
+        return data["choices"][0]["message"]["content"] or ""
+
+
 class HTTPProbeSource:
-    """Live API source; transport injected for tests, NotImplementedError
-    without one (no HTTP client libraries in this environment)."""
+    """Live API source. Defaults to OpenAIWireTransport (built from
+    api_base/api_key); tests inject a fake transport or a fake `post`."""
 
     def __init__(
         self,
         transport: Callable[[str, str], str] | None = None,
         concurrency: int = 4,
         max_retries: int = 3,
+        api_base: str = "https://api.openai.com",
+        api_key: str = "",
+        timeout: float = 60.0,
     ):
+        if transport is None:
+            transport = OpenAIWireTransport(
+                api_base=api_base, api_key=api_key, timeout=timeout
+            )
         self.transport = transport
         self.concurrency = concurrency
         self.max_retries = max_retries
@@ -105,11 +183,6 @@ class HTTPProbeSource:
             for pdf in batches:
                 out = []
                 for row in pdf.itertuples(index=False):
-                    if transport is None:
-                        raise NotImplementedError(
-                            "HTTPProbeSource needs an injected transport: "
-                            "no HTTP client library in this environment"
-                        )
                     resp = _retry_call(
                         lambda r=row: transport(r.model_id, r.prompt),
                         max_retries=max_retries,

@@ -171,6 +171,62 @@ def test_retry_call_matrix():
         _retry_call(always_empty, sleep=lambda s: None)
 
 
+class _FakeResp:
+    def __init__(self, payload, status=200):
+        self._payload = payload
+        self.status = status
+
+    def raise_for_status(self):
+        if self.status >= 400:
+            raise RuntimeError(f"HTTP {self.status}")
+
+    def json(self):
+        return self._payload
+
+
+def test_openai_wire_transport_offline():
+    from model_audit_spark.probing import OpenAIWireTransport
+
+    seen = {}
+
+    def fake_post(url, json=None, headers=None, timeout=None):
+        seen.update(url=url, json=json, headers=headers, timeout=timeout)
+        return _FakeResp(
+            {"choices": [{"message": {"content": "pong"}}]}
+        )
+
+    t = OpenAIWireTransport(
+        api_base="https://example.test/", api_key="sk-x", post=fake_post
+    )
+    assert t("gpt-x", "ping") == "pong"
+    # reference wire semantics (llmmap.py:200-280)
+    assert seen["url"] == "https://example.test/v1/chat/completions"
+    assert seen["json"]["max_tokens"] == 500
+    assert seen["json"]["temperature"] == 0.0
+    assert seen["json"]["messages"] == [{"role": "user", "content": "ping"}]
+    assert seen["headers"]["Authorization"] == "Bearer sk-x"
+
+    def post_403(url, json=None, headers=None, timeout=None):
+        return _FakeResp({}, status=403)
+
+    t403 = OpenAIWireTransport(post=post_403)
+    # auth errors reclassify as ValueError and fail fast through the
+    # retry matrix (no retries burned)
+    with pytest.raises(ValueError, match="auth"):
+        _retry_call(lambda: t403("m", "p"), sleep=lambda s: None)
+
+
+def test_http_probe_source_default_transport_is_openai_wire():
+    from model_audit_spark.probing import OpenAIWireTransport
+
+    src = HTTPProbeSource(api_base="https://example.test", api_key="k")
+    assert isinstance(src.transport, OpenAIWireTransport)
+    # live call path needs httpx (absent here) -> ImportError, which the
+    # retry matrix fail-fasts instead of retrying
+    with pytest.raises(ImportError):
+        src.transport("m", "p")
+
+
 def test_http_probe_source_with_fake_transport(spark):
     src = HTTPProbeSource(
         transport=lambda model, prompt: f"{model} says: {prompt[:20]}",
