@@ -76,6 +76,69 @@ def test_layer_cka_and_reef_compare(spark):
     assert verdict.threshold == 0.85
 
 
+def test_uniform_layer_indices():
+    from model_audit_spark.sources.hidden_states import uniform_layer_indices
+
+    assert uniform_layer_indices(13, None) == list(range(13))
+    assert uniform_layer_indices(13, 20) == list(range(13))
+    # reference formula: int(i * (total-1) / (num_layers-1))
+    assert uniform_layer_indices(13, 4) == [0, 4, 8, 12]
+    assert uniform_layer_indices(13, 2) == [0, 12]
+    assert uniform_layer_indices(13, 1) == [0]
+
+
+def test_extract_hidden_states_with_fake_model(spark):
+    """The S11 source with an injected tiny 'model': per-model group load,
+    uniform layer sampling, long-relation output that layer_cka consumes."""
+    from model_audit_spark.sources.hidden_states import extract_hidden_states
+
+    def fake_loader(model_id, texts):
+        # 5 'layers', vec dim 3; deterministic in (model, layer, sample).
+        bias = 0.0 if model_id == "ma" else 100.0
+        return [
+            [
+                [bias + layer, float(len(t)), float(s)]
+                for s, t in enumerate(texts)
+            ]
+            for layer in range(5)
+        ]
+
+    texts = spark.createDataFrame(
+        [
+            (m, s, f"text {s} for {m}")
+            for m in ("ma", "mb")
+            for s in range(4)
+        ],
+        "model_id STRING, sample INT, text STRING",
+    )
+    hidden = extract_hidden_states(texts, num_layers=3, loader=fake_loader)
+    rows = hidden.collect()
+    # 2 models × 3 sampled layers × 4 samples
+    assert len(rows) == 24
+    assert {r.layer for r in rows} == {0, 1, 2}  # renumbered 0..k-1
+    assert all(len(r.vec) == 3 for r in rows)
+    # uniform sampling picked original layers [0, 2, 4]: the fake encodes
+    # the ORIGINAL layer index (+bias) in vec[0]
+    ma = {
+        (r.layer, r.sample): r.vec
+        for r in rows
+        if r.model_id == "ma"
+    }
+    assert ma[(0, 0)][0] == 0.0
+    assert ma[(1, 0)][0] == 2.0
+    assert ma[(2, 0)][0] == 4.0
+    # the relation feeds the existing whitebox comparison unchanged
+    verdict = reef_compare(hidden, "ma", "mb").first()
+    assert 0.0 <= verdict.similarity <= 1.0
+
+
+def test_hf_extract_raises_importerror_without_torch():
+    from model_audit_spark.sources.hidden_states import _hf_extract
+
+    with pytest.raises(ImportError, match="whitebox"):
+        _hf_extract("tiny-model", ["hello"])
+
+
 def test_layer_cka_truncates_to_shared_layers(spark):
     rows = []
     for layer in (0, 1, 2):
