@@ -881,7 +881,9 @@ def _cka_labels(spark, sf):
 # Rows-only (no SQL oracle): LSH/IVF approximate search + embedding near-dups
 def _ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6)
+    # dim passed explicitly (schema-known) — no driver-side .first() during
+    # plan construction
+    return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
 def _ann_ivf_topk(spark, sf):

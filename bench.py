@@ -23,37 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_regional_revenue",
-    "q_window_orders",
-    "q_events_hourly",
-    "q_events_sessionize",
-    "detect_documents",
-    "detect_distribution",
-    "llmmap_fingerprints_by_source",
-    "llmmap_compare_sources",
-    "dli_compare_sources",
-    "text_stats",
-    "watermark_documents",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "doc_fingerprints",
-    "similarity_topk",
-    "embedding_near_dups",
-    "cka_labels",
-    "audit_verdict_sources",
-    "benchmark_accuracy",
-    "style_fingerprint",
-    "probe_style_consistency",
-    "fingerprint_diff_buckets",
-    "memorization_verbatim",
-    "memorization_levenshtein",
-    "cache_keys",
-]
+# Bench EVERY queries() entry (round 2+: full-surface coverage so
+# round-over-round regressions are visible on every operator). Names are
+# resolved at runtime from __spark_entry__.queries(); new queries are
+# benched automatically.
+BENCH_EXCLUDE: set[str] = set()
 
 
 def main() -> None:
@@ -62,12 +36,13 @@ def main() -> None:
 
     spark = get_spark(app_name="model-audit-bench")
     qs = entrymod.queries()
+    bench_queries = [n for n in qs if n not in BENCH_EXCLUDE]
 
     # Warm-up: run every benched query once at the smallest SF so the timed
     # pass measures execution + planning, not first-call JVM/janino codegen
     # compilation (which is amortized away in any long-running deployment).
     warm_sf = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         try:
             qs[name](spark, warm_sf).write.format("noop").mode(
                 "overwrite"
@@ -75,14 +50,20 @@ def main() -> None:
         except Exception as e:  # pragma: no cover — warm-up best effort
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # drop caches accumulated by the warm-up pass (several operators
+    # persist() internally); each timed query then starts from a clean
+    # block manager instead of competing with 50+ stale cached RDDs
+    spark.catalog.clearCache()
+
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -145,6 +145,13 @@ def cmd_cache(args) -> int:
     return 0
 
 
+def cmd_mcp(args) -> int:
+    from model_audit_spark.mcp_server import MCPServer
+
+    MCPServer(_spark()).serve()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="model-audit-spark",
@@ -184,6 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("action", choices=["list", "clear"])
     k.add_argument("--cache-dir", required=True)
     k.set_defaults(fn=cmd_cache)
+
+    s = sub.add_parser("mcp", help="serve audit tools over MCP stdio")
+    s.set_defaults(fn=cmd_mcp)
     return p
 
 
