@@ -33,10 +33,16 @@ def style_scores(
     the flag columns are evaluated once per TEXT, not once per text×family
     as a broadcast cross join would after projection collapse — measured 5×
     on the sf0.1 corpus. The cross-join formulation lives on in
-    style_scores_crossjoin for plan comparison."""
-    return df.select(
+    style_scores_crossjoin for plan comparison.
+
+    Two-stage: flags materialize as real columns below the explode, which
+    keeps the Generate expression small enough for whole-stage codegen
+    (inline form trips janino's 64KB limit → interpreted fallback;
+    measured 3.6× slower at sf0.1)."""
+    base, refs = flag_base(df, text_col, [F.col(id_col)])
+    return base.select(
         F.col(id_col),
-        F.explode(style_score_entries(text_col)).alias("e"),
+        F.explode(style_score_entries(text_col, refs)).alias("e"),
     ).select(id_col, "e.family", "e.family_rank", "e.score")
 
 
@@ -96,14 +102,45 @@ def style_scores_crossjoin(
     )
 
 
-def _family_score_exprs(text_col: str = "text") -> list[tuple[str, int, "F.Column"]]:
+def flag_base(
+    df: DataFrame, text_col: str, keep: list
+) -> tuple[DataFrame, dict]:
+    """Stage-1 projection for two-stage detection: evaluate the shared
+    per-text flag expressions ONCE as real columns (`_sf_*`), return
+    (projected df, {flag_name: column ref}).
+
+    The refs feed _family_score_exprs/style_score_entries/detection_columns
+    so the stage-2 expression tree stays ~10x smaller than the inlined
+    form — small enough for whole-stage codegen. CollapseProject will not
+    re-inline them: each flag is referenced 12x (once per family) and the
+    rule only collapses aliases that are cheap or used once. Both stages
+    are narrow projections — streaming-safe, still zero-shuffle."""
+    flag_exprs = style_flag_columns(text_col)
+    base = df.select(
+        *keep, *[c.alias(f"_sf_{n}") for n, c in flag_exprs.items()]
+    )
+    refs = {n: F.col(f"_sf_{n}") for n in flag_exprs}
+    return base, refs
+
+
+def _family_score_exprs(
+    text_col: str = "text", flags: dict | None = None
+) -> list[tuple[str, int, "F.Column"]]:
     """(family, rank, score Column) per catalog family — the per-row score
     expressions shared by detection_columns and style_scores. Literal-
-    parameterized, no cross join; flags are plain subexpressions that
-    Catalyst CSE collapses within the single projection."""
+    parameterized, no cross join.
+
+    With flags=None the flag subexpressions are inlined per family (single-
+    projection form, needed where the caller can only emit ONE select).
+    Passing precomputed flag *column references* instead shrinks the
+    combined 12-family expression ~10x, which keeps the generated Java
+    under janino's 64KB method limit so whole-stage codegen stays ON
+    (the inlined form trips `WholeStageCodegenExec` fallback on the
+    explode path)."""
     from model_audit_spark.catalogs import STYLE_SIGNATURES
 
-    flags = style_flag_columns(text_col)
+    if flags is None:
+        flags = style_flag_columns(text_col)
     lower = flags["text_lower"]
     lang = flags["text_lang"]
 
@@ -146,7 +183,9 @@ def _family_score_exprs(text_col: str = "text") -> list[tuple[str, int, "F.Colum
     return out
 
 
-def style_score_entries(text_col: str = "text") -> "F.Column":
+def style_score_entries(
+    text_col: str = "text", flags: dict | None = None
+) -> "F.Column":
     """All 12 family scores for one row as an array of structs
     (family, family_rank, score). Built once per row by the generator —
     never a per-element lambda over a shared subtree."""
@@ -157,12 +196,14 @@ def style_score_entries(text_col: str = "text") -> "F.Column":
                 F.lit(rank).alias("family_rank"),
                 score.alias("score"),
             )
-            for fam, rank, score in _family_score_exprs(text_col)
+            for fam, rank, score in _family_score_exprs(text_col, flags)
         ]
     )
 
 
-def detection_columns(text_col: str = "text") -> dict[str, "F.Column"]:
+def detection_columns(
+    text_col: str = "text", flags: dict | None = None
+) -> dict[str, "F.Column"]:
     """Per-ROW detection: argmax via array_max over (score, -rank, family)
     structs built DIRECTLY from the score expressions (a transform over
     style_score_entries would double the expression tree and codegen cost).
@@ -179,7 +220,7 @@ def detection_columns(text_col: str = "text") -> dict[str, "F.Column"]:
                     F.lit(-rank).alias("neg_rank"),
                     F.lit(fam).alias("family"),
                 )
-                for fam, rank, score in _family_score_exprs(text_col)
+                for fam, rank, score in _family_score_exprs(text_col, flags)
             ]
         )
     )
@@ -217,10 +258,14 @@ def detect(
             F.col(id_col), text_preview(text_col).alias("text_preview")
         )
         return out.join(previews, id_col)
-    cols = detection_columns(text_col)
-    return df.select(
+    base, refs = flag_base(
+        df, text_col,
+        [F.col(id_col), text_preview(text_col).alias("text_preview")],
+    )
+    cols = detection_columns(text_col, refs)
+    return base.select(
         F.col(id_col),
-        text_preview(text_col).alias("text_preview"),
+        "text_preview",
         cols["predicted_model"].alias("predicted_model"),
         cols["confidence"].alias("confidence"),
     )

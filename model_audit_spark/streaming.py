@@ -30,18 +30,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from model_audit_spark.catalogs import STYLE_SIGNATURES
 from model_audit_spark.functions.text import text_preview
-from model_audit_spark.operators.detect import detection_columns
+from model_audit_spark.operators.detect import detection_columns, flag_base
 
 
 def streaming_detect(
     stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Stateless per-row detection — append-mode safe (pure projection)."""
-    cols = detection_columns(text_col)
-    return stream.select(
+    """Stateless per-row detection — append-mode safe (pure projection;
+    two chained narrow selects via flag_base, keeping codegen on)."""
+    base, refs = flag_base(
+        stream, text_col,
+        [
+            F.col(id_col),
+            *([F.col("ts")] if "ts" in stream.columns else []),
+            text_preview(text_col).alias("text_preview"),
+        ],
+    )
+    cols = detection_columns(text_col, refs)
+    return base.select(
         F.col(id_col),
         *([F.col("ts")] if "ts" in stream.columns else []),
-        text_preview(text_col).alias("text_preview"),
+        "text_preview",
         cols["predicted_model"].alias("predicted_model"),
         cols["confidence"].alias("confidence"),
     )
@@ -55,9 +64,10 @@ def windowed_detection_counts(
     text_col: str = "text",
 ) -> DataFrame:
     """Tumbling-window counts per predicted family with late-data bound."""
-    cols = detection_columns(text_col)
-    detected = stream.select(
-        F.col(ts_col).alias("ts"),
+    base, refs = flag_base(stream, text_col, [F.col(ts_col).alias("ts")])
+    cols = detection_columns(text_col, refs)
+    detected = base.select(
+        "ts",
         cols["predicted_model"].alias("predicted_model"),
     )
     return (
@@ -96,9 +106,12 @@ def running_source_verdict(
     (n, 12 counts, score sum) — constant-size, so a 100 TB/day stream
     holds state proportional to the number of distinct sources only.
     """
-    cols = detection_columns(text_col)
-    scored = stream.select(
-        F.col(source_col).alias("source"),
+    base, refs = flag_base(
+        stream, text_col, [F.col(source_col).alias("source")]
+    )
+    cols = detection_columns(text_col, refs)
+    scored = base.select(
+        "source",
         cols["predicted_model"].alias("predicted_model"),
         cols["confidence"].alias("confidence"),
     )
