@@ -314,6 +314,28 @@ def ivf_probe(
     )
 
 
+def ivf_index_write(
+    assigned: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize the inverted file: the assigned vectors land in one
+    parquet DIRECTORY PER CLUSTER (`cluster=<cid>/`). This layout is the
+    index — a probe that joins on `cluster` triggers Spark's dynamic
+    partition pruning, so only the `nprobe` probed directories are read
+    (verified in tests: the scan's plan carries `PartitionFilters:
+    [... dynamicpruning ...]`). At 100 TB with n_clusters sized so each
+    cell is a few GB, a top-k probe touches nprobe cells instead of the
+    full corpus."""
+    assigned.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def ivf_index_read(spark, path: str) -> DataFrame:
+    """Open a materialized inverted file for `ivf_probe`. The partition
+    column `cluster` comes back from the directory names (int)."""
+    return spark.read.parquet(path).withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,

@@ -81,3 +81,39 @@ def test_ivf_seeded_quantizer_split_build_probe(spark):
         for r in ivf_probe(assigned, 0, cents, k=10, nprobe=3).collect()
     ]
     assert ids == again
+
+
+def test_ivf_index_write_probe_partition_pruned(spark, tmp_path):
+    """Materialized inverted file: probe over the partitioned layout gives
+    the same answer as the in-memory probe, and the candidate scan is
+    dynamic-partition-pruned (only nprobe of the cluster directories are
+    read)."""
+    from model_audit_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_seeded,
+        ivf_index_read,
+        ivf_index_write,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids_seeded(emb, n_clusters=8)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(assigned, path)
+
+    # one directory per cluster IS the inverted file
+    import os
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("cluster="))
+    assert dirs == [f"cluster={i}" for i in range(8)]
+
+    indexed = ivf_index_read(spark, path)
+    mem = [(r.vec_id, r.cosine_sim)
+           for r in ivf_probe(assigned, 0, cents, k=10, nprobe=3).collect()]
+    idx = [(r.vec_id, r.cosine_sim)
+           for r in ivf_probe(indexed, 0, cents, k=10, nprobe=3).collect()]
+    assert mem == idx
+
+    plan = ivf_probe(indexed, 0, cents, k=10, nprobe=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cluster" in plan
