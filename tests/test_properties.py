@@ -1,0 +1,143 @@
+"""Property-based invariants (hypothesis) over the expression layer.
+
+Each test runs ONE Spark job per generated example (a whole batch of
+texts at once, never per-row jobs), few examples, no deadline — the
+point is adversarial *inputs* (unicode, markers, empty/whitespace, long
+texts), not statistical volume.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from model_audit_spark.catalogs import STYLE_SIGNATURES
+
+# Text soup biased toward the scoring branches: real markers, refusal
+# hints, markdown structure, CJK, plus arbitrary unicode noise.
+_MARKERS = [m for _, markers, refusals, *_ in STYLE_SIGNATURES
+            for m in list(markers)[:2] + list(refusals)[:1]]
+_FRAGMENTS = st.sampled_from(
+    _MARKERS
+    + ["# Title\n", "1. first\n2. second\n", "```py\nx=1\n```", "我无法提供",
+       "好的，以下是", "   ", "\n\n", "I cannot help with that."]
+)
+_NOISE = st.text(max_size=40)
+_TEXT = st.lists(_FRAGMENTS | _NOISE, min_size=0, max_size=8).map("".join)
+_SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _docs(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=20))
+@_SETTINGS
+def test_argmax_detect_agrees_with_explode_scores(spark, texts):
+    """The single-projection argmax form (detection_columns) and the
+    explode form (style_scores) are two expression trees for the SAME
+    semantics — they must agree on every input, including the
+    catalog-order tie-break."""
+    from model_audit_spark.operators.detect import detect, style_scores
+
+    docs = _docs(spark, texts)
+    via_argmax = {
+        r.doc_id: (r.predicted_model, r.confidence)
+        for r in detect(docs, spark, "text", "doc_id").collect()
+    }
+    via_scores = {
+        r.doc_id: (r.predicted_model, r.confidence)
+        for r in style_scores(docs, spark, "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("max_by(family, struct(score, -family_rank))")
+            .alias("predicted_model"),
+            F.max("score").alias("confidence"),
+        )
+        .collect()
+    }
+    assert via_argmax == via_scores
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=20))
+@_SETTINGS
+def test_style_scores_bounded(spark, texts):
+    """score = lang(<=0.2) + markers(<=0.5) + structure([-0.08,0.2])
+    + refusal(<=0.1), so every score sits in [-0.08, 1.0]."""
+    from model_audit_spark.operators.detect import style_scores
+
+    docs = _docs(spark, texts)
+    row = (
+        style_scores(docs, spark, "text", "doc_id")
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"),
+             F.count("*").alias("n"))
+        .first()
+    )
+    assert row.n == len(texts) * len(STYLE_SIGNATURES)
+    assert -0.08 <= row.lo <= row.hi <= 1.0
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=15))
+@_SETTINGS
+def test_duplicate_texts_collide_in_minhash_and_simhash(spark, texts):
+    """Identical text => identical minhash signature and simhash — exact
+    duplicates can never be missed by the approximate dedup paths."""
+    from model_audit_spark.operators.dedup import (
+        minhash_signatures, simhash,
+    )
+
+    # two copies of every text under different ids
+    n = len(texts)
+    docs = _docs(spark, texts + texts)
+    sig_df = minhash_signatures(docs, "text", "doc_id")
+    mh_cols = [c for c in sig_df.columns if c.startswith("mh_")]
+    sigs = {r.doc_id: tuple(r[c] for c in mh_cols)
+            for r in sig_df.collect()}
+    for i in range(n):
+        assert sigs[i] == sigs[i + n]
+    sh = {r.doc_id: r.simhash for r in
+          simhash(docs, "text", "doc_id").collect()}
+    for i in range(n):
+        assert sh[i] == sh[i + n]
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=20))
+@_SETTINGS
+def test_doc_stats_quality_in_unit_interval(spark, texts):
+    from model_audit_spark.operators.text_analysis import doc_stats
+
+    docs = _docs(spark, texts)
+    row = (
+        doc_stats(docs, "text", "doc_id")
+        .agg(F.min("quality_score").alias("lo"),
+             F.max("quality_score").alias("hi"),
+             F.min("n_tokens").alias("tmin"))
+        .first()
+    )
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+    assert row.tmin >= 0
+
+
+@given(texts=st.lists(_TEXT, min_size=2, max_size=20))
+@_SETTINGS
+def test_dedup_exact_partitions_the_corpus(spark, texts):
+    """Winners + duplicates partition the input: every row appears exactly
+    once, one winner per distinct text, winner id = min id of its group."""
+    from model_audit_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, texts)
+    flagged = exact_dedup(docs, "text", "doc_id")
+    assert flagged.count() == len(texts)  # every row classified
+    kept_ids = sorted(
+        r.doc_id
+        for r in flagged.filter("is_first").select("doc_id").collect()
+    )
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    expect = sorted(min(ids) for ids in by_text.values())
+    assert kept_ids == expect
