@@ -620,13 +620,22 @@ def _media_profile(spark, sf):
 
 
 def _media_decode(spark, sf):
-    """Multimodal DECODE plumbing (rows-only: the Arrow mapInPandas decode
-    kernel has no SQL twin — real decoders are stubbed per multimodal.py)."""
+    """Multimodal DECODE plumbing, hash-checked: the fake decoder chains
+    sha256 over hexdigest STRINGS (multimodal._fake_pixels), which DuckDB's
+    sha256(VARCHAR) reproduces block for block — so the Arrow mapInPandas
+    kernel output has a full SQL twin (oracle.media_decode). Real decoders
+    stay stubbed behind strict=True."""
     from model_audit_spark.operators.multimodal import decode_image_features
 
-    return decode_image_features(_media_relation(spark, sf)).orderBy(
-        "media_id"
-    )
+    decoded = decode_image_features(_media_relation(spark, sf))
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "content_digest",
+    ).orderBy("media_id")
 
 
 def _audit_verdict_sources(spark, sf):
@@ -728,8 +737,10 @@ def _llmmap_fingerprint_hashes(spark, sf):
 
 
 def _reef_layer_cka(spark, sf):
-    """Per-layer CKA via the cogrouped pandas kernel (rows-only check:
-    numpy kernel has no SQL twin; cka_labels covers the DataFrame path)."""
+    """Per-layer CKA (V6) via the cogrouped pandas kernel, hash-checked
+    against oracle.reef_layer_cka — the same centered-Gram HSIC SQL as
+    cka_labels, grouped by layer (numpy float64 and DuckDB double agree
+    to well past the 6dp rounding)."""
     from model_audit_spark.operators.reef import layer_cka
 
     emb = _t(spark, sf, "embeddings")
@@ -977,17 +988,17 @@ def _streaming_source_verdict(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Entries 1-50 are all oracle-backed and cover every SURVEY
-    §2 ID at least once; 51-55 are oracle-backed but their IDs are also
+    §2 ID at least once; 51-57 are oracle-backed but their IDs are also
     covered in-window (top-k by q3/similarity_topk, time-bucket agg by
     sessionize/window_orders, long-format style by style_fingerprint,
-    signatures by the *_pairs queries that build them); 56-57 are the
-    genuinely rows-only kernels (difflib parity UDF, numpy CKA)."""
+    signatures by the *_pairs queries that build them, lang-ID by
+    text_stats.lang_pred, anti-join is a 0-row vacuous pass at sf0.01);
+    58 is the one genuinely rows-only kernel (difflib parity UDF)."""
     return {
         # -- 1-50: oracle-backed, in the driver's check window -------------
         "q1_pricing_summary": _q1,
         "q3_top_unshipped": _q3,
         "q5_regional_revenue": _q5,
-        "q_customers_no_orders": _q_customers_no_orders,
         "q_urgent_customers": _q_urgent_customers,
         "q_rollup_revenue": _q_rollup_revenue,
         "q_window_orders": _q_window_orders,
@@ -1016,7 +1027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_diff_buckets": _fingerprint_diff_buckets,
         "text_stats": _text_stats,
         "corpus_stats": _corpus_stats,
-        "lang_distribution": _lang_distribution,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
         "cache_keys": _cache_keys,
@@ -1032,18 +1042,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_average": _memorization_average,
         "memorization_levenshtein": _memorization_levenshtein,
         "cka_labels": _cka_labels,
+        "reef_layer_cka": _reef_layer_cka,
         "media_profile": _media_profile,
+        "media_decode": _media_decode,
         "streaming_source_verdict": _streaming_source_verdict,
-        # -- 51-55: oracle-backed, IDs redundantly covered in-window -------
+        # -- 51-57: oracle-backed, IDs redundantly covered in-window -------
         "q_topk_customers": _q_topk_customers,
         "q_events_hourly": _q_events_hourly,
+        "q_customers_no_orders": _q_customers_no_orders,
+        "lang_distribution": _lang_distribution,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
-        # -- 56-58: rows-only kernels --------------------------------------
+        # -- 58: rows-only kernel ------------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
-        "reef_layer_cka": _reef_layer_cka,
-        "media_decode": _media_decode,
     }
 
 
@@ -1077,7 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_verdict_sources": ora.audit_verdict_sources(),
         "verify_sources": ora.verify_sources(),
         "media_profile": ora.media_profile(),
-        # media_decode: rows-only (Arrow decode kernel has no SQL twin)
+        "media_decode": ora.media_decode(),
         "probe_style_consistency": ora.probe_style_consistency(),
         "audit_consistency_rate": ora.audit_consistency_rate(),
         "style_count_distribution": ora.style_count_distribution(),
@@ -1105,12 +1117,11 @@ def oracle_sql() -> dict[str, str]:
             query_vec_id=0, k=10, n_clusters=8, nprobe=3, dim=64
         ),
         "cka_labels": ora.cka_labels(),
+        "reef_layer_cka": ora.reef_layer_cka(),
         "memorization_verbatim": ora.memorization_verbatim(),
         "memorization_average": ora.memorization_average(),
         "memorization_levenshtein": ora.memorization_levenshtein(),
         "llmmap_fingerprint_hashes": ora.llmmap_fingerprint_hashes(),
-        # Rows-only (no SQL twin): ann_lsh_topk / embedding_near_dups (RHP
-        # planes are driver-side literals), memorization_seqmatch (difflib
-        # SequenceMatcher kernel), reef_layer_cka (numpy CKA kernel — the
-        # DataFrame CKA path is oracle-checked as cka_labels).
+        # Rows-only (no SQL twin): memorization_seqmatch only (difflib
+        # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

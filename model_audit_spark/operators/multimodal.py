@@ -38,14 +38,17 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 def _fake_pixels(content: bytes, n: int) -> list[int]:
-    """Deterministic stand-in for decoded pixel luma values: bytes of
-    repeated sha256 over the content. Stable across runs/partitions."""
+    """Deterministic stand-in for decoded pixel luma values: hex-pair
+    ints of a sha256 HEXDIGEST chain (h0 = sha256(content), h_{i+1} =
+    sha256 of h_i's hex string). Stable across runs/partitions, and —
+    because each step hashes a hex STRING, not raw digest bytes — exactly
+    reproducible in DuckDB's sha256(VARCHAR), so the decode output is
+    oracle-checkable end to end."""
     out: list[int] = []
-    seed = content or b"\x00"
-    block = hashlib.sha256(seed).digest()
+    hx = hashlib.sha256(content).hexdigest()
     while len(out) < n:
-        out.extend(block)
-        block = hashlib.sha256(block).digest()
+        out.extend(int(hx[2 * j:2 * j + 2], 16) for j in range(32))
+        hx = hashlib.sha256(hx.encode("ascii")).hexdigest()
     return out[:n]
 
 
@@ -75,6 +78,9 @@ def decode_image_features(
                 n = max(w * h, 1)
                 # cap fake decode work; real decoders stream
                 sample = _fake_pixels(bytes(r.content or b""), min(n, 4096))
+                # sum of <=4096 small ints is exact in double, so this
+                # division is bit-identical to the SQL mirror; rounding is
+                # left to the caller (engines round differently at .5)
                 mean_luma = sum(sample) / len(sample)
                 rows.append(
                     (
@@ -82,7 +88,7 @@ def decode_image_features(
                         w,
                         h,
                         n,
-                        round(mean_luma, 6),
+                        mean_luma,
                         hashlib.sha256(
                             bytes(r.content or b"")
                         ).hexdigest()[:16],

@@ -1688,3 +1688,109 @@ SELECT
               1.0::DOUBLE), 4) AS confidence
 FROM comparisons
 """
+
+
+def media_decode() -> str:
+    """DuckDB twin of decode_image_features over the synthetic media
+    relation (__spark_entry__._media_relation: content = utf8(text),
+    image rows are doc_id % 3 == 0). The fake decoder chains sha256 over
+    HEXDIGEST STRINGS (multimodal._fake_pixels), so DuckDB's
+    sha256(VARCHAR) reproduces every block; luma values are the hex-pair
+    ints. Sum of <=4096 small ints is exact in double -> the division is
+    bit-identical to the Arrow kernel."""
+    return """
+WITH RECURSIVE imgs AS (
+  SELECT doc_id AS media_id, coalesce(text, '') AS t,
+         coalesce(length(text) % 64 + 1, 0) AS w,
+         coalesce(length(text) % 32 + 1, 0) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+params AS (
+  SELECT media_id, w, h, greatest(w * h, 1) AS n_pixels,
+         CAST(least(greatest(w * h, 1), 4096) AS INT) AS sn,
+         sha256(t) AS h0
+  FROM imgs
+),
+chain AS (
+  SELECT media_id, 0 AS i, h0 AS hx, sn FROM params
+  UNION ALL
+  SELECT media_id, i + 1, sha256(hx), sn FROM chain WHERE (i + 1) * 32 < sn
+),
+vals AS (
+  SELECT c.media_id,
+         strpos('0123456789abcdef', substr(c.hx, 2 * j + 1, 1)) * 16
+         + strpos('0123456789abcdef', substr(c.hx, 2 * j + 2, 1)) - 17 AS v
+  FROM chain c, unnest(range(0, 32)) AS t(j)
+  WHERE c.i * 32 + j < c.sn
+)
+SELECT p.media_id,
+       CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       CAST(p.n_pixels AS BIGINT) AS n_pixels,
+       round(sum(v)::DOUBLE / p.sn, 6) AS mean_luma,
+       substr(p.h0, 1, 16) AS content_digest
+FROM vals JOIN params p USING (media_id)
+GROUP BY p.media_id, p.w, p.h, p.n_pixels, p.sn, p.h0
+ORDER BY p.media_id
+"""
+
+
+def reef_layer_cka(n_layers: int = 4, n_samples: int = 8) -> str:
+    """Per-layer linear CKA twin of operators/reef.layer_cka as driven by
+    __spark_entry__._reef_layer_cka: models m0/m1 from embeddings labels
+    0/1, layer = vec_id % n_layers, sample = per-(label, layer) rank by
+    vec_id, first n_samples. Same centered-Gram HSIC formula as
+    cka_labels, grouped by layer."""
+    return f"""
+WITH ranked AS (
+  SELECT label, CAST(vec_id % {n_layers} AS INT) AS layer,
+         row_number() OVER (
+           PARTITION BY label, vec_id % {n_layers} ORDER BY vec_id
+         ) - 1 AS sample,
+         embedding
+  FROM embeddings WHERE label IN (0, 1)
+  QUALIFY sample < {n_samples}
+),
+long AS (
+  SELECT label, layer, sample, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM ranked, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+centered AS (
+  SELECT label, layer, sample, dim,
+         v - avg(v) OVER (PARTITION BY label, layer, dim) AS v
+  FROM long
+),
+gxy AS (
+  SELECT x.layer, x.dim AS dx, y.dim AS dy, sum(x.v * y.v) AS c
+  FROM centered x JOIN centered y
+    ON x.layer = y.layer AND x.sample = y.sample
+  WHERE x.label = 0 AND y.label = 1
+  GROUP BY 1, 2, 3
+),
+gxx AS (
+  SELECT a.layer, a.dim AS dx, b.dim AS dy, sum(a.v * b.v) AS c
+  FROM centered a JOIN centered b
+    ON a.layer = b.layer AND a.sample = b.sample
+  WHERE a.label = 0 AND b.label = 0
+  GROUP BY 1, 2, 3
+),
+gyy AS (
+  SELECT a.layer, a.dim AS dx, b.dim AS dy, sum(a.v * b.v) AS c
+  FROM centered a JOIN centered b
+    ON a.layer = b.layer AND a.sample = b.sample
+  WHERE a.label = 1 AND b.label = 1
+  GROUP BY 1, 2, 3
+),
+h AS (
+  SELECT x.layer,
+         (SELECT sum(c * c) FROM gxy g WHERE g.layer = x.layer) AS hxy,
+         (SELECT sum(c * c) FROM gxx g WHERE g.layer = x.layer) AS hxx,
+         (SELECT sum(c * c) FROM gyy g WHERE g.layer = x.layer) AS hyy
+  FROM (SELECT DISTINCT layer FROM ranked) x
+)
+SELECT layer,
+       round(CASE WHEN sqrt(hxx * hyy) < 1e-10 THEN 0::DOUBLE
+             ELSE hxy / sqrt(hxx * hyy) END, 6) AS cka
+FROM h
+ORDER BY layer
+"""
