@@ -162,3 +162,32 @@ def test_cache_ttl_expiry(spark, tmp_path):
     assert FingerprintCache(spark, cdir, ttl=0).get(
         "m1", "llmmap", "openai"
     ) is not None
+
+
+def test_bucketed_join_skips_both_exchanges(spark):
+    """Co-located bucketed tables: the doc_id join keeps SortMergeJoin but
+    neither side shuffles — the ingest-time bucket layout replaced both
+    Exchange nodes (the 100 TB join story, SCALE.md)."""
+    from model_audit_spark.sources.bucketing import read_table, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    try:
+        write_bucketed(docs.select("doc_id", "source", "text"),
+                       "b_docs", "doc_id", n_buckets=8)
+        write_bucketed(feats, "b_feats", "doc_id", n_buckets=8)
+        # merge hint: at test scale AQE would broadcast the tiny side; at
+        # 100 TB neither side is broadcastable and SMJ is what runs
+        joined = read_table(spark, "b_docs").hint("merge").join(
+            read_table(spark, "b_feats"), "doc_id"
+        )
+        assert len(joined.collect()) == docs.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString() \
+            .split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        # bucket pruning metadata present on both scans
+        assert plan.count("Bucketed: true") == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_feats")
