@@ -936,6 +936,21 @@ def _embedding_near_dups(spark, sf):
     return embedding_cosine_pairs(emb, threshold=0.4, n_planes=4, dim=64)
 
 
+def _curate_corpus(spark, sf):
+    """End-to-end training-data curation verdict per doc (lang -> quality
+    -> exact-dup -> minhash near-dup, first failing stage wins). Composes
+    the already-audited single-pass stats projection, md5 keep-first
+    window, and bucket-LSH near-dup pipeline; oracle composes the same
+    three stage SQLs."""
+    from model_audit_spark.operators.curate import curate_corpus
+
+    docs = _t(spark, sf, "documents")
+    # min_quality=0.6 is data-calibrated: the synthetic corpus bottoms out
+    # at quality 0.5, so 0.6 exercises the quality stage (~27% drop) while
+    # lang/exact stages are covered by unit tests with synthetic inputs
+    return curate_corpus(docs, min_quality=0.6)
+
+
 def _streaming_source_verdict(spark, sf):
     """§2.10 stateful streaming (applyInPandasWithState): run the document
     file stream to completion (availableNow trigger) and return the FINAL
@@ -1046,7 +1061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_profile": _media_profile,
         "media_decode": _media_decode,
         "streaming_source_verdict": _streaming_source_verdict,
-        # -- 51-57: oracle-backed, IDs redundantly covered in-window -------
+        # -- 51-58: oracle-backed, outside the driver window (51 = the
+        # curation flagship, locally mirrored; the rest redundant-in-window)
+        "curate_corpus": _curate_corpus,
         "q_topk_customers": _q_topk_customers,
         "q_events_hourly": _q_events_hourly,
         "q_customers_no_orders": _q_customers_no_orders,
@@ -1122,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "memorization_average": ora.memorization_average(),
         "memorization_levenshtein": ora.memorization_levenshtein(),
         "llmmap_fingerprint_hashes": ora.llmmap_fingerprint_hashes(),
+        "curate_corpus": ora.curate_corpus(min_quality=0.6),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

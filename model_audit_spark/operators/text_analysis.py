@@ -43,16 +43,9 @@ def token_count_bpe(text_col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
-def doc_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc text statistics + composite quality score in [0,1].
-
-    quality_score blends (equal weights): length adequacy (20..400 words),
-    stopword ratio (healthy band around natural prose), mean word length in
-    the 3..8 band, and punctuation sanity (<= 0.1). Deterministic, documented
-    here as the engine's own quality metric (the reference has none).
-    """
+def doc_stat_columns(text_col: str = "text") -> dict[str, "Column"]:
+    """The doc_stats output expressions as an ordered {name: Column} dict —
+    reusable by any single-pass projection (doc_stats, curate_corpus)."""
     c = F.col(text_col)
     toks = word_tokens(c)
     n_words = F.size(words(c))
@@ -80,17 +73,32 @@ def doc_stats(
         + 0.25 * punct_score,
         6,
     )
+    return {
+        "n_chars": F.length(c),
+        "n_words": n_words,
+        "n_tokens": n_toks,
+        "n_bpe_tokens": token_count_bpe(c),
+        "mean_word_len": F.round(mean_wlen, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": quality,
+        "lang_pred": detect_lang(c),
+    }
+
+
+def doc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc text statistics + composite quality score in [0,1].
+
+    quality_score blends (equal weights): length adequacy (20..400 words),
+    stopword ratio (healthy band around natural prose), mean word length in
+    the 3..8 band, and punctuation sanity (<= 0.1). Deterministic, documented
+    here as the engine's own quality metric (the reference has none).
+    """
+    cols = doc_stat_columns(text_col)
     return df.select(
-        F.col(id_col),
-        F.length(c).alias("n_chars"),
-        n_words.alias("n_words"),
-        n_toks.alias("n_tokens"),
-        token_count_bpe(c).alias("n_bpe_tokens"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        quality.alias("quality_score"),
-        detect_lang(c).alias("lang_pred"),
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 

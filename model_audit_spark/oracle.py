@@ -1794,3 +1794,40 @@ SELECT layer,
 FROM h
 ORDER BY layer
 """
+
+
+def curate_corpus(
+    min_quality: float = 0.6,
+    langs: tuple = ("en",),
+    min_jaccard: float = 0.5,
+) -> str:
+    """Composed twin of operators/curate.curate_corpus: the three stage
+    oracles (text_stats quality/lang, dedup_exact keep-first,
+    dedup_minhash_pairs near-dup set) as derived tables + the same
+    first-failing-stage CASE precedence."""
+    lang_list = ", ".join(sql_quote(lang) for lang in langs)
+    return f"""
+WITH stats AS (
+  SELECT doc_id, quality_score, lang_pred FROM ({text_stats()})
+),
+exact AS (
+  SELECT doc_id, is_first FROM ({dedup_exact()})
+),
+near AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({dedup_minhash_pairs(min_jaccard)})
+),
+j AS (
+  SELECT s.doc_id, s.lang_pred, s.quality_score, e.is_first,
+         n.doc_id IS NOT NULL AS is_near
+  FROM stats s JOIN exact e USING (doc_id)
+  LEFT JOIN near n USING (doc_id)
+)
+SELECT doc_id, lang_pred, quality_score,
+  CASE WHEN lang_pred NOT IN ({lang_list}) THEN 'lang'
+       WHEN quality_score < {min_quality!r} THEN 'quality'
+       WHEN NOT is_first THEN 'exact_dup'
+       WHEN is_near THEN 'near_dup' END AS drop_reason,
+  (lang_pred IN ({lang_list}) AND quality_score >= {min_quality!r}
+   AND is_first AND NOT is_near) AS kept
+FROM j
+"""
