@@ -79,6 +79,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                # normalization keys: the benched surface GREW round over
+                # round (29 queries in r1, everything since r2) — compare
+                # sec_per_query or per-query times, not raw totals
+                "n_queries": len(times),
+                "sec_per_query": round(total / max(len(times), 1), 3),
             }
         )
     )

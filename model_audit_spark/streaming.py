@@ -158,6 +158,32 @@ def running_source_verdict(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST arrival of each text
+    hash; re-arrivals inside the watermark horizon are dropped.
+
+    State holds one md5 per distinct text seen within `within` and is
+    EVICTED as the watermark passes (dropDuplicatesWithinWatermark) — the
+    state bound every unbounded-stream dedup needs; a plain
+    dropDuplicates would grow state forever on a 100 TB/day stream. The
+    hash projection runs before the stateful op, so state rows are
+    (md5, window meta), never the document text."""
+    hashed = stream.select(
+        F.col(id_col),
+        F.col(ts_col).alias("ts"),
+        F.md5(F.col(text_col)).alias("text_hash"),
+    )
+    return hashed.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+
+
 def detect_stream_from_files(
     spark: SparkSession,
     path: str,

@@ -208,3 +208,52 @@ def test_running_source_verdict_stateful_across_batches(spark, tmp_path):
         assert f.mean_confidence == round(
             sum(r.conf for r in rows) / len(rows), 4
         )
+
+
+def test_streaming_exact_dedup_drops_rearrivals(spark, tmp_path):
+    """First arrival of each text survives; an exact re-arrival in a later
+    micro-batch inside the watermark horizon is dropped."""
+    from model_audit_spark.streaming import streaming_exact_dedup
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    rows1 = [(1, "2026-01-01 00:00:10", "alpha text"),
+             (2, "2026-01-01 00:00:20", "beta text")]
+    rows2 = [(3, "2026-01-01 00:00:30", "alpha text"),   # dup of 1
+             (4, "2026-01-01 00:00:40", "gamma text")]
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows, "doc_id BIGINT, ts STRING, text STRING"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+
+    write(rows1, "b1")
+    write(rows2, "b2")
+    import shutil, glob
+    for i, b in enumerate(("b1", "b2")):
+        for f in glob.glob(str(tmp_path / b / "*.parquet")):
+            shutil.copy(f, d / f"{i}.parquet")
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id for r in spark.sql("select * from dedup_stream").collect()
+    )
+    # exactly one of the two "alpha text" arrivals survives (which one
+    # depends on file mtime ordering at copy granularity); the uniques
+    # always pass through
+    assert len(got) == 3
+    assert 2 in got and 4 in got
+    assert len({1, 3} & set(got)) == 1
