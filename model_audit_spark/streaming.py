@@ -184,6 +184,44 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_curate(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest form of curate_corpus: stateless lang/quality
+    gating (pure projection — same doc_stat_columns expressions as batch)
+    then watermark-bounded exact dedup. Emits the kept documents only.
+
+    The near-dup stage is deliberately batch-only: MinHash-LSH needs a
+    corpus-wide band join, which streaming would have to approximate with
+    unbounded signature state — run it as a periodic batch compaction
+    over the curated sink instead (curate_corpus)."""
+    from model_audit_spark.operators.text_analysis import doc_stat_columns
+
+    stats = doc_stat_columns(text_col)
+    gated = stream.select(
+        F.col(id_col),
+        F.col(ts_col).alias("ts"),
+        F.col(text_col),
+        stats["quality_score"].alias("quality_score"),
+        stats["lang_pred"].alias("lang_pred"),
+    ).filter(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality_score") >= min_quality)
+    )
+    hashed = gated.withColumn("text_hash", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select(id_col, "ts", text_col, "lang_pred", "quality_score")
+    )
+
+
 def detect_stream_from_files(
     spark: SparkSession,
     path: str,

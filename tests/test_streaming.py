@@ -257,3 +257,45 @@ def test_streaming_exact_dedup_drops_rearrivals(spark, tmp_path):
     assert len(got) == 3
     assert 2 in got and 4 in got
     assert len({1, 3} & set(got)) == 1
+
+
+def test_streaming_curate_filters_and_dedups(spark, tmp_path):
+    """Lang + quality gate runs statelessly; the kept stream carries no
+    dup text; output equals the batch curate verdict for the stateless
+    stages (lang/quality/exact)."""
+    from model_audit_spark.streaming import streaming_curate
+
+    good = ("The quick brown fox jumps over the lazy dog and then walks "
+            "through the quiet forest while the evening light settles over "
+            "the hills and the river keeps moving toward the distant sea "
+            "with a steady calm that carries every small sound for miles.")
+    rows = [
+        (1, "2026-01-01 00:00:10", good),
+        (2, "2026-01-01 00:00:20", good),              # exact dup
+        (3, "2026-01-01 00:00:30", "好的，以下是详细的说明，" * 20),  # lang
+        (4, "2026-01-01 00:00:40", "!!!! ???? ;;;;"),   # quality
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, ts STRING, text STRING"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "curate_in"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+    import glob, shutil
+    for f in glob.glob(str(tmp_path / "w" / "*.parquet")):
+        shutil.copy(f, d / "0.parquet")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+    q = (
+        streaming_curate(stream, min_quality=0.3)
+        .writeStream.format("memory")
+        .queryName("curate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_curate"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from curate_stream").collect()
+    assert len(out) == 1 and out[0].doc_id in (1, 2)
+    assert out[0].lang_pred == "en"
