@@ -60,6 +60,38 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.curate import curate_corpus
+    from model_audit_spark.sources import read_texts, write_csv, write_json
+
+    spark = _spark()
+    texts = read_texts(spark, args.data_path, args.field).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    verdicts = curate_corpus(
+        texts,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")),
+        min_jaccard=args.min_jaccard,
+    )
+    print("drop reasons:")
+    verdicts.groupBy("drop_reason").count().orderBy(
+        F.desc("count")
+    ).show(truncate=False)
+    if args.output:
+        kept = texts.join(
+            verdicts.filter("kept").select("doc_id"), "doc_id"
+        ).select("doc_id", "text")
+        if args.output.endswith(".json"):
+            write_json(kept, args.output, single_file=True)
+        else:
+            write_csv(kept, args.output, single_file=True)
+        print(f"wrote kept docs to {args.output}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     from pyspark.sql import functions as F
 
@@ -165,6 +197,17 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--limit", type=int)
     d.add_argument("--output")
     d.set_defaults(fn=cmd_detect)
+
+    cu = sub.add_parser(
+        "curate", help="training-data curation: lang/quality/dedup verdicts"
+    )
+    cu.add_argument("data_path")
+    cu.add_argument("--field")
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--langs", default="en")
+    cu.add_argument("--min-jaccard", type=float, default=0.5)
+    cu.add_argument("--output")
+    cu.set_defaults(fn=cmd_curate)
 
     b = sub.add_parser("benchmark", help="14-sample accuracy gate")
     b.set_defaults(fn=cmd_benchmark)
