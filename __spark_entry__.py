@@ -78,8 +78,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects; read nanos as long and convert to micros precision.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer DIV, not /1000: float division loses ~256ns (double ulp
+        # at epoch-nanos scale), which microsecond-exact queries
+        # (q_events_asof lag_us) see as off-by-one against the oracle
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
@@ -936,6 +939,56 @@ def _embedding_near_dups(spark, sf):
     return embedding_cosine_pairs(emb, threshold=0.4, n_planes=4, dim=64)
 
 
+def _q_events_asof(spark, sf):
+    """As-of join (union-window formulation, operators/asof.py): each
+    purchase matched to the user's latest prior-or-equal click. Oracle is
+    DuckDB's native ASOF LEFT JOIN; (user_id, ts) is unique in events, so
+    the match is unambiguous. lag in integer microseconds — no float."""
+    from model_audit_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases, clicks, by="user_id", right_cols=("event_id",),
+        suffix="_click",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_click").alias("click_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("lag_us"),
+    )
+
+
+def _q_events_range_join(spark, sf):
+    """Range join: clicks in the 10 minutes before each purchase, per
+    user. Sum aggregates in DECIMAL (exact, partition-order-independent)
+    and casts to double only after rounding — the bit-stability pattern
+    from the round-1 float-ordering failures."""
+    from model_audit_spark.operators.asof import range_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    j = range_join(
+        purchases, clicks, by="user_id", lookback="10 minutes",
+        right_cols=("value",), suffix="_click",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value_click").cast("double"), 2).alias("click_value"),
+    )
+
+
 def _curate_corpus(spark, sf):
     """End-to-end training-data curation verdict per doc (lang -> quality
     -> exact-dup -> minhash near-dup, first failing stage wins). Composes
@@ -1064,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51-58: oracle-backed, outside the driver window (51 = the
         # curation flagship, locally mirrored; the rest redundant-in-window)
         "curate_corpus": _curate_corpus,
+        "q_events_asof": _q_events_asof,
+        "q_events_range_join": _q_events_range_join,
         "q_topk_customers": _q_topk_customers,
         "q_events_hourly": _q_events_hourly,
         "q_customers_no_orders": _q_customers_no_orders,
@@ -1140,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
         "memorization_levenshtein": ora.memorization_levenshtein(),
         "llmmap_fingerprint_hashes": ora.llmmap_fingerprint_hashes(),
         "curate_corpus": ora.curate_corpus(min_quality=0.6),
+        "q_events_asof": ora.q_events_asof(),
+        "q_events_range_join": ora.q_events_range_join(),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

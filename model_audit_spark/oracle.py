@@ -1831,3 +1831,43 @@ SELECT doc_id, lang_pred, quality_score,
    AND is_first AND NOT is_near) AS kept
 FROM j
 """
+
+
+def q_events_asof() -> str:
+    """DuckDB native ASOF LEFT JOIN twin of operators/asof.asof_join."""
+    return """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       c.event_id AS click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_events_range_join(lookback_minutes: int = 10) -> str:
+    """Bounded-interval join twin: clicks in the lookback window before
+    each purchase; DECIMAL sum -> round -> double, matching the Spark
+    side's order-independent aggregation."""
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       count(*) AS n_clicks,
+       round(CAST(sum(c.value) AS DOUBLE), 2) AS click_value
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL {lookback_minutes} MINUTE
+ AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""

@@ -1,0 +1,60 @@
+"""asof_join / range_join semantics: equal-ts match, no-prior-row NULLs,
+per-key isolation, and the [ts - lookback, ts) boundary half-openness."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from model_audit_spark.operators.asof import asof_join, range_join
+
+
+def _ts(spark, rows, schema="id BIGINT, k STRING, ts STRING, v DOUBLE"):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_backward_match_and_nulls(spark):
+    left = _ts(spark, [
+        (1, "a", "2026-01-01 00:10:00", 0.0),
+        (2, "a", "2026-01-01 00:20:00", 0.0),
+        (3, "b", "2026-01-01 00:05:00", 0.0),   # no prior right row
+    ])
+    right = _ts(spark, [
+        (10, "a", "2026-01-01 00:10:00", 1.0),  # equal ts -> matches id 1
+        (11, "a", "2026-01-01 00:15:00", 2.0),
+        (12, "b", "2026-01-01 00:06:00", 3.0),  # after left id 3
+    ])
+    out = {
+        r.id: (r.id_right, r.v_right)
+        for r in asof_join(
+            left, right, by="k", right_cols=("id", "v")
+        ).collect()
+    }
+    assert out[1] == (10, 1.0)      # equal timestamp matches
+    assert out[2] == (11, 2.0)      # latest prior, not first
+    assert out[3] == (None, None)   # nothing at-or-before in group b
+
+
+def test_asof_does_not_leak_across_keys(spark):
+    left = _ts(spark, [(1, "a", "2026-01-01 01:00:00", 0.0)])
+    right = _ts(spark, [(9, "b", "2026-01-01 00:00:00", 5.0)])
+    row = asof_join(left, right, by="k", right_cols=("id",)).first()
+    assert row.id_right is None
+
+
+def test_range_join_half_open_boundary(spark):
+    left = _ts(spark, [(1, "a", "2026-01-01 00:10:00", 0.0)])
+    right = _ts(spark, [
+        (20, "a", "2026-01-01 00:00:00", 1.0),  # == ts - 10m -> included
+        (21, "a", "2026-01-01 00:05:00", 2.0),  # inside
+        (22, "a", "2026-01-01 00:10:00", 3.0),  # == left ts -> excluded
+        (23, "a", "2026-01-01 00:11:00", 4.0),  # after -> excluded
+        (24, "b", "2026-01-01 00:05:00", 9.0),  # other key -> excluded
+    ])
+    got = sorted(
+        r.id_right
+        for r in range_join(
+            left, right, by="k", lookback="10 minutes",
+            right_cols=("id", "v"),
+        ).collect()
+    )
+    assert got == [20, 21]
