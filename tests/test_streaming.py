@@ -70,13 +70,13 @@ def test_events_fixture_streams_windowed_values(spark, tmp_path):
     )
     src = str(src_dir)
     batch = spark.read.parquet(src).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
     schema = batch.schema
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
