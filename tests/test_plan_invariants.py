@@ -85,3 +85,14 @@ def test_simhash_pairs_reuse_persisted_aggregate(spark):
 def test_minhash_pairs_reuse_persisted_candidates(spark):
     plan = final_plan(spark, "dedup_minhash_pairs")
     assert "InMemoryTableScan" in plan
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """The union-window as-of formulation: ONE hash exchange on the key,
+    a sort, a window — and no join operator at all (a naive inequality
+    join would plan a per-key nested-loop/cartesian product)."""
+    plan = final_plan(spark, "q_events_asof")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
