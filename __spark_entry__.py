@@ -868,6 +868,13 @@ def _dedup_minhash_pairs(spark, sf):
     return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _dedup_ngram_jaccard(spark, sf):
+    from model_audit_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+
+
 def _dedup_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup_simhash_df(docs, "text", "doc_id")
@@ -1129,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         # -- 58: rows-only kernel ------------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
     }
@@ -1180,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ora.dedup_exact(),
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
+        "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "dedup_simhash": ora.dedup_simhash(),
         "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),

@@ -240,6 +240,84 @@ def jaccard_verify(
     return out.filter(F.col("jaccard") > 0)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for ALL pairs with exact n-gram Jaccard >=
+    min_jaccard — no MinHash approximation (reference has no counterpart;
+    this is the exact member of the dedup family, vs the LSH-candidate
+    minhash path).
+
+    Candidate generation is a shingle inverted index: groupBy(shingle) →
+    sorted posting list → in-bucket pair expansion, so the shingle relation
+    is scanned once and pair work is Σ |postings|² over shared shingles —
+    never an all-pairs self-join. A pair with jaccard > 0 shares ≥1 shingle,
+    so the index is complete for any min_jaccard > 0.
+
+    max_df is the 100 TB skew cap: shingles appearing in more than max_df
+    documents (boilerplate) are dropped from candidate generation AND
+    intersection counting, making the result a documented lower bound on
+    true Jaccard. Leave None for exact semantics (the oracle-checked form).
+    """
+    if min_jaccard <= 0:
+        raise ValueError("min_jaccard must be > 0 (index covers jaccard > 0)")
+    # consumed by both sizes and the posting-list aggregate — persist so the
+    # tokenize+shingle subtree runs once (SCALE.md rule 3)
+    shing = shingles_df(df, text_col, id_col, shingle_n).persist()
+    sizes = shing.select(F.col(id_col).alias("_id"), F.size("sh").alias("n_sh"))
+    postings = (
+        shing.select(F.col(id_col), F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_df is not None:
+        postings = postings.filter(F.size("ids") <= max_df)
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # a pair occurs once per shared shingle → count(*) == |A ∩ B|
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / F.greatest(
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter"), F.lit(1)
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

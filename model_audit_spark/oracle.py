@@ -1250,17 +1250,29 @@ def _hex32(hexstr: str) -> str:
     )
 
 
+def _shingle_ctes() -> str:
+    """toksrc + shing CTEs: distinct word 3-shingles per document, the SQL
+    twin of dedup.shingles_df."""
+    shingles = (
+        "list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
+        "ELSE list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
+    )
+    return f"""
+toksrc AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+shing AS (
+  SELECT doc_id, {shingles} AS sh FROM toksrc
+)"""
+
+
 def _minhash_ctes(num_hashes: int = 16) -> str:
     from model_audit_spark.operators.dedup import (
         MINHASH_PRIME,
         minhash_coeffs,
     )
 
-    shingles = (
-        "list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
-        "ELSE list_transform(range(1, len(toks) - 1), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
-    )
     min_cols = ", ".join(
         f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -1269,13 +1281,7 @@ def _minhash_ctes(num_hashes: int = 16) -> str:
         f"CAST(coalesce(m.mh_{i}, {MINHASH_PRIME}) AS BIGINT) AS mh_{i}"
         for i in range(num_hashes)
     )
-    return f"""
-toksrc AS (
-  SELECT doc_id, {_tokens('text')} AS toks FROM documents
-),
-shing AS (
-  SELECT doc_id, {shingles} AS sh FROM toksrc
-),
+    return f"""{_shingle_ctes()},
 mh_expl AS (
   SELECT doc_id, unnest(sh) AS s FROM shing
 ),
@@ -1341,6 +1347,31 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE coalesce(i.n_inter, 0)
       / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1)
       >= {min_jaccard!r}
+"""
+
+
+def dedup_ngram_jaccard(min_jaccard: float = 0.5) -> str:
+    """Exact all-pairs n-gram Jaccard via a shingle inverted index (twin of
+    dedup.ngram_jaccard_pairs with max_df=None)."""
+    jac = "i.n_inter / greatest(sa.n_sh + sb.n_sh - i.n_inter, 1)"
+    return f"""
+WITH {_shingle_ctes()},
+expl AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+),
+sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM shing
+),
+inter AS (
+  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS n_inter
+  FROM expl ea JOIN expl eb ON eb.s = ea.s AND ea.doc_id < eb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, round({jac}, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round({jac}, 6) >= {min_jaccard!r}
 """
 
 

@@ -105,6 +105,47 @@ def test_minhash_pairs_find_near_dups(spark, docs):
     assert all(a < b for a, b in verified)
 
 
+def test_ngram_jaccard_pairs_exact_and_contains_minhash(spark, docs):
+    from model_audit_spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert exact[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in exact and exact[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in exact)  # disjoint never pairs
+    # LSH-candidate pairs at the same threshold are a subset of exact pairs
+    # with identical jaccard values
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(
+            docs, minhash_band_pairs(minhash_signatures(docs)), min_jaccard=0.5
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == j for p, j in lsh.items())
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate(spark):
+    from model_audit_spark.operators.dedup import ngram_jaccard_pairs
+
+    # two docs sharing ONLY a boilerplate shingle that appears in all docs
+    boiler = "copyright two thousand all rights reserved worldwide"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler + " unrelated words entirely different content here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with_boiler = ngram_jaccard_pairs(df, min_jaccard=0.1).collect()
+    assert len(with_boiler) == 3  # every pair shares the boilerplate prefix
+    capped = ngram_jaccard_pairs(df, min_jaccard=0.1, max_df=2).collect()
+    assert capped == []  # shingles in all 3 docs removed -> no candidates
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, min_jaccard=0.0)
+
+
 def test_shingles_df_distinct(spark):
     df = spark.createDataFrame([(1, "a b a b a b a b")], ["doc_id", "text"])
     sh = shingles_df(df).collect()[0].sh
