@@ -875,6 +875,17 @@ def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _contamination_check(spark, sf):
+    """Decontamination report: training docs (doc_id % 5 != 0) sharing any
+    word 5-gram with the eval split (doc_id % 5 == 0)."""
+    from model_audit_spark.operators.decontam import contamination
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    return contamination(tr, ev, "text", "doc_id", shingle_n=5)
+
+
 def _dedup_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup_simhash_df(docs, "text", "doc_id")
@@ -1137,7 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        # -- 58: rows-only kernel ------------------------------------------
+        "contamination_check": _contamination_check,
+        # -- rows-only kernel ----------------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
     }
 
@@ -1189,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
+        "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "dedup_simhash": ora.dedup_simhash(),
         "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),

@@ -1,0 +1,103 @@
+"""Benchmark decontamination (scale extension; no reference counterpart —
+the dedup/curation family's eval-overlap member).
+
+Training corpora must not contain evaluation data: a training document that
+shares word n-grams with an eval/benchmark document inflates benchmark
+scores. Standard practice (GPT-3 appendix C, The Pile, Dolma) flags training
+documents sharing any n-gram (n≈5-13) with the eval set and drops or audits
+them.
+
+Shape at 100 TB:
+- The eval side is tiny (benchmarks are 10^3-10^6 docs) — its distinct
+  shingle-hash relation is broadcast, so the corpus-side scan joins against
+  an in-memory hash set: no shuffle of corpus shingles, no repartition.
+- The corpus side is one explode → broadcast-hash-join → hash-aggregate:
+  the only shuffle carries (doc_id, n_sh, partial count) — fixed width per
+  contaminated doc, and only docs with ≥1 hit survive the join.
+- Shingles are md5-hashed before the join so the broadcast relation and the
+  join keys are fixed-width (32 hex chars), not arbitrary-length text.
+- `shingles_df` tokenizes once per doc in its own projection (no lambda
+  re-evaluation, SCALE.md rule 5); n_sh rides the explode so the doc-size
+  relation needs no second scan of the shingle subtree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from model_audit_spark.operators.dedup import shingles_df
+
+
+def eval_shingle_hashes(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(_h): distinct md5 hex of every word n-shingle in the eval corpus."""
+    return (
+        shingles_df(eval_df, text_col, id_col, shingle_n)
+        .select(F.explode("sh").alias("_s"))
+        .select(F.md5("_s").alias("_h"))
+        .distinct()
+    )
+
+
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(id, n_sh, n_overlap, overlap_frac) per contaminated training doc.
+
+    n_sh = distinct n-shingles in the doc, n_overlap = how many of them
+    appear anywhere in the eval corpus. Docs with no overlap are absent
+    (they are clean by construction). broadcast_eval=False falls back to a
+    shuffle join for eval sets too large to broadcast.
+    """
+    ev = eval_shingle_hashes(eval_df, text_col, id_col, shingle_n)
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    long = shingles_df(train_df, text_col, id_col, shingle_n).select(
+        id_col, F.size("sh").cast("long").alias("n_sh"), F.explode("sh").alias("_s")
+    )
+    hashed = long.select(id_col, "n_sh", F.md5("_s").alias("_h"))
+    return (
+        hashed.join(ev, "_h")
+        .groupBy(id_col, "n_sh")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            id_col,
+            "n_sh",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.greatest(F.col("n_sh"), F.lit(1)), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training corpus minus docs with >= min_overlap eval n-grams.
+
+    Anti-join on the contamination report: the full-width train rows are
+    scanned once and never shuffled (the report side is tiny — contaminated
+    ids only)."""
+    flagged = contamination(
+        train_df, eval_df, text_col, id_col, shingle_n, broadcast_eval
+    ).filter(F.col("n_overlap") >= min_overlap)
+    return train_df.join(
+        flagged.select(id_col), id_col, "left_anti"
+    )

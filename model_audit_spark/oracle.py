@@ -1267,6 +1267,42 @@ shing AS (
 )"""
 
 
+def _shingle_expr_n(toks: str, n: int) -> str:
+    """SQL for distinct word n-shingles from a tokens column (generic-n twin
+    of _shingle_ctes' n=3 form and of text.ngrams)."""
+    concat = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({toks}) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> {concat}) END)"
+    )
+
+
+def contamination_check(shingle_n: int = 5, eval_mod: int = 5) -> str:
+    """Training-vs-eval n-gram overlap (twin of decontam.contamination with
+    the doc_id % eval_mod == 0 split used by the driver query)."""
+    sh = _shingle_expr_n("toks", shingle_n)
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+shing AS (
+  SELECT doc_id, {sh} AS sh FROM toksrc
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shing WHERE doc_id % {eval_mod} = 0
+),
+trl AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s
+  FROM shing WHERE doc_id % {eval_mod} <> 0
+)
+SELECT t.doc_id, t.n_sh, count(*) AS n_overlap,
+       round(count(*) / greatest(t.n_sh, 1), 6) AS overlap_frac
+FROM trl t JOIN ev ON ev.s = t.s
+GROUP BY t.doc_id, t.n_sh
+"""
+
+
 def _minhash_ctes(num_hashes: int = 16) -> str:
     from model_audit_spark.operators.dedup import (
         MINHASH_PRIME,

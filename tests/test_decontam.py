@@ -1,0 +1,90 @@
+"""Decontamination: eval n-gram overlap detection and corpus filtering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from model_audit_spark.operators.decontam import (
+    contamination,
+    decontaminate,
+    eval_shingle_hashes,
+)
+
+EVAL_TEXT = "the quick brown fox jumps over the lazy dog tonight"
+CLEAN_TEXT = "completely unrelated words about spark execution engines here"
+
+
+@pytest.fixture()
+def corpora(spark):
+    ev = spark.createDataFrame([(100, EVAL_TEXT)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            # verbatim copy of the eval doc -> fully contaminated
+            (1, EVAL_TEXT),
+            # shares exactly one 5-gram window's worth of prefix
+            (2, "the quick brown fox jumps into a completely different river"),
+            # clean
+            (3, CLEAN_TEXT),
+            # too short for any 5-gram
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    return train, ev
+
+
+def test_contamination_flags_overlap_only(spark, corpora):
+    train, ev = corpora
+    rows = {
+        r["doc_id"]: r
+        for r in contamination(train, ev, shingle_n=5).collect()
+    }
+    assert set(rows) == {1, 2}
+    # 10 tokens -> 6 distinct 5-grams, all shared
+    assert rows[1]["n_sh"] == 6
+    assert rows[1]["n_overlap"] == 6
+    assert rows[1]["overlap_frac"] == 1.0
+    # doc 2: first 5 tokens match -> exactly one shared 5-gram
+    assert rows[2]["n_overlap"] == 1
+    assert 0.0 < rows[2]["overlap_frac"] < 1.0
+
+
+def test_eval_shingle_hashes_distinct(spark, corpora):
+    _, ev = corpora
+    hashes = eval_shingle_hashes(ev, shingle_n=5).collect()
+    assert len(hashes) == 6
+    assert len({r["_h"] for r in hashes}) == 6
+
+
+def test_decontaminate_drops_flagged_docs(spark, corpora):
+    train, ev = corpora
+    kept = decontaminate(train, ev, shingle_n=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    # schema passes through untouched
+    assert kept.columns == train.columns
+
+
+def test_decontaminate_min_overlap_threshold(spark, corpora):
+    train, ev = corpora
+    # requiring >= 2 shared 5-grams keeps the single-gram doc 2
+    kept = decontaminate(train, ev, shingle_n=5, min_overlap=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
+
+
+def test_contamination_shuffle_join_fallback(spark, corpora):
+    train, ev = corpora
+    a = contamination(train, ev, shingle_n=5, broadcast_eval=True)
+    b = contamination(train, ev, shingle_n=5, broadcast_eval=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_contamination_plan_broadcasts_eval(spark, corpora):
+    train, ev = corpora
+    plan = (
+        contamination(train, ev, shingle_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
