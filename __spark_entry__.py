@@ -886,6 +886,27 @@ def _contamination_check(spark, sf):
     return contamination(tr, ev, "text", "doc_id", shingle_n=5)
 
 
+def _corpus_sample(spark, sf):
+    """Deterministic stratified hash sample of documents by language."""
+    from model_audit_spark.operators.sampling import (
+        sample_bucket,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    sampled = stratified_sample(
+        docs,
+        {"en": 0.5, "fr": 0.3, "zh": 0.2},
+        stratum_col="lang",
+        id_col="doc_id",
+        salt="s1",
+        default_rate=0.1,
+    )
+    return sampled.select(
+        "doc_id", "lang", "source", sample_bucket("doc_id", "s1")
+    )
+
+
 def _dedup_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup_simhash_df(docs, "text", "doc_id")
@@ -1149,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "contamination_check": _contamination_check,
+        "corpus_sample": _corpus_sample,
         # -- rows-only kernel ----------------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
     }
@@ -1202,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
+        "corpus_sample": ora.corpus_sample(),
         "dedup_simhash": ora.dedup_simhash(),
         "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),

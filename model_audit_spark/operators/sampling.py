@@ -1,0 +1,109 @@
+"""Deterministic corpus sampling and mixture rebalancing (scale extension;
+no reference counterpart — training-data pipeline tooling).
+
+Sampling at 100 TB must be (a) a pure per-row projection — no shuffle, no
+driver-side randomness, (b) reproducible across runs and engines, and
+(c) stable under repartitioning. rand()-based sampling fails all three, so
+membership here is a hash decision: a row is kept iff
+
+    bucket(id, salt) = int(md5(id || ':' || salt)[:8 hex]) % BUCKETS < rate·BUCKETS
+
+The same row always lands in the same bucket for a given salt; disjoint
+salts give independent samples (held-out splits, repeated trials); and the
+decision is reproducible in any engine with md5 (the DuckDB oracle runs the
+identical formula). This is the standard hash-mod sampling used by
+large-corpus pipelines for train/val splits.
+
+corpus_mix rebalances a corpus toward target stratum proportions (e.g. 40%
+code, 30% web, 30% books) by converting targets into per-stratum keep-rates
+against observed counts — one tiny aggregate (|strata| rows) collected to
+the driver, then a single stratified pass. Downsampling only: a stratum
+below its target is kept whole (rate capped at 1), mirroring the usual
+"mix by downsampling the overrepresented sources" practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Basis-point granularity: rates are exact multiples of 1/10000.
+BUCKETS = 10_000
+
+
+def sample_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(id ':' salt)."""
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"),
+        F.lit(salt),
+    )
+    h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (h32 % BUCKETS).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows with bucket < rate·BUCKETS."""
+    return df.filter(sample_bucket(id_col, salt) < int(round(rate * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: stratum k keeps rate_k of its rows.
+
+    The rate lookup is a literal CASE chain (strata counts are small —
+    languages, sources), so the whole operator stays a zero-shuffle
+    projection + filter that pushes down to the scan."""
+    threshold = F.lit(int(round(default_rate * BUCKETS)))
+    for k, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == k, F.lit(int(round(r * BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(sample_bucket(id_col, salt) < threshold)
+
+
+def mix_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "source",
+) -> dict[str, float]:
+    """Per-stratum keep-rates that move observed counts toward the target
+    mix by downsampling overrepresented strata.
+
+    The binding stratum (largest observed/target ratio) is kept whole; every
+    other stratum keeps target_k · (binding_count / binding_target) / count_k
+    rows. One |strata|-row aggregate is collected (report-sized; SCALE.md
+    rule 9). Strata absent from `targets` get rate 0."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
+    }
+    # strata missing from the corpus can't be downsampled toward a target;
+    # they are skipped when finding the binding stratum (mix renormalizes
+    # over the strata that exist)
+    ratios = [counts[k] / t for k, t in targets.items() if t > 0 and counts.get(k)]
+    scale = min(ratios) if ratios else 0.0
+    return {
+        k: min(1.0, (t * scale) / counts[k]) if counts.get(k) else 0.0
+        for k, t in targets.items()
+    }
+
+
+def corpus_mix(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Downsample strata so the kept corpus approximates the target mix."""
+    return stratified_sample(
+        df, mix_rates(df, targets, stratum_col), stratum_col, id_col, salt
+    )

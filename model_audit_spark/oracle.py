@@ -1303,6 +1303,32 @@ GROUP BY t.doc_id, t.n_sh
 """
 
 
+def corpus_sample(
+    rates: dict[str, float] | None = None,
+    stratum: str = "lang",
+    salt: str = "s1",
+    default_rate: float = 0.1,
+) -> str:
+    """Deterministic stratified hash sample (twin of
+    sampling.stratified_sample + sample_bucket)."""
+    rates = rates if rates is not None else {"en": 0.5, "fr": 0.3, "zh": 0.2}
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(round(r * 10000))}"
+        for k, r in sorted(rates.items())
+    )
+    h = _hex32(f"md5(CAST(doc_id AS VARCHAR) || ':{salt}')")
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST({h} AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket FROM b
+WHERE bucket < CASE {stratum} {whens}
+               ELSE {int(round(default_rate * 10000))} END
+"""
+
+
 def _minhash_ctes(num_hashes: int = 16) -> str:
     from model_audit_spark.operators.dedup import (
         MINHASH_PRIME,
