@@ -907,6 +907,21 @@ def _corpus_sample(spark, sf):
     )
 
 
+def _length_percentiles(spark, sf):
+    """Per-source char/token length quantiles (exact form, oracle-checked;
+    percentile_approx is the documented 100 TB variant)."""
+    from model_audit_spark.operators.stats import column_percentiles
+    from model_audit_spark.operators.text_analysis import token_count_ws
+
+    docs = _t(spark, sf, "documents")
+    return column_percentiles(
+        docs,
+        {"chars": F.col("n_chars"), "tokens": token_count_ws("text")},
+        [0.25, 0.5, 0.75, 0.95],
+        group_cols=["source"],
+    )
+
+
 def _dedup_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return dedup_simhash_df(docs, "text", "doc_id")
@@ -1171,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "contamination_check": _contamination_check,
         "corpus_sample": _corpus_sample,
+        "length_percentiles": _length_percentiles,
         # -- rows-only kernel ----------------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
     }
@@ -1225,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),
+        "length_percentiles": ora.length_percentiles(),
         "dedup_simhash": ora.dedup_simhash(),
         "dedup_simhash_pairs": ora.dedup_simhash_pairs(),
         "similarity_topk": ora.similarity_topk(),

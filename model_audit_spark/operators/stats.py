@@ -1,0 +1,62 @@
+"""Distribution statistics over corpus columns (scale extension; the
+reference reports only means/counts — percentiles are standard corpus-QA
+tooling for training-data pipelines: length cutoffs, token budgets,
+truncation thresholds).
+
+Two forms:
+- exact=True: Spark's `percentile` — exact linear-interpolated quantiles
+  (identical definition to ANSI percentile_cont / DuckDB quantile_cont, so
+  it is oracle-checkable bit-for-bit). It buffers each group's values in the
+  aggregation state, so it is for |group| that fits an executor — fine for
+  per-source/per-lang groups up to ~10^8 rows of one numeric column.
+- exact=False: `percentile_approx` (t-digest sketch, bounded memory,
+  mergeable map-side partials) — the 100 TB path. Same output schema; the
+  sketch error is the documented tradeoff, so the oracle gate runs the exact
+  form and the approx form is property-tested against it.
+
+All requested probabilities for a column are computed in ONE aggregate
+buffer (array form), not one buffer per quantile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_percentiles(
+    df: DataFrame,
+    value_cols: dict[str, "F.Column | str"],
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles: one output column `{name}_p{prob%}` per
+    (value column, probability).
+
+    value_cols maps output-name prefix -> source column/expression; the
+    expression is projected first so the aggregate input is a plain
+    attribute (keeps the agg buffer off the expression tree)."""
+    group_cols = group_cols or []
+    proj = [F.col(g) for g in group_cols] + [
+        (F.col(c) if isinstance(c, str) else c).cast("double").alias(f"_v_{n}")
+        for n, c in value_cols.items()
+    ]
+    base = df.select(*proj)
+    arr = ",".join(f"{p}D" for p in probs)
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
+    aggs = [
+        F.expr(f"{fn}(_v_{n}, array({arr}){extra})").alias(f"_q_{n}")
+        for n in value_cols
+    ]
+    agged = base.groupBy(*group_cols).agg(*aggs)
+    out = [F.col(g) for g in group_cols]
+    for n in value_cols:
+        for i, p in enumerate(probs):
+            label = f"{n}_p{str(p * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+            out.append(
+                F.round(F.element_at(F.col(f"_q_{n}"), i + 1), 6).alias(label)
+            )
+    return agged.select(*out)

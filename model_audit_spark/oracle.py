@@ -1329,6 +1329,28 @@ WHERE bucket < CASE {stratum} {whens}
 """
 
 
+def length_percentiles(probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) -> str:
+    """Exact per-source length/token quantiles (twin of
+    stats.column_percentiles exact form; quantile_cont == Spark percentile,
+    both ANSI percentile_cont linear interpolation)."""
+
+    def lbl(p: float) -> str:
+        return str(p * 100).rstrip("0").rstrip(".").replace(".", "_")
+
+    cols = ", ".join(
+        [f"round(quantile_cont(c, {p}), 6) AS chars_p{lbl(p)}" for p in probs]
+        + [f"round(quantile_cont(t, {p}), 6) AS tokens_p{lbl(p)}" for p in probs]
+    )
+    return f"""
+WITH base AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS c,
+         CAST(len({_words('text')}) AS DOUBLE) AS t
+  FROM documents
+)
+SELECT source, {cols} FROM base GROUP BY source
+"""
+
+
 def _minhash_ctes(num_hashes: int = 16) -> str:
     from model_audit_spark.operators.dedup import (
         MINHASH_PRIME,
