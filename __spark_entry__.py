@@ -868,6 +868,21 @@ def _dedup_minhash_pairs(spark, sf):
     return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _dedup_clusters(spark, sf):
+    """Near-dup pairs → connected components → per-doc cluster + keep
+    verdict (min-id representative). Pairs come from the same
+    minhash→LSH→Jaccard-verify chain as dedup_minhash_pairs."""
+    from model_audit_spark.operators.cluster import cluster_documents
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "text", "doc_id", min_jaccard=0.5
+    ).select("id_a", "id_b")
+    return cluster_documents(docs, verified, "doc_id")
+
+
 def _dedup_ngram_jaccard(spark, sf):
     from model_audit_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1155,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_keys": _cache_keys,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1238,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ora.dedup_exact(),
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
+        "dedup_clusters": ora.dedup_clusters(),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),

@@ -1,0 +1,132 @@
+"""Duplicate-cluster resolution: near-dup pairs → connected components.
+
+The dedup operators (dedup.py) emit verified near-duplicate PAIRS
+(id_a, id_b). Retention policy needs CLUSTERS: if A~B and B~C, all three
+are one duplicate group even when (A, C) was never a candidate pair.
+This module closes that gap with a distributed connected-components pass —
+the reference has no equivalent (its corpus fits in one Python list); the
+algorithm is the standard iterative min-label propagation used by
+large-scale dedup pipelines.
+
+Scale notes (100 TB):
+- Each iteration is ONE shuffle: edges ⋈ labels on the node key, then a
+  min-aggregate. Both sides are hash-partitioned on the same key count so
+  AQE/ReusedExchange can keep the edge side's layout across iterations.
+- Iteration count is the graph DIAMETER. LSH duplicate graphs are
+  near-cliques (every member collides with most others in some band), so
+  2-4 iterations converge in practice; `max_iter` bounds pathological
+  chains. For adversarial long-chain graphs, switch to the
+  large-star/small-star variant (O(log n) rounds) — not needed for dedup
+  workloads, where a >4-deep chain of pairwise-0.5-Jaccard docs is
+  vanishingly rare.
+- Convergence is checked with a driver-side count per iteration (the same
+  O(rounds) tiny actions GraphX/Pregel performs); each iteration's labels
+  are `localCheckpoint`ed so the LOGICAL plan is truncated every round —
+  persist alone caches data but lets the analyzed plan grow by two joins
+  per iteration, which turns Catalyst analysis super-linear after ~6
+  rounds. On a real cluster with a fault-tolerance requirement, swap in
+  `sparkContext.setCheckpointDir` + `.checkpoint()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["connected_components", "cluster_documents"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`.
+
+    component = the minimum node id reachable through the undirected pair
+    graph — deterministic, order-independent, and stable under any
+    partitioning (min is commutative), so the result hash-matches a
+    single-node transitive-closure oracle.
+    """
+    edges_fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges_fwd.union(
+            edges_fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.withColumnRenamed("node", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", "comp")
+                    ).alias("comp"),
+                    (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias(
+                        "_changed"
+                    ),
+                )
+                # eager localCheckpoint = materialize AND truncate lineage;
+                # the convergence count below then reads the checkpoint
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter("_changed").count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def cluster_documents(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-document cluster assignment + retention verdict.
+
+    Output: (doc_id, cluster_id, cluster_size, keep) for EVERY document —
+    docs in no near-dup pair form singleton clusters of themselves. The
+    retention rule keeps the minimum doc_id of each cluster (deterministic
+    canonical representative; swap the ordering column for a quality score
+    to keep the best-quality member instead).
+    """
+    comp = connected_components(pairs, max_iter=max_iter)
+    assigned = (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w_size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        w_size.alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -1459,6 +1459,42 @@ WHERE round({jac}, 6) >= {min_jaccard!r}
 """
 
 
+def dedup_clusters(min_jaccard: float = 0.5) -> str:
+    """Transitive closure of the verified minhash near-dup pairs → min-id
+    component per document (twin of cluster.cluster_documents over
+    dedup_minhash_pairs). The recursive CTE is the single-node oracle for
+    the distributed min-label propagation."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b FROM ({dedup_minhash_pairs(min_jaccard)})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (
+  SELECT node, min(m) AS mn FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(coalesce(least(c.mn, d.doc_id), d.doc_id) AS BIGINT)
+           AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM assigned
+"""
+
+
 def dedup_simhash(bits: int = 32) -> str:
     hexval = (
         "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"

@@ -1,0 +1,53 @@
+"""Connected-components duplicate clustering (operators/cluster.py)."""
+
+from pyspark.sql import functions as F
+
+from model_audit_spark.operators.cluster import (
+    cluster_documents,
+    connected_components,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_chain_transitivity(spark):
+    # 1-2, 2-3, 3-4: (1,4) never a pair, but all one component.
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r["node"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_and_edge_direction(spark):
+    # second component given with ids reversed (7, 5): min still wins
+    comp = connected_components(_pairs(spark, [(1, 2), (7, 5)]))
+    got = {r["node"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 7: 5}
+
+
+def test_long_chain_converges_past_one_round(spark):
+    # diameter-8 path: needs several propagation rounds, not just one
+    edges = [(i, i + 1) for i in range(10, 18)]
+    comp = connected_components(_pairs(spark, edges))
+    assert {r["comp"] for r in comp.collect()} == {10}
+
+
+def test_cluster_documents_singletons_and_keep(spark):
+    docs = spark.range(1, 7).select(F.col("id").alias("doc_id"))
+    out = cluster_documents(docs, _pairs(spark, [(2, 4), (4, 6)]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["cluster_id"] == 2 and rows[4]["cluster_id"] == 2
+    assert rows[6]["cluster_id"] == 2 and rows[6]["cluster_size"] == 3
+    # singletons keep themselves
+    for d in (1, 3, 5):
+        assert rows[d]["cluster_id"] == d and rows[d]["keep"]
+        assert rows[d]["cluster_size"] == 1
+    # exactly one keeper per cluster, and it is the min id
+    assert rows[2]["keep"] and not rows[4]["keep"] and not rows[6]["keep"]
+
+
+def test_empty_pairs_all_singletons(spark):
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    out = cluster_documents(docs, _pairs(spark, []))
+    assert all(r["keep"] and r["cluster_size"] == 1 for r in out.collect())
