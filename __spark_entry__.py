@@ -868,6 +868,14 @@ def _dedup_minhash_pairs(spark, sf):
     return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _quality_repetition(spark, sf):
+    """Gopher-style repetition/boilerplate quality signals per document
+    with a composite pass verdict (operators/quality.py)."""
+    from model_audit_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
 def _dedup_clusters(spark, sf):
     """Near-dup pairs → connected components → per-doc cluster + keep
     verdict (min-id representative). Pairs come from the same
@@ -1171,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_clusters": _dedup_clusters,
+        "quality_repetition": _quality_repetition,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1255,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_clusters": ora.dedup_clusters(),
+        "quality_repetition": ora.quality_repetition(),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),

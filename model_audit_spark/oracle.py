@@ -1495,6 +1495,93 @@ FROM assigned
 """
 
 
+def quality_repetition() -> str:
+    """Twin of quality.repetition_stats: Gopher-style repetition signals +
+    composite verdict. Line/paragraph/symbol signals are list expressions;
+    the top-2-gram is unnest → group → per-doc (cnt DESC, ng DESC) pick,
+    mirroring Spark's max(struct(cnt, ng)) tie-break."""
+    lines = (
+        "list_filter(list_transform(string_split(t, chr(10)), "
+        "x -> trim(x)), x -> x != '')"
+    )
+    paras = (
+        "list_filter(list_transform(string_split_regex(t, '\\n{2,}'), "
+        "x -> trim(x)), x -> x != '')"
+    )
+    symbol_hits = " + ".join(
+        _count_substr("t", n) for n in ("#", "...", "…")
+    )
+    thr = ", ".join(
+        f"{v!r} AS _t_{k}"
+        for k, v in (
+            ("dup_line", 0.30),
+            ("dup_para", 0.30),
+            ("top2", 0.20),
+            ("symbol", 0.10),
+            ("bullet", 0.90),
+            ("ellipsis", 0.30),
+        )
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+arrs AS (
+  SELECT doc_id, t,
+         {lines} AS lines,
+         {paras} AS paras,
+         {_words('t')} AS w,
+         {_tokens('t')} AS tok,
+         length(t) AS n_chars
+  FROM base
+),
+feats AS (
+  SELECT doc_id, n_chars,
+    len(lines) AS n_lines,
+    round((len(lines) - len(list_distinct(lines)))
+          / greatest(len(lines), 1), 6) AS dup_line_frac,
+    round((len(paras) - len(list_distinct(paras)))
+          / greatest(len(paras), 1), 6) AS dup_para_frac,
+    round(({symbol_hits}) / greatest(len(w), 1), 6) AS symbol_word_ratio,
+    round(len(list_filter(lines, x -> starts_with(x, '-')
+          OR starts_with(x, '*') OR starts_with(x, '•')))
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, x -> ends_with(x, '...')
+          OR ends_with(x, '…')))
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+  FROM arrs
+),
+ngr AS (
+  SELECT doc_id, unnest({_bigrams('tok')}) AS ng FROM arrs
+),
+cnts AS (
+  SELECT doc_id, ng, count(*) AS cnt FROM ngr GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, ng, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, ng DESC) AS rn
+  FROM cnts
+),
+joined AS (
+  SELECT f.*, coalesce(tp.ng, '') AS top_2gram,
+         round(least(coalesce(tp.cnt * length(tp.ng), 0)
+               / greatest(f.n_chars, 1), 1.0), 6) AS top_2gram_char_frac,
+         {thr}
+  FROM feats f LEFT JOIN top tp ON tp.doc_id = f.doc_id AND tp.rn = 1
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_para_frac, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, top_2gram,
+       top_2gram_char_frac,
+       (dup_line_frac <= _t_dup_line AND dup_para_frac <= _t_dup_para
+        AND top_2gram_char_frac <= _t_top2
+        AND symbol_word_ratio <= _t_symbol
+        AND bullet_line_frac <= _t_bullet
+        AND ellipsis_line_frac <= _t_ellipsis) AS repetition_pass
+FROM joined
+"""
+
+
 def dedup_simhash(bits: int = 32) -> str:
     hexval = (
         "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
