@@ -868,6 +868,14 @@ def _dedup_minhash_pairs(spark, sf):
     return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _pii_scan(spark, sf):
+    """Regex-tier PII counts + redacted text per document
+    (operators/pii.py)."""
+    from model_audit_spark.operators.pii import pii_scan
+
+    return pii_scan(_t(spark, sf, "documents"))
+
+
 def _quality_repetition(spark, sf):
     """Gopher-style repetition/boilerplate quality signals per document
     with a composite pass verdict (operators/quality.py)."""
@@ -1180,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_clusters": _dedup_clusters,
         "quality_repetition": _quality_repetition,
+        "pii_scan": _pii_scan,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1265,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_clusters": ora.dedup_clusters(),
         "quality_repetition": ora.quality_repetition(),
+        "pii_scan": ora.pii_scan(),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),

@@ -1,0 +1,63 @@
+"""PII detection and redaction over a document corpus.
+
+Training-data pipelines scrub personally-identifiable information before
+the corpus ships; this module provides the standard regex tier — emails,
+phone numbers, IPv4 addresses — as pure built-in expressions (one scan,
+no shuffle, no UDF). An ML-based NER tier (names, addresses) would slot
+behind the same output contract as a mapInPandas stage; the regex tier is
+the one that must run on every byte at 100 TB, so it stays JVM-side.
+
+Pattern notes: everything is written in the syntax subset shared by Java
+regex (Spark) and RE2 (the DuckDB oracle) — no lookaround, no
+backreferences — so both engines tokenize identically and the oracle
+hash-check is meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "pii_scan"]
+
+# Order matters for redaction: emails first (their local part can contain
+# digits), then IPv4 (dotted digit runs), then phones (bare digit runs).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+_REDACTION = {"email": "[EMAIL]", "ipv4": "[IP]", "phone": "[PHONE]"}
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII hit counts + redacted text.
+
+    Output: (id, n_emails, n_phones, n_ipv4, has_pii, redacted). Counts
+    are computed on the ORIGINAL text per pattern (independent of
+    redaction order); `redacted` applies the replacements in the
+    documented order. NULL text behaves as empty.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        k: F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+    redacted = c
+    for k in ("email", "ipv4", "phone"):
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[k], _REDACTION[k]
+        )
+    return df.select(
+        F.col(id_col),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ipv4"),
+        (
+            (counts["email"] + counts["phone"] + counts["ipv4"]) > 0
+        ).alias("has_pii"),
+        redacted.alias("redacted"),
+    )

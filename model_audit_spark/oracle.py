@@ -1582,6 +1582,35 @@ FROM joined
 """
 
 
+def pii_scan() -> str:
+    """Twin of pii.pii_scan — same regexes under RE2; counts on the
+    original text, redaction applied email → ipv4 → phone."""
+    from model_audit_spark.operators.pii import PII_PATTERNS
+
+    def q(p: str) -> str:
+        return "'" + p.replace("'", "''") + "'"
+
+    email, ipv4, phone = (
+        q(PII_PATTERNS["email"]), q(PII_PATTERNS["ipv4"]),
+        q(PII_PATTERNS["phone"]),
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, {email}, "
+        f"'[EMAIL]', 'g'), {ipv4}, '[IP]', 'g'), {phone}, '[PHONE]', 'g')"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, {email})) AS n_emails,
+  len(regexp_extract_all(t, {phone})) AS n_phones,
+  len(regexp_extract_all(t, {ipv4})) AS n_ipv4,
+  (len(regexp_extract_all(t, {email})) + len(regexp_extract_all(t, {phone}))
+   + len(regexp_extract_all(t, {ipv4}))) > 0 AS has_pii,
+  {red} AS redacted
+FROM base
+"""
+
+
 def dedup_simhash(bits: int = 32) -> str:
     hexval = (
         "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"

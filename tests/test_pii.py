@@ -1,0 +1,40 @@
+"""PII scan/redaction (operators/pii.py)."""
+
+from model_audit_spark.operators.pii import pii_scan
+
+
+def _scan(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return pii_scan(df).collect()[0]
+
+
+def test_email_detection_and_redaction(spark):
+    r = _scan(spark, "contact alice.smith+spam@example.co.uk for info")
+    assert r["n_emails"] == 1 and r["has_pii"]
+    assert r["redacted"] == "contact [EMAIL] for info"
+
+
+def test_phone_and_ipv4(spark):
+    r = _scan(spark, "call (555) 867-5309 or ssh to 192.168.1.100 now")
+    assert r["n_phones"] == 1
+    assert r["n_ipv4"] == 1
+    assert "[PHONE]" in r["redacted"] and "[IP]" in r["redacted"]
+    assert "5309" not in r["redacted"] and "192" not in r["redacted"]
+
+
+def test_multiple_hits_counted(spark):
+    r = _scan(spark, "a@b.io and c@d.org wrote from 10.0.0.1 and 10.0.0.2")
+    assert r["n_emails"] == 2 and r["n_ipv4"] == 2
+
+
+def test_clean_text_untouched(spark):
+    text = "no personal data here, just 42 plain words."
+    r = _scan(spark, text)
+    assert not r["has_pii"]
+    assert r["redacted"] == text
+
+
+def test_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = pii_scan(df).collect()[0]
+    assert not r["has_pii"] and r["redacted"] == ""
