@@ -868,6 +868,15 @@ def _dedup_minhash_pairs(spark, sf):
     return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing: doc → fixed-length training
+    context assignment, sharded by hash bucket (operators/packing.py).
+    context_len=256 so sf0.01 docs actually span chunk boundaries."""
+    from model_audit_spark.operators.packing import pack_chunks
+
+    return pack_chunks(_t(spark, sf, "documents"), context_len=256)
+
+
 def _pii_scan(spark, sf):
     """Regex-tier PII counts + redacted text per document
     (operators/pii.py)."""
@@ -1189,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "quality_repetition": _quality_repetition,
         "pii_scan": _pii_scan,
+        "pack_chunks": _pack_chunks,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1275,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ora.dedup_clusters(),
         "quality_repetition": ora.quality_repetition(),
         "pii_scan": ora.pii_scan(),
+        "pack_chunks": ora.pack_chunks(context_len=256),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),

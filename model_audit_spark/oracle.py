@@ -1611,6 +1611,41 @@ FROM base
 """
 
 
+def pack_chunks(
+    context_len: int = 2048, n_shards: int = 8, salt: str = "pack"
+) -> str:
+    """Twin of packing.pack_chunks: md5 shard bucket, per-shard running
+    BPE-token offsets, integer-division chunk ids."""
+    from model_audit_spark.operators.text_analysis import BPE_PATTERN
+
+    h = _hex32(f"md5(CAST(doc_id AS VARCHAR) || ':{salt}')")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST({h} AS BIGINT) % 10000 % {n_shards} AS shard,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+         {sql_quote(BPE_PATTERN)})) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_off,
+  start_off // {context_len} AS chunk_first,
+  CASE WHEN n_tokens > 0
+       THEN (start_off + n_tokens - 1) // {context_len}
+       ELSE start_off // {context_len} END AS chunk_last,
+  (CASE WHEN n_tokens > 0
+        THEN (start_off + n_tokens - 1) // {context_len}
+        ELSE start_off // {context_len} END)
+    > (start_off // {context_len}) AS spans_boundary
+FROM c
+"""
+
+
 def dedup_simhash(bits: int = 32) -> str:
     hexval = (
         "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
