@@ -868,6 +868,15 @@ def _dedup_minhash_pairs(spark, sf):
     return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _semantic_dedup(spark, sf):
+    """SemDeDup-style embedding dedup: seeded-quantizer clusters,
+    within-cluster cosine, min-id retention (similarity.semantic_dedup).
+    threshold=0.4 matches the data-calibrated embedding_pairs_exact."""
+    from model_audit_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
 def _pack_chunks(spark, sf):
     """Concat-and-chunk sequence packing: doc → fixed-length training
     context assignment, sharded by hash bucket (operators/packing.py).
@@ -1199,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _quality_repetition,
         "pii_scan": _pii_scan,
         "pack_chunks": _pack_chunks,
+        "semantic_dedup": _semantic_dedup,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1286,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": ora.quality_repetition(),
         "pii_scan": ora.pii_scan(),
         "pack_chunks": ora.pack_chunks(context_len=256),
+        "semantic_dedup": ora.semantic_dedup(threshold=0.4),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),

@@ -358,3 +358,58 @@ def ivf_topk(
         centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
         assigned = ivf_assign(emb, centroids, id_col, vec_col)
     return ivf_probe(assigned, query_vec_id, centroids, k, nprobe, id_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    with the coarse quantizer, compare pairs only WITHIN a cluster, drop
+    any vector whose cosine to a lower-id cluster-mate reaches the
+    threshold. Output: (id, cluster, max_prior_sim, keep) for every
+    vector — `max_prior_sim` is the best cosine to a lower-id member of
+    the same cluster (0.0 when alone), `keep` = it stays in the corpus.
+
+    Scale shape: assignment is a zero-shuffle projection against literal
+    centroids (ivf_assign); the pair stage is an equi-join on `cluster`,
+    Σ cluster² work — pick n_clusters ≈ √N (SemDeDup uses k in the
+    thousands at web scale) so cluster populations stay bounded; the
+    final aggregate + left join are keyed on the id. Deterministic:
+    seeded quantizer, min-id retention, 6dp-rounded sims."""
+    centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).persist()
+    a = assigned.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col("ev").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col("ev").alias("vb")
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    prior = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(sim, 6).alias("s"))
+        .groupBy("id_b")
+        .agg(F.max("s").alias("max_prior_sim"))
+    )
+    return (
+        assigned.join(
+            prior, assigned[id_col] == prior["id_b"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.round(F.coalesce("max_prior_sim", F.lit(0.0)), 6).alias(
+                "max_prior_sim"
+            ),
+            (F.coalesce("max_prior_sim", F.lit(0.0)) < threshold).alias(
+                "keep"
+            ),
+        )
+    )

@@ -1850,6 +1850,54 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def semantic_dedup(
+    threshold: float = 0.4, n_clusters: int = 8, dim: int = 64
+) -> str:
+    """Twin of similarity.semantic_dedup: seeded-sample quantizer
+    assignment (same CTEs as ann_ivf_topk), within-cluster pairwise
+    cosine, drop vectors matching a lower-id cluster-mate."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {n_clusters})
+),
+scored AS (
+  SELECT vec_id, v, cid,
+    list_sum(list_transform(range(1, {dim} + 1), j -> v[j] * cv[j])) / cn
+      AS s
+  FROM v CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), j -> a.v[j] * b.v[j]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+    6) AS s
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+prior AS (
+  SELECT id_b AS vec_id, max(s) AS mx FROM pairs GROUP BY 1
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,
+       round(coalesce(p.mx, 0.0), 6) AS max_prior_sim,
+       coalesce(p.mx, 0.0) < {threshold!r} AS keep
+FROM assigned a LEFT JOIN prior p ON p.vec_id = a.vec_id
+"""
+
+
 def embedding_pairs_exact(threshold: float = 0.9) -> str:
     """Exact twin of similarity.embedding_cosine_pairs_exact."""
     return f"""
