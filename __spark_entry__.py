@@ -56,6 +56,7 @@ from model_audit_spark.operators.fingerprint import (
 )
 from model_audit_spark.operators.reef import cka_long, embeddings_long
 from model_audit_spark.operators.skew import rebalance_scan
+from model_audit_spark.sources.readers import normalize_event_ts
 from model_audit_spark.operators.similarity import (
     cosine_topk,
     embedding_cosine_pairs,
@@ -74,16 +75,14 @@ from model_audit_spark.catalogs import (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-        # rejects; read nanos as long and convert to micros precision.
+        # events.parquet has shipped as TIMESTAMP(NANOS) — which the
+        # vectorized reader rejects unless read as long — and as
+        # TIMESTAMP(MICROS) across driver rounds; nanosAsLong is harmless
+        # for micros files, and normalize_event_ts adapts to whichever
+        # type the scan produces.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer DIV, not /1000: float division loses ~256ns (double ulp
-        # at epoch-nanos scale), which microsecond-exact queries
-        # (q_events_asof lag_us) see as off-by-one against the oracle
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        return normalize_event_ts(df)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
         # CPU-heavy expression corpora: a small single-row-group file scans

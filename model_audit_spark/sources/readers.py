@@ -112,3 +112,26 @@ def read_texts(
     if lower.endswith(".parquet"):
         return extract_text(spark.read.parquet(path), field)
     return read_text_paragraphs(spark, path)
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-TZ TIMESTAMP regardless of
+    how the parquet writer encoded it. The driver's events.parquet has
+    shipped as TIMESTAMP(NANOS) (readable only as long via
+    spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ) across rounds; queries must not care.
+
+    long (epoch nanos) -> integer-DIV to micros (float division loses
+    ~256ns, a visible off-by-one in microsecond-exact as-of lags);
+    TIMESTAMP_NTZ -> cast to TIMESTAMP (same wall time under the UTC
+    session zone); TIMESTAMP -> unchanged.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df

@@ -69,14 +69,12 @@ def test_events_fixture_streams_windowed_values(spark, tmp_path):
         src_dir / "part-0.parquet",
     )
     src = str(src_dir)
-    batch = spark.read.parquet(src).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from model_audit_spark.sources.readers import normalize_event_ts
+
+    batch = normalize_event_ts(spark.read.parquet(src))
     schema = batch.schema
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
