@@ -1157,34 +1157,35 @@ def _streaming_source_verdict(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
-    entries only. Entries 1-50 are all oracle-backed and cover every SURVEY
-    §2 ID at least once, plus the curation flagship and the as-of/range join
-    extensions; 51+ are oracle-backed but their IDs are also covered
-    in-window (TPC-H join shapes by q1/urgent/rollup/compare queries, top-k
-    by similarity_topk, time-bucket agg by sessionize/window_orders,
-    long-format style by style_fingerprint, signatures by the *_pairs
-    queries that build them, lang-ID by text_stats.lang_pred, the exact
-    O(N^2) twin by the hash-checked embedding_near_dups it verifies,
-    anti-join is a 0-row vacuous pass at sf0.01); the last entry is the one
-    genuinely rows-only kernel (difflib parity UDF)."""
+    entries only. Entries 1-50 are all oracle-backed; slots are prioritized
+    for queries that have never had a driver correctness row (the round-2
+    curation / as-of / decontamination / sampling / streaming additions).
+    Entries 51+ are also oracle-backed and still checked by the local
+    mirror (scripts/check_oracle.py) every session, but were driver-green
+    in round 1 (CORRECTNESS_r01.json) and their SURVEY §2 IDs are covered
+    by in-window queries: detect chain by detect_documents +
+    style_count_distribution, A1/A2/A3 by the compare queries that consume
+    them, probe catalog by probe_style_consistency, TPC-H join shapes by
+    q1/rollup/compare, top-k by similarity_topk, time-bucket agg by
+    sessionize/asof/range, signatures by the *_pairs queries that build
+    them, lang-ID by text_stats.lang_pred, the exact O(N^2) twin by the
+    hash-checked embedding_near_dups it verifies, anti/semi joins by
+    r1-green q_urgent_customers/q_customers_no_orders. The last entry is
+    the one genuinely rows-only kernel (difflib parity UDF)."""
     return {
         # -- 1-50: oracle-backed, in the driver's check window -------------
         "q1_pricing_summary": _q1,
-        "q_urgent_customers": _q_urgent_customers,
         "q_rollup_revenue": _q_rollup_revenue,
         "q_window_orders": _q_window_orders,
         "q_events_sessionize": _q_events_sessionize,
+        "q_events_asof": _q_events_asof,
+        "q_events_range_join": _q_events_range_join,
         "detect_documents": _detect_documents,
         "style_fingerprint": _style_fingerprint,
-        "detect_distribution": _detect_distribution,
         "llmmap_features_documents": _llmmap_features_documents,
-        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "llmmap_compare_sources": _llmmap_compare_sources,
         "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
-        "dli_bigrams_by_source": _dli_bigrams,
-        "dli_features_by_source": _dli_features,
         "dli_compare_sources": _dli_compare_sources,
-        "probes_filtered": _probes_filtered,
         "benchmark_detect": _benchmark_detect,
         "benchmark_accuracy": _benchmark_accuracy,
         "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
@@ -1193,16 +1194,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_style_consistency": _probe_style_consistency,
         "audit_consistency_rate": _audit_consistency_rate,
         "style_count_distribution": _style_count_distribution,
-        "probe_category_counts": _probe_category_counts,
         "claimed_families": _claimed_families,
-        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
         "text_stats": _text_stats,
         "corpus_stats": _corpus_stats,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
-        "cache_keys": _cache_keys,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
         "quality_repetition": _quality_repetition,
         "pii_scan": _pii_scan,
@@ -1222,10 +1221,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "streaming_source_verdict": _streaming_source_verdict,
         "curate_corpus": _curate_corpus,
-        "q_events_asof": _q_events_asof,
-        "q_events_range_join": _q_events_range_join,
-        # -- 51+: oracle-backed, outside the driver window; IDs redundant
-        # with in-window queries (all still checked by the local mirror)
+        "contamination_check": _contamination_check,
+        "corpus_sample": _corpus_sample,
+        "length_percentiles": _length_percentiles,
+        # -- 51+: oracle-backed, outside the driver window; r1-driver-green
+        # (CORRECTNESS_r01.json) and IDs redundant with in-window queries
+        # (all still checked by the local mirror)
+        "q_urgent_customers": _q_urgent_customers,
+        "detect_distribution": _detect_distribution,
+        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
+        "dli_bigrams_by_source": _dli_bigrams,
+        "dli_features_by_source": _dli_features,
+        "probes_filtered": _probes_filtered,
+        "probe_category_counts": _probe_category_counts,
+        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
+        "cache_keys": _cache_keys,
         "q3_top_unshipped": _q3,
         "q5_regional_revenue": _q5,
         "embedding_pairs_exact": _embedding_pairs_exact,
@@ -1236,10 +1246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "contamination_check": _contamination_check,
-        "corpus_sample": _corpus_sample,
-        "length_percentiles": _length_percentiles,
         # -- rows-only kernel ----------------------------------------------
         "memorization_seqmatch": _memorization_seqmatch,
     }
