@@ -844,6 +844,27 @@ def _cache_keys(spark, sf):
     )
 
 
+def _c4_clean(spark, sf):
+    from model_audit_spark.operators.c4 import c4_clean_stats
+
+    docs = _t(spark, sf, "documents")
+    return c4_clean_stats(docs, "text", "doc_id")
+
+
+def _paragraph_dedup(spark, sf):
+    from model_audit_spark.operators.dedup import paragraph_dedup_stats
+
+    docs = _t(spark, sf, "documents")
+    return paragraph_dedup_stats(docs, "text", "doc_id")
+
+
+def _char_lm_scores(spark, sf):
+    from model_audit_spark.operators.lm import char_lm_scores
+
+    docs = _t(spark, sf, "documents")
+    return char_lm_scores(docs, "text", "doc_id")
+
+
 def _dedup_exact(spark, sf):
     docs = _t(spark, sf, "documents")
     return exact_dedup(docs, "text", "doc_id")
@@ -1176,7 +1197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1-50: oracle-backed, in the driver's check window -------------
         "q1_pricing_summary": _q1,
         "q_rollup_revenue": _q_rollup_revenue,
-        "q_window_orders": _q_window_orders,
         "q_events_sessionize": _q_events_sessionize,
         "q_events_asof": _q_events_asof,
         "q_events_range_join": _q_events_range_join,
@@ -1194,12 +1214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_style_consistency": _probe_style_consistency,
         "audit_consistency_rate": _audit_consistency_rate,
         "style_count_distribution": _style_count_distribution,
-        "claimed_families": _claimed_families,
         "text_stats": _text_stats,
-        "corpus_stats": _corpus_stats,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
         "dedup_exact": _dedup_exact,
+        "paragraph_dedup": _paragraph_dedup,
+        "c4_clean": _c4_clean,
+        "char_lm_scores": _char_lm_scores,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
@@ -1228,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (CORRECTNESS_r01.json) and IDs redundant with in-window queries
         # (all still checked by the local mirror)
         "q_urgent_customers": _q_urgent_customers,
+        "q_window_orders": _q_window_orders,
+        "claimed_families": _claimed_families,
+        "corpus_stats": _corpus_stats,
         "detect_distribution": _detect_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "dli_bigrams_by_source": _dli_bigrams,
@@ -1295,6 +1319,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),
         "dedup_exact": ora.dedup_exact(),
+        "paragraph_dedup": ora.paragraph_dedup(),
+        "c4_clean": ora.c4_clean(),
+        "char_lm_scores": ora.char_lm_scores(),
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),
         "dedup_minhash_pairs": ora.dedup_minhash_pairs(),
         "dedup_clusters": ora.dedup_clusters(),

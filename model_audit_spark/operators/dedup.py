@@ -413,3 +413,64 @@ def simhash(
         F.lit(0).cast("long"),
     )
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def paragraph_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb / MassiveText
+    "repeated passages" tier): every paragraph occurrence that is not the
+    GLOBAL first occurrence of its content is a removal candidate.
+
+    First occurrence = min(struct(doc_id, pos)) over the paragraph's md5 —
+    deterministic under any partitioning (no float, no tie ambiguity).
+
+    Output per doc: (id, n_paras, n_dup_paras, n_removed, keep_frac) where
+    n_dup_paras counts occurrences whose content appears >1 time in the
+    corpus and n_removed counts occurrences losing the global-first race.
+
+    Plan shape at scale: posexplode -> md5 -> ONE hash aggregate keyed on
+    the 128-bit digest (map-side partial combine; identical boilerplate
+    paragraphs are hot keys but the aggregate carries only (count, min
+    struct) — no row blowup) -> broadcast-eligible join back on digest ->
+    per-doc aggregate. Two shuffles total; the text column is scanned once.
+    """
+    paras = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}"),
+                    lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(paras).alias("pos", "para")
+    ).select(id_col, "pos", F.md5("para").alias("h"))
+    firsts = occ.groupBy("h").agg(
+        F.count("*").alias("n_total"),
+        F.min(F.struct(id_col, "pos")).alias("first"),
+    )
+    joined = occ.join(firsts, "h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("n_total") > 1).cast("int")).alias("n_dup_paras"),
+            F.sum(
+                (
+                    ~(
+                        (F.col(f"first.{id_col}") == F.col(id_col))
+                        & (F.col("first.pos") == F.col("pos"))
+                    )
+                ).cast("int")
+            ).alias("n_removed"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            "n_dup_paras",
+            "n_removed",
+            F.round(
+                (F.col("n_paras") - F.col("n_removed"))
+                / F.greatest(F.col("n_paras"), F.lit(1)),
+                6,
+            ).alias("keep_frac"),
+        )
+    )

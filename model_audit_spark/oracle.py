@@ -2221,3 +2221,137 @@ FROM p JOIN c
  AND c.ts < p.ts
 GROUP BY p.event_id, p.user_id
 """
+
+
+def c4_clean() -> str:
+    """Twin of c4.c4_clean_stats: line-tier terminal-punctuation /
+    min-words / boilerplate rules, doc-tier sentence-count and lorem/brace
+    gates. All integer/string/bool outputs — no float-order hazard."""
+    line_kept = (
+        "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')"
+        " OR ends_with(x, '\"') OR ends_with(x, '”'))"
+        r" AND len(string_split_regex(x, '\s+')) >= 3"
+        " AND NOT (contains(lower(x), 'javascript')"
+        " OR contains(lower(x), 'cookie')"
+        " OR contains(lower(x), 'privacy policy')"
+        " OR contains(lower(x), 'terms of use'))"
+    )
+    n_sent = _sentence_count("kept_text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+arrs AS (
+  SELECT doc_id, t,
+    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                x -> x != '') AS lines
+  FROM base
+),
+kept AS (
+  SELECT doc_id, t, lines,
+    list_filter(lines, x -> {line_kept}) AS k
+  FROM arrs
+),
+agg AS (
+  SELECT doc_id, t, lines, k,
+         coalesce(array_to_string(k, chr(10)), '') AS kept_text
+  FROM kept
+)
+SELECT doc_id,
+  len(lines) AS n_lines,
+  len(k) AS n_kept_lines,
+  round(len(k) / greatest(len(lines), 1), 6) AS kept_frac,
+  {n_sent} AS n_sentences,
+  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(t, '{{') AS has_brace,
+  length(kept_text) AS kept_len,
+  md5(kept_text) AS kept_md5,
+  ({n_sent} >= 5
+   AND NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(t, '{{')) AS c4_pass
+FROM agg
+"""
+
+
+def paragraph_dedup() -> str:
+    """Twin of dedup.paragraph_dedup_stats: global-first-occurrence
+    paragraph dedup. Spark's min(struct(doc_id, pos)) winner = the rn=1
+    row of a (doc_id, pos) window — same total order, no ties (positions
+    are unique within a doc)."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+plist AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+                x -> trim(x)), x -> x != '') AS ps
+  FROM base
+),
+occ AS (
+  SELECT doc_id, u['pos'] AS pos, md5(u['para']) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(ps, (x, i) -> {'para': x, 'pos': i})) AS u
+    FROM plist
+  )
+),
+ranked AS (
+  SELECT doc_id, pos, h,
+         count(*) OVER (PARTITION BY h) AS n_total,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM occ
+)
+SELECT doc_id,
+  count(*) AS n_paras,
+  CAST(sum(CASE WHEN n_total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_paras,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  round((count(*) - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
+        / greatest(count(*), 1), 6) AS keep_frac
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def char_lm_scores() -> str:
+    """Twin of lm.char_lm_scores: corpus char-bigram cross-entropy in
+    integer nanonats (see lm.py docstring) — the only doubles are ln over
+    exact integers (quantized at 1e9, far below engine ulp divergence)
+    and one final exact-int/1e9 division, bit-identical across engines.
+    Deliberately NO engine-side round() on a double anywhere."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) >= 2
+         THEN list_transform(range(1, length(t)), i -> substr(t, i, 2))
+         ELSE []::VARCHAR[] END) AS bigram
+  FROM base
+),
+lm AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+tot AS (
+  SELECT CAST(round(ln(sum(cnt)) * 1000000000.0) AS BIGINT) AS lnt9
+  FROM lm
+),
+dc AS (SELECT doc_id, bigram, count(*) AS m FROM bg GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         CAST(sum(m * CAST(round(ln(cnt) * 1000000000.0) AS BIGINT))
+              AS BIGINT) AS s9
+  FROM dc JOIN lm USING (bigram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+  CASE WHEN coalesce(sc.n_bigrams, 0) > 0 THEN
+    CAST(t.lnt9 - ((sc.s9 + sc.n_bigrams // 2) // sc.n_bigrams)
+         AS DOUBLE) / 1000000000.0
+  END AS lm_score
+FROM (SELECT DISTINCT doc_id FROM base) b
+LEFT JOIN scored sc ON sc.doc_id = b.doc_id
+CROSS JOIN tot t
+"""
