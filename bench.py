@@ -84,6 +84,11 @@ def main() -> None:
                 # sec_per_query or per-query times, not raw totals
                 "n_queries": len(times),
                 "sec_per_query": round(total / max(len(times), 1), 3),
+                # r1 timed queries against a shared warm cache; since then
+                # each query is timed cold (clearCache before it runs), so
+                # per-query times are self-contained and NOT comparable to
+                # r1 rows for queries that shared cached subtrees
+                "timing": "isolated-cold-cache",
             }
         )
     )

@@ -429,12 +429,17 @@ def paragraph_dedup_stats(
     n_dup_paras counts occurrences whose content appears >1 time in the
     corpus and n_removed counts occurrences losing the global-first race.
 
-    Plan shape at scale: posexplode -> md5 -> ONE hash aggregate keyed on
-    the 128-bit digest (map-side partial combine; identical boilerplate
-    paragraphs are hot keys but the aggregate carries only (count, min
-    struct) — no row blowup) -> broadcast-eligible join back on digest ->
-    per-doc aggregate. Two shuffles total; the text column is scanned once.
+    Plan shape at scale: posexplode -> md5 -> window over the 128-bit
+    digest (count + row_number in ONE exchange; identical boilerplate
+    paragraphs are hot keys, but each window group carries only its own
+    occurrences and the in-group sort key is 12 bytes) -> per-doc
+    aggregate. Two shuffles total, ONE scan of the text column — an
+    aggregate+join formulation would re-run the split/digest scan on the
+    join's probe side (measured: 2 FileScans without a corpus-sized
+    persist).
     """
+    from pyspark.sql import Window
+
     paras = F.filter(
         F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}"),
                     lambda x: F.trim(x)),
@@ -443,24 +448,20 @@ def paragraph_dedup_stats(
     occ = df.select(
         F.col(id_col), F.posexplode(paras).alias("pos", "para")
     ).select(id_col, "pos", F.md5("para").alias("h"))
-    firsts = occ.groupBy("h").agg(
-        F.count("*").alias("n_total"),
-        F.min(F.struct(id_col, "pos")).alias("first"),
+    wh = Window.partitionBy("h")
+    ranked = occ.select(
+        id_col,
+        F.count("*").over(wh).alias("n_total"),
+        F.row_number()
+        .over(wh.orderBy(id_col, "pos"))
+        .alias("rn"),
     )
-    joined = occ.join(firsts, "h")
     return (
-        joined.groupBy(id_col)
+        ranked.groupBy(id_col)
         .agg(
             F.count("*").alias("n_paras"),
             F.sum((F.col("n_total") > 1).cast("int")).alias("n_dup_paras"),
-            F.sum(
-                (
-                    ~(
-                        (F.col(f"first.{id_col}") == F.col(id_col))
-                        & (F.col("first.pos") == F.col("pos"))
-                    )
-                ).cast("int")
-            ).alias("n_removed"),
+            F.sum((F.col("rn") > 1).cast("int")).alias("n_removed"),
         )
         .select(
             id_col,
