@@ -865,6 +865,34 @@ def _char_lm_scores(spark, sf):
     return char_lm_scores(docs, "text", "doc_id")
 
 
+def _budget_select(spark, sf):
+    from model_audit_spark.operators.sampling import budget_select
+
+    docs = _t(spark, sf, "documents")
+    return budget_select(docs, budget_tokens=15000)
+
+
+def _q_events_rolling(spark, sf):
+    """Rolling 1-hour per-user features: RANGE interval frame anchored on
+    epoch micros; DECIMAL sum (order-independent) -> double at the end."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+            .cast("double"),
+            6,
+        ).alias("value_1h"),
+    )
+
+
 def _dedup_exact(spark, sf):
     docs = _t(spark, sf, "documents")
     return exact_dedup(docs, "text", "doc_id")
@@ -1195,7 +1223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the one genuinely rows-only kernel (difflib parity UDF)."""
     return {
         # -- 1-50: oracle-backed, in the driver's check window -------------
-        "q1_pricing_summary": _q1,
         "q_rollup_revenue": _q_rollup_revenue,
         "q_events_sessionize": _q_events_sessionize,
         "q_events_asof": _q_events_asof,
@@ -1218,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
         "dedup_exact": _dedup_exact,
+        "budget_select": _budget_select,
         "paragraph_dedup": _paragraph_dedup,
         "c4_clean": _c4_clean,
         "char_lm_scores": _char_lm_scores,
@@ -1248,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, outside the driver window; r1-driver-green
         # (CORRECTNESS_r01.json) and IDs redundant with in-window queries
         # (all still checked by the local mirror)
+        "q1_pricing_summary": _q1,
+        "q_events_rolling": _q_events_rolling,
         "q_urgent_customers": _q_urgent_customers,
         "q_window_orders": _q_window_orders,
         "claimed_families": _claimed_families,
@@ -1320,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         "cache_keys": ora.cache_keys(),
         "dedup_exact": ora.dedup_exact(),
         "paragraph_dedup": ora.paragraph_dedup(),
+        "budget_select": ora.budget_select(budget_tokens=15000),
+        "q_events_rolling": ora.q_events_rolling(),
         "c4_clean": ora.c4_clean(),
         "char_lm_scores": ora.char_lm_scores(),
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),

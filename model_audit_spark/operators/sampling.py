@@ -107,3 +107,88 @@ def corpus_mix(
     return stratified_sample(
         df, mix_rates(df, targets, stratum_col), stratum_col, id_col, salt
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select best-first documents until a global token budget is spent —
+    the "data selection under a token budget" step of pre-training corpus
+    assembly: rank documents by prose quality (doc_stats.quality_score
+    desc, id asc — a UNIQUE key), walk the ranking, keep documents while
+    the running token total stays under `budget_tokens` (the document
+    that CROSSES the budget is the last one kept — greedy selection).
+
+    Output: (id, n_tokens, cum_tokens, selected) for every document,
+    selected = (cum_tokens - n_tokens) < budget.
+
+    Scale shape: the naive `sum() OVER (ORDER BY rank)` global window
+    collapses to ONE task. Instead:
+      1. range-partition on the ranking key (the normal distributed-sort
+         shuffle) and PERSIST — freezing the sampled range boundaries so
+         the offset pass and the output pass see the same partitions;
+      2. per-partition token totals -> O(partitions) rows to the driver
+         -> exclusive prefix offsets broadcast back (the sharded
+         running-offset trick of packing.pack_chunks, upgraded to a true
+         global prefix);
+      3. within-partition running sum + partition offset = the exact
+         global running sum, with every core busy.
+    Because the ranking key is unique, the prefix sums (and therefore the
+    output) are identical under ANY boundary placement — the persist is
+    for internal consistency, not determinism of the result.
+    """
+    from pyspark.sql import Window
+
+    from model_audit_spark.operators.text_analysis import (
+        doc_stats,
+        token_count_bpe,
+    )
+
+    stats = doc_stats(df, text_col, id_col).select(id_col, "quality_score")
+    scored = (
+        df.select(
+            F.col(id_col),
+            token_count_bpe(text_col).cast("bigint").alias("n_tokens"),
+        )
+        .join(stats, id_col)
+    )
+    order = [F.col("quality_score").desc(), F.col(id_col).asc()]
+    ranked = (
+        scored.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (
+        ranked.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, run = [], 0
+    for r in totals:
+        offsets.append((r["_pid"], run))
+        run += r["_t"]
+    off_df = ranked.sparkSession.createDataFrame(
+        offsets, "_pid int, _off bigint"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum_local", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_cum_local") + F.col("_off")).alias("cum_tokens"),
+            (
+                (F.col("_cum_local") + F.col("_off") - F.col("n_tokens"))
+                < F.lit(budget_tokens)
+            ).alias("selected"),
+        )
+    )

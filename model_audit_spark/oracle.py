@@ -2355,3 +2355,40 @@ FROM (SELECT DISTINCT doc_id FROM base) b
 LEFT JOIN scored sc ON sc.doc_id = b.doc_id
 CROSS JOIN tot t
 """
+
+
+def budget_select(budget_tokens: int = 15000) -> str:
+    """Twin of sampling.budget_select: greedy best-first selection under a
+    global token budget. The single-node formulation IS the global
+    running-sum window; the Spark side reproduces it with sharded prefix
+    offsets (unique ranking key -> identical prefix sums)."""
+    return f"""
+WITH ts AS ({text_stats()})
+SELECT doc_id,
+  CAST(n_bpe_tokens AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(n_bpe_tokens AS BIGINT)) OVER (
+    ORDER BY quality_score DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens,
+  (CAST(sum(CAST(n_bpe_tokens AS BIGINT)) OVER (
+    ORDER BY quality_score DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+   - CAST(n_bpe_tokens AS BIGINT)) < {budget_tokens} AS selected
+FROM ts
+"""
+
+
+def q_events_rolling() -> str:
+    """Rolling 1-hour per-user event features via a RANGE interval frame.
+    DECIMAL sum (exact, order-independent) -> double at the end; the frame
+    is anchored on epoch micros so both engines bound it identically."""
+    return """
+SELECT event_id, user_id,
+  count(*) OVER w AS n_1h,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+    AS value_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""

@@ -92,3 +92,71 @@ def test_stratified_sample_plan_is_shuffle_free(spark, corpus):
         .split("== Initial Plan ==")[0]
     )
     assert "Exchange" not in plan
+
+
+def test_budget_select_greedy_prefix(spark):
+    from model_audit_spark.operators.sampling import budget_select
+
+    docs = spark.createDataFrame(
+        [
+            # quality differs via length adequacy: longer prose scores
+            # higher; tiny budget keeps only the best-first prefix
+            (1, "word " * 120 + "sentence ends here. " * 10),
+            (2, "short text."),
+            (3, "word " * 120 + "another longer document ends. " * 10),
+        ],
+        "doc_id int, text string",
+    )
+    out = budget_select(docs, budget_tokens=1, id_col="doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 3
+    # exactly one doc crosses the 1-token budget: the global best
+    assert sum(r.selected for r in rows.values()) == 1
+    # cumulative sums are a permutation-consistent global prefix
+    cums = sorted(r.cum_tokens for r in rows.values())
+    total = sum(r.n_tokens for r in rows.values())
+    assert cums[-1] == total
+
+    big = budget_select(docs, budget_tokens=10**9, id_col="doc_id")
+    assert all(r.selected for r in big.collect())
+
+
+def test_budget_select_matches_single_partition_window(spark):
+    """Sharded prefix offsets == the naive global window on real data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.sampling import budget_select
+    from model_audit_spark.operators.text_analysis import (
+        doc_stats,
+        token_count_bpe,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: (r.cum_tokens, r.selected)
+        for r in budget_select(docs, budget_tokens=1500).collect()
+    }
+    stats = doc_stats(docs, "text", "doc_id").select(
+        "doc_id", "quality_score"
+    )
+    naive = (
+        docs.select(
+            "doc_id", token_count_bpe("text").cast("bigint").alias("n")
+        )
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            F.sum("n")
+            .over(
+                Window.orderBy(
+                    F.col("quality_score").desc(), F.col("doc_id").asc()
+                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cum"),
+            "n",
+        )
+    )
+    for r in naive.collect():
+        assert got[r.doc_id][0] == r.cum
+        assert got[r.doc_id][1] == ((r.cum - r.n) < 1500)
