@@ -865,6 +865,13 @@ def _char_lm_scores(spark, sf):
     return char_lm_scores(docs, "text", "doc_id")
 
 
+def _knn_graph(spark, sf):
+    from model_audit_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf, "embeddings")
+    return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
+
+
 def _budget_select(spark, sf):
     from model_audit_spark.operators.sampling import budget_select
 
@@ -1258,7 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "similarity_topk": _similarity_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
+        "knn_graph": _knn_graph,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
         "memorization_verbatim": _memorization_verbatim,
@@ -1277,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (CORRECTNESS_r01.json) and IDs redundant with in-window queries
         # (all still checked by the local mirror)
         "q1_pricing_summary": _q1,
+        "ann_lsh_topk": _ann_lsh_topk,
         "q_events_rolling": _q_events_rolling,
         "q_urgent_customers": _q_urgent_customers,
         "q_window_orders": _q_window_orders,
@@ -1373,6 +1381,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, n_planes=4, dim=64
         ),
         "ann_lsh_topk": ora.ann_lsh_topk(query_vec_id=0, k=10, n_planes=6),
+        "knn_graph": ora.knn_graph(
+            k=5, n_bands=4, planes_per_band=6, dim=64
+        ),
         "ann_ivf_topk": ora.ann_ivf_topk(
             query_vec_id=0, k=10, n_clusters=8, nprobe=3, dim=64
         ),

@@ -413,3 +413,90 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over EVERY vector — the
+    all-documents analogue of lsh_topk (one query) and the input relation
+    for graph-based semantic dedup / clustering.
+
+    Multi-band LSH recall: `n_bands` independent signature tables (seeded
+    hyperplane sets, seed+band offset); a pair is a candidate when it
+    collides in ANY band. Candidates are (src, dst)-deduped, verified with
+    exact cosine, and each source keeps its top-k by (cosine desc, dst
+    asc) — a deterministic total order.
+
+    Output: (src, dst, rank, cosine_sim), rank 1..k; both directions of
+    each collision are ranked (the graph is directed; A's top-k may keep
+    B while B's drops A).
+
+    Plan shape at scale:
+    - The band explode carries (id, band, bucket) ONLY — 16 bytes/row, not
+      the vector (rule: no wide rows through a blowup). Vectors re-enter
+      through two candidate-bounded joins against the base relation,
+      exactly like jaccard_verify's semi-join discipline (SCALE.md #10).
+    - Σ bucket² within-band pair expansion, distinct-deduped across bands.
+    - Per-source top-k is one window over the candidate set, partitioned
+      by src — never a global sort.
+    - At 100 TB, write `sigs` bucketed by (band, bucket) once and reuse it
+      across queries (same layout trick as the IVF inverted file).
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    band_sigs = []
+    for b in range(n_bands):
+        planes = random_hyperplanes(dim, planes_per_band, seed=seed + b)
+        band_sigs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                rhp_signature(F.col("_v"), planes).alias("bucket"),
+            )
+        )
+    keyed = base.select(
+        "_id", F.explode(F.array(*band_sigs)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("src"), F.col("b._id").alias("dst")
+        )
+        .distinct()
+    )
+    with_vecs = (
+        cand.join(base.select(F.col("_id").alias("src"), F.col("_v").alias("sv")), "src")
+        .join(base.select(F.col("_id").alias("dst"), F.col("_v").alias("dv")), "dst")
+    )
+    sim = _dot(F.col("sv"), F.col("dv")) / (
+        _norm(F.col("sv")) * _norm(F.col("dv"))
+    )
+    scored = with_vecs.select(
+        "src", "dst", F.round(sim, 6).alias("cosine_sim")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cosine_sim"), F.asc("dst")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cosine_sim")
+    )

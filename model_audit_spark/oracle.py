@@ -2392,3 +2392,61 @@ WINDOW w AS (
   PARTITION BY user_id ORDER BY epoch_us(ts)
   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
+
+
+def knn_graph(
+    k: int = 5, n_bands: int = 4, planes_per_band: int = 6, dim: int = 64
+) -> str:
+    """Twin of similarity.knn_graph: multi-band LSH candidate generation
+    (seeded hyperplanes per band embedded as literals — the ann_lsh_topk
+    trick ×n_bands), exact-cosine verify, per-source top-k by
+    (cosine desc, dst asc)."""
+    from model_audit_spark.operators.similarity import random_hyperplanes
+
+    rows = []
+    for b in range(n_bands):
+        planes = random_hyperplanes(dim, planes_per_band, seed=42 + b)
+        for i, p in enumerate(planes):
+            rows.append(
+                f"({b}, {i}, [" + ", ".join(repr(x) for x in p) + "])"
+            )
+    plane_rows = ", ".join(rows)
+    return f"""
+WITH planes(band, pi, pv) AS (VALUES {plane_rows}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v[j] * pv[j])) > 0
+                   THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT c.src, c.dst,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), i -> sv.v[i] * dv.v[i]))
+      / (sqrt(list_sum(list_transform(sv.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(dv.v, x -> x * x)))),
+    6) AS cosine_sim
+  FROM cand c
+  JOIN v sv ON sv.vec_id = c.src
+  JOIN v dv ON dv.vec_id = c.dst
+),
+ranked AS (
+  SELECT src, dst, cosine_sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine_sim DESC, dst ASC) AS rank
+  FROM scored
+)
+SELECT src, dst, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM ranked WHERE rank <= {k}
+"""

@@ -230,3 +230,35 @@ def test_embedding_lsh_pairs_subset_of_exact_and_finds_planted(spark):
     planted = {(0, 100), (1, 101), (2, 102)}
     assert planted <= lsh
     assert exact == planted  # nothing else is that close
+
+
+def test_knn_graph_planted_neighbors_and_ordering(spark):
+    import random
+
+    from model_audit_spark.operators.similarity import knn_graph
+
+    rng = random.Random(7)
+    dim = 16
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(30)
+    ]
+    # planted twin of vector 0: must be its rank-1 neighbor (and vice
+    # versa) — identical LSH signatures in every band guarantee collision
+    vecs.append((100, [x + rng.gauss(0, 1e-6) for x in vecs[0][1]]))
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    g = knn_graph(emb, k=3, n_bands=4, planes_per_band=4, dim=dim)
+    rows = g.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    top0 = sorted(by_src[0], key=lambda r: r.rank)
+    assert top0[0].dst == 100 and top0[0].cosine_sim >= 0.999999
+    top100 = sorted(by_src[100], key=lambda r: r.rank)
+    assert top100[0].dst == 0
+    for src, nb in by_src.items():
+        nb = sorted(nb, key=lambda r: r.rank)
+        assert [r.rank for r in nb] == list(range(1, len(nb) + 1))
+        sims = [r.cosine_sim for r in nb]
+        assert sims == sorted(sims, reverse=True)
+        assert len(nb) <= 3 and src not in [r.dst for r in nb]
