@@ -1215,19 +1215,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Entries 1-50 are all oracle-backed; slots are prioritized
     for queries that have never had a driver correctness row (the round-2
-    curation / as-of / decontamination / sampling / streaming additions).
-    Entries 51+ are also oracle-backed and still checked by the local
-    mirror (scripts/check_oracle.py) every session, but were driver-green
-    in round 1 (CORRECTNESS_r01.json) and their SURVEY §2 IDs are covered
-    by in-window queries: detect chain by detect_documents +
+    curation / as-of / decontamination / sampling / streaming / C4 / LM /
+    budget-selection / kNN-graph additions). Entries 51+ are also
+    oracle-backed and still checked by the local mirror
+    (scripts/check_oracle.py) every session, but were driver-green in
+    round 1 (CORRECTNESS_r01.json) and their SURVEY §2 IDs are covered by
+    in-window queries: detect chain by detect_documents +
     style_count_distribution, A1/A2/A3 by the compare queries that consume
-    them, probe catalog by probe_style_consistency, TPC-H join shapes by
-    q1/rollup/compare, top-k by similarity_topk, time-bucket agg by
-    sessionize/asof/range, signatures by the *_pairs queries that build
-    them, lang-ID by text_stats.lang_pred, the exact O(N^2) twin by the
-    hash-checked embedding_near_dups it verifies, anti/semi joins by
-    r1-green q_urgent_customers/q_customers_no_orders. The last entry is
-    the one genuinely rows-only kernel (difflib parity UDF)."""
+    them, probe catalog by probe_style_consistency, TPC-H agg/join shapes
+    by rollup/compare/benchmark queries, top-k by similarity_topk +
+    knn_graph, time-bucket agg by sessionize/asof/range/rolling,
+    signatures by the *_pairs queries that build them, lang-ID by
+    text_stats.lang_pred, the exact O(N^2) twin by the hash-checked
+    embedding_near_dups it verifies, single-query LSH ANN by the
+    all-vectors knn_graph, anti/semi joins by r1-green
+    q_urgent_customers/q_customers_no_orders. The last entry is the one
+    genuinely rows-only kernel (difflib parity UDF)."""
     return {
         # -- 1-50: oracle-backed, in the driver's check window -------------
         "q_rollup_revenue": _q_rollup_revenue,

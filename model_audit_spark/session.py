@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # static conf, default 100: with a 70+-query surface the generated
+        # -class cache thrashes and every query pays whole-stage codegen
+        # compile (measured: benchmark_detect 6.9s in a long session vs
+        # 2.0s steady-state standalone)
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g")
         )
