@@ -96,3 +96,71 @@ def test_asof_join_is_one_shuffle_no_join(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_c4_clean_is_pure_projection(spark):
+    plan = final_plan(spark, "c4_clean")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_paragraph_dedup_single_scan(spark):
+    """The window formulation reads the text column once; the join
+    formulation regressed to 2 FileScans (split/digest run twice)."""
+    plan = final_plan(spark, "paragraph_dedup")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+
+
+def test_char_lm_scores_broadcasts_model(spark):
+    """The LM table (bounded by charset²) must broadcast into the scoring
+    join — a shuffled join would repartition the corpus-sized doc-bigram
+    relation by bigram."""
+    plan = final_plan(spark, "char_lm_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_budget_select_no_global_single_partition_window(spark):
+    """The running sum must come from per-partition windows + offsets —
+    a global ORDER BY window shows up as Exchange SinglePartition feeding
+    the Window node."""
+    df = entrymod.queries()["budget_select"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re as _re
+
+    for m in _re.finditer(r"Exchange SinglePartition[^\n]*", final):
+        # a single-partition exchange may only feed tiny driver-side
+        # relations (the offsets table), never the Window
+        pass
+    # the Window node must partition by the shard id
+    win_lines = [l for l in final.splitlines() if "Window" in l and "windowspecdefinition" in l]
+    assert win_lines, final
+    assert all("_pid" in l for l in win_lines)
+
+
+def test_knn_graph_band_explode_carries_no_vectors(spark):
+    """The band self-join must key on (band, bucket) rows that carry no
+    embedding array — vectors re-enter via the candidate-bounded joins.
+    Also pins WindowGroupLimit: the per-source top-k is pushed below the
+    full sort (rank pushdown), so no candidate set is globally sorted."""
+    df = entrymod.queries()["knn_graph"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    band_joins = [
+        l for l in lines if "Join Inner" in l and "band" in l and "bucket" in l
+    ]
+    assert band_joins, opt
+    # join condition references only ids/band/bucket, never a vector col
+    assert all(
+        "_v#" not in l and "sv#" not in l and "dv#" not in l
+        for l in band_joins
+    )
+    # the explode feeds a pruning Project of exactly (_id, band, bucket)
+    assert any(
+        "bb#" in l and ".band AS band" in l and ".bucket AS bucket" in l
+        for l in lines
+    )
+    assert "WindowGroupLimit" in opt
