@@ -900,6 +900,22 @@ def _q_events_rolling(spark, sf):
     )
 
 
+def _events_rollup_cascade(spark, sf):
+    from model_audit_spark.operators.rollup import rollup_cascade
+
+    ev = _t(spark, sf, "events")
+    return rollup_cascade(ev, "ts", ["event_type"], "value")
+
+
+def _lang_id_ext(spark, sf):
+    from model_audit_spark.functions.text import detect_lang_profile
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", detect_lang_profile("text").alias("lang_ext")
+    )
+
+
 def _dedup_exact(spark, sf):
     docs = _t(spark, sf, "documents")
     return exact_dedup(docs, "text", "doc_id")
@@ -1250,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_sources": _verify_sources,
         "probe_style_consistency": _probe_style_consistency,
         "audit_consistency_rate": _audit_consistency_rate,
-        "style_count_distribution": _style_count_distribution,
+        "events_rollup_cascade": _events_rollup_cascade,
         "text_stats": _text_stats,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
@@ -1287,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (CORRECTNESS_r01.json) and IDs redundant with in-window queries
         # (all still checked by the local mirror)
         "q1_pricing_summary": _q1,
+        "style_count_distribution": _style_count_distribution,
         "ann_lsh_topk": _ann_lsh_topk,
         "q_events_rolling": _q_events_rolling,
         "q_urgent_customers": _q_urgent_customers,
@@ -1308,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": _q_events_hourly,
         "q_customers_no_orders": _q_customers_no_orders,
         "lang_distribution": _lang_distribution,
+        "lang_id_ext": _lang_id_ext,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1356,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ora.text_stats(),
         "corpus_stats": ora.corpus_stats(),
         "lang_distribution": ora.lang_distribution(),
+        "lang_id_ext": ora.lang_id_ext(),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),
@@ -1363,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": ora.paragraph_dedup(),
         "budget_select": ora.budget_select(budget_tokens=15000),
         "q_events_rolling": ora.q_events_rolling(),
+        "events_rollup_cascade": ora.events_rollup_cascade(),
         "c4_clean": ora.c4_clean(),
         "char_lm_scores": ora.char_lm_scores(),
         "dedup_minhash_signatures": ora.dedup_minhash_signatures(),

@@ -185,6 +185,50 @@ def detect_lang(col: Column | str) -> Column:
     )
 
 
+# Stopword profiles for the extended language-ID tier (F19 is the
+# reference's CJK heuristic, kept verbatim as detect_lang; this is the
+# multi-language scale extension). Words chosen to be high-frequency AND
+# discriminative — shared forms (e.g. "a", "la" es/it, "de" fr/es/pt)
+# are deliberately absent.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "de": ["der", "die", "und", "ist", "nicht", "das", "ein", "mit"],
+    "fr": ["le", "les", "est", "et", "dans", "une", "que", "pour"],
+    "es": ["el", "los", "es", "y", "en", "una", "por", "como"],
+    "pt": ["o", "os", "uma", "não", "em", "para", "com", "mais"],
+    "it": ["il", "di", "che", "è", "per", "sono", "con", "della"],
+}
+
+
+def detect_lang_profile(col: Column | str) -> Column:
+    """Extended lang-ID: CJK heuristic first (F19 semantics), else argmax
+    of stopword-profile hit counts over lowercase word tokens; 'und'
+    (undetermined) when no profile scores a hit. Ties break by profile
+    order (en first) via max(struct(hits, -lang_rank)) — deterministic
+    under any partitioning. Pure expression: one token array, one pass
+    per profile, no shuffle, no UDF. NULL text behaves as empty (repo
+    convention) — without the coalesce, size(NULL tokens) = -1 skips the
+    0-hit branch and NULL docs would claim the first profile."""
+    c = F.coalesce(_c(col), F.lit(""))
+    cjk = cjk_count(c)
+    total = F.greatest(F.length(c), F.lit(1))
+    toks = word_tokens(c)
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(ws))).alias("hits"),
+            F.lit(-rank).alias("neg_rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for rank, (lang, ws) in enumerate(LANG_PROFILES.items())
+    ]
+    best = F.array_max(F.array(*scored))
+    return (
+        F.when((cjk >= 10) | (cjk / total > 0.15), F.lit("zh"))
+        .when(best["hits"] == 0, F.lit("und"))
+        .otherwise(best["lang"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Style-scoring structural flags (reference style.py:248-257)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,90 @@
+"""Hierarchical time rollups (the hypertable "continuous aggregate"
+cascade): materialize the finest grain ONCE, derive every coarser grain
+by RE-AGGREGATING the pre-aggregate — never re-scanning raw events.
+
+At 100 TB/day of events, the minute rollup is the only pass over raw
+data; hour = groupBy(date_trunc(hour)) over minute rows (1/60th the
+input), day over hour rows (1/24th), and so on. Counts and DECIMAL sums
+re-aggregate exactly (both are associative and exact), so the cascade is
+bit-identical to aggregating each grain from raw — which is exactly what
+the DuckDB oracle does, proving the equivalence on every run.
+
+Plan shape: one shuffle per level, each over the previous level's
+(already tiny) output; the minute level is the only aggregate whose
+input is corpus-sized. Persist the minute level when serving multiple
+grains in one job (rollup_cascade does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["rollup_cascade", "LEVELS"]
+
+# coarse ordering of supported date_trunc levels
+LEVELS = ["minute", "hour", "day"]
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    levels: list[str] | None = None,
+) -> DataFrame:
+    """(level, bucket, *key_cols, n_events, total_value) for each grain.
+
+    total_value is summed as DECIMAL(18,6) (exact, order-independent)
+    and emitted as a double with no engine-side rounding hazards (the
+    decimal has <= 6dp, so the nearest double round-trips identically in
+    every engine).
+    """
+    if key_cols is None:
+        key_cols = ["event_type"]
+    if levels is None:
+        levels = list(LEVELS)
+    base = df.select(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(k) for k in key_cols],
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    )
+    finest = levels[0]
+    cur = (
+        base.groupBy(
+            F.date_trunc(finest, F.col("_ts")).alias("bucket"), *key_cols
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_v").alias("_sv"),
+        )
+        .persist()
+    )
+    out = cur.select(
+        F.lit(finest).alias("level"), "bucket", *key_cols,
+        "n_events", "_sv",
+    )
+    for lvl in levels[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(lvl, F.col("bucket")).alias("bucket"),
+                *key_cols,
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("_sv").alias("_sv"),
+            )
+        )
+        out = out.unionByName(
+            cur.select(
+                F.lit(lvl).alias("level"), "bucket", *key_cols,
+                "n_events", "_sv",
+            )
+        )
+    return out.select(
+        "level",
+        "bucket",
+        *key_cols,
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("_sv").cast("double").alias("total_value"),
+    )

@@ -2450,3 +2450,60 @@ ranked AS (
 SELECT src, dst, CAST(rank AS INTEGER) AS rank, cosine_sim
 FROM ranked WHERE rank <= {k}
 """
+
+
+def lang_id_ext() -> str:
+    """Twin of functions.text.detect_lang_profile — stopword-profile
+    lang-ID with the CJK tier first. The profile word lists are imported
+    from the Spark side (single source of truth) and embedded as VALUES;
+    the argmax mirrors Spark's max(struct(hits, -rank, lang)) via a
+    (hits DESC, rank ASC) window pick."""
+    from model_audit_spark.functions.text import LANG_PROFILES
+
+    rows = ", ".join(
+        f"({sql_quote(lang)}, {rank}, ["
+        + ", ".join(sql_quote(w) for w in ws)
+        + "])"
+        for rank, (lang, ws) in enumerate(LANG_PROFILES.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, t, {_tokens('t')} AS toks FROM base
+),
+profiles(lang, rank, pw) AS (VALUES {rows}),
+hits AS (
+  SELECT doc_id, t, lang, rank,
+         len(list_filter(toks, x -> list_contains(pw, x))) AS h
+  FROM tok CROSS JOIN profiles
+),
+ranked AS (
+  SELECT doc_id, t, lang, h,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, rank ASC) AS rn
+  FROM hits
+)
+SELECT doc_id,
+  CASE WHEN {_cjk('t')} >= 10
+         OR {_cjk('t')} / greatest(length(t), 1) > 0.15 THEN 'zh'
+       WHEN h = 0 THEN 'und'
+       ELSE lang END AS lang_ext
+FROM ranked WHERE rn = 1
+"""
+
+
+def events_rollup_cascade() -> str:
+    """Twin of rollup.rollup_cascade — but aggregated at every grain
+    DIRECTLY from raw events. The Spark side derives hour from the minute
+    pre-aggregate and day from hour; counts and DECIMAL sums re-aggregate
+    exactly, so a hash match here proves the cascade equivalence."""
+    level = """
+SELECT {lit!r} AS level, date_trunc({lit!r}, ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2, 3"""
+    return " UNION ALL ".join(
+        level.format(lit=lvl) for lvl in ("minute", "hour", "day")
+    )

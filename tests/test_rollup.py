@@ -1,0 +1,56 @@
+"""Hierarchical rollup cascade: pre-aggregate reuse equals raw grouping."""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from model_audit_spark.operators.rollup import rollup_cascade
+
+
+def test_cascade_equals_direct_aggregation(spark):
+    from model_audit_spark.sources.readers import normalize_event_ts
+
+    ev = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    out = rollup_cascade(ev, "ts", ["event_type"], "value")
+    got = {
+        (r.level, r.bucket, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in out.collect()
+    }
+    for lvl in ("minute", "hour", "day"):
+        direct = (
+            ev.groupBy(
+                F.date_trunc(lvl, "ts").alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            )
+            .collect()
+        )
+        for r in direct:
+            key = (lvl, r.bucket, r.event_type)
+            assert got[key][0] == r.n
+            assert got[key][1] == round(float(r.sv), 6)
+    # every grain present, coarser grains strictly smaller
+    n_by_level = {}
+    for (lvl, _, _), _v in got.items():
+        n_by_level[lvl] = n_by_level.get(lvl, 0) + 1
+    assert n_by_level["minute"] > n_by_level["hour"] > n_by_level["day"]
+
+
+def test_cascade_scans_raw_once(spark):
+    from model_audit_spark.sources.readers import normalize_event_ts
+
+    ev = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    df = rollup_cascade(ev, "ts", ["event_type"], "value")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the minute level is persisted: coarser grains re-aggregate the
+    # cached pre-aggregate instead of re-scanning raw events
+    assert final.count("FileScan parquet") <= 1
+    assert "InMemoryTableScan" in final

@@ -146,3 +146,29 @@ def test_watermark_signals(spark):
     df2 = spark.createDataFrame([("aa bbb c",)], "text STRING")
     got = df2.select(cols["wm_word_len_variance"].alias("v")).collect()[0]["v"]
     assert math.isclose(got, var, rel_tol=1e-12)
+
+
+def test_detect_lang_profile_multilingual(spark):
+    from model_audit_spark.functions.text import detect_lang_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house of cards"),
+            (2, "der Hund und die Katze sind nicht mit dem Mann"),
+            (3, "le chat est dans les jardins et une maison pour tous"),
+            (4, "el perro y los gatos es una historia como en madrid"),
+            (5, "这是一个很长的中文文本，用来测试语言识别功能是否正常工作"),
+            (6, "xyzzy plugh qwerty"),
+            (7, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id", detect_lang_profile("text").alias("lang")
+        ).collect()
+    }
+    assert got == {
+        1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und", 7: "und",
+    }
