@@ -111,6 +111,21 @@ def read_texts(
         return read_csv_texts(spark, path, field)
     if lower.endswith(".parquet"):
         return extract_text(spark.read.parquet(path), field)
+    if lower.endswith(".orc"):
+        return extract_text(spark.read.orc(path), field)
+    if lower.endswith(".avro"):
+        # spark-avro is an external module; surface a clear error when the
+        # connector jar is absent instead of a raw ClassNotFound
+        try:
+            return extract_text(
+                spark.read.format("avro").load(path), field
+            )
+        except Exception as e:  # pragma: no cover - depends on packaging
+            raise RuntimeError(
+                "Avro input needs the spark-avro package "
+                "(org.apache.spark:spark-avro); underlying error: "
+                f"{e}"
+            ) from e
     return read_text_paragraphs(spark, path)
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:

@@ -24,3 +24,11 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S16: JSONL output (one JSON object per row)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Columnar ORC output (splittable, predicate-pushdown-friendly — the
+    interchange format for ORC-based warehouses; parquet stays the
+    native format everywhere else in this engine)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").orc(path)

@@ -191,3 +191,18 @@ def test_bucketed_join_skips_both_exchanges(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_feats")
+
+
+def test_orc_roundtrip_and_suffix_dispatch(spark, tmp_path):
+    from model_audit_spark.sources.readers import read_texts
+    from model_audit_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "orc row one."), (2, "orc row two.")], "doc_id int, text string"
+    )
+    path = str(tmp_path / "docs.orc")
+    write_orc(df, path, single_file=True)
+    back = read_texts(spark, path)
+    assert sorted(r.text for r in back.collect()) == [
+        "orc row one.", "orc row two.",
+    ]
