@@ -155,3 +155,117 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, new_width INT, "
+    "new_height INT, resized_digest STRING"
+)
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, duration_ms INT, n_samples BIGINT, "
+    "n_windows INT, mean_energy DOUBLE, content_digest STRING"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, strict: bool = False
+) -> DataFrame:
+    """Aspect-preserving resize to fit a max_side box (no upscaling).
+
+    Target dimensions are exact integer math (floor, like PIL.thumbnail);
+    the pixel resample itself is the stubbed decoder step — strict=True
+    raises where PIL/cv2 would run, strict=False emits a deterministic
+    digest standing in for the resized payload. Same mapInPandas batch
+    shape a real resampler needs: bytes in, bytes (here: digest) out,
+    never row-at-a-time Python objects."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "image":
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "image resize needs PIL/cv2 — not available in "
+                        "this environment; swap the fake resampler here"
+                    )
+                w = int(r.width or 0)
+                h = int(r.height or 0)
+                side = max(w, h)
+                if side <= max_side or side == 0:
+                    nw, nh = w, h
+                else:
+                    nw = w * max_side // side
+                    nh = h * max_side // side
+                digest = hashlib.sha256(
+                    bytes(r.content or b"")
+                    + nw.to_bytes(4, "big")
+                    + nh.to_bytes(4, "big")
+                ).hexdigest()[:16]
+                rows.append((r.media_id, w, h, nw, nh, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "new_width", "new_height", "resized_digest",
+                ],
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_audio_features(
+    media: DataFrame, window_ms: int = 500, strict: bool = False
+) -> DataFrame:
+    """Audio decode → windowed energy features via mapInPandas.
+
+    n_samples / n_windows are exact integer math from the metadata;
+    mean_energy is the mean of the fake-decoded byte stream (sum of
+    bounded small ints — exact in double, engine-independent). strict=True
+    marks where torchaudio/librosa would decode the real payload."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "audio":
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "audio decode needs torchaudio/librosa — not "
+                        "available; swap the fake decoder here"
+                    )
+                sr = int(r.sample_rate or 0)
+                dur = int(r.duration_ms or 0)
+                n_samples = sr * dur // 1000
+                n_windows = (
+                    (dur + window_ms - 1) // window_ms if dur else 0
+                )
+                sample = _fake_pixels(
+                    bytes(r.content or b""), min(max(n_samples, 1), 4096)
+                )
+                mean_energy = sum(sample) / len(sample)
+                rows.append(
+                    (
+                        r.media_id, sr, dur, n_samples, n_windows,
+                        mean_energy,
+                        hashlib.sha256(
+                            bytes(r.content or b"")
+                        ).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "duration_ms", "n_samples",
+                    "n_windows", "mean_energy", "content_digest",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

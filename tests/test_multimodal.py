@@ -64,3 +64,40 @@ def test_media_summary_no_decode(spark, media):
     assert rows["image"].n_items == 2
     assert rows["video"].avg_duration_ms == 3500.0
     assert rows["audio"].total_bytes == 9
+
+
+def test_resize_target_dims_and_determinism(spark, media):
+    from model_audit_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, max_side=16).collect()}
+    assert set(out) == {1, 2}  # images only
+    # 64x32 -> fit 16 box: 16x8; 10x10 under the box: untouched
+    assert (out[1].new_width, out[1].new_height) == (16, 8)
+    assert (out[2].new_width, out[2].new_height) == (10, 10)
+    again = {
+        r.media_id: r.resized_digest
+        for r in resize_images(media, max_side=16).collect()
+    }
+    assert again == {k: v.resized_digest for k, v in out.items()}
+
+
+def test_resize_strict_raises(spark, media):
+    import pytest as _pytest
+
+    from model_audit_spark.operators.multimodal import resize_images
+
+    with _pytest.raises(Exception, match="PIL|cv2|NotImplemented"):
+        resize_images(media, strict=True).collect()
+
+
+def test_audio_features_windows_and_energy(spark, media):
+    from model_audit_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = extract_audio_features(media, window_ms=500).collect()
+    assert len(rows) == 1 and rows[0].media_id == 3
+    r = rows[0]
+    # 16 kHz * 2.5 s = 40000 samples; 2500ms / 500ms = 5 windows
+    assert r.n_samples == 40000 and r.n_windows == 5
+    assert 0 <= r.mean_energy <= 255
