@@ -234,3 +234,42 @@ def detect_stream_from_files(
         spark.readStream.format(fmt).schema(schema).load(path)
     )
     return streaming_detect(stream, text_col, id_col)
+
+
+def streaming_rollup_minute(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming leg of the hypertable cascade: the minute grain as a
+    watermarked tumbling-window aggregate. Append-mode output lands in
+    the same (bucket, keys, n_events, total_value) relation that
+    rollup.rollup_cascade derives coarser grains from — so the batch
+    cascade doubles as the periodic compaction over this sink, and a
+    late row beyond the watermark is the only divergence from batch
+    (bounded, by design).
+
+    State is O(open windows × keys): one minute window per key closes as
+    the watermark passes it. Sums are DECIMAL(18,6) — exact, so the
+    closed-window rows equal the batch minute rollup bit for bit.
+    """
+    if key_cols is None:
+        key_cols = ["event_type"]
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, "1 minute").alias("win"), *key_cols
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sv"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("bucket"),
+        *key_cols,
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("_sv").cast("double").alias("total_value"),
+    )

@@ -54,3 +54,46 @@ def test_cascade_scans_raw_once(spark):
     # cached pre-aggregate instead of re-scanning raw events
     assert final.count("FileScan parquet") <= 1
     assert "InMemoryTableScan" in final
+
+
+def test_streaming_minute_rollup_equals_batch(spark, tmp_path):
+    """The streaming minute grain (availableNow, complete mode) must equal
+    the batch cascade's minute level row for row."""
+    import shutil
+
+    from model_audit_spark.sources.readers import normalize_event_ts
+    from model_audit_spark.streaming import streaming_rollup_minute
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "p0.parquet"
+    )
+    src = str(src_dir)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(src)
+    )
+    agg = streaming_rollup_minute(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("minute_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.bucket, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("minute_rollup").collect()
+    }
+    batch = rollup_cascade(
+        normalize_event_ts(spark.read.parquet(src)), "ts", ["event_type"],
+        "value",
+    ).filter(F.col("level") == "minute")
+    expected = {
+        (r.bucket, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == expected and len(got) > 100
