@@ -92,6 +92,66 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-duplicate keep-list over any corpus file: minhash → LSH →
+    Jaccard verify → connected components → per-doc keep verdict."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.cluster import cluster_documents
+    from model_audit_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+    from model_audit_spark.sources import read_texts, write_csv, write_json
+
+    spark = _spark()
+    texts = read_texts(spark, args.data_path, args.field).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    sigs = minhash_signatures(texts, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        texts, pairs, "text", "doc_id", min_jaccard=args.min_jaccard
+    ).select("id_a", "id_b")
+    clusters = cluster_documents(texts, verified, "doc_id")
+    n_total = clusters.count()
+    n_keep = clusters.filter("keep").count()
+    print(f"documents: {n_total}, kept: {n_keep}, "
+          f"duplicates dropped: {n_total - n_keep}")
+    if args.output:
+        out = clusters.select("doc_id", "cluster_id", "keep")
+        if args.output.endswith(".json"):
+            write_json(out, args.output, single_file=True)
+        else:
+            write_csv(out, args.output, single_file=True)
+        print(f"wrote keep-list to {args.output}")
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    """Hierarchical time rollup of an events parquet (minute→hour→day)."""
+    from model_audit_spark.operators.rollup import rollup_cascade
+    from model_audit_spark.sources.readers import normalize_event_ts
+    from model_audit_spark.sources import write_csv, write_json
+
+    spark = _spark()
+    ev = normalize_event_ts(
+        spark.read.parquet(args.data_path), args.ts_col
+    )
+    out = rollup_cascade(
+        ev, args.ts_col, args.keys.split(","), args.value_col
+    )
+    out.groupBy("level").count().orderBy("level").show()
+    if args.output:
+        if args.output.endswith(".json"):
+            write_json(out, args.output, single_file=True)
+        else:
+            write_csv(out, args.output, single_file=True)
+        print(f"wrote rollup to {args.output}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     from pyspark.sql import functions as F
 
@@ -208,6 +268,25 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-jaccard", type=float, default=0.5)
     cu.add_argument("--output")
     cu.set_defaults(fn=cmd_curate)
+
+    dd = sub.add_parser(
+        "dedup", help="near-duplicate keep-list (minhash LSH + clusters)"
+    )
+    dd.add_argument("data_path")
+    dd.add_argument("--field")
+    dd.add_argument("--min-jaccard", type=float, default=0.5)
+    dd.add_argument("--output")
+    dd.set_defaults(fn=cmd_dedup)
+
+    ro = sub.add_parser(
+        "rollup", help="minute/hour/day rollup cascade over events parquet"
+    )
+    ro.add_argument("data_path")
+    ro.add_argument("--ts-col", default="ts")
+    ro.add_argument("--keys", default="event_type")
+    ro.add_argument("--value-col", default="value")
+    ro.add_argument("--output")
+    ro.set_defaults(fn=cmd_rollup)
 
     b = sub.add_parser("benchmark", help="14-sample accuracy gate")
     b.set_defaults(fn=cmd_benchmark)
