@@ -907,6 +907,13 @@ def _events_rollup_cascade(spark, sf):
     return rollup_cascade(ev, "ts", ["event_type"], "value")
 
 
+def _doc_chunks(spark, sf):
+    from model_audit_spark.operators.text_analysis import chunk_text
+
+    docs = _t(spark, sf, "documents")
+    return chunk_text(docs, "text", "doc_id", chunk_chars=500, overlap=50)
+
+
 def _lang_id_ext(spark, sf):
     from model_audit_spark.functions.text import detect_lang_profile
 
@@ -1326,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_no_orders": _q_customers_no_orders,
         "lang_distribution": _lang_distribution,
         "lang_id_ext": _lang_id_ext,
+        "doc_chunks": _doc_chunks,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1375,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": ora.corpus_stats(),
         "lang_distribution": ora.lang_distribution(),
         "lang_id_ext": ora.lang_id_ext(),
+        "doc_chunks": ora.doc_chunks(chunk_chars=500, overlap=50),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

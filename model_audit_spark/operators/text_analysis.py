@@ -132,3 +132,58 @@ def doc_fingerprints(
     return staged.select(
         F.col(id_col), "content_fp", sketch.alias("sketch")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 500,
+    overlap: int = 50,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    fixed-size character chunks with overlap, (id, chunk_idx, chunk_text,
+    chunk_len) one row per chunk.
+
+    stride = chunk_chars - overlap; chunk i covers
+    [i*stride, i*stride + chunk_chars); the last chunk may be short, and
+    a doc shorter than one chunk yields exactly one chunk (empty/NULL
+    docs yield none). Character-based so it is tokenizer-agnostic and a
+    pure expression — sequence + substring transform + explode, no UDF,
+    no shuffle; at 100 TB this is scan-speed row expansion (~len/stride
+    output rows per doc).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(c)
+    # 1 chunk when the doc fits; else enough strides that the last chunk's
+    # [start, start+chunk_chars) window reaches the end. floor((n-1)/stride)
+    # over-counts: a tail shorter than the overlap is already covered by
+    # the previous chunk and must not spawn a redundant chunk.
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= chunk_chars, F.lit(1))
+        .otherwise(
+            F.floor((n - chunk_chars - 1) / stride).cast("int") + 2
+        )
+    )
+    # cap: chunks starting at/after len contribute nothing; the floor form
+    # already guarantees start < len for every i in [0, n_chunks)
+    idx = F.sequence(
+        F.lit(0),
+        n_chunks - 1,
+    )
+    chunks = F.when(n_chunks == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: c.substr(i * stride + 1, F.lit(chunk_chars)))
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.length("chunk_text").alias("chunk_len"),
+    )

@@ -2507,3 +2507,34 @@ FROM events GROUP BY 2, 3"""
     return " UNION ALL ".join(
         level.format(lit=lvl) for lvl in ("minute", "hour", "day")
     )
+
+
+def doc_chunks(chunk_chars: int = 500, overlap: int = 50) -> str:
+    """Twin of text_analysis.chunk_text — sliding-window char chunking."""
+    stride = chunk_chars - overlap
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) = 0 THEN 0
+              WHEN length(t) <= {chunk_chars} THEN 1
+              ELSE ((length(t) - {chunk_chars} - 1) // {stride}) + 2
+              END AS nc
+  FROM base
+)
+SELECT doc_id,
+  CAST(u['i'] AS INTEGER) AS chunk_idx,
+  u['s'] AS chunk_text,
+  CAST(length(u['s']) AS INTEGER) AS chunk_len
+FROM (
+  SELECT doc_id, unnest(
+    CASE WHEN nc = 0 THEN []
+         ELSE list_transform(range(0, nc),
+              i -> {{'i': i, 's': substr(t, CAST(i * {stride} + 1 AS INTEGER),
+                                         {chunk_chars})}})
+    END) AS u
+  FROM c
+)
+"""

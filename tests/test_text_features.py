@@ -172,3 +172,30 @@ def test_detect_lang_profile_multilingual(spark):
     assert got == {
         1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und", 7: "und",
     }
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    from model_audit_spark.operators.text_analysis import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 120), (2, "b" * 50), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    rows = chunk_text(
+        docs, chunk_chars=50, overlap=10
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 40: doc1 (120 chars) -> ceil(119/40)+... = 3 chunks at 0/40/80
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_len for r in c1] == [50, 50, 40]
+    # overlap: chunk i's last 10 chars == chunk i+1's first 10
+    assert c1[0].chunk_text[-10:] == c1[1].chunk_text[:10]
+    # doc exactly one chunk long -> single chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 50
+    # empty / NULL docs produce no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    # reconstruction: stripping the overlap from chunks 1+ rebuilds the doc
+    rebuilt = c1[0].chunk_text + "".join(c.chunk_text[10:] for c in c1[1:])
+    assert rebuilt == "a" * 120
