@@ -416,7 +416,10 @@ def simhash(
 
 
 def paragraph_dedup_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (the RefinedWeb / MassiveText
     "repeated passages" tier): every paragraph occurrence that is not the
@@ -429,14 +432,21 @@ def paragraph_dedup_stats(
     n_dup_paras counts occurrences whose content appears >1 time in the
     corpus and n_removed counts occurrences losing the global-first race.
 
-    Plan shape at scale: posexplode -> md5 -> window over the 128-bit
-    digest (count + row_number in ONE exchange; identical boilerplate
-    paragraphs are hot keys, but each window group carries only its own
-    occurrences and the in-group sort key is 12 bytes) -> per-doc
-    aggregate. Two shuffles total, ONE scan of the text column — an
-    aggregate+join formulation would re-run the split/digest scan on the
-    join's probe side (measured: 2 FileScans without a corpus-sized
-    persist).
+    Plan shape at scale — two formulations, same result (pinned in
+    tests):
+    - skew_safe=False (default): posexplode -> md5 -> window over the
+      digest (count + row_number share ONE exchange) -> per-doc
+      aggregate. ONE scan of the text column, but a window group holds
+      ALL occurrences of its digest in one task's sort buffer — wrong
+      when a boilerplate paragraph ("All rights reserved.") occurs 10^8
+      times.
+    - skew_safe=True: ONE hash aggregate keyed on the digest computes
+      (count, min(struct(doc_id, pos))) with map-side partial combine —
+      hot digests collapse to fixed-width state, no per-occurrence
+      buffering — then joins back to the occurrence relation (digest
+      build side = distinct digests; the hot probe side streams). Costs
+      a second split/digest scan unless the caller persists; at 100 TB
+      prefer this form whenever paragraph frequency is heavy-tailed.
     """
     from pyspark.sql import Window
 
@@ -448,14 +458,29 @@ def paragraph_dedup_stats(
     occ = df.select(
         F.col(id_col), F.posexplode(paras).alias("pos", "para")
     ).select(id_col, "pos", F.md5("para").alias("h"))
-    wh = Window.partitionBy("h")
-    ranked = occ.select(
-        id_col,
-        F.count("*").over(wh).alias("n_total"),
-        F.row_number()
-        .over(wh.orderBy(id_col, "pos"))
-        .alias("rn"),
-    )
+    if skew_safe:
+        firsts = occ.groupBy("h").agg(
+            F.count("*").alias("n_total"),
+            F.min(F.struct(id_col, "pos")).alias("first"),
+        )
+        ranked = occ.join(firsts, "h").select(
+            id_col,
+            "n_total",
+            F.when(
+                (F.col(f"first.{id_col}") == F.col(id_col))
+                & (F.col("first.pos") == F.col("pos")),
+                F.lit(1),
+            ).otherwise(F.lit(2)).alias("rn"),
+        )
+    else:
+        wh = Window.partitionBy("h")
+        ranked = occ.select(
+            id_col,
+            F.count("*").over(wh).alias("n_total"),
+            F.row_number()
+            .over(wh.orderBy(id_col, "pos"))
+            .alias("rn"),
+        )
     return (
         ranked.groupBy(id_col)
         .agg(

@@ -102,3 +102,17 @@ def test_char_lm_external_model(spark):
     # bigrams ab/bx/xy; only "ab" is in the model -> n_bigrams counts
     # model hits only
     assert rows[0].n_bigrams == 1
+
+
+def test_paragraph_dedup_skew_safe_form_agrees(spark):
+    """Both physical formulations (window vs hash-agg + join) must agree
+    on real data — the skew_safe form exists for hot-digest corpora."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        tuple(r) for r in paragraph_dedup_stats(docs).collect()
+    }
+    b = {
+        tuple(r)
+        for r in paragraph_dedup_stats(docs, skew_safe=True).collect()
+    }
+    assert a == b and len(a) > 0
