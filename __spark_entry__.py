@@ -872,6 +872,14 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _contrastive_triplets(spark, sf):
+    from model_audit_spark.operators.sampling import contrastive_triplets
+
+    emb = _t(spark, sf, "embeddings")
+    pos = _knn_graph(spark, sf)
+    return contrastive_triplets(emb, pos, n_neg=2, n_buckets=16)
+
+
 def _budget_select(spark, sf):
     from model_audit_spark.operators.sampling import budget_select
 
@@ -1334,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _lang_distribution,
         "lang_id_ext": _lang_id_ext,
         "doc_chunks": _doc_chunks,
+        "contrastive_triplets": _contrastive_triplets,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1384,6 +1393,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": ora.lang_distribution(),
         "lang_id_ext": ora.lang_id_ext(),
         "doc_chunks": ora.doc_chunks(chunk_chars=500, overlap=50),
+        "contrastive_triplets": ora.contrastive_triplets(
+            n_neg=2, n_buckets=16
+        ),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

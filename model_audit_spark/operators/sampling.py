@@ -192,3 +192,83 @@ def budget_select(
             ).alias("selected"),
         )
     )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 2,
+    n_buckets: int = 16,
+    salt: str = "neg",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(anchor, positive, negative, neg_rank): training triplets for
+    contrastive embedding objectives. Each anchor keeps its best positive
+    (lowest rank in `positives` — e.g. knn_graph output) and `n_neg`
+    deterministic pseudo-random negatives.
+
+    Negative sampling at scale cannot be "pick uniformly from everything"
+    (that is a cross join). Instead every vector gets a deterministic
+    md5 bucket in [0, n_buckets); an anchor draws candidates from the
+    NEXT bucket ((b+1) mod n_buckets — disjoint from its own, so an
+    anchor never draws itself), anti-joins its known neighbors (the
+    positives relation) to avoid false negatives, and keeps the n_neg
+    candidates with the smallest md5(anchor:candidate:salt) — an
+    unbiased, partitioning-independent draw. Work is one equi-join of
+    |anchors| x (N / n_buckets) candidate rows: pick n_buckets ≈
+    N / (64·n_neg) to bound the per-anchor candidate set.
+    """
+    from pyspark.sql import Window
+
+    ids = emb.select(F.col(id_col).alias("_nid")).withColumn(
+        "_nb", bucket_for("_nid", salt, n_buckets)
+    )
+    w = Window.partitionBy("src").orderBy("rank")
+    best_pos = (
+        positives.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("src").alias("anchor"), F.col("dst").alias("positive")
+        )
+    )
+    anchors = best_pos.withColumn(
+        "_ab", (bucket_for("anchor", salt, n_buckets) + 1) % n_buckets
+    )
+    cand = anchors.join(ids, F.col("_ab") == F.col("_nb")).select(
+        "anchor", "positive", F.col("_nid").alias("negative")
+    )
+    # anti-join known neighbors of the anchor (either direction)
+    known = positives.select(
+        F.col("src").alias("anchor"), F.col("dst").alias("negative")
+    ).unionByName(
+        positives.select(
+            F.col("dst").alias("anchor"), F.col("src").alias("negative")
+        )
+    )
+    cand = cand.join(known, ["anchor", "negative"], "left_anti")
+    draw = F.md5(
+        F.concat_ws(
+            ":", F.col("anchor").cast("string"),
+            F.col("negative").cast("string"), F.lit(salt),
+        )
+    )
+    wn = Window.partitionBy("anchor").orderBy(draw, F.col("negative"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(wn))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("anchor", "positive", "negative", "neg_rank")
+    )
+
+
+def bucket_for(col: str, salt: str, n_buckets: int) -> Column:
+    """Deterministic md5 bucket in [0, n_buckets) — the negative-sampling
+    hash family (same construction as sample_bucket, parameterized
+    modulus)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(col).cast("string"),
+                                  F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long") % n_buckets
+    )

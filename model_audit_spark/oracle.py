@@ -2538,3 +2538,65 @@ FROM (
   FROM c
 )
 """
+
+
+def contrastive_triplets(
+    n_neg: int = 2,
+    n_buckets: int = 16,
+    salt: str = "neg",
+    k: int = 5,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
+    dim: int = 64,
+) -> str:
+    """Twin of sampling.contrastive_triplets over knn_graph positives:
+    best positive per anchor, negatives drawn from the next md5 bucket,
+    known neighbors anti-joined, smallest-draw-first ranking."""
+    ab = _hex32(f"md5(CAST(anchor AS VARCHAR) || ':{salt}')")
+    nb = _hex32(f"md5(CAST(vec_id AS VARCHAR) || ':{salt}')")
+    draw = (
+        f"md5(CAST(anchor AS VARCHAR) || ':' || "
+        f"CAST(negative AS VARCHAR) || ':{salt}')"
+    )
+    return f"""
+WITH knn AS ({knn_graph(k, n_bands, planes_per_band, dim)}),
+ids AS (
+  SELECT vec_id AS negative,
+         CAST({nb} AS BIGINT) % {n_buckets} AS nb
+  FROM embeddings
+),
+best AS (
+  SELECT src AS anchor, dst AS positive
+  FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY rank) AS rn
+    FROM knn
+  ) WHERE rn = 1
+),
+anch AS (
+  SELECT anchor, positive,
+         (CAST({ab} AS BIGINT) % {n_buckets} + 1) % {n_buckets} AS ab
+  FROM best
+),
+cand AS (
+  SELECT anchor, positive, negative
+  FROM anch JOIN ids ON ab = nb
+),
+known AS (
+  SELECT src AS anchor, dst AS negative FROM knn
+  UNION ALL
+  SELECT dst AS anchor, src AS negative FROM knn
+),
+filt AS (
+  SELECT c.anchor, c.positive, c.negative
+  FROM cand c ANTI JOIN known USING (anchor, negative)
+),
+ranked AS (
+  SELECT anchor, positive, negative,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY {draw}, negative) AS neg_rank
+  FROM filt
+)
+SELECT anchor, positive, negative, CAST(neg_rank AS INTEGER) AS neg_rank
+FROM ranked WHERE neg_rank <= {n_neg}
+"""

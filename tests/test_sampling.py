@@ -160,3 +160,43 @@ def test_budget_select_matches_single_partition_window(spark):
     for r in naive.collect():
         assert got[r.doc_id][0] == r.cum
         assert got[r.doc_id][1] == ((r.cum - r.n) < 1500)
+
+
+def test_contrastive_triplets_properties(spark):
+    import random
+
+    from model_audit_spark.operators.sampling import contrastive_triplets
+    from model_audit_spark.operators.similarity import knn_graph
+
+    rng = random.Random(3)
+    dim = 16
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    pos = knn_graph(emb, k=3, n_bands=4, planes_per_band=4, dim=dim)
+    trip = contrastive_triplets(emb, pos, n_neg=2, n_buckets=4)
+    rows = trip.collect()
+    assert rows
+    known = {(r.src, r.dst) for r in pos.collect()}
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor, []).append(r)
+        # a negative is never the anchor itself, its positive, or any
+        # known neighbor in either direction
+        assert r.negative != r.anchor and r.negative != r.positive
+        assert (r.anchor, r.negative) not in known
+        assert (r.negative, r.anchor) not in known
+    for a, rs in by_anchor.items():
+        assert sorted(r.neg_rank for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+    # deterministic: a second run draws the same triplets
+    again = {
+        (r.anchor, r.positive, r.negative, r.neg_rank)
+        for r in contrastive_triplets(
+            emb, pos, n_neg=2, n_buckets=4
+        ).collect()
+    }
+    assert again == {
+        (r.anchor, r.positive, r.negative, r.neg_rank) for r in rows
+    }
