@@ -872,6 +872,13 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _bm25_search(spark, sf):
+    from model_audit_spark.operators.search import bm25_search
+
+    docs = _t(spark, sf, "documents")
+    return bm25_search(docs, "spark join filter", k=20)
+
+
 def _contrastive_triplets(spark, sf):
     from model_audit_spark.operators.sampling import contrastive_triplets
 
@@ -1343,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ext": _lang_id_ext,
         "doc_chunks": _doc_chunks,
         "contrastive_triplets": _contrastive_triplets,
+        "bm25_search": _bm25_search,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1396,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_triplets": ora.contrastive_triplets(
             n_neg=2, n_buckets=16
         ),
+        "bm25_search": ora.bm25_search("spark join filter", k=20),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

@@ -1,0 +1,99 @@
+"""BM25 full-text scoring over the corpus (Robertson/Spärck Jones; the
+standard retrieval scorer — quality-aware text search is how curation
+pipelines pull topic slices out of a 100 TB corpus).
+
+score(d, q) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   [the Lucene non-negative form]
+
+Plan shape at scale:
+- document stats (per-doc length, corpus N/avgdl) and per-(doc, term)
+  tf for QUERY TERMS ONLY — the token explode is filtered to the query's
+  literal term set before the aggregate, so the shuffle carries ~|q|
+  rows per matching doc, not the whole postings relation.
+- df per query term is a tiny aggregate (|q| rows) joined broadcast.
+- top-k by (score desc, doc_id) via TakeOrdered — never a global sort.
+
+Bit-stability: idf is rounded to 9dp once per TERM (a handful of ln
+calls — the only op where engines can drift a ulp), each contribution is
+rounded to 9dp and cast DECIMAL(28,9), and the per-doc sum is exact
+decimal arithmetic; the emitted score stays DECIMAL so no engine-side
+double rounding exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from model_audit_spark.functions.text import word_tokens
+
+__all__ = ["bm25_search"]
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hits, score) for the top-k BM25 documents of `query`.
+
+    Query terms are tokenized with the same word tokenizer as documents;
+    duplicate query terms count once (standard bag-of-terms query).
+    """
+    terms = sorted(
+        {t for t in __import__("re").findall(r"[\w]+", query.lower()) if t}
+    )
+    if not terms:
+        raise ValueError("query has no terms")
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(text_col)).alias("term"),
+        F.size(word_tokens(text_col)).alias("dl"),
+    )
+    hits = toks.filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+    stats = df.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(word_tokens(text_col))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("dfreq")
+    )
+    idf9 = F.round(
+        F.ln(
+            (F.col("n_docs") - F.col("dfreq") + 0.5)
+            / (F.col("dfreq") + 0.5)
+            + 1.0
+        ),
+        9,
+    )
+    terms_idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term", idf9.alias("idf9"), "avgdl"
+    )
+    contrib = F.round(
+        F.col("idf9")
+        * (F.col("tf") * (K1 + 1))
+        / (
+            F.col("tf")
+            + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    scored = (
+        tf.join(F.broadcast(terms_idf), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_hits"),
+            F.sum(contrib).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

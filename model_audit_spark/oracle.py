@@ -2600,3 +2600,52 @@ ranked AS (
 SELECT anchor, positive, negative, CAST(neg_rank AS INTEGER) AS neg_rank
 FROM ranked WHERE neg_rank <= {n_neg}
 """
+
+
+def bm25_search(query: str = "spark join filter", k: int = 20) -> str:
+    """Twin of search.bm25_search. Same two-stage 9dp rounding (idf per
+    term, then each contribution) and exact DECIMAL summation; score
+    stays DECIMAL so no engine-side double rounding exists."""
+    import re as _re
+
+    terms = sorted({t for t in _re.findall(r"[\w]+", query.lower()) if t})
+    term_list = ", ".join(sql_quote(t) for t in terms)
+    k1, b = 1.2, 0.75
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base
+),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM hits WHERE term IN ({term_list})
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term
+),
+terms_idf AS (
+  SELECT term,
+         round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 9)
+           AS idf9,
+         avgdl
+  FROM dfreq CROSS JOIN stats
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS INTEGER) AS n_hits,
+         sum(CAST(round(
+           idf9 * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)), 9)
+           AS DECIMAL(28,9))) AS score
+  FROM tf JOIN terms_idf USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_hits, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
