@@ -872,6 +872,18 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _embedding_contamination(spark, sf):
+    """Semantic decontamination: train split (vec_id % 5 != 0) vectors
+    whose cosine to any eval vector (vec_id % 5 == 0) >= 0.4 — the same
+    driver split convention as contamination_check."""
+    from model_audit_spark.operators.decontam import embedding_contamination
+
+    emb = _t(spark, sf, "embeddings")
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    ev = emb.filter(F.col("vec_id") % 5 == 0)
+    return embedding_contamination(tr, ev, threshold=0.4, dim=64)
+
+
 def _bm25_search(spark, sf):
     from model_audit_spark.operators.search import bm25_search
 
@@ -1351,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "contrastive_triplets": _contrastive_triplets,
         "bm25_search": _bm25_search,
+        "embedding_contamination": _embedding_contamination,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1405,6 +1418,9 @@ def oracle_sql() -> dict[str, str]:
             n_neg=2, n_buckets=16
         ),
         "bm25_search": ora.bm25_search("spark join filter", k=20),
+        "embedding_contamination": ora.embedding_contamination(
+            threshold=0.4, n_planes=8, dim=64, eval_mod=5
+        ),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

@@ -101,3 +101,62 @@ def decontaminate(
     return train_df.join(
         flagged.select(id_col), id_col, "left_anti"
     )
+
+
+def embedding_contamination(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: training vectors whose cosine to
+    ANY eval vector crosses `threshold` (the semantic complement of the
+    n-gram `contamination` check — paraphrased eval leakage that shares
+    no 5-gram still collides in embedding space).
+
+    Same bucket-first shape as embedding_cosine_pairs, but across two
+    sets: both sides get the seeded hyperplane signature, candidates come
+    from bucket equality (Σ |train_b|·|eval_b| work, never |train|·|eval|),
+    and the exact cosine verifies. Output: one row per contaminated
+    training vector with its worst (highest-cosine) eval match —
+    (train_id, eval_id, cosine_sim), ties on cosine broken by eval_id.
+    """
+    from model_audit_spark.operators.similarity import (
+        as_double_array,
+        random_hyperplanes,
+        rhp_signature,
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(train_emb.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes)
+
+    def sig(df: DataFrame, out_id: str, out_v: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            as_double_array(vec_col).alias(out_v),
+        ).withColumn("bucket", rhp_signature(F.col(out_v), planes))
+
+    t = sig(train_emb, "train_id", "tv")
+    e = sig(eval_emb, "eval_id", "ev")
+    cand = t.join(e, "bucket")
+    sim = _dot(F.col("tv"), F.col("ev")) / (
+        _norm(F.col("tv")) * _norm(F.col("ev"))
+    )
+    scored = cand.select(
+        "train_id", "eval_id", F.round(sim, 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("cosine_sim"), F.asc("eval_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("train_id", "eval_id", "cosine_sim")
+    )

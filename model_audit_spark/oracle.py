@@ -2649,3 +2649,50 @@ scored AS (
 SELECT doc_id, n_hits, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def embedding_contamination(
+    threshold: float = 0.4, n_planes: int = 8, dim: int = 64,
+    eval_mod: int = 5,
+) -> str:
+    """Twin of decontam.embedding_contamination with the driver split
+    (vec_id % eval_mod == 0 is the eval set) — plane literals embedded,
+    worst eval match per contaminated training vector."""
+    from model_audit_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes)
+    rows = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in p) + "])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pi, pv) AS (VALUES {rows}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v[j] * pv[j])) > 0
+                   THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+),
+cand AS (
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), i -> t.v[i] * e.v[i]))
+      / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(e.v, x -> x * x)))),
+    6) AS cosine_sim
+  FROM sigs t JOIN sigs e ON t.bucket = e.bucket
+  WHERE t.vec_id % {eval_mod} != 0 AND e.vec_id % {eval_mod} = 0
+),
+ranked AS (
+  SELECT train_id, eval_id, cosine_sim,
+         row_number() OVER (PARTITION BY train_id
+                            ORDER BY cosine_sim DESC, eval_id ASC) AS rn
+  FROM cand WHERE cosine_sim >= {threshold}
+)
+SELECT train_id, eval_id, cosine_sim FROM ranked WHERE rn = 1
+"""

@@ -88,3 +88,34 @@ def test_contamination_plan_broadcasts_eval(spark, corpora):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_contamination_planted_leak(spark):
+    import random
+
+    from model_audit_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(30)]
+    # plant: train vector 100 is a near-copy of eval vector 5
+    eval_ids = {i for i, _ in vecs if i % 5 == 0}
+    base = dict(vecs)[5]
+    vecs.append((101, [x + rng.gauss(0, 1e-6) for x in base]))
+    emb = spark.createDataFrame(
+        vecs, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    tr = emb.filter("vec_id % 5 != 0")
+    ev = emb.filter("vec_id % 5 = 0")
+    out = {
+        r.train_id: (r.eval_id, r.cosine_sim)
+        for r in embedding_contamination(
+            tr, ev, threshold=0.9, dim=dim
+        ).collect()
+    }
+    assert 101 in out and out[101][0] == 5 and out[101][1] >= 0.999999
+    # every flagged pair is genuinely train-vs-eval
+    for train_id, (eval_id, _) in out.items():
+        assert train_id % 5 != 0 and eval_id in eval_ids
