@@ -872,6 +872,13 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _quality_calibrated(spark, sf):
+    from model_audit_spark.operators.text_analysis import quality_calibrated
+
+    docs = _t(spark, sf, "documents")
+    return quality_calibrated(docs, keep_frac=0.5)
+
+
 def _embedding_contamination(spark, sf):
     """Semantic decontamination: train split (vec_id % 5 != 0) vectors
     whose cosine to any eval vector (vec_id % 5 == 0) >= 0.4 — the same
@@ -1364,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets": _contrastive_triplets,
         "bm25_search": _bm25_search,
         "embedding_contamination": _embedding_contamination,
+        "quality_calibrated": _quality_calibrated,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1421,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_contamination": ora.embedding_contamination(
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
         ),
+        "quality_calibrated": ora.quality_calibrated(keep_frac=0.5),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

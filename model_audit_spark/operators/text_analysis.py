@@ -187,3 +187,39 @@ def chunk_text(
         "chunk_text",
         F.length("chunk_text").alias("chunk_len"),
     )
+
+
+def quality_calibrated(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-group quality percentile calibration: rank each document's
+    quality WITHIN its group (source/domain) and keep the top
+    `keep_frac` — the standard fix for global thresholds systematically
+    wiping out whole domains whose quality distribution sits lower
+    (web text vs academic text).
+
+    q_rank = percent_rank over (group, quality desc, id) — the unique
+    tiebreak makes it partitioning-independent; keep = q_rank <
+    keep_frac (strict, so keep_frac=0.5 keeps just under half of each
+    group plus the top row). One window over one scan; groups are
+    domains (small cardinality), so no skew beyond group size itself.
+    """
+    from pyspark.sql import Window
+
+    stats = doc_stats(df, text_col, id_col).select(
+        id_col, "quality_score"
+    )
+    base = df.select(id_col, group_col).join(stats, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return base.select(
+        id_col,
+        group_col,
+        "quality_score",
+        F.round(F.percent_rank().over(w), 6).alias("q_rank"),
+    ).withColumn("keep", F.col("q_rank") < keep_frac)

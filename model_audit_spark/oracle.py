@@ -2696,3 +2696,23 @@ ranked AS (
 )
 SELECT train_id, eval_id, cosine_sim FROM ranked WHERE rn = 1
 """
+
+
+def quality_calibrated(keep_frac: float = 0.5) -> str:
+    """Twin of text_analysis.quality_calibrated — per-source percentile
+    rank of the quality score with the (quality desc, doc_id) tiebreak."""
+    return f"""
+WITH ts AS ({text_stats()}),
+base AS (
+  SELECT d.doc_id, d.source, ts.quality_score
+  FROM documents d JOIN ts ON ts.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality_score,
+  round(percent_rank() OVER (
+    PARTITION BY source
+    ORDER BY quality_score DESC, doc_id ASC), 6) AS q_rank,
+  percent_rank() OVER (
+    PARTITION BY source
+    ORDER BY quality_score DESC, doc_id ASC) < {keep_frac} AS keep
+FROM base
+"""

@@ -199,3 +199,26 @@ def test_chunk_text_overlap_and_coverage(spark):
     # reconstruction: stripping the overlap from chunks 1+ rebuilds the doc
     rebuilt = c1[0].chunk_text + "".join(c.chunk_text[10:] for c in c1[1:])
     assert rebuilt == "a" * 120
+
+
+def test_quality_calibrated_per_group_keep(spark):
+    from model_audit_spark.operators.text_analysis import (
+        quality_calibrated,
+    )
+
+    good = ("word " * 120 + "a proper sentence ends here. ") * 2
+    rows = []
+    # source A: 4 docs of descending quality; source B: 2 uniformly bad
+    rows += [(i, "A", good[: 200 + 400 * i]) for i in range(4)]
+    rows += [(10, "B", "zz."), (11, "B", "qq!")]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r.doc_id: r for r in quality_calibrated(docs, keep_frac=0.5).collect()}
+    # per-group calibration keeps the top half of EACH source — source B
+    # keeps a doc even though globally its quality is worst
+    kept_b = [d for d in (10, 11) if out[d].keep]
+    assert len(kept_b) == 1
+    kept_a = [d for d in range(4) if out[d].keep]
+    assert len(kept_a) == 2
+    # q_rank is a percent rank: 0 for the best row of each group
+    assert min(out[d].q_rank for d in range(4)) == 0.0
+    assert min(out[d].q_rank for d in (10, 11)) == 0.0
