@@ -872,6 +872,13 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _span_dedup(spark, sf):
+    from model_audit_spark.operators.dedup import span_dedup_stats
+
+    docs = _t(spark, sf, "documents")
+    return span_dedup_stats(docs, "text", "doc_id", span_tokens=20)
+
+
 def _quality_calibrated(spark, sf):
     from model_audit_spark.operators.text_analysis import quality_calibrated
 
@@ -1372,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "embedding_contamination": _embedding_contamination,
         "quality_calibrated": _quality_calibrated,
+        "span_dedup": _span_dedup,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1430,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
         ),
         "quality_calibrated": ora.quality_calibrated(keep_frac=0.5),
+        "span_dedup": ora.span_dedup(span_tokens=20),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

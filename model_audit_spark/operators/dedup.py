@@ -500,3 +500,55 @@ def paragraph_dedup_stats(
             ).alias("keep_frac"),
         )
     )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Verbatim-span duplication stats (the exact-substring dedup tier of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", relationally approximated): a token position is DUPLICATED
+    when the `span_tokens`-gram starting there occurs anywhere else in
+    the corpus (other doc, or elsewhere in the same doc).
+
+    Output per doc: (id, n_spans, n_dup_spans, dup_span_frac). Documents
+    shorter than span_tokens have n_spans = 0.
+
+    Relational shape (vs the paper's suffix array, which is not a
+    distributed-friendly structure): every position's n-gram is hashed
+    (stride 1 — positions, not distinct shingles) and counted corpus-wide
+    in ONE hash aggregate; the per-position relation re-joins on the
+    digest with the tiny duplicated-digest side broadcast-eligible after
+    filtering cnt > 1. Shuffle carries (digest, count) fixed-width state;
+    the position explode is ~n_tokens rows/doc — the price of stride-1
+    exactness, the reason the default span is 20 not 3.
+    """
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+    grams = toks.select(
+        F.col(id_col), F.explode(ngrams("_w", span_tokens)).alias("g")
+    ).select(id_col, F.md5("g").alias("h"))
+    counts = grams.groupBy("h").agg(F.count("*").alias("cnt"))
+    dup = counts.filter(F.col("cnt") > 1).select("h")
+    flagged = grams.join(
+        F.broadcast(dup.withColumn("_dup", F.lit(1))), "h", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") / F.greatest(F.col("n_spans"), F.lit(1)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -2716,3 +2716,35 @@ SELECT doc_id, source, quality_score,
     ORDER BY quality_score DESC, doc_id ASC) < {keep_frac} AS keep
 FROM base
 """
+
+
+def span_dedup(span_tokens: int = 20) -> str:
+    """Twin of dedup.span_dedup_stats — stride-1 verbatim-span duplication
+    counts (position n-grams, corpus-wide digest counts)."""
+    n = span_tokens
+    grams = (
+        f"CASE WHEN len(w) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(w) - {n} + 2), "
+        f"i -> array_to_string(w[i:i+{n - 1}], ' ')) END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_tokens('text')} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(unnest({grams})) AS h FROM toks
+),
+counts AS (
+  SELECT h, count(*) AS cnt FROM grams GROUP BY h
+),
+flagged AS (
+  SELECT g.doc_id, CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END AS dup
+  FROM grams g JOIN counts c USING (h)
+)
+SELECT doc_id,
+  count(*) AS n_spans,
+  CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+  round(sum(dup) / greatest(count(*), 1), 6) AS dup_span_frac
+FROM flagged
+GROUP BY doc_id
+"""

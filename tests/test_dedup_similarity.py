@@ -262,3 +262,30 @@ def test_knn_graph_planted_neighbors_and_ordering(spark):
         sims = [r.cosine_sim for r in nb]
         assert sims == sorted(sims, reverse=True)
         assert len(nb) <= 3 and src not in [r.dst for r in nb]
+
+
+def test_span_dedup_detects_repeated_span(spark):
+    from model_audit_spark.operators.dedup import span_dedup_stats
+
+    span = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, span + " alpha beta gamma delta epsilon"),
+            (2, "prefix words here " + span),
+            (3, "totally unrelated text with more than enough unique "
+                "words to make several spans"),
+            (4, "short"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup_stats(docs, span_tokens=10).collect()
+    }
+    # the shared 10-token span is duplicated across docs 1 and 2
+    assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
+    assert out[3].n_dup_spans == 0
+    # doc 4 has < 10 tokens: no span rows at all
+    assert 4 not in out
+    # n_spans = n_tokens - 9 for stride-1 grams
+    assert out[1].n_spans == 15 - 9
