@@ -220,6 +220,10 @@ def contrastive_triplets(
     """
     from pyspark.sql import Window
 
+    # positives feeds best_pos AND both directions of the known-neighbor
+    # anti-join — unpersisted, the whole upstream plan (typically a kNN
+    # graph: bands, joins, cosine) would execute three times
+    positives = positives.persist()
     ids = emb.select(F.col(id_col).alias("_nid")).withColumn(
         "_nb", bucket_for("_nid", salt, n_buckets)
     )
