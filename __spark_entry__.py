@@ -872,6 +872,18 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _source_overlap(spark, sf):
+    from model_audit_spark.operators.cluster import source_overlap
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "text", "doc_id", min_jaccard=0.5
+    ).select("id_a", "id_b")
+    return source_overlap(docs, verified)
+
+
 def _span_dedup(spark, sf):
     from model_audit_spark.operators.dedup import span_dedup_stats
 
@@ -1380,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_contamination": _embedding_contamination,
         "quality_calibrated": _quality_calibrated,
         "span_dedup": _span_dedup,
+        "source_overlap": _source_overlap,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1439,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_calibrated": ora.quality_calibrated(keep_frac=0.5),
         "span_dedup": ora.span_dedup(span_tokens=20),
+        "source_overlap": ora.source_overlap(min_jaccard=0.5),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

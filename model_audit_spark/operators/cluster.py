@@ -130,3 +130,47 @@ def cluster_documents(
         w_size.alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication report: for every unordered source pair,
+    how many verified near-duplicate document pairs span it — the
+    "which domains are mirrors of each other" rollup that decides
+    whether to drop a whole source rather than dedup doc by doc.
+
+    Output: (source_a, source_b, n_pairs) with source_a <= source_b,
+    ordered for stable reading. Join shape: the pair relation (already
+    candidate-bounded by LSH + verify) joins the (id, source) projection
+    twice — source_a/source_b normalized with least/greatest so both
+    directions of a pair collapse to one key.
+    """
+    src = docs.select(F.col(id_col), F.col(group_col))
+    joined = (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("id_a"),
+                F.col(group_col).alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"),
+                F.col(group_col).alias("_sb"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        joined.groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -2748,3 +2748,18 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+def source_overlap(min_jaccard: float = 0.5) -> str:
+    """Twin of cluster.source_overlap over the minhash near-dup pairs."""
+    return f"""
+WITH pairs AS ({dedup_minhash_pairs(min_jaccard=min_jaccard)})
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -51,3 +51,23 @@ def test_empty_pairs_all_singletons(spark):
     docs = spark.range(3).select(F.col("id").alias("doc_id"))
     out = cluster_documents(docs, _pairs(spark, []))
     assert all(r["keep"] and r["cluster_size"] == 1 for r in out.collect())
+
+
+def test_source_overlap_counts_cross_source_pairs(spark):
+    from model_audit_spark.operators.cluster import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "A", "x"), (2, "B", "x"), (3, "A", "y"), (4, "A", "y"),
+         (5, "C", "z")],
+        "doc_id int, source string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 1)], "id_a int, id_b int"
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in source_overlap(docs, pairs).collect()
+    }
+    # (1,2) and its reverse (2,1) both map to the normalized (A, B) key;
+    # (3,4) is within-source A
+    assert got == {("A", "B"): 2, ("A", "A"): 1}
