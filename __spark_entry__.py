@@ -872,6 +872,13 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _q_events_funnel(spark, sf):
+    from model_audit_spark.operators.asof import funnel_counts
+
+    ev = _t(spark, sf, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def _source_overlap(spark, sf):
     from model_audit_spark.operators.cluster import source_overlap
 
@@ -1393,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": _quality_calibrated,
         "span_dedup": _span_dedup,
         "source_overlap": _source_overlap,
+        "q_events_funnel": _q_events_funnel,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1453,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibrated": ora.quality_calibrated(keep_frac=0.5),
         "span_dedup": ora.span_dedup(span_tokens=20),
         "source_overlap": ora.source_overlap(min_jaccard=0.5),
+        "q_events_funnel": ora.funnel_counts(("view", "click", "purchase")),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

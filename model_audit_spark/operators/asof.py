@@ -95,3 +95,59 @@ def range_join(
         & (rhs[f"{ts_col}{suffix}"] < left[ts_col])
     )
     return left.join(rhs, cond, "inner").drop("_rby")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: how many users reached step i
+    having passed steps 0..i-1 IN TIME ORDER (greedy earliest-match
+    subsequence — the standard product-analytics funnel).
+
+    Per user, t_0 = min ts of step 0; t_i = min ts of step i with
+    ts > t_{i-1}. Output one row per step: (step_idx, step, n_users),
+    n_users monotonically non-increasing.
+
+    Plan shape: ONE aggregate per funnel step over the (user, type, ts)
+    projection — step i's conditional min depends on step i-1's result,
+    so each stage is a groupBy(user) agg joined back (funnel depth is
+    small and fixed; each join is user-keyed and the per-user state is
+    one timestamp). No collect_list of per-user event arrays — a hot
+    user's events never materialize as one row.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    reached = None  # (u, prev_ts) of users who reached the previous step
+    counts = []
+    for i, step in enumerate(steps):
+        if reached is None:
+            cur = base.filter(F.col("t") == step).groupBy("u").agg(
+                F.min("ts").alias("step_ts")
+            )
+        else:
+            cur = (
+                base.filter(F.col("t") == step)
+                .join(reached, "u")
+                .filter(F.col("ts") > F.col("prev_ts"))
+                .groupBy("u")
+                .agg(F.min("ts").alias("step_ts"))
+            )
+        reached = cur.select("u", F.col("step_ts").alias("prev_ts")).persist()
+        counts.append(
+            reached.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -2763,3 +2763,28 @@ JOIN documents b ON b.doc_id = p.id_b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def funnel_counts(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Twin of asof.funnel_counts — stepwise conditional-min CTE chain."""
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id AS u, min(ts) AS step_ts "
+                f"FROM events WHERE event_type = {sql_quote(step)} "
+                f"GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT b.user_id AS u, min(b.ts) AS step_ts "
+                f"FROM events b JOIN s{i-1} p ON p.u = b.user_id "
+                f"WHERE b.event_type = {sql_quote(step)} "
+                f"AND b.ts > p.step_ts GROUP BY b.user_id)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, {sql_quote(s)} AS step, "
+        f"count(*) AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects

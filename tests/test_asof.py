@@ -58,3 +58,29 @@ def test_range_join_half_open_boundary(spark):
         ).collect()
     )
     assert got == [20, 21]
+
+
+def test_funnel_greedy_subsequence(spark):
+    from datetime import datetime
+
+    from model_audit_spark.operators.asof import funnel_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, "click", t(1)), (2, "view", t(2)),
+        # user 3 views then purchases with no click
+        (3, "view", t(1)), (3, "purchase", t(2)),
+        # user 4 never views
+        (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
