@@ -206,3 +206,38 @@ def test_orc_roundtrip_and_suffix_dispatch(spark, tmp_path):
     assert sorted(r.text for r in back.collect()) == [
         "orc row one.", "orc row two.",
     ]
+
+
+def test_normalize_event_ts_handles_all_encodings(spark, tmp_path):
+    """The driver's events.parquet has shipped as TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds; the loader must normalize long
+    (epoch nanos), TIMESTAMP_NTZ, and TIMESTAMP to the same session-TZ
+    timestamps."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from model_audit_spark.sources.readers import normalize_event_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    wall = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    micros = int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+
+    ns_path = str(tmp_path / "ev_ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([micros * 1000], pa.timestamp("ns"))}),
+        ns_path,
+    )
+    us_path = str(tmp_path / "ev_us.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([micros], pa.timestamp("us"))}), us_path
+    )
+
+    got = set()
+    for path in (ns_path, us_path):
+        df = normalize_event_ts(spark.read.parquet(path))
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        got.add(df.first()["ts"])
+    assert got == {wall}
