@@ -872,6 +872,31 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+def _pagerank_dupgraph(spark, sf):
+    """Integer-arithmetic PageRank over the symmetric minhash near-dup
+    graph — duplication hubs get high rank. Iterative algorithm with a
+    full SQL twin (rounds unrolled as CTEs, all mass moves are BIGINT
+    floor division)."""
+    from model_audit_spark.operators.cluster import pagerank
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "text", "doc_id", min_jaccard=0.5
+    ).select("id_a", "id_b").persist()
+    edges = verified.unionByName(
+        verified.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return pagerank(
+        nodes, edges, iterations=3, id_col="node",
+        src_col="id_a", dst_col="id_b",
+    )
+
+
 def _q_events_funnel(spark, sf):
     from model_audit_spark.operators.asof import funnel_counts
 
@@ -1406,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _span_dedup,
         "source_overlap": _source_overlap,
         "q_events_funnel": _q_events_funnel,
+        "pagerank_dupgraph": _pagerank_dupgraph,
         "style_scores_long": _style_scores_long,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
@@ -1467,6 +1493,9 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": ora.span_dedup(span_tokens=20),
         "source_overlap": ora.source_overlap(min_jaccard=0.5),
         "q_events_funnel": ora.funnel_counts(("view", "click", "purchase")),
+        "pagerank_dupgraph": ora.pagerank_dupgraph(
+            iterations=3, damping_pct=85, min_jaccard=0.5
+        ),
         "watermark_documents": ora.watermark_documents(),
         "doc_fingerprints": ora.doc_fingerprints(),
         "cache_keys": ora.cache_keys(),

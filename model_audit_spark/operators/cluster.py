@@ -174,3 +174,81 @@ def source_overlap(
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+PAGERANK_SCALE = 10**12  # integer "pico-mass"; total initial mass = SCALE
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-arithmetic PageRank: (node, pr) after `iterations` rounds,
+    pr in pico-mass units (initial total = PAGERANK_SCALE).
+
+    All mass movement is BIGINT floor division — contribution =
+    pr DIV outdeg, dangling mass DIV N, damping as (85·x) DIV 100 — so
+    the result is bit-identical under any partitioning AND in a plain-SQL
+    engine (the oracle unrolls the same rounds as CTEs). Floor division
+    leaks ≤1 pico-mass per division; both engines leak identically,
+    which is the property that matters for verification. Iterative
+    semantics otherwise standard: uniform init, dangling mass
+    redistributed uniformly, teleport (100-damping)%.
+
+    Per round: one (src-keyed) join edges⋈pr, one dst-keyed aggregate,
+    one scalar dangling aggregate — the same shuffle budget as
+    connected_components, and the same lineage discipline: each round's
+    pr is localCheckpoint'ed so the analyzed plan stays one round deep
+    (unrolled, Catalyst re-optimizes a growing tree every round and the
+    3-round plan was measured 10× slower than the checkpointed one).
+    """
+    n_nodes = nodes.count()
+    base = PAGERANK_SCALE * (100 - damping_pct) // 100 // n_nodes
+    out_deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
+        F.count("*").alias("outdeg")
+    ).persist()
+    pr = nodes.select(
+        F.col(id_col).alias("_n"),
+        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
+    ).localCheckpoint()
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).persist()
+    for _ in range(iterations):
+        with_deg = pr.join(out_deg, pr["_n"] == out_deg["_u"], "left")
+        dang = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("d")
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("_n").alias("_u2"),
+                    F.expr("pr DIV outdeg").alias("share"),
+                ),
+                F.col("_u") == F.col("_u2"),
+            )
+            .groupBy(F.col("_v").alias("_n"))
+            .agg(F.sum("share").cast("long").alias("c"))
+        )
+        pr = (
+            pr.select("_n")
+            .join(contrib, "_n", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "_n",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(c, 0) + d DIV "
+                        f"{n_nodes})) DIV 100"
+                    )
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(F.col("_n").alias(id_col), "pr")

@@ -2788,3 +2788,49 @@ def funnel_counts(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str
         for i, s in enumerate(steps)
     )
     return "WITH " + ", ".join(ctes) + " " + selects
+
+
+def pagerank_dupgraph(
+    iterations: int = 3, damping_pct: int = 85, min_jaccard: float = 0.5
+) -> str:
+    """Twin of cluster.pagerank over the symmetric minhash near-dup graph.
+    The integer pico-mass rounds unroll as CTEs; every division is BIGINT
+    floor division in the exact same order as the Spark side."""
+    scale = 10**12
+    d = damping_pct
+    ctes = [
+        f"pairs AS ({dedup_minhash_pairs(min_jaccard=min_jaccard)})",
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION ALL SELECT id_b AS u, id_a AS v FROM pairs)",
+        "nodes AS (SELECT doc_id AS n FROM documents)",
+        "nn AS (SELECT count(*) AS nn FROM nodes)",
+        "outdeg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY u)",
+        f"r0 AS (SELECT n, CAST({scale} // nn AS BIGINT) AS pr "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"d{k} AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS d "
+            f"FROM {prev} LEFT JOIN outdeg ON {prev}.n = outdeg.u "
+            f"WHERE outdeg.u IS NULL)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.v AS n, "
+            f"CAST(sum(p.pr // o.outdeg) AS BIGINT) AS c "
+            f"FROM edges e JOIN {prev} p ON p.n = e.u "
+            f"JOIN outdeg o ON o.u = e.u GROUP BY e.v)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT nodes.n, CAST("
+            f"(({scale} * {100 - d}) // 100) // nn "
+            f"+ ({d} * (coalesce(c{k}.c, 0) + d{k}.d // nn)) // 100 "
+            f"AS BIGINT) AS pr "
+            f"FROM nodes LEFT JOIN c{k} ON c{k}.n = nodes.n "
+            f"CROSS JOIN d{k} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT n AS node, pr FROM r{iterations}"
+    )

@@ -71,3 +71,33 @@ def test_source_overlap_counts_cross_source_pairs(spark):
     # (1,2) and its reverse (2,1) both map to the normalized (A, B) key;
     # (3,4) is within-source A
     assert got == {("A", "B"): 2, ("A", "A"): 1}
+
+
+def test_pagerank_hub_and_isolated_nodes(spark):
+    from model_audit_spark.operators.cluster import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(5)], "node int"
+    )
+    # star: 1..3 all point at hub 0 (and back, symmetric); 4 isolated
+    pairs = [(1, 0), (2, 0), (3, 0)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src int, dst int"
+    )
+    pr = {r.node: r.pr for r in pagerank(nodes, edges, iterations=3).collect()}
+    # hub collects from three spokes -> strictly highest rank
+    assert pr[0] > max(pr[i] for i in (1, 2, 3, 4))
+    # spokes are symmetric -> identical rank
+    assert pr[1] == pr[2] == pr[3]
+    # isolated node keeps only teleport + dangling share, below spokes
+    assert pr[4] < pr[1]
+    # total mass ~ SCALE (floor-division leakage only: < 1000 pico-mass)
+    assert 0 <= PAGERANK_SCALE - sum(pr.values()) < 1000
+    # deterministic across runs
+    again = {
+        r.node: r.pr for r in pagerank(nodes, edges, iterations=3).collect()
+    }
+    assert again == pr
