@@ -141,3 +141,68 @@ def test_dedup_exact_partitions_the_corpus(spark, texts):
         by_text.setdefault(t, []).append(i)
     expect = sorted(min(ids) for ids in by_text.values())
     assert kept_ids == expect
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=12))
+@_SETTINGS
+def test_chunking_reconstructs_every_text(spark, texts):
+    """For ANY text: stripping the overlap from chunks 1+ and
+    concatenating rebuilds the document exactly; chunk lengths never
+    exceed the window."""
+    from model_audit_spark.operators.text_analysis import chunk_text
+
+    docs = _docs(spark, texts)
+    rows = chunk_text(docs, chunk_chars=20, overlap=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        cs = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if t == "":
+            assert cs == []
+            continue
+        rebuilt = (
+            cs[0].chunk_text + "".join(c.chunk_text[5:] for c in cs[1:])
+            if cs else ""
+        )
+        assert rebuilt == t
+        assert all(c.chunk_len <= 20 for c in cs)
+
+
+@given(texts=st.lists(_TEXT, min_size=2, max_size=12))
+@_SETTINGS
+def test_budget_select_cumsum_is_permutation_of_global_prefix(spark, texts):
+    """cum_tokens must be the exact global running sum regardless of how
+    the input is partitioned."""
+    from model_audit_spark.operators.sampling import budget_select
+
+    docs = _docs(spark, texts)
+    out = budget_select(docs, budget_tokens=10).collect()
+    total = sum(r.n_tokens for r in out)
+    # exclusive-prefix shift identity (multiset form — robust to ties
+    # from zero-token docs): {cum - n} ∪ {total} == {cum} ∪ {0}
+    assert sorted([r.cum_tokens - r.n_tokens for r in out] + [total]) == (
+        sorted([r.cum_tokens for r in out] + [0])
+    )
+    # repartitioned input -> identical output
+    again = budget_select(docs.repartition(7), budget_tokens=10).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=10))
+@_SETTINGS
+def test_lang_profile_total_function(spark, texts):
+    """detect_lang_profile returns a known label for every input."""
+    from model_audit_spark.functions.text import (
+        LANG_PROFILES,
+        detect_lang_profile,
+    )
+
+    docs = _docs(spark, texts)
+    labels = {
+        r.l
+        for r in docs.select(
+            detect_lang_profile("text").alias("l")
+        ).collect()
+    }
+    assert labels <= set(LANG_PROFILES) | {"zh", "und"}
