@@ -165,14 +165,30 @@ def embedding_cosine_pairs_exact(
     """Exact all-pairs cosine >= threshold — the O(N²) VERIFICATION twin of
     embedding_cosine_pairs (reference for the LSH-bucketed scale path; the
     LSH output must be a subset of this with high recall). Run only at
-    oracle/test scale; at 100 TB use the bucketed variant."""
-    v = emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+    oracle/test scale; at 100 TB use the bucketed variant.
+
+    Norms are computed ONCE per vector and carried through the join
+    (identical doubles to recomputing inline — sqrt of the same sum —
+    so the SQL twin is unaffected); recomputing them per pair tripled
+    the per-pair flops."""
+    v = emb.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+    ).select(
+        id_col, "v", _norm(F.col("v")).alias("nv")
     )
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
