@@ -137,18 +137,21 @@ def embedding_contamination(
         dim = len(train_emb.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)
 
-    def sig(df: DataFrame, out_id: str, out_v: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            as_double_array(vec_col).alias(out_v),
-        ).withColumn("bucket", rhp_signature(F.col(out_v), planes))
+    def sig(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                as_double_array(vec_col).alias(out_v),
+            )
+            .withColumn("bucket", rhp_signature(F.col(out_v), planes))
+            # norm once per vector, not per candidate pair (same doubles)
+            .withColumn(out_n, _norm(F.col(out_v)))
+        )
 
-    t = sig(train_emb, "train_id", "tv")
-    e = sig(eval_emb, "eval_id", "ev")
+    t = sig(train_emb, "train_id", "tv", "tn")
+    e = sig(eval_emb, "eval_id", "ev", "en")
     cand = t.join(e, "bucket")
-    sim = _dot(F.col("tv"), F.col("ev")) / (
-        _norm(F.col("tv")) * _norm(F.col("ev"))
-    )
+    sim = _dot(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en"))
     scored = cand.select(
         "train_id", "eval_id", F.round(sim, 6).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)

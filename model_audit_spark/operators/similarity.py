@@ -134,23 +134,26 @@ def embedding_cosine_pairs(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)
-    sigs = emb.select(
-        F.col(id_col), as_double_array(vec_col).alias("v")
-    ).withColumn("bucket", rhp_signature(F.col("v"), planes))
+    sigs = (
+        emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .withColumn("bucket", rhp_signature(F.col("v"), planes))
+        # norm once per vector, not per candidate pair (same doubles)
+        .withColumn("nv", _norm(F.col("v")))
+    )
     a = sigs.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = sigs.select(
         F.col("bucket"),
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
@@ -472,7 +475,7 @@ def knn_graph(
 
     base = emb.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
-    )
+    ).select("_id", "_v", _norm(F.col("_v")).alias("_nv"))
     band_sigs = []
     for b in range(n_bands):
         planes = random_hyperplanes(dim, planes_per_band, seed=seed + b)
@@ -499,12 +502,24 @@ def knn_graph(
         .distinct()
     )
     with_vecs = (
-        cand.join(base.select(F.col("_id").alias("src"), F.col("_v").alias("sv")), "src")
-        .join(base.select(F.col("_id").alias("dst"), F.col("_v").alias("dv")), "dst")
+        cand.join(
+            base.select(
+                F.col("_id").alias("src"),
+                F.col("_v").alias("sv"),
+                F.col("_nv").alias("sn"),
+            ),
+            "src",
+        )
+        .join(
+            base.select(
+                F.col("_id").alias("dst"),
+                F.col("_v").alias("dv"),
+                F.col("_nv").alias("dn"),
+            ),
+            "dst",
+        )
     )
-    sim = _dot(F.col("sv"), F.col("dv")) / (
-        _norm(F.col("sv")) * _norm(F.col("dv"))
-    )
+    sim = _dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn"))
     scored = with_vecs.select(
         "src", "dst", F.round(sim, 6).alias("cosine_sim")
     )
