@@ -43,15 +43,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine; deterministic order (rounded sim DESC, id ASC)."""
+    """Exact top-k by cosine; deterministic order (rounded sim DESC, id ASC).
+
+    The query norm rides in the broadcast row (computed once, not per
+    corpus row — same doubles either way)."""
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         as_double_array(vec_col).alias("qv")
     )
+    q = q.select("qv", _norm(F.col("qv")).alias("qn"))
     base = emb.select(
         F.col(id_col), as_double_array(vec_col).alias("ev")
     ).crossJoin(F.broadcast(q))
     sim = _dot(F.col("ev"), F.col("qv")) / (
-        _norm(F.col("ev")) * _norm(F.col("qv"))
+        _norm(F.col("ev")) * F.col("qn")
     )
     return (
         base.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
@@ -107,11 +111,12 @@ def lsh_topk(
     qrow = sigs.filter(F.col(id_col) == query_vec_id).select(
         F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
     )
+    qrow = qrow.select("qv", "qbucket", _norm(F.col("qv")).alias("qn"))
     cands = sigs.join(
         F.broadcast(qrow), F.col("bucket") == F.col("qbucket")
     )
     sim = _dot(F.col("ev"), F.col("qv")) / (
-        _norm(F.col("ev")) * _norm(F.col("qv"))
+        _norm(F.col("ev")) * F.col("qn")
     )
     return (
         cands.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
