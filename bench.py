@@ -55,6 +55,8 @@ def main() -> None:
     # block manager instead of competing with 50+ stale cached RDDs
     spark.catalog.clearCache()
 
+    import gc
+
     times: dict[str, float] = {}
     for name in bench_queries:
         fn = qs[name]
@@ -63,6 +65,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
+        # clearCache drops catalog-cached relations but NOT localCheckpoint
+        # blocks (pagerank / connected-components rounds) — those free only
+        # when the Python references die and the ContextCleaner runs, so
+        # force the collection here or later queries run under storage
+        # pressure (measured: 2-4x timing variance on late bench queries)
+        del df
+        gc.collect()
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
