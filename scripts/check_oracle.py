@@ -141,6 +141,13 @@ def main():
     names = args or list(qs)
     failures = []
     for name in names:
+        # drop catalog caches AND localCheckpoint blocks from the previous
+        # query (the iterative operators checkpoint per round; those blocks
+        # only free after the Python references die — same fix as bench.py)
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf)
