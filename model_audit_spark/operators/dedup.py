@@ -515,31 +515,37 @@ def span_dedup_stats(
     the corpus (other doc, or elsewhere in the same doc).
 
     Output per doc: (id, n_spans, n_dup_spans, dup_span_frac). Documents
-    shorter than span_tokens have n_spans = 0.
+    shorter than span_tokens are emitted with n_spans = 0 (explode_outer
+    keeps their null-gram row), so the relation covers every input doc.
 
     Relational shape (vs the paper's suffix array, which is not a
     distributed-friendly structure): every position's n-gram is hashed
     (stride 1 — positions, not distinct shingles) and counted corpus-wide
-    in ONE hash aggregate; the per-position relation re-joins on the
-    digest with the tiny duplicated-digest side broadcast-eligible after
-    filtering cnt > 1. Shuffle carries (digest, count) fixed-width state;
-    the position explode is ~n_tokens rows/doc — the price of stride-1
-    exactness, the reason the default span is 20 not 3.
+    in ONE hash aggregate; the per-position relation then left-joins the
+    counts on the digest and the dup flag is just `cnt > 1`. No broadcast
+    hint: at 100 TB the duplicated-digest set is itself billions of rows,
+    so a mandatory broadcast would OOM — the unhinted shuffle join on `h`
+    reuses the aggregate's hash partitioning, and AQE still downgrades to
+    broadcast when the counts side happens to be small. Shuffle carries
+    (digest, count) fixed-width state; the position explode is
+    ~n_tokens rows/doc — the price of stride-1 exactness, the reason the
+    default span is 20 not 3.
     """
     toks = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
     grams = toks.select(
-        F.col(id_col), F.explode(ngrams("_w", span_tokens)).alias("g")
+        F.col(id_col), F.explode_outer(ngrams("_w", span_tokens)).alias("g")
     ).select(id_col, F.md5("g").alias("h"))
-    counts = grams.groupBy("h").agg(F.count("*").alias("cnt"))
-    dup = counts.filter(F.col("cnt") > 1).select("h")
-    flagged = grams.join(
-        F.broadcast(dup.withColumn("_dup", F.lit(1))), "h", "left"
+    counts = (
+        grams.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
     )
+    flagged = grams.join(counts, "h", "left")
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("bigint")
+            F.count("h").alias("n_spans"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint")
             .alias("n_dup_spans"),
         )
         .select(

@@ -384,12 +384,25 @@ def ivf_topk(
     return ivf_probe(assigned, query_vec_id, centroids, k, nprobe, id_col)
 
 
+def derived_n_clusters(n_rows: int) -> int:
+    """k ≈ ⌈√N⌉ — the regime where Σ cluster² ≈ N^1.5 / ... stays linear
+    in N per cluster (SemDeDup itself runs k in the thousands at web
+    scale). Integer-exact ceil so Spark and the SQL oracle agree."""
+    import math
+
+    if n_rows <= 1:
+        return 1
+    r = math.isqrt(n_rows)
+    return r if r * r == n_rows else r + 1
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     with the coarse quantizer, compare pairs only WITHIN a cluster, drop
@@ -400,23 +413,48 @@ def semantic_dedup(
 
     Scale shape: assignment is a zero-shuffle projection against literal
     centroids (ivf_assign); the pair stage is an equi-join on `cluster`,
-    Σ cluster² work — pick n_clusters ≈ √N (SemDeDup uses k in the
-    thousands at web scale) so cluster populations stay bounded; the
-    final aggregate + left join are keyed on the id. Deterministic:
-    seeded quantizer, min-id retention, 6dp-rounded sims."""
+    Σ cluster² work. When n_clusters is None it is DERIVED as ⌈√N⌉ from
+    a corpus count (one cheap aggregate), so the pair join scales
+    ~N^1.5 instead of silently degenerating toward all-pairs at a
+    constant k. `max_cluster_size` additionally hash-splits any cluster
+    above the cap into ⌈pop/cap⌉ sub-buckets before pairing (the
+    frequency_capped_explode hedge for a skewed quantizer): bounded
+    Σ bucket² at a documented recall cost — near-dups split across
+    sub-buckets of the same hot cluster are not compared. Deterministic:
+    seeded quantizer, min-id retention, xxhash64 sub-bucketing,
+    6dp-rounded sims."""
+    if n_clusters is None:
+        n_clusters = derived_n_clusters(emb.count())
     centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col).persist()
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    key = ["cluster"]
+    if max_cluster_size is not None:
+        pops = assigned.groupBy("cluster").agg(F.count("*").alias("_pop"))
+        assigned = assigned.join(pops, "cluster").withColumn(
+            "_sub",
+            F.when(
+                F.col("_pop") > max_cluster_size,
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("_pop") / F.lit(max_cluster_size)),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("_pop")
+        key = ["cluster", "_sub"]
+    assigned = assigned.persist()
     a = assigned.select(
-        "cluster", F.col(id_col).alias("id_a"), F.col("ev").alias("va")
+        *key, F.col(id_col).alias("id_a"), F.col("ev").alias("va")
     )
     b = assigned.select(
-        "cluster", F.col(id_col).alias("id_b"), F.col("ev").alias("vb")
+        *key, F.col(id_col).alias("id_b"), F.col("ev").alias("vb")
     )
     sim = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )
     prior = (
-        a.join(b, "cluster")
+        a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_b", F.round(sim, 6).alias("s"))
         .groupBy("id_b")

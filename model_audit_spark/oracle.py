@@ -1851,11 +1851,20 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 
 
 def semantic_dedup(
-    threshold: float = 0.4, n_clusters: int = 8, dim: int = 64
+    threshold: float = 0.4, n_clusters: int | None = None, dim: int = 64
 ) -> str:
     """Twin of similarity.semantic_dedup: seeded-sample quantizer
     assignment (same CTEs as ann_ivf_topk), within-cluster pairwise
-    cosine, drop vectors matching a lower-id cluster-mate."""
+    cosine, drop vectors matching a lower-id cluster-mate. When
+    n_clusters is None, k = ceil(sqrt(N)) is derived in-query — the same
+    rule as similarity.derived_n_clusters (IEEE sqrt is exact on perfect
+    squares below 2^52, so ceil(sqrt()) == the integer-exact isqrt ceil
+    for any realistic N)."""
+    limit = (
+        str(n_clusters)
+        if n_clusters is not None
+        else "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v)"
+    )
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1864,7 +1873,7 @@ WITH v AS (
 cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
-  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {n_clusters})
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {limit})
 ),
 scored AS (
   SELECT vec_id, v, cid,
@@ -2720,7 +2729,9 @@ FROM base
 
 def span_dedup(span_tokens: int = 20) -> str:
     """Twin of dedup.span_dedup_stats — stride-1 verbatim-span duplication
-    counts (position n-grams, corpus-wide digest counts)."""
+    counts (position n-grams, corpus-wide digest counts). Docs shorter
+    than span_tokens are emitted with n_spans = 0 via the final left
+    join, matching the Spark side's explode_outer."""
     n = span_tokens
     grams = (
         f"CASE WHEN len(w) < {n} THEN []::VARCHAR[] "
@@ -2737,16 +2748,19 @@ grams AS (
 counts AS (
   SELECT h, count(*) AS cnt FROM grams GROUP BY h
 ),
-flagged AS (
-  SELECT g.doc_id, CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END AS dup
+per_doc AS (
+  SELECT g.doc_id,
+    count(*) AS n_spans,
+    sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup
   FROM grams g JOIN counts c USING (h)
+  GROUP BY g.doc_id
 )
-SELECT doc_id,
-  count(*) AS n_spans,
-  CAST(sum(dup) AS BIGINT) AS n_dup_spans,
-  round(sum(dup) / greatest(count(*), 1), 6) AS dup_span_frac
-FROM flagged
-GROUP BY doc_id
+SELECT t.doc_id,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  round(coalesce(p.n_dup, 0) / greatest(coalesce(p.n_spans, 0), 1), 6)
+    AS dup_span_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
 

@@ -285,7 +285,8 @@ def test_span_dedup_detects_repeated_span(spark):
     # the shared 10-token span is duplicated across docs 1 and 2
     assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
     assert out[3].n_dup_spans == 0
-    # doc 4 has < 10 tokens: no span rows at all
-    assert 4 not in out
+    # doc 4 has < 10 tokens: emitted with zero spans (explode_outer)
+    assert out[4].n_spans == 0 and out[4].n_dup_spans == 0
+    assert out[4].dup_span_frac == 0.0
     # n_spans = n_tokens - 9 for stride-1 grams
     assert out[1].n_spans == 15 - 9

@@ -164,3 +164,16 @@ def test_knn_graph_band_explode_carries_no_vectors(spark):
         for l in lines
     )
     assert "WindowGroupLimit" in opt
+
+
+def test_span_dedup_has_no_mandatory_broadcast(spark):
+    """The duplicated-digest side of span_dedup is corpus-sized at 100 TB
+    (billions of 20-gram digests): a broadcast HINT there is an OOM at
+    scale, so the logical plan must carry none. AQE downgrading the
+    shuffle join to broadcast at runtime when the side is actually small
+    is fine — that decision is size-based, not mandatory."""
+    df = entrymod.queries()["span_dedup"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()

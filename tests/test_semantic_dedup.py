@@ -62,3 +62,51 @@ def test_all_kept_when_threshold_high(spark):
     emb = _emb(spark, [[1, 0], [0, 1], [0.6, 0.8]])
     out = semantic_dedup(emb, threshold=1.01, n_clusters=2).collect()
     assert all(r["keep"] for r in out)
+
+
+def test_derived_n_clusters_integer_exact():
+    from model_audit_spark.operators.similarity import derived_n_clusters
+
+    assert derived_n_clusters(0) == 1
+    assert derived_n_clusters(1) == 1
+    assert derived_n_clusters(9) == 3      # perfect square -> isqrt
+    assert derived_n_clusters(10) == 4     # next integer up
+    assert derived_n_clusters(500) == 23   # sf0.01 embeddings table
+
+
+def test_default_k_is_derived_from_corpus_count(spark):
+    # 9 vectors, k derived = ceil(sqrt(9)) = 3: the 3 lowest-id vectors
+    # seed 3 distinct centroids, so all 3 cluster ids appear in output
+    vecs = [[1, 0, 0], [0, 1, 0], [0, 0, 1]] * 3
+    out = semantic_dedup(_emb(spark, vecs), threshold=0.9).collect()
+    assert {r["cluster"] for r in out} == {0, 1, 2}
+    # each direction keeps exactly its min-id representative
+    assert sorted(r["vec_id"] for r in out if r["keep"]) == [0, 1, 2]
+
+
+def test_max_cluster_size_bounds_hot_cluster_pairs(spark):
+    """Skewed fixture: 40 identical vectors land in ONE cluster. With
+    max_cluster_size=10 the hot cluster is hash-split into ceil(40/10)=4
+    sub-buckets; comparisons stay within a sub-bucket, so exactly one
+    vector per NON-EMPTY sub-bucket survives (the sub-bucket min id).
+    Pins both the population bound and the documented recall cost."""
+    from pyspark.sql import functions as F
+
+    n, cap = 40, 10
+    emb = _emb(spark, [[1, 0, 0, 0]] * n)
+    out = semantic_dedup(
+        emb, threshold=0.9, n_clusters=1, max_cluster_size=cap
+    ).collect()
+    # expected sub-bucket of each id, recomputed with the same hash
+    buckets = {
+        r["b"]
+        for r in spark.range(n)
+        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(n // cap)).alias("b"))
+        .collect()
+    }
+    kept = [r["vec_id"] for r in out if r["keep"]]
+    assert len(kept) == len(buckets)
+    assert 1 < len(kept) <= n // cap  # split happened, bounded by ceil(pop/cap)
+    # uncapped: the whole cluster collapses to the single min id
+    un = semantic_dedup(emb, threshold=0.9, n_clusters=1).collect()
+    assert [r["vec_id"] for r in un if r["keep"]] == [0]
