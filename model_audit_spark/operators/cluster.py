@@ -206,8 +206,16 @@ def pagerank(
     pr is localCheckpoint'ed so the analyzed plan stays one round deep
     (unrolled, Catalyst re-optimizes a growing tree every round and the
     3-round plan was measured 10× slower than the checkpointed one).
+    The pr⋈out_deg join is cached for the round so the dangling
+    aggregate and the contribution join both read ONE evaluation of it,
+    and every persisted/checkpointed intermediate except the returned
+    relation is released before returning.
     """
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(0).cast("long").alias("pr")
+        )
     base = PAGERANK_SCALE * (100 - damping_pct) // 100 // n_nodes
     out_deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
         F.count("*").alias("outdeg")
@@ -220,7 +228,9 @@ def pagerank(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
     for _ in range(iterations):
-        with_deg = pr.join(out_deg, pr["_n"] == out_deg["_u"], "left")
+        with_deg = pr.join(
+            out_deg, pr["_n"] == out_deg["_u"], "left"
+        ).persist()
         dang = with_deg.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("d")
         )
@@ -249,6 +259,9 @@ def pagerank(
                     )
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: both with_deg readers ran here
         )
+        with_deg.unpersist()
+    out_deg.unpersist()
+    e.unpersist()
     return pr.select(F.col("_n").alias(id_col), "pr")

@@ -128,8 +128,11 @@ def budget_select(
     Scale shape: the naive `sum() OVER (ORDER BY rank)` global window
     collapses to ONE task. Instead:
       1. range-partition on the ranking key (the normal distributed-sort
-         shuffle) and PERSIST — freezing the sampled range boundaries so
-         the offset pass and the output pass see the same partitions;
+         shuffle) and localCheckpoint — PINNING the materialized blocks
+         so the offset pass and the output pass see the very same
+         partition contents (persist() alone can silently recompute on
+         block eviction, and a recomputed range shuffle may resample
+         boundaries while the collected offsets are stale);
       2. per-partition token totals -> O(partitions) rows to the driver
          -> exclusive prefix offsets broadcast back (the sharded
          running-offset trick of packing.pack_chunks, upgraded to a true
@@ -137,8 +140,8 @@ def budget_select(
       3. within-partition running sum + partition offset = the exact
          global running sum, with every core busy.
     Because the ranking key is unique, the prefix sums (and therefore the
-    output) are identical under ANY boundary placement — the persist is
-    for internal consistency, not determinism of the result.
+    output) are identical under ANY boundary placement — the checkpoint
+    is for internal consistency, not determinism of the result.
     """
     from pyspark.sql import Window
 
@@ -159,7 +162,7 @@ def budget_select(
     ranked = (
         scored.repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     totals = (
         ranked.groupBy("_pid")

@@ -39,11 +39,22 @@ def bm25_search(
     k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """(id, n_hits, score) for the top-k BM25 documents of `query`.
 
     Query terms are tokenized with the same word tokenizer as documents;
     duplicate query terms count once (standard bag-of-terms query).
+    NULL text behaves as empty (dl = 0, counted in n_docs/avgdl) — the
+    repo-wide NULL convention, coalesced identically in the oracle.
+
+    One scan, one tokenize: the (id, tokens, dl) projection is built
+    once (named-attribute projection so CollapseProject cannot inline
+    the tokenizer into the explode AND the size) and persisted; corpus
+    stats aggregate the cached projection instead of re-scanning the
+    table. At 100 TB, pass `corpus_stats=(n_docs, avgdl)` from the
+    corpus-stats table maintained at ingest and the stats pass
+    disappears entirely.
     """
     terms = sorted(
         {t for t in __import__("re").findall(r"[\w]+", query.lower()) if t}
@@ -51,20 +62,34 @@ def bm25_search(
     if not terms:
         raise ValueError("query has no terms")
 
-    toks = df.select(
-        F.col(id_col),
-        F.explode(word_tokens(text_col)).alias("term"),
-        F.size(word_tokens(text_col)).alias("dl"),
+    base = (
+        df.select(
+            F.col(id_col),
+            word_tokens(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("_w"),
+        )
+        .select(F.col(id_col), F.col("_w"), F.size("_w").alias("dl"))
+        .persist()
     )
-    hits = toks.filter(F.col("term").isin(terms))
+    hits = base.select(
+        F.col(id_col), F.col("dl"), F.explode("_w").alias("term")
+    ).filter(F.col("term").isin(terms))
     tf = hits.groupBy(id_col, "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
 
-    stats = df.select(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(word_tokens(text_col))).alias("avgdl"),
-    )
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
+        stats = df.sparkSession.range(1).select(
+            F.lit(int(n_docs)).alias("n_docs"),
+            F.lit(float(avgdl)).alias("avgdl"),
+        )
+    else:
+        stats = base.select(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     dfreq = tf.groupBy("term").agg(
         F.countDistinct(id_col).alias("dfreq")
     )

@@ -203,10 +203,15 @@ def quality_calibrated(
     (web text vs academic text).
 
     q_rank = percent_rank over (group, quality desc, id) — the unique
-    tiebreak makes it partitioning-independent; keep = q_rank <
-    keep_frac (strict, so keep_frac=0.5 keeps just under half of each
-    group plus the top row). One window over one scan; groups are
-    domains (small cardinality), so no skew beyond group size itself.
+    tiebreak makes it partitioning-independent; keep = percent_rank <
+    keep_frac computed on the UNROUNDED rank (the displayed q_rank is
+    rounded to 6dp for cross-engine hashing, but thresholding on the
+    rounded value would flip rows whose true rank falls within 5e-7
+    below keep_frac — invisible in small groups, a real divergence in
+    million-row groups). Strict <, so keep_frac=0.5 keeps just under
+    half of each group plus the top row. One window over one scan;
+    groups are domains (small cardinality), so no skew beyond group
+    size itself.
     """
     from pyspark.sql import Window
 
@@ -217,9 +222,11 @@ def quality_calibrated(
     w = Window.partitionBy(group_col).orderBy(
         F.desc("quality_score"), F.asc(id_col)
     )
+    pr = F.percent_rank().over(w)
     return base.select(
         id_col,
         group_col,
         "quality_score",
-        F.round(F.percent_rank().over(w), 6).alias("q_rank"),
-    ).withColumn("keep", F.col("q_rank") < keep_frac)
+        F.round(pr, 6).alias("q_rank"),
+        (pr < keep_frac).alias("keep"),
+    )

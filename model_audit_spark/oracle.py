@@ -2622,7 +2622,7 @@ def bm25_search(query: str = "spark join filter", k: int = 20) -> str:
     k1, b = 1.2, 0.75
     return f"""
 WITH base AS (
-  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+  SELECT doc_id, {_tokens("coalesce(text, '')")} AS toks FROM documents
 ),
 stats AS (
   SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base

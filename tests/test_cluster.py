@@ -101,3 +101,13 @@ def test_pagerank_hub_and_isolated_nodes(spark):
         r.node: r.pr for r in pagerank(nodes, edges, iterations=3).collect()
     }
     assert again == pr
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from model_audit_spark.operators.cluster import pagerank
+
+    nodes = spark.createDataFrame([], "node string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(nodes, edges)
+    assert out.columns == ["node", "pr"]
+    assert out.count() == 0

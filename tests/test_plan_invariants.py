@@ -177,3 +177,18 @@ def test_span_dedup_has_no_mandatory_broadcast(spark):
     assert "ResolvedHint" not in opt
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in analyzed.lower()
+
+
+def test_bm25_single_scan_single_tokenize(spark):
+    """bm25_search must build the (id, tokens, dl) projection ONCE:
+    exactly one documents FileScan (stats aggregate reads the persisted
+    projection, not the table) and exactly one tokenizer subtree (the
+    named-attribute projection keeps CollapseProject from inlining the
+    regexp into both the explode and the size)."""
+    df = entrymod.queries()["bm25_search"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("regexp_extract_all") <= 1, final
+    assert "InMemoryTableScan" in final

@@ -42,3 +42,32 @@ def test_bm25_rejects_empty_query(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError):
         bm25_search(docs, "—…")
+
+
+def test_bm25_null_text_behaves_as_empty(spark):
+    """NULL text = empty doc (repo-wide convention): counted in n_docs
+    and avgdl with dl=0, never a match. Scores must shift vs dropping
+    the row (avgdl halves), and no NaN/NULL leaks out."""
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, None)], "doc_id int, text string"
+    )
+    rows = bm25_search(docs, "spark").collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].score is not None and float(rows[0].score) > 0
+
+
+def test_bm25_precomputed_corpus_stats(spark):
+    """corpus_stats short-circuits the stats aggregate and reproduces
+    the self-computed scores exactly."""
+    docs = spark.createDataFrame(
+        [(1, "spark join filter"), (2, "join the club"), (3, "pad")],
+        "doc_id int, text string",
+    )
+    auto = {r.doc_id: r.score for r in bm25_search(docs, "spark join").collect()}
+    given = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            docs, "spark join", corpus_stats=(3, 7 / 3)
+        ).collect()
+    }
+    assert auto == given
