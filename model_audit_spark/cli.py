@@ -3,12 +3,14 @@
   detect DATA_PATH [--field F] [--limit N] [--output CSV|JSON dir]
   benchmark
   methods
+  verify MODEL [--provider P] [--api-key K] [--api-base B] [--responses PQ]
   audit --teacher T --student S --responses PARQUET [--report PATH]
   compare --model-a A --model-b B --responses PARQUET [--method M]
   cache list|clear --cache-dir DIR
 
-Live API probing is intentionally absent (no network/client libs here);
-audit/compare take a responses parquet with
+verify's live path needs httpx (guarded import; absent in this
+environment, where the call fail-fasts with ImportError); audit/compare
+and verify --responses take a responses parquet with
 (model_id, probe_seq, probe_id, category, response) — the same relation a
 ProbeSource produces.
 """
@@ -189,6 +191,39 @@ def _load_responses(spark, path):
     return spark.read.parquet(path)
 
 
+def cmd_verify(args) -> int:
+    """Mirror of reference cli.py:142-177 `verify`: probe the model (or
+    read a responses parquet), style-score, compare the claimed family
+    against the best match."""
+    from model_audit_spark.engine import AuditEngine
+    from model_audit_spark.probing import HTTPProbeSource, StaticResponseSource
+
+    spark = _spark()
+    if args.responses:
+        source = StaticResponseSource(_load_responses(spark, args.responses))
+    else:
+        source = HTTPProbeSource(
+            provider=args.provider,
+            api_key=args.api_key,
+            api_base=args.api_base,
+        )
+    print(f"verifying {args.model} (provider: {args.provider})...")
+    try:
+        row = AuditEngine(spark, source).verify(args.model).collect()[0]
+    except Exception as e:  # noqa: BLE001 — CLI boundary, mirror reference
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if "reason" in row.__fields__:
+        print(f"✗ verification failed: {row.reason}", file=sys.stderr)
+        return 1
+    icon = "✓" if row.verified else "✗"
+    print(f"\n{icon} identity {'verified' if row.verified else 'NOT verified'}")
+    print(f"  claimed model: {args.model} (family: {row.claimed_family})")
+    print(f"  best match:    {row.best_match} (score: {row.best_score})")
+    print(f"  claimed score: {row.claimed_score}")
+    return 0 if row.verified else 1
+
+
 def cmd_audit(args) -> int:
     from model_audit_spark.engine import AuditEngine
     from model_audit_spark.probing import StaticResponseSource
@@ -293,6 +328,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("methods", help="list fingerprint methods")
     m.set_defaults(fn=cmd_methods)
+
+    v = sub.add_parser(
+        "verify", help="verify the model behind an API is what it claims"
+    )
+    v.add_argument("model", help="model name (e.g. gpt-4o, claude-3-opus)")
+    v.add_argument(
+        "-p", "--provider", default="openai",
+        choices=["openai", "anthropic", "custom"],
+    )
+    v.add_argument("--api-key", default="")
+    v.add_argument("--api-base", default="")
+    v.add_argument(
+        "--responses",
+        help="responses parquet (offline; skips live probing)",
+    )
+    v.set_defaults(fn=cmd_verify)
 
     a = sub.add_parser("audit", help="teacher/student distillation audit")
     a.add_argument("--teacher", required=True)

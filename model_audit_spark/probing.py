@@ -13,11 +13,14 @@ A ProbeSource turns (models × probes) into the long responses relation
   calls for rate-limit control, not throughput. The stage is marked
   nondeterministic so speculative/stage retries don't re-bill probes.
 
-The default transport is OpenAIWireTransport — the OpenAI-compatible
-chat-completions wire format (reference llmmap.py:200-280: POST
-{base}/v1/chat/completions, max_tokens=500, temperature=0, Bearer auth).
-It imports httpx at call time (guarded — this environment has no HTTP
-client or network, so live calls raise ImportError, which the retry loop
+Transports mirror the reference's three providers (llmmap.py:200-280):
+OpenAIWireTransport (the default — OpenAI-compatible chat-completions
+wire: POST {base}/v1/chat/completions, max_tokens=500, temperature=0,
+Bearer auth; also the "custom" provider against any compatible base),
+and AnthropicWireTransport (messages wire: POST {base}/v1/messages,
+max_tokens=500, x-api-key + anthropic-version headers). Both import
+httpx at call time (guarded — this environment has no HTTP client or
+network, so live calls raise ImportError, which the retry loop
 fail-fasts); tests inject a fake `post` and never touch the network.
 """
 
@@ -144,22 +147,112 @@ class OpenAIWireTransport:
         return data["choices"][0]["message"]["content"] or ""
 
 
+class AnthropicWireTransport:
+    """Anthropic messages-API transport (reference llmmap.py:231-254
+    semantics via the public HTTP wire: POST {api_base}/v1/messages with
+    max_tokens=500, x-api-key + anthropic-version headers, first content
+    block's text as the response, empty string when content is empty;
+    like the reference's Anthropic branch, no temperature is sent).
+
+    `post` is injectable for offline tests; when None, httpx is imported
+    at call time (guarded — raises ImportError where the library is
+    absent, which _retry_call fail-fasts). Plain attributes only, so the
+    instance pickles into the mapInPandas closure."""
+
+    API_VERSION = "2023-06-01"
+
+    def __init__(
+        self,
+        api_base: str = "https://api.anthropic.com",
+        api_key: str = "",
+        timeout: float = 60.0,
+        max_tokens: int = 500,
+        post: Callable | None = None,
+    ):
+        self.api_base = api_base
+        self.api_key = api_key
+        self.timeout = timeout
+        self.max_tokens = max_tokens
+        self.post = post
+
+    def __call__(self, model_id: str, prompt: str) -> str:
+        post = self.post
+        if post is None:
+            try:
+                import httpx
+            except ImportError as e:
+                raise ImportError(
+                    "httpx is required for live probing (pip install httpx)"
+                ) from e
+            post = httpx.post
+        headers = {"anthropic-version": self.API_VERSION}
+        if self.api_key:
+            headers["x-api-key"] = self.api_key
+        resp = post(
+            f"{self.api_base.rstrip('/')}/v1/messages",
+            json={
+                "model": model_id,
+                "max_tokens": self.max_tokens,
+                "messages": [{"role": "user", "content": prompt}],
+            },
+            headers=headers,
+            timeout=self.timeout,
+        )
+        resp.raise_for_status()
+        data = resp.json()
+        content = data.get("content") or []
+        return content[0].get("text", "") if content else ""
+
+
+def make_transport(
+    provider: str = "openai",
+    api_base: str = "",
+    api_key: str = "",
+    timeout: float = 60.0,
+    post: Callable | None = None,
+) -> Callable[[str, str], str]:
+    """Provider -> transport mapping (reference llmmap.py:200-280):
+    openai and custom speak the OpenAI-compatible chat-completions wire
+    (custom REQUIRES api_base — reference raises on a missing one),
+    anthropic speaks the messages wire. All are offline-testable via an
+    injected `post`."""
+    if provider == "openai":
+        return OpenAIWireTransport(
+            api_base=api_base or "https://api.openai.com",
+            api_key=api_key, timeout=timeout, post=post,
+        )
+    if provider == "anthropic":
+        return AnthropicWireTransport(
+            api_base=api_base or "https://api.anthropic.com",
+            api_key=api_key, timeout=timeout, post=post,
+        )
+    if provider == "custom":
+        if not api_base:
+            raise ValueError("custom provider requires api_base")
+        return OpenAIWireTransport(
+            api_base=api_base, api_key=api_key, timeout=timeout, post=post
+        )
+    raise ValueError(f"unknown provider: {provider!r}")
+
+
 class HTTPProbeSource:
-    """Live API source. Defaults to OpenAIWireTransport (built from
-    api_base/api_key); tests inject a fake transport or a fake `post`."""
+    """Live API source. Defaults to the `provider`'s wire transport
+    (built from api_base/api_key via make_transport); tests inject a
+    fake transport or a fake `post`."""
 
     def __init__(
         self,
         transport: Callable[[str, str], str] | None = None,
         concurrency: int = 4,
         max_retries: int = 3,
-        api_base: str = "https://api.openai.com",
+        api_base: str = "",
         api_key: str = "",
         timeout: float = 60.0,
+        provider: str = "openai",
     ):
         if transport is None:
-            transport = OpenAIWireTransport(
-                api_base=api_base, api_key=api_key, timeout=timeout
+            transport = make_transport(
+                provider, api_base=api_base, api_key=api_key, timeout=timeout
             )
         self.transport = transport
         self.concurrency = concurrency

@@ -33,3 +33,35 @@ def test_cli_rollup_levels(spark, tmp_path, capsys):
     assert rc == 0
     printed = capsys.readouterr().out
     assert "minute" in printed and "hour" in printed and "day" in printed
+
+
+def test_cli_verify_with_responses_parquet(spark, tmp_path, capsys):
+    rows = [
+        (
+            model, seq, f"p{seq}", "qa",
+            "Certainly! Here's a comprehensive breakdown. It's "
+            "important to note that 1) first 2) second. Let me know "
+            "if you'd like more detail.",
+        )
+        for seq in range(1, 5)
+        for model in ("teacher-gpt-4", "mystery-model")
+    ]
+    resp = tmp_path / "responses.parquet"
+    spark.createDataFrame(
+        rows,
+        "model_id STRING, probe_seq INT, probe_id STRING, "
+        "category STRING, response STRING",
+    ).write.parquet(str(resp))
+    rc = main(["verify", "teacher-gpt-4", "--responses", str(resp)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "✓ identity verified" in out
+    assert "family: gpt" in out
+    # responses exist but no family substring in the name -> NOT verified
+    rc2 = main(["verify", "mystery-model", "--responses", str(resp)])
+    assert rc2 == 1
+    assert "NOT verified" in capsys.readouterr().out
+    # no responses at all -> reason path on stderr, exit 1
+    rc3 = main(["verify", "not-probed", "--responses", str(resp)])
+    cap = capsys.readouterr()
+    assert rc3 == 1 and "no responses" in cap.err

@@ -237,3 +237,72 @@ def test_http_probe_source_with_fake_transport(spark):
     assert len(rows) == 40  # 2 models × 20 probes
     assert all(r.response.startswith(r.model_id) for r in rows)
     assert {r.model_id for r in rows} == {"m1", "m2"}
+
+
+def test_anthropic_wire_transport_offline():
+    from model_audit_spark.probing import AnthropicWireTransport
+
+    seen = {}
+
+    def fake_post(url, json=None, headers=None, timeout=None):
+        seen.update(url=url, json=json, headers=headers, timeout=timeout)
+        return _FakeResp({"content": [{"type": "text", "text": "pong"}]})
+
+    t = AnthropicWireTransport(
+        api_base="https://example.test/", api_key="sk-a", post=fake_post
+    )
+    assert t("claude-x", "ping") == "pong"
+    # reference wire semantics (llmmap.py:231-254): messages API,
+    # max_tokens=500, NO temperature key, x-api-key auth + version header
+    assert seen["url"] == "https://example.test/v1/messages"
+    assert seen["json"]["max_tokens"] == 500
+    assert "temperature" not in seen["json"]
+    assert seen["json"]["messages"] == [{"role": "user", "content": "ping"}]
+    assert seen["headers"]["x-api-key"] == "sk-a"
+    assert seen["headers"]["anthropic-version"] == "2023-06-01"
+
+    # empty content block -> "" (reference: response.content[0].text if
+    # response.content else ""), which the retry matrix treats as empty
+    t_empty = AnthropicWireTransport(
+        post=lambda *a, **k: _FakeResp({"content": []})
+    )
+    assert t_empty("m", "p") == ""
+    with pytest.raises(RuntimeError, match="empty response"):
+        _retry_call(lambda: t_empty("m", "p"), sleep=lambda s: None)
+
+    # auth failures fail fast like the OpenAI wire
+    t401 = AnthropicWireTransport(
+        post=lambda *a, **k: _FakeResp({}, status=401)
+    )
+    with pytest.raises(ValueError, match="auth"):
+        _retry_call(lambda: t401("m", "p"), sleep=lambda s: None)
+
+
+def test_make_transport_provider_matrix():
+    from model_audit_spark.probing import (
+        AnthropicWireTransport,
+        OpenAIWireTransport,
+        make_transport,
+    )
+
+    assert isinstance(make_transport("openai"), OpenAIWireTransport)
+    t = make_transport("anthropic", api_key="k")
+    assert isinstance(t, AnthropicWireTransport)
+    assert t.api_base == "https://api.anthropic.com"
+    custom = make_transport("custom", api_base="https://my.llm")
+    assert isinstance(custom, OpenAIWireTransport)
+    assert custom.api_base == "https://my.llm"
+    # reference llmmap.py: custom provider REQUIRES api_base
+    with pytest.raises(ValueError, match="api_base"):
+        make_transport("custom")
+    with pytest.raises(ValueError, match="unknown provider"):
+        make_transport("cohere")
+
+
+def test_http_probe_source_anthropic_provider():
+    from model_audit_spark.probing import AnthropicWireTransport
+
+    src = HTTPProbeSource(provider="anthropic", api_key="k")
+    assert isinstance(src.transport, AnthropicWireTransport)
+    with pytest.raises(ImportError):
+        src.transport("m", "p")
