@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints TWO JSON lines: first the full per-query map
+  {"metric": "headline_queries_detail", ..., "queries": {name: sec, ...}}
+and LAST a compact totals-only summary
+  {"metric": "headline_queries_total_time", "value": <total sec>,
+   "unit": "sec", "sf": <sf>, "n_queries": N, "sec_per_query": s, ...}
+The driver's tail capture keeps only the last ~2KB of stdout; an
+87-query single-line map overflows that and arrives truncated
+(BENCH_r02.json parsed: null), so the machine-readable summary must be
+the final, small line.
 
 Each query is executed to completion via a noop-format write (evaluates
 EVERY output column — count() would let Catalyst prune computed columns and
@@ -80,13 +86,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # full per-query map FIRST (human/archive line, may exceed the
+    # driver's tail capture)...
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    # ...compact summary LAST (must fit the driver's ~2KB stdout tail)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf_val,
                 # normalization keys: the benched surface GREW round over
                 # round (29 queries in r1, everything since r2) — compare
@@ -98,6 +116,7 @@ def main() -> None:
                 # per-query times are self-contained and NOT comparable to
                 # r1 rows for queries that shared cached subtrees
                 "timing": "isolated-cold-cache",
+                "queries_detail": "previous headline_queries_detail line",
             }
         )
     )

@@ -6,12 +6,16 @@ Pattern: media rides as `content BINARY` plus a typed metadata struct
 feature-extraction / resize / frame-sampling run as Arrow-batched
 mapInPandas stages so bytes never round-trip through Python row objects.
 
-The image/audio codec libraries are NOT in this environment, so the decode
-kernels are stubbed: `strict=True` raises NotImplementedError (the
-production path, swap in PIL/torchaudio there); `strict=False` runs a
-deterministic fake decoder (content-hash-seeded) so the Spark plumbing —
-schemas, batch iteration, partition sizing, downstream feature math — is
-real and testable end to end.
+Decoder wiring: `strict=True` decodes with the real library through a
+guarded import — PIL for image features/resize, soundfile for audio —
+and raises NotImplementedError only where the library is absent (this
+environment has none of them, so the guard paths are what tests can
+exercise here; the PIL/soundfile branches follow the libraries'
+documented public APIs). `strict=False` runs a deterministic fake
+decoder (content-hash-seeded) so the Spark plumbing — schemas, batch
+iteration, partition sizing, downstream feature math — is real,
+testable, and oracle-checkable end to end. Video frame sampling stays
+stubbed under strict (an ffmpeg binding is a heavier optional dep).
 """
 
 from __future__ import annotations
@@ -57,8 +61,9 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode → per-image features via mapInPandas (Arrow batches).
 
-    strict=True: raise NotImplementedError where a real decoder (PIL etc.)
-    would run. strict=False: deterministic fake decode, real plumbing."""
+    strict=True: decode with PIL (guarded import — raises
+    NotImplementedError where pillow is absent). strict=False:
+    deterministic fake decode, real plumbing."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -69,10 +74,32 @@ def decode_image_features(
                 if r.media_type != "image":
                     continue
                 if strict:
-                    raise NotImplementedError(
-                        "image decode needs PIL/cv2 — not available in "
-                        "this environment; swap the fake decoder here"
+                    try:
+                        import io
+
+                        from PIL import Image
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "image decode needs PIL (pip install pillow); "
+                            "strict=False runs the deterministic fake "
+                            "decoder instead"
+                        ) from e
+                    img = Image.open(
+                        io.BytesIO(bytes(r.content or b""))
+                    ).convert("L")
+                    w, h = img.size
+                    data = list(img.getdata())
+                    n = max(len(data), 1)
+                    mean_luma = sum(data) / n
+                    rows.append(
+                        (
+                            r.media_id, w, h, n, mean_luma,
+                            hashlib.sha256(
+                                bytes(r.content or b"")
+                            ).hexdigest()[:16],
+                        )
                     )
+                    continue
                 w = int(r.width or 0)
                 h = int(r.height or 0)
                 n = max(w * h, 1)
@@ -189,10 +216,23 @@ def resize_images(
                 if r.media_type != "image":
                     continue
                 if strict:
-                    raise NotImplementedError(
-                        "image resize needs PIL/cv2 — not available in "
-                        "this environment; swap the fake resampler here"
-                    )
+                    try:
+                        import io
+
+                        from PIL import Image
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "image resize needs PIL (pip install "
+                            "pillow); strict=False emits deterministic "
+                            "digests instead"
+                        ) from e
+                    img = Image.open(io.BytesIO(bytes(r.content or b"")))
+                    w, h = img.size
+                    img.thumbnail((max_side, max_side))
+                    nw, nh = img.size
+                    digest = hashlib.sha256(img.tobytes()).hexdigest()[:16]
+                    rows.append((r.media_id, w, h, nw, nh, digest))
+                    continue
                 w = int(r.width or 0)
                 h = int(r.height or 0)
                 side = max(w, h)
@@ -237,10 +277,35 @@ def extract_audio_features(
                 if r.media_type != "audio":
                     continue
                 if strict:
-                    raise NotImplementedError(
-                        "audio decode needs torchaudio/librosa — not "
-                        "available; swap the fake decoder here"
+                    try:
+                        import io
+
+                        import soundfile as sf
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "audio decode needs soundfile (pip install "
+                            "soundfile); strict=False runs the "
+                            "deterministic fake decoder instead"
+                        ) from e
+                    data, sr = sf.read(io.BytesIO(bytes(r.content or b"")))
+                    n_samples = int(len(data))
+                    dur = int(n_samples * 1000 // sr) if sr else 0
+                    n_windows = (
+                        (dur + window_ms - 1) // window_ms if dur else 0
                     )
+                    mean_energy = (
+                        float(abs(data).mean()) if n_samples else 0.0
+                    )
+                    rows.append(
+                        (
+                            r.media_id, int(sr), dur, n_samples,
+                            n_windows, mean_energy,
+                            hashlib.sha256(
+                                bytes(r.content or b"")
+                            ).hexdigest()[:16],
+                        )
+                    )
+                    continue
                 sr = int(r.sample_rate or 0)
                 dur = int(r.duration_ms or 0)
                 n_samples = sr * dur // 1000
