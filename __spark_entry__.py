@@ -999,6 +999,18 @@ def _doc_chunks(spark, sf):
     return chunk_text(docs, "text", "doc_id", chunk_chars=500, overlap=50)
 
 
+def _dsir_weights(spark, sf):
+    """DSIR hashed-bigram importance weights toward the src0 domain
+    (operators/dsir.py; Xie et al. 2023). Nanonat-quantized log-ratios,
+    exact BIGINT sums — hash-stable cross-engine."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_weights(docs, F.col("source") == "src0")
+
+
 def _lang_id_ext(spark, sf):
     from model_audit_spark.functions.text import detect_lang_profile
 
@@ -1078,6 +1090,25 @@ def _dedup_clusters(spark, sf):
         docs, pairs, "text", "doc_id", min_jaccard=0.5
     ).select("id_a", "id_b")
     return cluster_documents(docs, verified, "doc_id")
+
+
+def _cluster_retention(spark, sf):
+    """Quality-aware dedup retention: keep the best-quality member of
+    each near-dup cluster (cluster.cluster_retention_by_quality) —
+    min-id retention's production-policy sibling."""
+    from model_audit_spark.operators.cluster import (
+        cluster_retention_by_quality,
+    )
+    from model_audit_spark.operators.text_analysis import doc_stats
+
+    docs = _t(spark, sf, "documents")
+    q = doc_stats(docs).select("doc_id", "quality_score")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "text", "doc_id", min_jaccard=0.5
+    ).select("id_a", "id_b")
+    return cluster_retention_by_quality(q, verified)
 
 
 def _dedup_ngram_jaccard(spark, sf):
@@ -1432,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _corpus_sample,
         "length_percentiles": _length_percentiles,
         "memorization_average": _memorization_average,
+        "dsir_weights": _dsir_weights,
+        "cluster_retention": _cluster_retention,
     }
 
 
@@ -1486,6 +1519,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_calibrated": ora.quality_calibrated(keep_frac=0.5),
         "span_dedup": ora.span_dedup(span_tokens=20),
+        "dsir_weights": ora.dsir_weights(target_source="src0"),
+        "cluster_retention": ora.cluster_retention(),
         "source_overlap": ora.source_overlap(min_jaccard=0.5),
         "q_events_funnel": ora.funnel_counts(("view", "click", "purchase")),
         "pagerank_dupgraph": ora.pagerank_dupgraph(

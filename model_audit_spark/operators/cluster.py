@@ -132,6 +132,48 @@ def cluster_documents(
     )
 
 
+def cluster_retention_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Quality-aware dedup retention: within each near-dup cluster keep
+    the HIGHEST-quality member (tie → lowest id) instead of
+    cluster_documents' canonical min-id — the production policy when
+    near-dups differ in cleanliness (truncated vs full article, OCR vs
+    clean text).
+
+    Output: (id, cluster_id, cluster_size, quality, keep) for every doc.
+    Same shuffle budget as cluster_documents: the components rounds plus
+    ONE cluster-keyed window pass computing size and the (quality desc,
+    id asc) argmax together. Deterministic: the argmax key is the unique
+    (quality, -id) tuple; quality_col must be a cross-engine-stable
+    value (doc_stats.quality_score is — it backs hash-green queries)."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    assigned = (
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+            F.col(quality_col).alias("quality"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    best = F.max(
+        F.struct(F.col("quality"), (-F.col(id_col)).alias("neg_id"))
+    ).over(w)
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        "quality",
+        (F.col(id_col) == -best["neg_id"]).alias("keep"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1495,6 +1495,51 @@ FROM assigned
 """
 
 
+def cluster_retention(min_jaccard: float = 0.5) -> str:
+    """Twin of cluster.cluster_retention_by_quality over the minhash
+    near-dup clusters: keep = row_number over (quality desc, id asc)
+    within the cluster — the SQL mirror of max(struct(quality, -id))."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b FROM ({dedup_minhash_pairs(min_jaccard)})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (
+  SELECT node, min(m) AS mn FROM reach GROUP BY node
+),
+ts AS ({text_stats()}),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(coalesce(least(c.mn, d.doc_id), d.doc_id) AS BIGINT)
+           AS cluster_id,
+         ts.quality_score AS quality
+  FROM documents d
+  JOIN ts ON ts.doc_id = d.doc_id
+  LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, quality,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+    row_number() OVER (
+      PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+    ) AS rn
+  FROM assigned
+)
+SELECT doc_id, cluster_id, cluster_size, quality, rn = 1 AS keep
+FROM ranked
+"""
+
+
 def quality_repetition() -> str:
     """Twin of quality.repetition_stats: Gopher-style repetition signals +
     composite verdict. Line/paragraph/symbol signals are list expressions;
@@ -2761,6 +2806,62 @@ SELECT t.doc_id,
   round(coalesce(p.n_dup, 0) / greatest(coalesce(p.n_spans, 0), 1), 6)
     AS dup_span_frac
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def dsir_weights(
+    target_source: str = "src0", n_buckets: int = 10_000
+) -> str:
+    """Twin of dsir.dsir_weights with is_target = (source = target):
+    hashed-bigram bucket counts, add-1 smoothed target/raw log-ratio
+    quantized to nanonats per bucket, exact BIGINT per-doc sums; the
+    double emitted is nanonats/1e9 (exact-integer division)."""
+    b = _hex32("md5(unnest_g)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source = {sql_quote(target_source)} AS t,
+         {_tokens("coalesce(text, '')")} AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t, {_bigrams('w')} AS gs FROM base
+),
+gx AS (
+  SELECT doc_id, t, unnest(gs) AS unnest_g FROM grams
+),
+bx AS (
+  SELECT doc_id, t, {b} % {n_buckets} AS b FROM gx
+),
+per_doc AS (
+  SELECT doc_id, t, b, count(*) AS n FROM bx GROUP BY 1, 2, 3
+),
+bstats AS (
+  SELECT b,
+    sum(CASE WHEN t THEN n ELSE 0 END) AS ct,
+    sum(CASE WHEN NOT t THEN n ELSE 0 END) AS cr
+  FROM per_doc GROUP BY b
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bstats),
+ratio AS (
+  SELECT b, CAST(round(ln(
+      (CAST(ct + 1 AS DOUBLE) * CAST(tr + {n_buckets} AS DOUBLE))
+      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + {n_buckets} AS DOUBLE))
+    ) * 1000000000) AS BIGINT) AS r9
+  FROM bstats CROSS JOIN tot
+),
+w AS (
+  SELECT p.doc_id,
+         CAST(sum(p.n) AS BIGINT) AS n_feats,
+         CAST(sum(p.n * r.r9) AS BIGINT) AS nano
+  FROM per_doc p JOIN ratio r USING (b)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  d.source = {sql_quote(target_source)} AS is_target,
+  CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+  CAST(coalesce(w.nano, 0) AS BIGINT) AS dsir_nanonats,
+  CAST(coalesce(w.nano, 0) AS DOUBLE) / 1000000000.0 AS dsir_logweight
+FROM documents d LEFT JOIN w USING (doc_id)
 """
 
 

@@ -111,3 +111,23 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(nodes, edges)
     assert out.columns == ["node", "pr"]
     assert out.count() == 0
+
+
+def test_cluster_retention_keeps_best_quality(spark):
+    from model_audit_spark.operators.cluster import (
+        cluster_retention_by_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9), (3, 0.9), (4, 0.5)],
+        "doc_id long, quality_score double",
+    )
+    # 1-2-3 form one cluster; 4 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in cluster_retention_by_quality(docs, pairs).collect()}
+    # highest quality wins; tie (2 vs 3 at 0.9) -> lowest id
+    assert out[2].keep and not out[1].keep and not out[3].keep
+    assert out[4].keep and out[4].cluster_size == 1
+    assert out[1].cluster_size == 3
