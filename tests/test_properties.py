@@ -206,3 +206,44 @@ def test_lang_profile_total_function(spark, texts):
         ).collect()
     }
     assert labels <= set(LANG_PROFILES) | {"zh", "und"}
+
+
+@given(texts=st.lists(_TEXT, min_size=2, max_size=16))
+@_SETTINGS
+def test_dsir_covers_every_doc_with_exact_nanonat_weights(spark, texts):
+    from model_audit_spark.operators.dsir import dsir_weights
+
+    docs = _docs(spark, texts).withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "t").otherwise("r")
+    )
+    out = dsir_weights(docs, F.col("source") == "t").collect()
+    assert len(out) == len(texts)  # left join keeps bigram-less docs
+    for r in out:
+        assert r.dsir_logweight == r.dsir_nanonats / 1e9
+        if r.n_feats == 0:
+            assert r.dsir_nanonats == 0
+
+
+@given(texts=st.lists(_TEXT, min_size=2, max_size=12))
+@_SETTINGS
+def test_cluster_retention_exactly_one_keep_per_cluster(spark, texts):
+    from model_audit_spark.operators.cluster import (
+        cluster_retention_by_quality,
+    )
+    from model_audit_spark.operators.text_analysis import doc_stats
+
+    docs = _docs(spark, texts)
+    q = doc_stats(docs).select("doc_id", "quality_score")
+    # chain pairs: (0,1), (1,2) — one big cluster plus singletons
+    n = len(texts)
+    pair_rows = [(i, i + 1) for i in range(min(2, n - 1))]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    out = cluster_retention_by_quality(q, pairs).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for rows in by_cluster.values():
+        kept = [r for r in rows if r.keep]
+        assert len(kept) == 1
+        assert kept[0].quality == max(r.quality for r in rows)
+        assert all(r.cluster_size == len(rows) for r in rows)
