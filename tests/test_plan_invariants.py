@@ -192,3 +192,18 @@ def test_bm25_single_scan_single_tokenize(spark):
     assert final.count("FileScan parquet") == 1, final
     assert final.count("regexp_extract_all") <= 1, final
     assert "InMemoryTableScan" in final
+
+
+def test_dsir_single_tokenize_persisted_counts(spark):
+    """dsir_weights: ONE tokenizer subtree; the per-doc bucket-count
+    relation is persisted and reused (global counts + weight sum read
+    the cache); the ratio table broadcasts (no SortMergeJoin). The
+    second FileScan is the pruned (doc_id, source) join-back — it must
+    NOT contain the tokenizer."""
+    df = entrymod.queries()["dsir_weights"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("regexp_extract_all") <= 1, final
+    assert "InMemoryTableScan" in final
+    assert "SortMergeJoin" not in final

@@ -247,3 +247,35 @@ def test_cluster_retention_exactly_one_keep_per_cluster(spark, texts):
         assert len(kept) == 1
         assert kept[0].quality == max(r.quality for r in rows)
         assert all(r.cluster_size == len(rows) for r in rows)
+
+
+def test_null_and_empty_text_convention_across_per_doc_operators(spark):
+    """Repo-wide convention: NULL text behaves as EMPTY text — per-doc
+    operators must emit a row for every input doc (never crash, never
+    silently drop) with zero-ish stats. The testdata has no NULL texts,
+    so this pins the convention the oracle twins assume (bm25's avgdl
+    divergence was exactly this hazard)."""
+    from model_audit_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+        span_dedup_stats,
+    )
+    from model_audit_spark.operators.pii import pii_scan
+    from model_audit_spark.operators.quality import repetition_stats
+    from model_audit_spark.operators.text_analysis import doc_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a real document with several words here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    for name, out in [
+        ("doc_stats", doc_stats(docs)),
+        ("exact_dedup", exact_dedup(docs)),
+        ("span_dedup", span_dedup_stats(docs, span_tokens=3)),
+        ("pii_scan", pii_scan(docs)),
+        ("repetition_stats", repetition_stats(docs)),
+    ]:
+        rows = out.collect()
+        assert len(rows) == 3, f"{name} dropped NULL/empty docs: {len(rows)}"
+    sigs = minhash_signatures(docs, "text", "doc_id").collect()
+    assert len(sigs) == 3  # sentinel signatures for shingle-less docs
