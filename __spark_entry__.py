@@ -1358,7 +1358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bm25_search, embedding_contamination, quality_calibrated, span_dedup,
     source_overlap, q_events_funnel, pagerank_dupgraph,
     memorization_seqmatch — the one genuinely rows-only difflib kernel)
-    rotate IN this round, and 12 round-2-green queries rotate OUT to park
+    plus the round-3 additions (dsir_weights, cluster_retention — which
+    park r2-green q_events_asof / q_events_range_join, untouched since
+    their r2 rows) rotate IN this round, and round-2-green queries rotate
+    OUT to park
     (their CORRECTNESS_r02.json rows remain the evidence, exactly as the
     round-1-green parked queries keep their r01 rows). Entries 51+ stay
     oracle-backed and are checked by the local mirror
@@ -1375,8 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1-50: oracle-backed, in the driver's check window -------------
         "q_rollup_revenue": _q_rollup_revenue,
         "q_events_sessionize": _q_events_sessionize,
-        "q_events_asof": _q_events_asof,
-        "q_events_range_join": _q_events_range_join,
+        "dsir_weights": _dsir_weights,
+        "cluster_retention": _cluster_retention,
         "detect_documents": _detect_documents,
         "style_fingerprint": _style_fingerprint,
         "llmmap_features_documents": _llmmap_features_documents,
@@ -1463,8 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _corpus_sample,
         "length_percentiles": _length_percentiles,
         "memorization_average": _memorization_average,
-        "dsir_weights": _dsir_weights,
-        "cluster_retention": _cluster_retention,
+        "q_events_asof": _q_events_asof,
+        "q_events_range_join": _q_events_range_join,
     }
 
 
