@@ -949,6 +949,13 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _tfidf_keywords(spark, sf):
+    from model_audit_spark.operators.search import tfidf_keywords
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_keywords(docs, k=3, min_df=2, max_df_frac=0.8)
+
+
 def _contrastive_triplets(spark, sf):
     from model_audit_spark.operators.sampling import contrastive_triplets
 
@@ -1468,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_average": _memorization_average,
         "q_events_asof": _q_events_asof,
         "q_events_range_join": _q_events_range_join,
+        # -- round-3 late additions: mirror-checked now, rotate into the
+        # window next round (the same policy that certified the r2 tail)
+        "tfidf_keywords": _tfidf_keywords,
     }
 
 
@@ -1573,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": ora.curate_corpus(min_quality=0.6),
         "q_events_asof": ora.q_events_asof(),
         "q_events_range_join": ora.q_events_range_join(),
+        "tfidf_keywords": ora.tfidf_keywords(k=3, min_df=2, max_df_frac=0.8),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

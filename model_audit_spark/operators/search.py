@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from model_audit_spark.functions.text import word_tokens
 
-__all__ = ["bm25_search"]
+__all__ = ["bm25_search", "tfidf_keywords"]
 
 K1 = 1.2
 B = 0.75
@@ -122,3 +122,86 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document:
+    (id, term, tf, score, kw_rank), kw_rank 1..k by (score desc, term asc).
+
+    score(d, t) = idf(t) · tf(d, t) / |d|,  idf = ln((1+N)/(1+df)) + 1
+    (the sklearn smooth-idf form — never negative, never divides by 0).
+
+    Plan shape at scale (one scan, one tokenize, bounded skew):
+    - the (id, tokens, dl) projection is built once (named-attribute
+      projection — CollapseProject discipline) and persisted; N comes
+      from that relation, not a second table scan.
+    - explode → per-(doc, term) tf hash-aggregate is the one
+      corpus-sized shuffle; df per term re-aggregates the (much
+      smaller) postings relation.
+    - terms outside [min_df, max_df_frac·N] are dropped BEFORE the
+      per-doc window — the stopword band (df ≈ N) is exactly the
+      posting-list skew that frequency_capped_explode (skew.py) guards
+      elsewhere, so the window never sees a term with ~N postings.
+    - per-doc top-k is a row_number window keyed by doc — shuffle
+      carries the pruned postings only.
+
+    Determinism (DETERMINISM.md rule 3): idf is the only transcendental
+    — quantized once per DISTINCT surviving term (round 9dp); each
+    score is round(idf9 · tf / dl, 9) cast DECIMAL(28,9) (exact-integer
+    tf, dl → identical IEEE products cross-engine); ties in the window
+    break on term asc.
+
+    NULL text behaves as empty (repo-wide convention): such docs emit
+    no keywords but still count in N.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.select(
+            F.col(id_col),
+            word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"),
+        )
+        .select(F.col(id_col), F.col("_w"), F.size("_w").alias("dl"))
+        .persist()
+    )
+    tf = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = base.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("dfreq"))
+    idf9 = F.round(
+        F.ln((1.0 + F.col("n_docs")) / (1.0 + F.col("dfreq"))) + 1.0, 9
+    )
+    terms_idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("dfreq") >= min_df)
+            & (F.col("dfreq") <= max_df_frac * F.col("n_docs"))
+        )
+        .select("term", idf9.alias("idf9"))
+    )
+    # NOT a forced broadcast: the surviving vocabulary is corpus-sized at
+    # 100 TB (df >= 2 keeps the long tail); AQE broadcasts when small.
+    scored = tf.join(terms_idf, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("idf9") * F.col("tf") / F.col("dl"), 9)
+        .cast("decimal(28,9)")
+        .alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(id_col, "term", "tf", "score", "kw_rank")
+    )

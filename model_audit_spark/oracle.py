@@ -2705,6 +2705,48 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def tfidf_keywords(
+    k: int = 3, min_df: int = 2, max_df_frac: float = 0.3
+) -> str:
+    """Twin of search.tfidf_keywords — smooth idf rounded 9dp per term,
+    score = round(idf9·tf/dl, 9) DECIMAL(28,9), ties on term asc."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_tokens("coalesce(text, '')")} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term
+),
+terms_idf AS (
+  SELECT term, round(ln((1.0 + n_docs) / (1.0 + dfreq)) + 1.0, 9) AS idf9
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq >= {min_df} AND dfreq <= {max_df_frac} * n_docs
+),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         CAST(round(idf9 * tf / dl, 9) AS DECIMAL(28,9)) AS score
+  FROM tf JOIN terms_idf USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, kw_rank
+FROM ranked WHERE kw_rank <= {k}
+"""
+
+
 def embedding_contamination(
     threshold: float = 0.4, n_planes: int = 8, dim: int = 64,
     eval_mod: int = 5,

@@ -71,3 +71,64 @@ def test_bm25_precomputed_corpus_stats(spark):
         ).collect()
     }
     assert auto == given
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from model_audit_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common quantum quantum physics"),
+            (2, "common common banana banana smoothie"),
+            (3, "common common quantum banana"),
+            (4, "common text"),
+        ],
+        "doc_id int, text string",
+    )
+    # 'common' is in all 4 docs -> dropped by max_df_frac=0.5;
+    # doc-distinctive repeated terms rank first.
+    rows = tfidf_keywords(docs, k=2, min_df=1, max_df_frac=0.5).collect()
+    top = {r.doc_id: r.term for r in rows if r.kw_rank == 1}
+    assert top[1] == "quantum" and top[2] == "banana"
+    assert all(r.term != "common" for r in rows)
+    # kw_rank is dense 1..k per doc, score non-increasing within a doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.kw_rank)
+        assert [r.kw_rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [float(r.score) for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_tfidf_keywords_min_df_and_ties(spark):
+    from model_audit_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "unique words")],
+        "doc_id int, text string",
+    )
+    rows = tfidf_keywords(docs, k=5, min_df=2, max_df_frac=1.0).collect()
+    # df=1 terms (unique, words) are dropped by min_df=2
+    assert {r.term for r in rows} == {"alpha", "beta"}
+    # equal score -> tie broken by term asc
+    r1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.kw_rank)
+    assert [r.term for r in r1] == ["alpha", "beta"]
+
+
+def test_tfidf_keywords_null_text_counts_in_n(spark):
+    from model_audit_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, None)],
+        "doc_id int, text string",
+    )
+    rows = tfidf_keywords(docs, k=5, min_df=1, max_df_frac=1.0).collect()
+    # NULL doc emits nothing but counts in N (idf uses N=3)
+    assert {r.doc_id for r in rows} == {1, 2}
+    import math
+
+    alpha = next(r for r in rows if r.doc_id == 2 and r.term == "alpha")
+    want = round(round(math.log(4 / 3) + 1.0, 9) * 1 / 1, 9)
+    assert abs(float(alpha.score) - want) < 1e-9
