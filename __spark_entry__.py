@@ -949,6 +949,24 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _dedup_incremental(spark, sf):
+    """Continuous-ingestion dedup: docs with doc_id % 5 == 0 arrive as a
+    new batch and probe the LSH index built from the other 4/5."""
+    from model_audit_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        lsh_band_rows,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index_bands = lsh_band_rows(minhash_signatures(idx_docs))
+    return incremental_dedup_pairs(
+        batch, index_bands, idx_docs, min_jaccard=0.5
+    )
+
+
 def _tfidf_keywords(spark, sf):
     from model_audit_spark.operators.search import tfidf_keywords
 
@@ -1478,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 late additions: mirror-checked now, rotate into the
         # window next round (the same policy that certified the r2 tail)
         "tfidf_keywords": _tfidf_keywords,
+        "dedup_incremental": _dedup_incremental,
     }
 
 
@@ -1584,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_asof": ora.q_events_asof(),
         "q_events_range_join": ora.q_events_range_join(),
         "tfidf_keywords": ora.tfidf_keywords(k=3, min_df=2, max_df_frac=0.8),
+        "dedup_incremental": ora.dedup_incremental(min_jaccard=0.5),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -129,6 +129,32 @@ def minhash_signatures(
     )
 
 
+def lsh_band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bh): one row per LSH band of each signature — the
+    join-able form of the signature relation (banding scheme of
+    minhash_band_pairs; reference parity note at minhash_signatures)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bh"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_band_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -142,21 +168,7 @@ def minhash_band_pairs(
     once (a self-join would recompute it per side). At 100 TB a pathological
     bucket (e.g. boilerplate shingles) shows up as skew here; cap it upstream
     by filtering ultra-common shingles before signing if needed."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bh"),
-            )
-        )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    exploded = lsh_band_rows(sigs, id_col, num_hashes, bands)
     buckets = (
         exploded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
@@ -238,6 +250,100 @@ def jaccard_verify(
     if min_jaccard > 0:
         return out.filter(F.col("jaccard") >= min_jaccard)
     return out.filter(F.col("jaccard") > 0)
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus LSH index as (id, band, bh) parquet partitioned
+    by band — the continuous-ingestion layout: each new batch probes the
+    index instead of re-signing the corpus (at 100 TB, re-signing is a
+    full scan; the index is ~bands rows × ~50 B per doc, appended per
+    ingest batch with the same coefficients)."""
+    rows = lsh_band_rows(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    rows.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def minhash_index_read(spark, path: str) -> DataFrame:
+    """Read a minhash_index_write layout; filters on `band` prune whole
+    partition directories (partition pruning, not row skipping)."""
+    return spark.read.parquet(path)
+
+
+def incremental_dedup_pairs(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(id_new, id_idx, jaccard): new-batch docs that near-duplicate an
+    already-indexed doc — the continuous-ingestion dedup step.
+
+    Only the BATCH is shingled and signed (batch ≪ corpus); its band rows
+    equi-join the persisted index on (band, bh) — a key-partitioned join
+    whose shuffle carries batch-sized band rows, never the corpus.
+    Jaccard verification then semi-joins the corpus' shingle relation
+    down to just the matched index docs (jaccard_verify's candidate
+    discipline), so corpus text is touched only for candidates. Batch
+    docs matching each OTHER are not reported here — run the normal
+    in-batch minhash_band_pairs for that half (cheap: batch²).
+
+    The index must have been built with the same num_hashes/bands/
+    shingle_n/coefficients (minhash_coeffs is deterministic)."""
+    batch_rows = lsh_band_rows(
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(
+        F.col(id_col).alias("id_new"), "band", "bh"
+    )
+    idx_rows = index_bands.select(
+        F.col(id_col).alias("id_idx"), "band", "bh"
+    )
+    cand = (
+        batch_rows.join(idx_rows, ["band", "bh"])
+        .filter(F.col("id_new") != F.col("id_idx"))
+        .select(
+            F.col("id_new").alias("id_a"), F.col("id_idx").alias("id_b")
+        )
+        .distinct()
+        .persist()
+    )
+    # Reduce the corpus to matched index docs BEFORE unioning — a
+    # corpus-wide distinct here would be a 100 TB shuffle; after the
+    # semi-join both sides are candidate-sized. dropDuplicates(id) then
+    # tolerates callers whose batch overlaps the corpus relation.
+    idx_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+    corpus_cand = corpus.select(id_col, text_col).join(
+        idx_ids, id_col, "left_semi"
+    )
+    both = corpus_cand.unionByName(
+        batch.select(id_col, text_col)
+    ).dropDuplicates([id_col])
+    return jaccard_verify(
+        both, cand, text_col, id_col, shingle_n, min_jaccard
+    ).select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_idx"),
+        "jaccard",
+    )
 
 
 def ngram_jaccard_pairs(

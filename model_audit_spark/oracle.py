@@ -1434,6 +1434,54 @@ WHERE coalesce(i.n_inter, 0)
 """
 
 
+def dedup_incremental(min_jaccard: float = 0.5, batch_mod: int = 5) -> str:
+    """Twin of dedup.incremental_dedup_pairs with the driver split
+    (doc_id % batch_mod == 0 is the new batch, the rest the index).
+    Signatures are per-doc, so signing the full table and splitting by
+    the mod predicate is identical to signing each side separately."""
+    bands = []
+    for b in range(4):
+        parts = " || '|' || ".join(
+            f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    bands_sql = " UNION ALL ".join(bands)
+    return f"""
+WITH {_minhash_ctes()},
+bandhash AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_idx
+  FROM bandhash a JOIN bandhash b
+    ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id % {batch_mod} = 0 AND b.doc_id % {batch_mod} <> 0
+),
+expl AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+),
+sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM shing
+),
+inter AS (
+  SELECT c.id_new, c.id_idx, count(*) AS n_inter
+  FROM cand c
+  JOIN expl ea ON ea.doc_id = c.id_new
+  JOIN expl eb ON eb.doc_id = c.id_idx AND eb.s = ea.s
+  GROUP BY c.id_new, c.id_idx
+)
+SELECT c.id_new, c.id_idx,
+  round(coalesce(i.n_inter, 0)
+        / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1), 6)
+    AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_new = c.id_new AND i.id_idx = c.id_idx
+JOIN sizes sa ON sa.doc_id = c.id_new
+JOIN sizes sb ON sb.doc_id = c.id_idx
+WHERE coalesce(i.n_inter, 0)
+      / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1)
+      >= {min_jaccard!r}
+"""
+
+
 def dedup_ngram_jaccard(min_jaccard: float = 0.5) -> str:
     """Exact all-pairs n-gram Jaccard via a shingle inverted index (twin of
     dedup.ngram_jaccard_pairs with max_df=None)."""

@@ -290,3 +290,79 @@ def test_span_dedup_detects_repeated_span(spark):
     assert out[4].dup_span_frac == 0.0
     # n_spans = n_tokens - 9 for stride-1 grams
     assert out[1].n_spans == 15 - 9
+
+
+def test_minhash_index_roundtrip_and_incremental(spark, tmp_path):
+    from model_audit_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_read,
+        minhash_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about distributed query engines"),
+            (3, "a third unrelated document mentioning nothing in common"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-copy of doc 1
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "fresh text that matches no indexed document at all folks"),
+        ],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, path)
+    idx = minhash_index_read(spark, path)
+    # layout: one row per (doc, band), partitioned by band
+    assert set(idx.columns) == {"doc_id", "band", "bh"}
+    assert idx.count() == 3 * 4
+
+    out = incremental_dedup_pairs(batch, idx, corpus, min_jaccard=0.5)
+    rows = out.collect()
+    assert [(r.id_new, r.id_idx) for r in rows] == [(10, 1)]
+    assert float(rows[0].jaccard) == 1.0
+
+
+def test_incremental_matches_batch_recompute(spark, tmp_path):
+    """Probing a persisted index must find the same cross-set pairs as
+    signing everything together (index ⊆ the full band-pair relation)."""
+    from model_audit_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        jaccard_verify,
+        lsh_band_rows,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    texts = [
+        (i, f"shared boilerplate prefix sentence number {i % 3} "
+            "with enough words to shingle properly")
+        for i in range(8)
+    ]
+    all_docs = spark.createDataFrame(texts, "doc_id int, text string")
+    corpus = all_docs.filter("doc_id % 2 = 0")
+    batch = all_docs.filter("doc_id % 2 = 1")
+    idx = lsh_band_rows(minhash_signatures(corpus))
+
+    inc = {
+        (r.id_new, r.id_idx)
+        for r in incremental_dedup_pairs(
+            batch, idx, corpus, min_jaccard=0.5
+        ).collect()
+    }
+    full = jaccard_verify(
+        all_docs,
+        minhash_band_pairs(minhash_signatures(all_docs)),
+        min_jaccard=0.5,
+    )
+    cross = {
+        (b, a) if b % 2 == 1 else (a, b)
+        for a, b in ((r.id_a, r.id_b) for r in full.collect())
+        if (a % 2) != (b % 2)
+    }
+    assert inc == cross
