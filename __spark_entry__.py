@@ -949,6 +949,20 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _zorder_events(spark, sf):
+    """Morton z-value of (user_id, epoch-minute) per event — the layout
+    key write_zordered sorts by so filters on EITHER dimension prune
+    parquet files (sources/layout.py)."""
+    from model_audit_spark.sources.layout import zvalue
+
+    e = _t(spark, sf, "events")
+    minute = F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 60")
+    return e.select(
+        "event_id",
+        zvalue([F.col("user_id"), minute], bits=16).alias("zval"),
+    )
+
+
 def _dedup_incremental(spark, sf):
     """Continuous-ingestion dedup: docs with doc_id % 5 == 0 arrive as a
     new batch and probe the LSH index built from the other 4/5."""
@@ -1497,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window next round (the same policy that certified the r2 tail)
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
+        "zorder_events": _zorder_events,
     }
 
 
@@ -1604,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": ora.q_events_range_join(),
         "tfidf_keywords": ora.tfidf_keywords(k=3, min_df=2, max_df_frac=0.8),
         "dedup_incremental": ora.dedup_incremental(min_jaccard=0.5),
+        "zorder_events": ora.zorder_events(bits=16),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -1434,6 +1434,32 @@ WHERE coalesce(i.n_inter, 0)
 """
 
 
+def zorder_events(bits: int = 16) -> str:
+    """Twin of layout.zvalue over events (user_id, epoch-minute): the
+    Morton interleave is pure integer shift/and/or — identical BIGINT
+    results in any engine."""
+    def interleave(exprs: list[str]) -> str:
+        n = len(exprs)
+        terms = []
+        for j, e in enumerate(exprs):
+            for i in range(bits):
+                terms.append(f"((({e} >> {i}) & 1) << {i * n + j})")
+        return " | ".join(terms)
+
+    z = interleave(["u", "m"])
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) AS u,
+         -- floor, not CAST: epoch() keeps fractional seconds and CAST
+         -- rounds-to-nearest, while Spark's unix_timestamp floors
+         CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m
+  FROM events
+)
+SELECT event_id, CAST({z} AS BIGINT) AS zval FROM base
+"""
+
+
 def dedup_incremental(min_jaccard: float = 0.5, batch_mod: int = 5) -> str:
     """Twin of dedup.incremental_dedup_pairs with the driver split
     (doc_id % batch_mod == 0 is the new batch, the rest the index).

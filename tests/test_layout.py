@@ -1,0 +1,100 @@
+"""Z-order layout: Morton encoding semantics + per-file locality."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from model_audit_spark.sources.layout import write_zordered, zvalue
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (65535, 65535)], "x long, y long"
+    )
+    rows = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zvalue(["x", "y"]).alias("z")).collect()
+    }
+    # x owns even bit positions, y odd
+    assert rows[(0, 0)] == 0
+    assert rows[(1, 0)] == 1
+    assert rows[(0, 1)] == 2
+    assert rows[(3, 3)] == 0b1111
+    assert rows[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zvalue_validates_width(spark):
+    with pytest.raises(ValueError):
+        zvalue(["a", "b"], bits=32)
+    with pytest.raises(ValueError):
+        zvalue([])
+
+
+def _per_file_ranges(path, cols):
+    """Per-file (max-min) span of each column, from parquet footers only."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        spans.append({c: hi[c] - lo[c] for c in cols})
+    return spans
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """The point of the layout: after write_zordered on (x, y), EVERY
+    file's min/max box is tight in BOTH dimensions, so a filter on either
+    column skips most files via footer stats. A single-column sort gives
+    this for one dimension only."""
+    n, side = 4096, 64  # one point per cell of the 64x64 grid, x ⟂ y
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, ["x", "y"], zpath, bits=6, n_files=16)
+    spath = str(tmp_path / "xsorted")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(spath)
+    )
+
+    zspans = _per_file_ranges(zpath, ["x", "y"])
+    sspans = _per_file_ranges(spath, ["x", "y"])
+    zx = sum(s["x"] for s in zspans) / len(zspans)
+    zy = sum(s["y"] for s in zspans) / len(zspans)
+    sy = sum(s["y"] for s in sspans) / len(sspans)
+    # z-order: both dims well under the full span; x-sort leaves y wide open
+    assert zx < side / 2 and zy < side / 2
+    assert sy > side * 0.9
+    # and nothing was lost
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{zpath}/*.parquet")
+    )
+    assert total == n
+
+
+def test_zorder_roundtrip_preserves_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 13) % 11) for i in range(100)],
+        "id long, x long, y long",
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, ["x", "y"], path, bits=4, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.columns == df.columns  # _z dropped
+    assert back.count() == 100
+    assert {r.id for r in back.select("id").collect()} == set(range(100))
