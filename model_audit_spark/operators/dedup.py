@@ -129,6 +129,70 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-ROW twin of minhash_signatures: identical (id, mh_0..mh_{k-1})
+    output (equality pinned in tests), computed as a pure projection —
+    F.aggregate folds the shingle-hash array into a struct of k running
+    mins, so there is no explode, no shuffle, and no state.
+
+    That makes it legal under Structured Streaming (stateless operators
+    only) — the signing step of the streaming near-dup probe
+    (streaming.streaming_near_dup_candidates) — and a zero-shuffle batch
+    alternative when the downstream op re-shuffles anyway. The fold
+    lambda computes k affine permutations per element; the md5 per
+    shingle is evaluated once (the hash array is the aggregate's input,
+    referenced once; the k-field struct expansion below stays a separate
+    projection because CollapseProject keeps non-cheap multi-referenced
+    expressions un-inlined). Empty/NULL text folds to the same
+    MINHASH_PRIME sentinel row as the batch aggregate's left join.
+
+    `keep_cols` pass through untouched (e.g. the event-time column a
+    streaming caller needs for its watermark)."""
+    coeffs = minhash_coeffs(num_hashes)
+    sh = word_shingles(F.col(text_col), shingle_n)
+    h = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    init = F.struct(
+        *[
+            F.lit(MINHASH_PRIME).cast("long").alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.aggregate(
+        F.coalesce(h, F.array().cast("array<long>")),
+        init,
+        lambda acc, hv: F.struct(
+            *[
+                F.least(
+                    acc[f"mh_{i}"],
+                    (F.lit(a) * hv + F.lit(b)) % F.lit(MINHASH_PRIME),
+                ).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        ),
+    )
+    with_sig = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], sig.alias("_sig")
+    )
+    return with_sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[
+            F.col("_sig").getField(f"mh_{i}").alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
 def lsh_band_rows(
     sigs: DataFrame,
     id_col: str = "doc_id",

@@ -184,6 +184,78 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_near_dup_candidates(
+    stream: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-dup FLAGGING against a persisted LSH index: each
+    arriving doc is signed per-row (minhash_signatures_stateless — a pure
+    projection, legal in streaming), its band hashes stream-static join
+    the index built by dedup.minhash_index_write, and the first match per
+    doc is emitted as (id, ts, matched index doc, band).
+
+    This closes the gap noted on streaming_curate: with the corpus index
+    PERSISTED, the "corpus-wide band join" objection disappears — the
+    stream side carries only (id, ts, band, bh) and the static side is
+    the index relation, re-read per micro-batch (refresh the index path
+    as batch compaction appends to it). State is bounded exactly like
+    streaming_exact_dedup: dropDuplicatesWithinWatermark on the doc id
+    holds one row per flagged doc inside the watermark horizon.
+
+    Candidates only — exact Jaccard verification stays in the periodic
+    batch pass (incremental_dedup_pairs), which is also where
+    batch-internal pairs are found."""
+    from model_audit_spark.operators.dedup import (
+        minhash_signatures_stateless,
+    )
+
+    sigs = minhash_signatures_stateless(
+        stream,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_n,
+        keep_cols=(ts_col,),
+    )
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bh"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(ts_col).alias("ts"),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(
+        id_col, "ts", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    idx = index_bands.select(
+        F.col(id_col).alias("id_idx"), "band", "bh"
+    )
+    matched = banded.join(idx, ["band", "bh"]).filter(
+        F.col(id_col) != F.col("id_idx")
+    )
+    return (
+        matched.withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark([id_col])
+        .select(id_col, "ts", "id_idx", "band")
+    )
+
+
 def streaming_curate(
     stream: DataFrame,
     text_col: str = "text",
@@ -197,10 +269,10 @@ def streaming_curate(
     gating (pure projection — same doc_stat_columns expressions as batch)
     then watermark-bounded exact dedup. Emits the kept documents only.
 
-    The near-dup stage is deliberately batch-only: MinHash-LSH needs a
-    corpus-wide band join, which streaming would have to approximate with
-    unbounded signature state — run it as a periodic batch compaction
-    over the curated sink instead (curate_corpus)."""
+    The near-dup stage here stays batch (curate_corpus as periodic
+    compaction); when a persisted LSH index exists,
+    streaming_near_dup_candidates flags probable near-dups in-flight
+    against it (candidates only — exact verification stays batch)."""
     from model_audit_spark.operators.text_analysis import doc_stat_columns
 
     stats = doc_stat_columns(text_col)

@@ -366,3 +366,32 @@ def test_incremental_matches_batch_recompute(spark, tmp_path):
         if (a % 2) != (b % 2)
     }
     assert inc == cross
+
+
+def test_stateless_signatures_equal_batch_aggregate(spark):
+    """minhash_signatures_stateless (pure projection — the streaming-legal
+    signer) must be row-identical to the explode+groupBy batch aggregate,
+    including NULL/empty/short-doc sentinel rows."""
+    from model_audit_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_stateless,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "something else entirely different from the others"),
+            (4, None),
+            (5, ""),
+            (6, "two words"),  # < shingle_n tokens -> sentinel
+        ],
+        "doc_id int, text string",
+    )
+    a = minhash_signatures(docs).orderBy("doc_id").collect()
+    b = minhash_signatures_stateless(docs).orderBy("doc_id").collect()
+    assert a == b
+    # keep_cols pass through untouched
+    with_ts = docs.withColumn("ts", F.current_timestamp())
+    out = minhash_signatures_stateless(with_ts, keep_cols=("ts",))
+    assert out.columns[:2] == ["doc_id", "ts"]

@@ -297,3 +297,74 @@ def test_streaming_curate_filters_and_dedups(spark, tmp_path):
     out = spark.sql("select * from curate_stream").collect()
     assert len(out) == 1 and out[0].doc_id in (1, 2)
     assert out[0].lang_pred == "en"
+
+
+def test_streaming_near_dup_candidates_match_batch_probe(spark, tmp_path):
+    """Stream new docs against a persisted LSH index: the flagged doc set
+    must equal the batch band-join candidates, one row per flagged doc."""
+    from model_audit_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_index_read,
+        minhash_index_write,
+        minhash_signatures,
+    )
+    from model_audit_spark.streaming import streaming_near_dup_candidates
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again"),
+            (101, "completely different content about distributed query engines"),
+            (102, "yet another unrelated indexed document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, idx_path)
+
+    rows = [
+        (1, "2026-01-01 00:00:10",
+         "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "2026-01-01 00:00:40",
+         "completely different content about distributed query engines"),
+        (3, "2026-01-01 00:01:20", "fresh text matching no indexed doc at all"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    doc_path = str(tmp_path / "stream_docs")
+    batch.coalesce(1).write.parquet(doc_path)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+        .load(doc_path)
+    )
+    out = streaming_near_dup_candidates(
+        stream, minhash_index_read(spark, idx_path)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from near_dup_stream").collect()
+    # one row per flagged doc, pointing at a real index member
+    assert sorted(r.doc_id for r in got) == [1, 2]
+    assert {r.doc_id: r.id_idx for r in got} == {1: 100, 2: 101}
+
+    # equality with the batch probe's candidate relation
+    batch_cand = (
+        lsh_band_rows(minhash_signatures(batch.select("doc_id", "text")))
+        .join(
+            minhash_index_read(spark, idx_path).withColumnRenamed(
+                "doc_id", "id_idx"
+            ),
+            ["band", "bh"],
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    assert sorted(r.doc_id for r in batch_cand.collect()) == [1, 2]
