@@ -949,6 +949,40 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape — correlated scalar subquery decorrelated into a
+    per-key aggregate join: revenue from lineitems whose quantity is
+    under 20% of their part's average, per Brand#2 part. The
+    brand-filtered lineitem relation is persisted: it feeds BOTH the
+    threshold aggregate and the probe join (without it, two full
+    lineitem scans). Sums are exact (integral quantities, 2dp prices)."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .drop("p_partkey")
+        .persist()
+    )
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("q_thresh")
+    )
+    return (
+        brand_li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
+
+
 def _zorder_events(spark, sf):
     """Morton z-value of (user_id, epoch-minute) per event — the layout
     key write_zordered sorts by so filters on EITHER dimension prune
@@ -1512,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
         "zorder_events": _zorder_events,
+        "q17_small_quantity": _q17_small_quantity,
     }
 
 
@@ -1620,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": ora.tfidf_keywords(k=3, min_df=2, max_df_frac=0.8),
         "dedup_incremental": ora.dedup_incremental(min_jaccard=0.5),
         "zorder_events": ora.zorder_events(bits=16),
+        "q17_small_quantity": ora.q17_small_quantity(brand="Brand#2"),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

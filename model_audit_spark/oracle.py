@@ -1434,6 +1434,29 @@ WHERE coalesce(i.n_inter, 0)
 """
 
 
+def q17_small_quantity(brand: str = "Brand#2") -> str:
+    """Twin of the decorrelated TPC-H Q17 shape (per-part breakdown)."""
+    return f"""
+WITH p AS (
+  SELECT p_partkey FROM part WHERE p_brand = {sql_quote(brand)}
+),
+bli AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN p ON l_partkey = p_partkey
+),
+th AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS q_thresh
+  FROM bli GROUP BY l_partkey
+)
+SELECT b.l_partkey AS p_partkey,
+       count(*) AS n_small,
+       round(sum(b.l_extendedprice), 2) AS small_revenue
+FROM bli b JOIN th USING (l_partkey)
+WHERE b.l_quantity < th.q_thresh
+GROUP BY 1
+"""
+
+
 def zorder_events(bits: int = 16) -> str:
     """Twin of layout.zvalue over events (user_id, epoch-minute): the
     Morton interleave is pure integer shift/and/or — identical BIGINT

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "write_zordered"]
+__all__ = ["zvalue", "write_zordered", "compact_parquet"]
 
 
 def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
@@ -79,3 +79,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a small-file parquet directory into ~target-sized files;
+    returns the output file count.
+
+    Streaming sinks and per-batch ingest writes leave thousands of tiny
+    files per partition; at 100 TB that is open/footer overhead and task
+    explosion on every downstream scan (maxPartitionBytes packing helps
+    reading but not listing). File count = ceil(bytes / target), sized
+    from the Hadoop FileSystem summary so it works on any supported
+    filesystem, not just local paths.
+
+    Plain compaction round-robins (`repartition(n)` — even output sizes);
+    pass `order_cols` to re-cluster while compacting
+    (repartitionByRange + in-partition sort — e.g. the z-value layout's
+    sort key, so compaction preserves data-skipping locality)."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    total = hpath.getFileSystem(hconf).getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if order_cols:
+        df = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst)
+    return n

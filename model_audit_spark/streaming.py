@@ -294,6 +294,50 @@ def streaming_curate(
     )
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session-window aggregation (native F.session_window):
+    per (user, session) → n_events, session bounds, value sum. State per
+    key is one open session window, closed and emitted once the
+    watermark passes its end — the streaming form of
+    q_events_sessionize's gap sessionization.
+
+    Boundary semantics note: session_window merges an event into the
+    open session when its gap is STRICTLY LESS than `gap` at full
+    timestamp precision; the batch lag-based twin starts a new session
+    when the floored-second diff EXCEEDS the gap. Events landing exactly
+    on the gap boundary differ — the same operator run in batch mode is
+    the exact twin (pinned in test_streaming)."""
+    return (
+        stream.withWatermark(ts_col, within)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def detect_stream_from_files(
     spark: SparkSession,
     path: str,

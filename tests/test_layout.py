@@ -98,3 +98,42 @@ def test_zorder_roundtrip_preserves_rows(spark, tmp_path):
     assert back.columns == df.columns  # _z dropped
     assert back.count() == 100
     assert {r.id for r in back.select("id").collect()} == set(range(100))
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from model_audit_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    # 32 tiny files
+    spark.range(2000).withColumn("x", F.col("id") % 10).repartition(
+        32
+    ).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert n == 1 and len(files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert {r.id for r in back.select("id").collect()} == set(range(2000))
+
+
+def test_compact_parquet_preserves_order_clustering(spark, tmp_path):
+    """order_cols re-clusters during compaction: each output file holds a
+    contiguous x-range instead of round-robin shards."""
+    from model_audit_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "scattered")
+    spark.range(4096).withColumn("x", F.col("id") % 64).repartition(
+        16
+    ).write.parquet(src)
+    dst = str(tmp_path / "clustered")
+    # force several output files by tiny target size
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=8 << 10, order_cols=["x"]
+    )
+    assert n >= 4
+    spans = _per_file_ranges(dst, ["x"])
+    avg_span = sum(s["x"] for s in spans) / len(spans)
+    assert avg_span < 64 / 2  # round-robin would give ~63 per file

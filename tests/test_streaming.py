@@ -368,3 +368,48 @@ def test_streaming_near_dup_candidates_match_batch_probe(spark, tmp_path):
         .distinct()
     )
     assert sorted(r.doc_id for r in batch_cand.collect()) == [1, 2]
+
+
+def test_streaming_sessionize_matches_batch_session_window(spark, tmp_path):
+    """Session windows over the driver's events fixture: the streaming
+    result (availableNow, watermark past all data) must equal the same
+    session_window aggregate run in batch mode."""
+    import shutil
+
+    from model_audit_spark.sources.readers import normalize_event_ts
+    from model_audit_spark.streaming import streaming_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tmp_path / "events_sess"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet"
+    )
+    src = str(src_dir)
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    out = streaming_sessionize(stream, gap="30 minutes", within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    batch = normalize_event_ts(spark.read.parquet(src))
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in streaming_sessionize(
+            batch, gap="30 minutes", within="1 hour"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    # every event landed in exactly one session
+    assert sum(t[3] for t in got) == batch.count()
