@@ -207,3 +207,63 @@ def test_dsir_single_tokenize_persisted_counts(spark):
     assert final.count("regexp_extract_all") <= 1, final
     assert "InMemoryTableScan" in final
     assert "SortMergeJoin" not in final
+
+
+def test_tfidf_single_scan_single_tokenize_no_forced_broadcast(spark):
+    """tfidf_keywords: one documents FileScan + one tokenizer subtree
+    (postings, df and N all derive from the persisted projection), and
+    the vocabulary join must NOT be a mandatory broadcast — the
+    surviving vocabulary is corpus-sized at 100 TB (AQE may still
+    broadcast the small local relation; the pin is on the logical plan
+    carrying no broadcast HINT)."""
+    df = entrymod.queries()["tfidf_keywords"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("regexp_extract_all") <= 1, final
+    assert "InMemoryTableScan" in final
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # stats 1-row crossjoin is hinted; the vocab equi-join must not be
+    assert logical.count("ResolvedHint") <= 1, logical
+
+
+def test_incremental_dedup_signs_batch_only(spark):
+    """dedup_incremental: the corpus side must never be re-signed — the
+    minhash aggregate (the mh_0..15 min tower) appears exactly once (the
+    batch), and corpus text re-enters only via candidate-bounded joins."""
+    df = entrymod.queries()["dedup_incremental"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # one signing aggregate: partial+final pairs print min(...) per mh;
+    # count distinct signature-aggregate subtrees via the mh_15 alias
+    assert 0 < final.count("AS mh_15") <= 2, final  # partial + final only
+    assert "CartesianProduct" not in final
+
+
+def test_zorder_write_is_single_range_shuffle(spark, tmp_path):
+    """write_zordered: the z-value is a pure projection feeding ONE
+    rangepartitioning exchange (the layout shuffle) — no hash shuffle,
+    no join, no aggregate."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.sources.layout import zvalue
+
+    df = (
+        spark.range(512)
+        .select((F.col("id") % 16).alias("x"), (F.col("id") / 16)
+                .cast("long").alias("y"))
+        .withColumn("_z", zvalue(["x", "y"], bits=4))
+        .repartitionByRange(4, "_z")
+        .sortWithinPartitions("_z")
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("Exchange rangepartitioning") == 1, final
+    assert "Exchange hashpartitioning" not in final
+    assert "HashAggregate" not in final
