@@ -949,6 +949,19 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _conversation_transcripts(spark, sf):
+    """Assemble each user's event log into one ordered transcript
+    (operators/threads.py) — turn text rendered printf-style so both
+    engines produce identical strings."""
+    from model_audit_spark.operators.threads import assemble_threads
+
+    e = _t(spark, sf, "events")
+    turn = F.format_string(
+        "%s:%.2f", F.col("event_type"), F.col("value")
+    )
+    return assemble_threads(e, turn, max_turns=200)
+
+
 def _q17_small_quantity(spark, sf):
     """TPC-H Q17 shape — correlated scalar subquery decorrelated into a
     per-key aggregate join: revenue from lineitems whose quantity is
@@ -1547,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "zorder_events": _zorder_events,
         "q17_small_quantity": _q17_small_quantity,
+        "conversation_transcripts": _conversation_transcripts,
     }
 
 
@@ -1656,6 +1670,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": ora.dedup_incremental(min_jaccard=0.5),
         "zorder_events": ora.zorder_events(bits=16),
         "q17_small_quantity": ora.q17_small_quantity(brand="Brand#2"),
+        "conversation_transcripts": ora.conversation_transcripts(
+            max_turns=200
+        ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -1,0 +1,66 @@
+"""Thread / conversation assembly (scale extension, no reference
+counterpart — the standard chat-data preparation step: flatten an event
+or message log into one ordered transcript per thread for LLM training).
+
+Order-sensitive grouped concatenation: Spark aggregates are
+order-nondeterministic, so the transcript is built as
+array_sort(collect_list(struct(order keys..., text))) — the sort key is
+(ts, id), unique per row, making the result partitioning-independent —
+then projected to text and joined. One groupBy shuffle whose rows carry
+(key, turn structs); per-key memory is the whole conversation, which is
+the operator's contract (conversations are bounded; `max_turns` slices
+the head deterministically when they are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["assemble_threads"]
+
+
+def assemble_threads(
+    df: DataFrame,
+    text_expr: Column,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    sep: str = "\n",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """(key, n_turns, first_ts, last_ts, transcript, transcript_md5):
+    one ordered transcript per thread.
+
+    `text_expr` renders one turn (keep it engine-portable: printf-style
+    formatting, not double→string casts). Turns are ordered by
+    (ts, id) — unique, so the output is bit-stable under any
+    partitioning. `max_turns` keeps the FIRST n turns (head slice after
+    the sort, applied before rendering cost matters downstream).
+    """
+    turn = F.struct(
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        text_expr.alias("_txt"),
+    )
+    agg = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(turn)).alias("_turns"),
+        F.count("*").alias("n_turns"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    turns = F.col("_turns")
+    if max_turns is not None:
+        turns = F.slice(turns, 1, max_turns)
+    transcript = F.array_join(
+        F.transform(turns, lambda t: t["_txt"]), sep
+    )
+    # transcript is rendered once as a named column; the md5 references
+    # the attribute (CollapseProject-safe), not the render subtree
+    return agg.select(
+        key_col,
+        "n_turns",
+        F.date_format("_first", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("_last", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        transcript.alias("transcript"),
+    ).withColumn("transcript_md5", F.md5("transcript"))

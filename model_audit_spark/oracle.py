@@ -1434,6 +1434,35 @@ WHERE coalesce(i.n_inter, 0)
 """
 
 
+def conversation_transcripts(max_turns: int = 200) -> str:
+    """Twin of threads.assemble_threads over events with the
+    printf-rendered turn text. DuckDB's ordered string_agg replaces the
+    array_sort(collect_list) construction; the head slice keeps the
+    first `max_turns` turns."""
+    return f"""
+WITH turns AS (
+  SELECT user_id, ts, event_id,
+         printf('%s:%.2f', event_type, value) AS txt,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         count(*) AS n_turns,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+         string_agg(CASE WHEN rn <= {max_turns} THEN txt END,
+                    chr(10) ORDER BY ts, event_id) AS transcript
+  FROM turns GROUP BY user_id
+)
+SELECT user_id, n_turns, first_ts, last_ts, transcript,
+       md5(transcript) AS transcript_md5
+FROM agg
+"""
+
+
 def q17_small_quantity(brand: str = "Brand#2") -> str:
     """Twin of the decorrelated TPC-H Q17 shape (per-part breakdown)."""
     return f"""

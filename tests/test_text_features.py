@@ -222,3 +222,61 @@ def test_quality_calibrated_per_group_keep(spark):
     # q_rank is a percent rank: 0 for the best row of each group
     assert min(out[d].q_rank for d in range(4)) == 0.0
     assert min(out[d].q_rank for d in (10, 11)) == 0.0
+
+
+def test_assemble_threads_orders_and_slices(spark):
+    from model_audit_spark.operators.threads import assemble_threads
+
+    rows = [
+        # out-of-order arrival; (ts, id) is the sort key
+        (7, "2026-01-01 00:02:00", "c"),
+        (7, "2026-01-01 00:00:00", "a"),
+        (7, "2026-01-01 00:01:00", "b"),
+        (8, "2026-01-01 00:00:30", "solo"),
+        # tie on ts -> event_id breaks it
+        (9, "2026-01-01 00:00:00", "second"),
+        (9, "2026-01-01 00:00:00", "first"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, t, i) for i, (u, ts, t) in enumerate(rows)],
+        "user_id long, ts string, txt string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # make the tie deterministic: 'first' has the lower event_id? No —
+    # enumerate gave 'second' id 4 and 'first' id 5, so 'second' leads.
+    out = {
+        r.user_id: r
+        for r in assemble_threads(
+            df, F.col("txt"), sep="|"
+        ).collect()
+    }
+    assert out[7].transcript == "a|b|c" and out[7].n_turns == 3
+    assert out[8].transcript == "solo"
+    assert out[9].transcript == "second|first"
+    assert out[7].first_ts == "2026-01-01 00:00:00"
+    assert out[7].last_ts == "2026-01-01 00:02:00"
+
+    sliced = {
+        r.user_id: r
+        for r in assemble_threads(
+            df, F.col("txt"), sep="|", max_turns=2
+        ).collect()
+    }
+    # head slice keeps the FIRST turns; n_turns still counts all
+    assert sliced[7].transcript == "a|b" and sliced[7].n_turns == 3
+
+
+def test_assemble_threads_partitioning_independent(spark):
+    """Same result from 1 partition and from a scattered layout — the
+    unique (ts, id) sort key makes the aggregate order-insensitive."""
+    from model_audit_spark.operators.threads import assemble_threads
+
+    base = spark.range(200).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(1700000000 + (F.col("id") * 37) % 1000).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("txt"),
+    )
+    a = assemble_threads(base.coalesce(1), F.col("txt")).collect()
+    b = assemble_threads(base.repartition(16), F.col("txt")).collect()
+    key = lambda r: r.user_id
+    assert sorted(a, key=key) == sorted(b, key=key)
