@@ -1444,10 +1444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bm25_search, embedding_contamination, quality_calibrated, span_dedup,
     source_overlap, q_events_funnel, pagerank_dupgraph,
     memorization_seqmatch — the one genuinely rows-only difflib kernel)
-    plus the round-3 additions (dsir_weights, cluster_retention — which
-    park r2-green q_events_asof / q_events_range_join, untouched since
-    their r2 rows) rotate IN this round, and round-2-green queries rotate
-    OUT to park
+    plus ALL round-3 additions (dsir_weights, cluster_retention,
+    tfidf_keywords, dedup_incremental, zorder_events, q17_small_quantity,
+    conversation_transcripts) rotate IN this round, and round-2-green
+    queries whose code is untouched since their r2 rows (q_events_asof,
+    q_events_range_join, verify_sources, audit_consistency_rate,
+    benchmark_accuracy_by_class, memorization_verbatim,
+    memorization_levenshtein) rotate OUT to park
     (their CORRECTNESS_r02.json rows remain the evidence, exactly as the
     round-1-green parked queries keep their r01 rows). Entries 51+ stay
     oracle-backed and are checked by the local mirror
@@ -1474,11 +1477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dli_compare_sources": _dli_compare_sources,
         "benchmark_detect": _benchmark_detect,
         "benchmark_accuracy": _benchmark_accuracy,
-        "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
+        "tfidf_keywords": _tfidf_keywords,
         "audit_verdict_sources": _audit_verdict_sources,
-        "verify_sources": _verify_sources,
+        "dedup_incremental": _dedup_incremental,
         "probe_style_consistency": _probe_style_consistency,
-        "audit_consistency_rate": _audit_consistency_rate,
+        "zorder_events": _zorder_events,
         "events_rollup_cascade": _events_rollup_cascade,
         "dedup_exact": _dedup_exact,
         "budget_select": _budget_select,
@@ -1493,8 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
-        "memorization_verbatim": _memorization_verbatim,
-        "memorization_levenshtein": _memorization_levenshtein,
+        "q17_small_quantity": _q17_small_quantity,
+        "conversation_transcripts": _conversation_transcripts,
         "cka_labels": _cka_labels,
         "reef_layer_cka": _reef_layer_cka,
         "streaming_source_verdict": _streaming_source_verdict,
@@ -1554,13 +1557,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_average": _memorization_average,
         "q_events_asof": _q_events_asof,
         "q_events_range_join": _q_events_range_join,
-        # -- round-3 late additions: mirror-checked now, rotate into the
-        # window next round (the same policy that certified the r2 tail)
-        "tfidf_keywords": _tfidf_keywords,
-        "dedup_incremental": _dedup_incremental,
-        "zorder_events": _zorder_events,
-        "q17_small_quantity": _q17_small_quantity,
-        "conversation_transcripts": _conversation_transcripts,
+        # -- parked r2-green (rows in CORRECTNESS_r02.json; code untouched
+        # since) displaced by the round-3 additions now in-window
+        "verify_sources": _verify_sources,
+        "audit_consistency_rate": _audit_consistency_rate,
+        "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
+        "memorization_verbatim": _memorization_verbatim,
+        "memorization_levenshtein": _memorization_levenshtein,
     }
 
 
