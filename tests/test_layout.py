@@ -137,3 +137,23 @@ def test_compact_parquet_preserves_order_clustering(spark, tmp_path):
     spans = _per_file_ranges(dst, ["x"])
     avg_span = sum(s["x"] for s in spans) / len(spans)
     assert avg_span < 64 / 2  # round-robin would give ~63 per file
+
+
+def test_zvalue_matches_python_reference(spark):
+    """Seeded randomized cross-check: Spark's zvalue == a pure-Python
+    Morton encode for 1000 (x, y) pairs across the full 16-bit range."""
+    import random
+
+    rnd = random.Random(42)
+    rows = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(1000)]
+
+    def morton(x, y, bits=16):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zvalue(["x", "y"]).alias("z")).collect()
+    for r in got:
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
