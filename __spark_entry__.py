@@ -949,6 +949,15 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _phrase_search(spark, sf):
+    """Exact token-sequence match — positional search BM25 cannot
+    express (operators/search.py phrase_search)."""
+    from model_audit_spark.operators.search import phrase_search
+
+    docs = _t(spark, sf, "documents")
+    return phrase_search(docs, "table hash")
+
+
 def _conversation_transcripts(spark, sf):
     """Assemble each user's event log into one ordered transcript
     (operators/threads.py) — turn text rendered printf-style so both
@@ -1564,6 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
         "memorization_verbatim": _memorization_verbatim,
         "memorization_levenshtein": _memorization_levenshtein,
+        # mirror-checked this round; rotates into the window next round
+        "phrase_search": _phrase_search,
     }
 
 
@@ -1676,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_transcripts": ora.conversation_transcripts(
             max_turns=200
         ),
+        "phrase_search": ora.phrase_search(phrase="table hash"),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

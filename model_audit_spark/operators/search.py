@@ -25,9 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from model_audit_spark.functions.text import word_tokens
+from model_audit_spark.functions.text import ngrams, word_tokens
 
-__all__ = ["bm25_search", "tfidf_keywords"]
+__all__ = ["bm25_search", "tfidf_keywords", "phrase_search"]
 
 K1 = 1.2
 B = 0.75
@@ -122,6 +122,50 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_occurrences) for documents containing the EXACT token
+    sequence `phrase` (the positional match BM25's bag-of-terms scoring
+    cannot express).
+
+    Tokenizes the phrase with the document tokenizer, then counts
+    occurrences as equality over the document's |phrase|-gram array
+    (functions.text.ngrams — the slice-zip construction, O(n) per row):
+    a pure projection + filter, no join, no shuffle except the final
+    ordering. The same scan/projection shape as detection — linear in
+    corpus size, trivially streamable.
+
+    NULL text behaves as empty (no match). Single-term phrases reduce to
+    a token-equality count."""
+    import re as _re
+
+    terms = [t for t in _re.findall(r"[\w]+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("phrase has no tokens")
+    target = " ".join(terms)
+    toks = df.select(
+        F.col(id_col),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        ngrams(F.col("_w"), len(terms)).alias("_g"),
+    )
+    counted = grams.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.col("_g"), lambda g: g == F.lit(target))
+        ).alias("n_occurrences"),
+    )
+    return counted.filter(F.col("n_occurrences") > 0).orderBy(
+        F.desc("n_occurrences"), F.asc(id_col)
+    )
 
 
 def tfidf_keywords(

@@ -2831,6 +2831,33 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def phrase_search(phrase: str = "table hash") -> str:
+    """Twin of search.phrase_search — |phrase|-gram equality count."""
+    import re as _re
+
+    terms = [t for t in _re.findall(r"[\w]+", phrase.lower()) if t]
+    n = len(terms)
+    target = " ".join(terms)
+    join_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(toks) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> {join_expr}) END"
+    )
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {_tokens("coalesce(text, '')")} AS toks FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(list_filter({gram_list}, x -> x = {sql_quote(target)}))
+              AS INTEGER) AS n_occurrences
+  FROM toksrc
+)
+SELECT doc_id, n_occurrences FROM counted WHERE n_occurrences > 0
+"""
+
+
 def tfidf_keywords(
     k: int = 3, min_df: int = 2, max_df_frac: float = 0.3
 ) -> str:

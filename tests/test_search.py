@@ -132,3 +132,36 @@ def test_tfidf_keywords_null_text_counts_in_n(spark):
     alpha = next(r for r in rows if r.doc_id == 2 and r.term == "alpha")
     want = round(round(math.log(4 / 3) + 1.0, 9) * 1 / 1, 9)
     assert abs(float(alpha.score) - want) < 1e-9
+
+
+def test_phrase_search_exact_sequence_only(spark):
+    from model_audit_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join filter spark join filter"),  # 2 occurrences
+            (2, "spark filter join"),                    # words, wrong order
+            (3, "spark JOIN filter"),                    # case-insensitive hit
+            (4, None),
+            (5, "join filter"),                          # missing first term
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.n_occurrences for r in
+            phrase_search(docs, "Spark, join FILTER").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_phrase_search_single_term_and_empty(spark):
+    import pytest
+
+    from model_audit_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta")], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r.n_occurrences for r in
+            phrase_search(docs, "alpha").collect()}
+    assert rows == {1: 2}
+    with pytest.raises(ValueError):
+        phrase_search(docs, "—…")
