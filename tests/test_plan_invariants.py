@@ -267,3 +267,43 @@ def test_zorder_write_is_single_range_shuffle(spark, tmp_path):
     assert final.count("Exchange rangepartitioning") == 1, final
     assert "Exchange hashpartitioning" not in final
     assert "HashAggregate" not in final
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Spark's runtime bloom filter (on by default in session.py's AQE
+    setup) must inject a might_contain pre-filter on the BIG side of a
+    selective shuffle join — at 100 TB this drops most probe-side rows
+    before the shuffle. Thresholds are lowered only because local test
+    relations are tiny; the capability pin is the injected filter."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
