@@ -949,6 +949,14 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _knn_triangles(spark, sf):
+    """Per-node triangle counts over the kNN similarity graph — the
+    local-density QA signal for similarity clusters (cluster.py)."""
+    from model_audit_spark.operators.cluster import triangle_counts
+
+    return triangle_counts(_knn_graph(spark, sf), "src", "dst")
+
+
 def _phrase_search(spark, sf):
     """Exact token-sequence match — positional search BM25 cannot
     express (operators/search.py phrase_search)."""
@@ -1575,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_levenshtein": _memorization_levenshtein,
         # mirror-checked this round; rotates into the window next round
         "phrase_search": _phrase_search,
+        "knn_triangles": _knn_triangles,
     }
 
 
@@ -1688,6 +1697,9 @@ def oracle_sql() -> dict[str, str]:
             max_turns=200
         ),
         "phrase_search": ora.phrase_search(phrase="table hash"),
+        "knn_triangles": ora.knn_triangles(
+            k=5, n_bands=4, planes_per_band=6, dim=64
+        ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -218,6 +218,51 @@ def source_overlap(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, n_triangles): how many triangles each node participates in
+    — the local-density signal that separates tight near-dup/similarity
+    clusters (mutually-similar groups ≈ complete subgraphs) from chains
+    of borderline pairs that happen to share one member.
+
+    Input edges may be directed/duplicated (e.g. the kNN graph's per-src
+    top-k); they are normalized to distinct undirected (a < b) edges
+    first, and that relation is PERSISTED — it feeds all three legs of
+    the cyclic join, and without pinning it the upstream plan (LSH bands,
+    cosine verify) would execute three times.
+
+    Join shape: wedges e(a,b)⋈e(b,c) on the middle node, closed by
+    e(a,c) — each triangle counted exactly once because a < b < c is
+    enforced by the edge orientation. Shuffles are keyed equi-joins; the
+    skew hedge at 100 TB is degree-ordered orientation (point each edge
+    from its lower-degree endpoint, bounding wedge fan-out to O(m^1.5)
+    total) — id-orientation is kept here because the SQL oracle mirrors
+    it literally."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    wedges = und.join(
+        und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 PAGERANK_SCALE = 10**12  # integer "pico-mass"; total initial mass = SCALE
 
 

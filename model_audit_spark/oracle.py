@@ -2831,6 +2831,34 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def knn_triangles(
+    k: int = 5, n_bands: int = 4, planes_per_band: int = 6, dim: int = 64
+) -> str:
+    """Twin of cluster.triangle_counts over the kNN graph: normalize to
+    distinct undirected a<b edges, wedge join on the middle node, close
+    with the third edge, explode the corners."""
+    inner = knn_graph(k=k, n_bands=n_bands, planes_per_band=planes_per_band,
+                      dim=dim)
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({inner}) WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+"""
+
+
 def phrase_search(phrase: str = "table hash") -> str:
     """Twin of search.phrase_search — |phrase|-gram equality count."""
     import re as _re

@@ -131,3 +131,29 @@ def test_cluster_retention_keeps_best_quality(spark):
     assert out[2].keep and not out[1].keep and not out[3].keep
     assert out[4].keep and out[4].cluster_size == 1
     assert out[1].cluster_size == 3
+
+
+def test_triangle_counts_basic(spark):
+    from model_audit_spark.operators.cluster import triangle_counts
+
+    # triangle 1-2-3 plus a pendant 3-4 and a duplicate/reversed edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 1), (3, 4), (4, 4)],
+        "src long, dst long",
+    )
+    rows = {r.node: r.n_triangles for r in
+            triangle_counts(edges).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}  # node 4 has none; self-loop ignored
+
+
+def test_triangle_counts_complete_graph(spark):
+    from model_audit_spark.operators.cluster import triangle_counts
+
+    # K4: each node sits in C(3,2)=3 triangles
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    rows = {r.node: r.n_triangles for r in
+            triangle_counts(edges).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
