@@ -949,6 +949,26 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, "spark join filter", k=20)
 
 
+def _events_pivot(spark, sf):
+    """Wide per-user activity profile via pivot with an EXPLICIT value
+    list (no values-discovery scan, deterministic column order) — the
+    SQL twin is conditional aggregation. One hash-aggregate; the pivot
+    values are schema, not data."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+                for c in ("view", "click", "purchase", "error")
+            ],
+        )
+    )
+
+
 def _knn_triangles(spark, sf):
     """Per-node triangle counts over the kNN similarity graph — the
     local-density QA signal for similarity clusters (cluster.py)."""
@@ -1584,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirror-checked this round; rotates into the window next round
         "phrase_search": _phrase_search,
         "knn_triangles": _knn_triangles,
+        "events_pivot": _events_pivot,
     }
 
 
@@ -1700,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_triangles": ora.knn_triangles(
             k=5, n_bands=4, planes_per_band=6, dim=64
         ),
+        "events_pivot": ora.events_pivot(),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -2831,6 +2831,18 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def events_pivot() -> str:
+    """Twin of the explicit-values pivot: conditional aggregation."""
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in ("view", "click", "purchase", "error")
+    )
+    return f"""
+SELECT user_id, {cols}
+FROM events GROUP BY user_id
+"""
+
+
 def knn_triangles(
     k: int = 5, n_bands: int = 4, planes_per_band: int = 6, dim: int = 64
 ) -> str:

@@ -97,3 +97,28 @@ def test_streaming_minute_rollup_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expected and len(got) > 100
+
+
+def test_events_pivot_unpivot_roundtrip(spark):
+    """Pivot (explicit values) → unpivot must reproduce the long-form
+    conditional counts; pins both reshaping directions."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    wide = entrymod.queries()["events_pivot"](spark, sf)
+    long = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in ("view", "click", "purchase", "error")],
+        "event_type",
+        "n",
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))
+    e = entrymod._t(spark, sf, "events")
+    direct = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase", "error"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.user_id, r.event_type): r.n for r in long.filter("n > 0").collect()}
+    want = {(r.user_id, r.event_type): r.n for r in direct.collect()}
+    assert got == want
