@@ -198,10 +198,15 @@ def lsh_band_rows(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, bh): one row per LSH band of each signature — the
-    join-able form of the signature relation (banding scheme of
-    minhash_band_pairs; reference parity note at minhash_signatures)."""
+    """(id, [keep_cols...,] band, bh): one row per LSH band of each
+    signature — the join-able form of the signature relation (banding
+    scheme of minhash_band_pairs; reference parity note at
+    minhash_signatures). `keep_cols` pass through untouched (e.g. the
+    event-time column a streaming caller's watermark needs) — this is
+    the ONE implementation of the banding scheme; the streaming probe
+    and the persisted index must never diverge from it."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -215,8 +220,15 @@ def lsh_band_rows(
             )
         )
     return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(
+        id_col,
+        *keep_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
 
 
 def minhash_band_pairs(
@@ -388,8 +400,9 @@ def incremental_dedup_pairs(
             F.col("id_new").alias("id_a"), F.col("id_idx").alias("id_b")
         )
         .distinct()
-        .persist()
     )
+    # no .persist() here: jaccard_verify persists the pair relation it
+    # receives, which covers the idx_ids derivation below too
     # Reduce the corpus to matched index docs BEFORE unioning — a
     # corpus-wide distinct here would be a 100 TB shuffle; after the
     # semi-join both sides are candidate-sized. dropDuplicates(id) then

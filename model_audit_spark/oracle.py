@@ -1428,8 +1428,8 @@ FROM cand c
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE coalesce(i.n_inter, 0)
-      / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1)
+WHERE round(coalesce(i.n_inter, 0)
+      / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1), 6)
       >= {min_jaccard!r}
 """
 
@@ -1554,8 +1554,8 @@ FROM cand c
 LEFT JOIN inter i ON i.id_new = c.id_new AND i.id_idx = c.id_idx
 JOIN sizes sa ON sa.doc_id = c.id_new
 JOIN sizes sb ON sb.doc_id = c.id_idx
-WHERE coalesce(i.n_inter, 0)
-      / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1)
+WHERE round(coalesce(i.n_inter, 0)
+      / greatest(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0), 1), 6)
       >= {min_jaccard!r}
 """
 

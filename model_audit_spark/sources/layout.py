@@ -117,4 +117,12 @@ def compact_parquet(
     else:
         df = df.repartition(n)
     df.write.mode("overwrite").parquet(dst)
-    return n
+    # actual count, not the planned n: range partitioning on a skewed
+    # key can leave partitions empty, and empty partitions write no file
+    dpath = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = dpath.getFileSystem(hconf)
+    return sum(
+        1
+        for st in fs.listStatus(dpath)
+        if st.getPath().getName().endswith(".parquet")
+    )

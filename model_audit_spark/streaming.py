@@ -213,6 +213,7 @@ def streaming_near_dup_candidates(
     batch pass (incremental_dedup_pairs), which is also where
     batch-internal pairs are found."""
     from model_audit_spark.operators.dedup import (
+        lsh_band_rows,
         minhash_signatures_stateless,
     )
 
@@ -224,25 +225,9 @@ def streaming_near_dup_candidates(
         shingle_n,
         keep_cols=(ts_col,),
     )
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bh"),
-            )
-        )
-    banded = sigs.select(
-        F.col(id_col),
-        F.col(ts_col).alias("ts"),
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select(
-        id_col, "ts", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    banded = lsh_band_rows(
+        sigs, id_col, num_hashes, bands, keep_cols=(ts_col,)
+    ).withColumnRenamed(ts_col, "ts")
     idx = index_bands.select(
         F.col(id_col).alias("id_idx"), "band", "bh"
     )
