@@ -993,8 +993,13 @@ def _conversation_transcripts(spark, sf):
     from model_audit_spark.operators.threads import assemble_threads
 
     e = _t(spark, sf, "events")
+    # inputs coalesced BEFORE printf: Spark renders a NULL arg as the
+    # string 'null' while DuckDB printf yields NULL (string_agg then
+    # skips the turn) — same NULL-symmetry rule as bm25's avgdl
     turn = F.format_string(
-        "%s:%.2f", F.col("event_type"), F.col("value")
+        "%s:%.2f",
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.coalesce(F.col("value"), F.lit(0.0)),
     )
     return assemble_threads(e, turn, max_turns=200)
 

@@ -1442,7 +1442,8 @@ def conversation_transcripts(max_turns: int = 200) -> str:
     return f"""
 WITH turns AS (
   SELECT user_id, ts, event_id,
-         printf('%s:%.2f', event_type, value) AS txt,
+         printf('%s:%.2f', coalesce(event_type, ''),
+                coalesce(value, 0.0)) AS txt,
          row_number() OVER (
            PARTITION BY user_id ORDER BY ts, event_id
          ) AS rn
