@@ -1,0 +1,91 @@
+"""End-to-end pipeline integration: the full curation lifecycle composed
+from the individual operators, on the real sf0.001 testdata.
+
+ingest (reader) -> curate (lang/quality/dedup verdicts) -> persist LSH
+index over the kept corpus -> a later batch probes it incrementally ->
+kept docs are chunk-packed for training. Each stage's output feeds the
+next; the invariants pinned here are cross-stage consistency properties
+no single-operator test sees."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_full_curation_pipeline(spark, tmp_path):
+    from model_audit_spark.operators.curate import curate_corpus
+    from model_audit_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_read,
+        minhash_index_write,
+    )
+    from model_audit_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+
+    # 1. curate: every doc gets exactly one verdict row
+    verdicts = curate_corpus(docs, min_quality=0.6).persist()
+    assert verdicts.count() == n_docs
+    kept_ids = verdicts.filter("kept").select("doc_id")
+    n_kept = kept_ids.count()
+    assert 0 < n_kept < n_docs
+    kept_docs = docs.join(kept_ids, "doc_id", "left_semi").persist()
+
+    # 2. index the kept corpus
+    idx_path = str(tmp_path / "kept_index")
+    minhash_index_write(kept_docs, idx_path)
+    idx = minhash_index_read(spark, idx_path)
+    assert idx.count() == n_kept * 4  # 4 bands per doc
+
+    # 3. a "new batch" = the kept docs themselves -> every doc with any
+    # shingles must rediscover its own index entry is excluded (id_new
+    # != id_idx) and near-dups of kept docs must NOT exist (curation
+    # already dropped near-dups at the same threshold)
+    self_probe = incremental_dedup_pairs(
+        kept_docs, idx, kept_docs, min_jaccard=0.5
+    )
+    assert self_probe.count() == 0
+
+    # 4. a genuinely duplicated batch IS flagged against the index
+    dup_batch = kept_docs.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    flagged = incremental_dedup_pairs(
+        dup_batch, idx, kept_docs, min_jaccard=0.5
+    )
+    got = {(r.id_new - 1_000_000, r.id_idx) for r in flagged.collect()}
+    assert {(a, b) for a, b in got if a == b} == {
+        (r.doc_id, r.doc_id) for r in kept_docs.limit(5).collect()
+        if (r.doc_id, r.doc_id) in got
+    }
+    # every copied doc with shingles matches at least its own original
+    assert len({a for a, _ in got}) >= 4  # allow one shingle-less doc
+
+    # 5. pack the kept corpus; every kept doc lands in exactly one chunk
+    packed = pack_chunks(kept_docs, context_len=256)
+    assert packed.count() == n_kept
+    assert packed.select("doc_id").distinct().count() == n_kept
+    # per-shard token stream is gapless and non-overlapping: the
+    # running offsets tile [0, sum(n_tokens)) exactly
+    shard_ok = (
+        packed.groupBy("shard")
+        .agg(
+            F.min("start_off").alias("lo"),
+            F.max(F.col("start_off") + F.col("n_tokens")).alias("hi"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("total")))
+        .count()
+    )
+    assert shard_ok == 0
+    # chunk ids are consistent with the offsets
+    bad_chunk = packed.filter(
+        (F.col("chunk_first") != F.expr("start_off DIV 256"))
+        | (F.col("chunk_last") < F.col("chunk_first"))
+    ).count()
+    assert bad_chunk == 0
+    verdicts.unpersist()
+    kept_docs.unpersist()
