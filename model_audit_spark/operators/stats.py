@@ -60,3 +60,58 @@ def column_percentiles(
                 F.round(F.element_at(F.col(f"_q_{n}"), i + 1), 6).alias(label)
             )
     return agged.select(*out)
+
+
+def cardinality_profile(
+    df: DataFrame,
+    distinct_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group distinct counts: (group..., n_rows, n_distinct).
+
+    exact=False (the 100 TB path) uses the Apache DataSketches HLL
+    aggregate built into Spark (`hll_sketch_agg`): fixed 2^lg_k-register
+    state per group, map-side partial merge, ~1.6%/sqrt(2^lg_k) relative
+    standard error — one pass, no distinct shuffle of the values
+    themselves. exact=True is `count_distinct`, whose aggregation state
+    is the distinct value set — the small-SF verification twin (the
+    property test pins the approx estimate within a 5-sigma band of it,
+    and partition-merge == one-shot determinism).
+    """
+    keys = group_cols or []
+    agg = (
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.count_distinct(F.col(distinct_col))
+            if exact
+            else F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k))
+            )
+        ).cast("long").alias("n_distinct"),
+    )
+    if keys:
+        return df.groupBy(*keys).agg(*agg)
+    return df.agg(*agg)
+
+
+def merge_cardinality_sketches(
+    sketches: DataFrame,
+    sketch_col: str = "sketch",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union per-shard HLL sketches into (group..., n_distinct) — the
+    re-aggregation leg: daily shards keep their binary sketch column and
+    any coarser rollup is a cheap `hll_union_agg`, never a re-scan of
+    the raw data (the same cascade shape as rollup.py, applied to
+    distinct counts)."""
+    keys = group_cols or []
+    est = (
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col)))
+        .cast("long")
+        .alias("n_distinct")
+    )
+    if keys:
+        return sketches.groupBy(*keys).agg(est)
+    return sketches.agg(est)

@@ -57,3 +57,42 @@ def test_duplicate_paragraphs(spark):
     assert r["dup_para_frac"] == round(2 / 3, 6)
     # three identical single-line paragraphs are also duplicate lines
     assert not r["repetition_pass"]
+
+
+def test_cardinality_profile_exact_vs_sketch(spark):
+    """HLL estimate within the documented error band of exact, and the
+    shard-merge path returns EXACTLY the one-shot estimate (sketch merge
+    is deterministic, unlike a sampled estimate)."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.stats import (
+        cardinality_profile,
+        merge_cardinality_sketches,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 30_011)).alias("v"),
+        (F.col("id") % 7).alias("shard"),
+    )
+    exact = {
+        r.g: r.n_distinct
+        for r in cardinality_profile(df, "v", ["g"], exact=True).collect()
+    }
+    approx = {
+        r.g: r.n_distinct
+        for r in cardinality_profile(df, "v", ["g"], lg_k=12).collect()
+    }
+    assert set(exact) == set(approx) == {0, 1, 2, 3}
+    for g in exact:
+        # 2^12 registers -> rse ~1.6%; 5 sigma = 8%
+        assert abs(approx[g] - exact[g]) <= 0.08 * exact[g], (g, approx, exact)
+
+    shards = df.groupBy("g", "shard").agg(
+        F.hll_sketch_agg("v", F.lit(12)).alias("sketch")
+    )
+    merged = {
+        r.g: r.n_distinct
+        for r in merge_cardinality_sketches(shards, "sketch", ["g"]).collect()
+    }
+    assert merged == approx
