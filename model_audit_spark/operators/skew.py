@@ -72,3 +72,61 @@ def frequency_capped_explode(
     )
     hot = freq.filter(F.col("_df") > cap).select("el")
     return exploded.join(F.broadcast(hot), "el", "left_anti")
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.01,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """(value, est_count) for values estimated to exceed `min_share` of
+    all rows — the one-pass heavy-hitter scan that feeds skew hedges
+    (hot LSH buckets, boilerplate shingles, hot join keys) WITHOUT an
+    exact value-keyed aggregate.
+
+    Pass 1 builds ONE count-min sketch (the `count_min_sketch` SQL
+    aggregate: fixed d×w counter state, d = ⌈ln(1/(1-confidence))⌉ rows,
+    w = ⌈e/eps⌉ columns, merged map-side — never a per-value shuffle);
+    the merged binary comes back to the driver (a few hundred KB at
+    eps=0.001) and is probed via the JVM CountMinSketch.readFrom.
+    Pass 2 probes it for each DISTINCT candidate from a bounded uniform
+    sample of rows (~50/min_share): a value with share ≥ s appears in an
+    n-row sample except with prob (1-s)^n ≈ e^-50, so true heavy
+    hitters are never missed by sampling; both driver-side structures
+    are bounded by parameters, not data size.
+
+    CMS guarantees est ≥ true and est ≤ true + eps·N (w.p. confidence):
+    the threshold filter has NO false negatives and only eps-bounded
+    false positives. For exact counts of survivors, run the tiny
+    follow-up groupBy restricted to the returned values."""
+    import io
+
+    n_rows = df.count()
+    spark = df.sparkSession
+    if n_rows == 0:
+        return spark.createDataFrame([], "value string, est_count long")
+    strs = df.select(F.col(col).cast("string").alias("value"))
+    sk_bytes = strs.agg(
+        F.count_min_sketch(
+            "value", F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias("sk")
+    ).first().sk
+    jvm = spark._jvm
+    jstream = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jstream)
+    sample_n = max(1000, int(50 / min_share))
+    cands = {r.value for r in strs.limit(sample_n).distinct().collect()}
+    thresh = int(min_share * n_rows)
+    hits = [
+        (v, int(sketch.estimateCount(v)))
+        for v in cands
+        if v is not None and sketch.estimateCount(v) >= thresh
+    ]
+    out = spark.createDataFrame(
+        hits or [], "value string, est_count long"
+    )
+    return out.orderBy(F.desc("est_count"), F.asc("value"))

@@ -117,3 +117,45 @@ def test_ivf_index_write_probe_partition_pruned(spark, tmp_path):
     plan = ivf_probe(indexed, 0, cents, k=10, nprobe=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cluster" in plan
+
+
+def test_heavy_hitters_cms_finds_hot_keys_only(spark):
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.skew import heavy_hitters_cms
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 100 < 30, F.lit("hot_a"))
+        .when(F.col("id") % 100 < 45, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id")))
+        .alias("k")
+    )
+    rows = heavy_hitters_cms(df, "k", min_share=0.05).collect()
+    got = {r.value: r.est_count for r in rows}
+    assert set(got) == {"hot_a", "hot_b"}
+    # CMS never undercounts; overcount bounded by eps*N = 50
+    assert 15_000 * 0.3 <= got["hot_b"] <= 15_000 + 50 + 1
+    assert got["hot_a"] >= got["hot_b"]
+    # exact follow-up on survivors matches true counts
+    exact = {
+        r.k: r.n
+        for r in df.filter(F.col("k").isin(list(got)))
+        .groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert exact == {"hot_a": 15_000, "hot_b": 7_500} or exact == {
+        "hot_a": 30 * 500, "hot_b": 15 * 500
+    }
+
+
+def test_heavy_hitters_cms_empty_and_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.skew import heavy_hitters_cms
+
+    empty = spark.createDataFrame([], "k string")
+    assert heavy_hitters_cms(empty, "k").collect() == []
+    uniform = spark.range(10_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    # no value holds 1% of a uniform distribution
+    assert heavy_hitters_cms(uniform, "k", min_share=0.01).collect() == []
