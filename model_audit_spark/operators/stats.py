@@ -115,3 +115,54 @@ def merge_cardinality_sketches(
     if keys:
         return sketches.groupBy(*keys).agg(est)
     return sketches.agg(est)
+
+
+def quantile_sketch_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """(group..., sketch): per-group KLL quantile sketch over a DOUBLE
+    column — the mergeable form of a percentile profile. Fixed ~k·log(n)
+    state per group, map-side mergeable; keep the binary column in shard
+    tables and roll up with merge_quantile_sketches instead of
+    re-scanning raw data (the HLL-cascade shape, applied to quantiles).
+    """
+    keys = group_cols or []
+    agg = F.kll_sketch_agg_double(
+        F.col(value_col).cast("double"), F.lit(k)
+    ).alias("sketch")
+    if keys:
+        return df.groupBy(*keys).agg(agg)
+    return df.agg(agg)
+
+
+def quantiles_from_sketches(
+    sketches: DataFrame,
+    probs: list[float],
+    sketch_col: str = "sketch",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge per-shard KLL sketches and emit `q{prob%}` columns — the
+    rollup leg of quantile_sketch_profile. Estimates carry the KLL rank
+    error (~1.65/k for k=200 ≈ 0.8%); the exact twin for verification is
+    column_percentiles(exact=True)."""
+    keys = group_cols or []
+    # kll_sketch_merge_double is a BINARY scalar (no aggregate form):
+    # collect the per-shard sketches (bounded: one per shard, not per
+    # row) and fold them pairwise
+    lst = F.collect_list(F.col(sketch_col)).alias("_l")
+    base = sketches.groupBy(*keys).agg(lst) if keys else sketches.agg(lst)
+    merged = F.aggregate(
+        F.slice(F.col("_l"), 2, F.greatest(F.size("_l") - 1, F.lit(0))),
+        F.element_at(F.col("_l"), 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+    with_m = base.select(*keys, merged.alias("_m"))
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(float(p)))
+        .alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return with_m.select(*keys, *qcols)

@@ -96,3 +96,41 @@ def test_cardinality_profile_exact_vs_sketch(spark):
         for r in merge_cardinality_sketches(shards, "sketch", ["g"]).collect()
     }
     assert merged == approx
+
+
+def test_quantile_sketch_rollup_near_exact(spark):
+    """Shard KLL sketches merged per group estimate quantiles within the
+    documented rank error of the exact per-group percentiles."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.stats import (
+        quantile_sketch_profile,
+        quantiles_from_sketches,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+        (F.col("id") % 7).alias("shard"),
+    )
+    sk = quantile_sketch_profile(df, "v", ["g", "shard"], k=200)
+    est = {
+        r.g: (r.q50, r.q90)
+        for r in quantiles_from_sketches(
+            sk, [0.5, 0.9], group_cols=["g"]
+        ).collect()
+    }
+    exact = {
+        r.g: (r.p50, r.p90)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    # k=200 -> rank error ~0.8%; values span 0..999 so 3% of range is
+    # a generous but meaningful band
+    for g in exact:
+        assert abs(est[g][0] - exact[g][0]) <= 30, (g, est[g], exact[g])
+        assert abs(est[g][1] - exact[g][1]) <= 30, (g, est[g], exact[g])
