@@ -279,3 +279,71 @@ def test_null_and_empty_text_convention_across_per_doc_operators(spark):
         assert len(rows) == 3, f"{name} dropped NULL/empty docs: {len(rows)}"
     sigs = minhash_signatures(docs, "text", "doc_id").collect()
     assert len(sigs) == 3  # sentinel signatures for shingle-less docs
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=16))
+@_SETTINGS
+def test_tfidf_keywords_rank_and_band_invariants(spark, texts):
+    """kw_rank ∈ [1, k] dense per doc; no term outside the
+    [min_df, max_df_frac·N] band ever appears; scores positive."""
+    from model_audit_spark.operators.search import tfidf_keywords
+
+    docs = _docs(spark, texts)
+    n = len(texts)
+    rows = tfidf_keywords(docs, k=3, min_df=1, max_df_frac=1.0).collect()
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r.kw_rank <= 3 and float(r.score) > 0
+        by_doc.setdefault(r.doc_id, []).append(r.kw_rank)
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=12))
+@_SETTINGS
+def test_phrase_search_occurrences_bounded_by_tokens(spark, texts):
+    """phrase_search (n-gram array equality) must agree with an
+    INDEPENDENT positional formulation: posexplode the same tokens and
+    equi-join position p of the first term to p+1 of the second."""
+    from model_audit_spark.functions.text import word_tokens
+    from model_audit_spark.operators.search import phrase_search
+
+    docs = _docs(spark, texts)
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(docs, "以下 是").collect()
+    }
+    t = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("p", "w"),
+    )
+    first = t.filter(F.col("w") == "以下").select("doc_id", "p")
+    second = t.filter(F.col("w") == "是").select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    want = {
+        r.doc_id: r.n
+        for r in first.join(second, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=10))
+@_SETTINGS
+def test_stateless_signatures_always_equal_batch(spark, texts):
+    """The streaming-legal per-row signer and the batch aggregate agree
+    on arbitrary unicode soup (the equality the streaming probe needs)."""
+    from model_audit_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_stateless,
+    )
+
+    docs = _docs(spark, texts)
+    a = minhash_signatures(docs).orderBy("doc_id").collect()
+    b = minhash_signatures_stateless(docs).orderBy("doc_id").collect()
+    assert a == b
