@@ -1488,8 +1488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     memorization_seqmatch — the one genuinely rows-only difflib kernel)
     plus ALL round-3 additions (dsir_weights, cluster_retention,
     tfidf_keywords, dedup_incremental, zorder_events, q17_small_quantity,
-    conversation_transcripts) rotate IN this round, and round-2-green
-    queries whose code is untouched since their r2 rows (q_events_asof,
+    conversation_transcripts, phrase_search, knn_triangles, events_pivot)
+    rotate IN this round — every query that has never had a driver
+    correctness row is inside the window — and round-2-green queries
+    whose code is untouched since their r2 rows (q_rollup_revenue,
+    q_events_sessionize, probe_style_consistency, q_events_asof,
     q_events_range_join, verify_sources, audit_consistency_rate,
     benchmark_accuracy_by_class, memorization_verbatim,
     memorization_levenshtein) rotate OUT to park
@@ -1507,8 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_urgent_customers/q_customers_no_orders)."""
     return {
         # -- 1-50: oracle-backed, in the driver's check window -------------
-        "q_rollup_revenue": _q_rollup_revenue,
-        "q_events_sessionize": _q_events_sessionize,
+        "phrase_search": _phrase_search,
+        "knn_triangles": _knn_triangles,
         "dsir_weights": _dsir_weights,
         "cluster_retention": _cluster_retention,
         "detect_documents": _detect_documents,
@@ -1522,7 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _tfidf_keywords,
         "audit_verdict_sources": _audit_verdict_sources,
         "dedup_incremental": _dedup_incremental,
-        "probe_style_consistency": _probe_style_consistency,
+        "events_pivot": _events_pivot,
         "zorder_events": _zorder_events,
         "events_rollup_cascade": _events_rollup_cascade,
         "dedup_exact": _dedup_exact,
@@ -1606,10 +1609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
         "memorization_verbatim": _memorization_verbatim,
         "memorization_levenshtein": _memorization_levenshtein,
-        # mirror-checked this round; rotates into the window next round
-        "phrase_search": _phrase_search,
-        "knn_triangles": _knn_triangles,
-        "events_pivot": _events_pivot,
+        "q_rollup_revenue": _q_rollup_revenue,
+        "q_events_sessionize": _q_events_sessionize,
+        "probe_style_consistency": _probe_style_consistency,
     }
 
 
