@@ -279,6 +279,40 @@ def streaming_curate(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same key arriving within (l_ts, l_ts + max_delay] —
+    the streaming form of asof.range_join (e.g. view→click attribution
+    with both sides live).
+
+    Both sides carry a watermark and the join condition bounds r_ts
+    relative to l_ts, so Spark derives state-eviction watermarks for
+    BOTH buffers: each side holds only rows inside the watermark horizon
+    (state O(rate × horizon), not O(stream)). Without the time-range
+    predicate a stream-stream inner join would buffer forever — the
+    bound IS the state contract."""
+    li = left.withWatermark(left_ts, watermark)
+    ri = right.withWatermark(right_ts, watermark)
+    cond = (
+        (li[key_col] == ri[key_col])
+        & (ri[right_ts] > li[left_ts])
+        & (ri[right_ts] <= li[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return li.join(ri, cond, "inner").select(
+        li[key_col].alias(key_col),
+        li[left_ts].alias(left_ts),
+        ri[right_ts].alias(right_ts),
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame,
     user_col: str = "user_id",

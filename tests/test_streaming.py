@@ -413,3 +413,58 @@ def test_streaming_sessionize_matches_batch_session_window(spark, tmp_path):
     assert got == expected and len(got) > 0
     # every event landed in exactly one session
     assert sum(t[3] for t in got) == batch.count()
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (views × clicks within 10 min) must
+    equal the same join run in batch; both sides are live streams with
+    bounded state via watermark + time-range condition."""
+    from model_audit_spark.streaming import streaming_interval_join
+
+    views = [
+        (1, "2026-01-01 00:00:00"),
+        (1, "2026-01-01 01:00:00"),
+        (2, "2026-01-01 00:05:00"),
+    ]
+    clicks = [
+        (1, "2026-01-01 00:04:00"),   # joins view@00:00
+        (1, "2026-01-01 00:20:00"),   # outside 10 min of any view
+        (1, "2026-01-01 01:09:59"),   # joins view@01:00
+        (2, "2026-01-01 00:05:00"),   # NOT > l_ts (strict)
+        (2, "2026-01-01 00:15:00"),   # joins view@00:05
+    ]
+    vdf = spark.createDataFrame(views, "user_id long, l_ts string").withColumn(
+        "l_ts", F.to_timestamp("l_ts")
+    )
+    cdf = spark.createDataFrame(clicks, "user_id long, r_ts string").withColumn(
+        "r_ts", F.to_timestamp("r_ts")
+    )
+    vpath, cpath = str(tmp_path / "views"), str(tmp_path / "clicks")
+    vdf.coalesce(1).write.parquet(vpath)
+    cdf.coalesce(1).write.parquet(cpath)
+
+    vs = spark.readStream.schema("user_id LONG, l_ts TIMESTAMP").parquet(vpath)
+    cs = spark.readStream.schema("user_id LONG, r_ts TIMESTAMP").parquet(cpath)
+    out = streaming_interval_join(vs, cs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.l_ts), str(r.r_ts))
+        for r in spark.sql("select * from ij_stream").collect()
+    }
+    batch = {
+        (r.user_id, str(r.l_ts), str(r.r_ts))
+        for r in streaming_interval_join(vdf, cdf).collect()
+    }
+    assert got == batch
+    assert got == {
+        (1, "2026-01-01 00:00:00", "2026-01-01 00:04:00"),
+        (1, "2026-01-01 01:00:00", "2026-01-01 01:09:59"),
+        (2, "2026-01-01 00:05:00", "2026-01-01 00:15:00"),
+    }
