@@ -1325,6 +1325,17 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _ann_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH: Hamming-1 bucket neighborhood repairs the recall
+    a single bucket loses at plane boundaries (similarity.py)."""
+    from model_audit_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_multiprobe_topk(
+        emb, query_vec_id=0, k=10, n_planes=6, probe_radius=1, dim=64
+    )
+
+
 def _ann_ivf_topk(spark, sf):
     """IVF ANN with the build step explicit and separable: seeded-sample
     quantizer (deterministic, SQL-reproducible -> oracle-checked) builds
@@ -1612,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": _q_rollup_revenue,
         "q_events_sessionize": _q_events_sessionize,
         "probe_style_consistency": _probe_style_consistency,
+        # mirror-checked this round; rotates into the window next round
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
     }
 
 
@@ -1729,6 +1742,9 @@ def oracle_sql() -> dict[str, str]:
             k=5, n_bands=4, planes_per_band=6, dim=64
         ),
         "events_pivot": ora.events_pivot(),
+        "ann_lsh_multiprobe": ora.ann_lsh_multiprobe_topk(
+            query_vec_id=0, k=10, n_planes=6, probe_radius=1, dim=64
+        ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

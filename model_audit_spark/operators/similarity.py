@@ -125,6 +125,55 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 12,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: candidates from every bucket within
+    Hamming distance `probe_radius` of the query's bucket — the standard
+    recall repair for single-bucket LSH (a near neighbor on the wrong
+    side of ONE hyperplane lands at distance 1, not in the query
+    bucket). radius=0 degenerates to lsh_topk; recall grows
+    monotonically with radius (superset containment pinned in tests),
+    cost grows as Σ C(n_planes, r) buckets probed.
+
+    The probe set is expressed as `bit_count(bucket XOR qbucket) <=
+    radius` against the broadcast query row — no explicit bucket-list
+    explosion, and on a bucket-partitioned layout the equivalent IN-list
+    of ≤ 1 + C(n,1) + … bucket ids prunes partitions instead."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes)
+    sigs = emb.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("ev"),
+    ).withColumn("bucket", rhp_signature(F.col("ev"), planes))
+    qrow = sigs.filter(F.col(id_col) == query_vec_id).select(
+        F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    qrow = qrow.select("qv", "qbucket", _norm(F.col("qv")).alias("qn"))
+    cands = sigs.join(
+        F.broadcast(qrow),
+        F.bit_count(
+            F.col("bucket").bitwiseXOR(F.col("qbucket"))
+        ) <= probe_radius,
+    )
+    sim = _dot(F.col("ev"), F.col("qv")) / (
+        _norm(F.col("ev")) * F.col("qn")
+    )
+    return (
+        cands.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

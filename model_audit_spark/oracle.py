@@ -1924,6 +1924,48 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def ann_lsh_multiprobe_topk(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 6,
+    probe_radius: int = 1, dim: int = 64,
+) -> str:
+    """Twin of similarity.lsh_multiprobe_topk — identical to
+    ann_lsh_topk except the candidate predicate probes every bucket
+    within `probe_radius` bit flips of the query bucket."""
+    from model_audit_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes)
+    rows = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in p) + "])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pi, pv) AS (VALUES {rows}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v[j] * pv[j])) > 0
+                   THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+),
+q AS (SELECT v AS qv, bucket AS qb FROM sigs WHERE vec_id = {query_vec_id}),
+cands AS (
+  SELECT s.vec_id,
+    round(list_sum(list_transform(range(1, {dim} + 1),
+                                  j -> s.v[j] * q.qv[j]))
+      / (sqrt(list_sum(list_transform(s.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)
+      AS cosine_sim
+  FROM sigs s JOIN q ON bit_count(xor(s.bucket, q.qb)) <= {probe_radius}
+)
+SELECT vec_id, cosine_sim FROM cands
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def embedding_near_dups(
     threshold: float = 0.4, n_planes: int = 8, dim: int = 64
 ) -> str:

@@ -395,3 +395,30 @@ def test_stateless_signatures_equal_batch_aggregate(spark):
     with_ts = docs.withColumn("ts", F.current_timestamp())
     out = minhash_signatures_stateless(with_ts, keep_cols=("ts",))
     assert out.columns[:2] == ["doc_id", "ts"]
+
+
+def test_multiprobe_recall_supersets_single_bucket(spark):
+    """radius=0 == lsh_topk exactly; radius=1 candidates ⊇ radius=0; and
+    multiprobe's result set is closer to (or equal to) exact brute-force
+    top-k than single-bucket LSH."""
+    from model_audit_spark.operators.similarity import (
+        cosine_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k, n_planes, dim = 10, 6, 64
+    single = {r.vec_id for r in
+              lsh_topk(emb, 0, k, n_planes, dim=dim).collect()}
+    r0 = {r.vec_id for r in lsh_multiprobe_topk(
+        emb, 0, k, n_planes, probe_radius=0, dim=dim).collect()}
+    r1 = {r.vec_id for r in lsh_multiprobe_topk(
+        emb, 0, k, n_planes, probe_radius=1, dim=dim).collect()}
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k).collect()}
+    assert r0 == single
+    assert len(r1 & exact) >= len(single & exact)
+    # wider probe radius never shrinks the top-k overlap with exact
+    r6 = {r.vec_id for r in lsh_multiprobe_topk(
+        emb, 0, k, n_planes, probe_radius=n_planes, dim=dim).collect()}
+    assert r6 == exact  # probing every bucket IS brute force
