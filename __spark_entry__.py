@@ -1325,6 +1325,17 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _dsir_select(spark, sf):
+    """DSIR selection leg: per-source top-25% of the raw pool by
+    importance weight (deterministic rank variant, operators/dsir.py)."""
+    from model_audit_spark.operators.dsir import dsir_select, dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    w = dsir_weights(docs, F.col("source") == "src0")
+    with_src = w.join(docs.select("doc_id", "source"), "doc_id")
+    return dsir_select(with_src, keep_frac=0.25)
+
+
 def _ann_lsh_multiprobe(spark, sf):
     """Multi-probe LSH: Hamming-1 bucket neighborhood repairs the recall
     a single bucket loses at plane boundaries (similarity.py)."""
@@ -1625,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_style_consistency": _probe_style_consistency,
         # mirror-checked this round; rotates into the window next round
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+        "dsir_select": _dsir_select,
     }
 
 
@@ -1744,6 +1756,9 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": ora.events_pivot(),
         "ann_lsh_multiprobe": ora.ann_lsh_multiprobe_topk(
             query_vec_id=0, k=10, n_planes=6, probe_radius=1, dim=64
+        ),
+        "dsir_select": ora.dsir_select(
+            target_source="src0", keep_frac=0.25
         ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).

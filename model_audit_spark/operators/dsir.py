@@ -128,3 +128,40 @@ def dsir_weights(
             ).alias("dsir_logweight"),
         )
     )
+
+
+def dsir_select(
+    weights: DataFrame,
+    keep_frac: float = 0.25,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The selection leg of DSIR: keep the most target-like `keep_frac`
+    of the RAW pool per group (target rows pass through untouched — they
+    define the distribution, they are not candidates).
+
+    The paper resamples with Gumbel noise; this is the deterministic
+    rank variant (the paper's own top-k ablation): percent_rank over
+    (dsir_logweight desc, id) WITHIN each group — partitioned like
+    quality_calibrated, never a global single-partition window (for a
+    truly global budget use sampling.budget_select's sharded
+    prefix-sum pattern on the weight-ranked relation). keep is
+    strict-< on the UNROUNDED rank (the displayed rank is rounded 6dp
+    for cross-engine hashing; thresholding on the rounded value flips
+    boundary rows in million-row pools). One window over the weight
+    relation — no second text scan. `weights` must carry `group_col`
+    (join it back from the corpus if needed)."""
+    from pyspark.sql import Window
+
+    raw = weights.filter(~F.col("is_target"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("dsir_logweight"), F.asc(id_col)
+    )
+    pr = F.percent_rank().over(w)
+    return raw.select(
+        id_col,
+        group_col,
+        "dsir_logweight",
+        F.round(pr, 6).alias("w_rank"),
+        (pr < keep_frac).alias("keep"),
+    )

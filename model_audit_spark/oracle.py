@@ -3087,6 +3087,31 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def dsir_select(
+    target_source: str = "src0",
+    keep_frac: float = 0.25,
+    n_buckets: int = 10_000,
+) -> str:
+    """Twin of dsir.dsir_select over dsir_weights: per-source
+    percent_rank of raw docs by (logweight desc, id), keep = unrounded
+    rank < keep_frac."""
+    return f"""
+WITH w AS ({dsir_weights(target_source, n_buckets)}),
+raw AS (
+  SELECT w.doc_id, d.source, w.dsir_logweight,
+         percent_rank() OVER (
+           PARTITION BY d.source
+           ORDER BY w.dsir_logweight DESC, w.doc_id ASC
+         ) AS pr
+  FROM w JOIN documents d ON d.doc_id = w.doc_id
+  WHERE NOT w.is_target
+)
+SELECT doc_id, source, dsir_logweight,
+       round(pr, 6) AS w_rank, pr < {keep_frac!r} AS keep
+FROM raw
+"""
+
+
 def dsir_weights(
     target_source: str = "src0", n_buckets: int = 10_000
 ) -> str:

@@ -62,3 +62,39 @@ def test_hashed_bucket_range(spark):
     )
     assert rows[0] >= 0 and rows[1] < 97
     assert rows[2] > 50  # buckets actually spread
+
+
+def test_dsir_select_keeps_target_like_fraction_per_group(spark):
+    import pyspark.sql.functions as F
+
+    from model_audit_spark.operators.dsir import dsir_select, dsir_weights
+
+    rows = (
+        [(i, "the quick brown fox jumps high", "tgt") for i in range(5)]
+        + [(10 + i, "the quick brown fox jumps high", "raw_a")
+           for i in range(4)]
+        + [(20 + i, "completely unrelated database text here", "raw_a")
+           for i in range(4)]
+        + [(30 + i, "another pool of unrelated words entirely", "raw_b")
+           for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = dsir_weights(docs, F.col("source") == "tgt").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    out = dsir_select(w, keep_frac=0.5).collect()
+    # target rows never appear
+    assert all(r.source != "tgt" for r in out)
+    kept = {r.doc_id for r in out if r.keep}
+    # in raw_a, the target-identical docs outrank the unrelated ones
+    assert {10, 11, 12, 13} <= kept or all(
+        r.dsir_logweight
+        >= max(x.dsir_logweight for x in out if x.source == "raw_a" and not x.keep)
+        for r in out
+        if r.doc_id in kept and r.source == "raw_a"
+    )
+    # strict-< keeps just under keep_frac plus the top row per group
+    for g in ("raw_a", "raw_b"):
+        grp = [r for r in out if r.source == g]
+        n_kept = sum(r.keep for r in grp)
+        assert 1 <= n_kept <= max(1, int(len(grp) * 0.5) + 1)
