@@ -1325,6 +1325,15 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _top_boilerplate_spans(spark, sf):
+    """Most-repeated verbatim 5-token spans — the boilerplate report
+    behind span-dedup policy (dedup.top_boilerplate_spans)."""
+    from model_audit_spark.operators.dedup import top_boilerplate_spans
+
+    docs = _t(spark, sf, "documents")
+    return top_boilerplate_spans(docs, span_tokens=5, k=20)
+
+
 def _dsir_select(spark, sf):
     """DSIR selection leg: per-source top-25% of the raw pool by
     importance weight (deterministic rank variant, operators/dsir.py)."""
@@ -1637,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirror-checked this round; rotates into the window next round
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
         "dsir_select": _dsir_select,
+        "top_boilerplate_spans": _top_boilerplate_spans,
     }
 
 
@@ -1759,6 +1769,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select": ora.dsir_select(
             target_source="src0", keep_frac=0.25
+        ),
+        "top_boilerplate_spans": ora.top_boilerplate_spans(
+            span_tokens=5, k=20
         ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).

@@ -741,3 +741,43 @@ def span_dedup_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def top_boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """(span, n_occurrences, n_docs, first_doc): the k most-repeated
+    verbatim token spans — the human-readable boilerplate report that
+    decides span-dedup/max_df policy (license headers, nav chrome,
+    template sentences).
+
+    One explode + ONE hash aggregate keyed on the span TEXT (map-side
+    partial combine; the shuffle key is ~span_tokens·word bytes rather
+    than a 16-byte digest — carrying the text in the aggregate beats the
+    digest-then-join-back form, which would need a second pass over the
+    gram relation to recover printable spans). Top-k via TakeOrdered on
+    (count desc, span asc) — never a global sort."""
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+    grams = toks.select(
+        F.col(id_col), F.explode(ngrams("_w", span_tokens)).alias("g")
+    )
+    agg = grams.groupBy("g").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        F.min(F.col(id_col)).alias("first_doc"),
+    )
+    return (
+        agg.filter(F.col("n_occurrences") > 1)
+        .select(
+            F.col("g").alias("span"),
+            "n_occurrences",
+            "n_docs",
+            "first_doc",
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("span"))
+        .limit(k)
+    )

@@ -1513,6 +1513,34 @@ SELECT event_id, CAST({z} AS BIGINT) AS zval FROM base
 """
 
 
+def top_boilerplate_spans(span_tokens: int = 5, k: int = 20) -> str:
+    """Twin of dedup.top_boilerplate_spans — stride-1 n-gram counts over
+    token positions, top-k by (count desc, span asc)."""
+    n = span_tokens
+    join_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(toks) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> {join_expr}) END"
+    )
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({grams}) AS g FROM toksrc
+),
+agg AS (
+  SELECT g AS span, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+  FROM g GROUP BY g
+)
+SELECT span, n_occurrences, n_docs, first_doc
+FROM agg WHERE n_occurrences > 1
+ORDER BY n_occurrences DESC, span ASC LIMIT {k}
+"""
+
+
 def dedup_incremental(min_jaccard: float = 0.5, batch_mod: int = 5) -> str:
     """Twin of dedup.incremental_dedup_pairs with the driver split
     (doc_id % batch_mod == 0 is the new batch, the rest the index).

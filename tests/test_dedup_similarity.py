@@ -422,3 +422,26 @@ def test_multiprobe_recall_supersets_single_bucket(spark):
     r6 = {r.vec_id for r in lsh_multiprobe_topk(
         emb, 0, k, n_planes, probe_radius=n_planes, dim=dim).collect()}
     assert r6 == exact  # probing every bucket IS brute force
+
+
+def test_top_boilerplate_spans_ranks_repeats(spark):
+    from model_audit_spark.operators.dedup import top_boilerplate_spans
+
+    boiler = "all rights reserved by the site"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} and some unique text one"),
+            (2, f"{boiler} plus other words two"),
+            (3, f"{boiler} again with more content"),
+            (4, "a totally different document four"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = top_boilerplate_spans(docs, span_tokens=6, k=5).collect()
+    assert rows, "expected repeated spans"
+    top = rows[0]
+    assert top.span == boiler
+    assert top.n_occurrences == 3 and top.n_docs == 3 and top.first_doc == 1
+    # nothing unique ever appears
+    assert all(r.n_occurrences > 1 for r in rows)
