@@ -56,6 +56,24 @@ def main() -> None:
         except Exception as e:  # pragma: no cover — warm-up best effort
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # Warm the FULL Python-worker pool: the sf0.001 warm-up only spawns
+    # as many pandas-UDF workers as that tiny input has partitions, so
+    # the first sf0.1 Arrow query would otherwise pay ~n_cores worker
+    # forks + pandas imports inside its timing (measured: media_decode
+    # 7.8s cold-pool vs 1.6s warm-pool). One no-op mapInPandas task per
+    # core spawns them all outside the timed region.
+    par = spark.sparkContext.defaultParallelism
+
+    def _noop_batches(it):
+        for b in it:
+            yield b
+
+    (
+        spark.range(par * 4, numPartitions=par)
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     # drop caches accumulated by the warm-up pass (several operators
     # persist() internally); each timed query then starts from a clean
     # block manager instead of competing with 50+ stale cached RDDs

@@ -102,8 +102,6 @@ def heavy_hitters_cms(
     the threshold filter has NO false negatives and only eps-bounded
     false positives. For exact counts of survivors, run the tiny
     follow-up groupBy restricted to the returned values."""
-    import io
-
     n_rows = df.count()
     spark = df.sparkSession
     if n_rows == 0:
@@ -118,8 +116,20 @@ def heavy_hitters_cms(
     jvm = spark._jvm
     jstream = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jstream)
+    # seeded Bernoulli sample, NOT limit(): limit takes the first
+    # partitions' rows, so input sorted/clustered by value would hide a
+    # late heavy hitter entirely — sample() draws uniformly across all
+    # partitions. The collect is bounded by the expected sample size
+    # (~50/min_share) plus a hard cap.
     sample_n = max(1000, int(50 / min_share))
-    cands = {r.value for r in strs.limit(sample_n).distinct().collect()}
+    frac = min(1.0, sample_n / n_rows)
+    cands = {
+        r.value
+        for r in strs.sample(fraction=frac, seed=seed)
+        .distinct()
+        .limit(10 * sample_n)
+        .collect()
+    }
     thresh = int(min_share * n_rows)
     hits = [
         (v, int(sketch.estimateCount(v)))
@@ -130,3 +140,29 @@ def heavy_hitters_cms(
         hits or [], "value string, est_count long"
     )
     return out.orderBy(F.desc("est_count"), F.asc("value"))
+
+
+def frequency_capped_explode_cms(
+    df: DataFrame,
+    array_col: str,
+    id_col: str,
+    max_share: float = 0.01,
+    eps: float = 0.0005,
+) -> DataFrame:
+    """CMS-backed twin of frequency_capped_explode for the regime where
+    even the per-element df aggregate is too hot: the drop-list comes
+    from ONE count-min pass over the exploded elements
+    (heavy_hitters_cms) instead of an exact per-element count_distinct.
+
+    Semantics difference, documented: the cap is on OCCURRENCE share
+    (est_count/total rows of the exploded relation) rather than
+    document frequency, and CMS overcounting (≤ eps·N w.p. confidence)
+    can drop borderline-cold elements — a recall-safe error for the
+    skew-hedge use (it never UNDER-drops a truly hot element). The
+    drop-list is bounded by 1/max_share values, so the anti-join side
+    broadcasts by construction."""
+    exploded = df.select(F.col(id_col), F.explode(array_col).alias("el"))
+    hot = heavy_hitters_cms(
+        exploded, "el", min_share=max_share, eps=eps
+    ).select(F.col("value").alias("el"))
+    return exploded.join(F.broadcast(hot), "el", "left_anti")

@@ -159,3 +159,55 @@ def test_heavy_hitters_cms_empty_and_uniform(spark):
     )
     # no value holds 1% of a uniform distribution
     assert heavy_hitters_cms(uniform, "k", min_share=0.01).collect() == []
+
+
+def test_heavy_hitters_found_even_when_input_sorted_by_value(spark):
+    """Candidate discovery must survive adversarial clustering: all
+    occurrences of the hot value in the LAST partitions (sorted input) —
+    the case a limit()-based sample would miss."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.skew import heavy_hitters_cms
+
+    df = (
+        spark.range(40_000)
+        .select(
+            F.when(F.col("id") >= 36_000, F.lit("zzz_hot"))
+            .otherwise(F.concat(F.lit("a_cold"), F.col("id")))
+            .alias("k")
+        )
+        .repartitionByRange(8, "k")  # hot value isolated in last range
+    )
+    rows = heavy_hitters_cms(df, "k", min_share=0.05).collect()
+    assert [r.value for r in rows] == ["zzz_hot"]
+
+
+def test_frequency_capped_explode_cms_drops_hot_elements(spark):
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.skew import (
+        frequency_capped_explode,
+        frequency_capped_explode_cms,
+    )
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            F.lit("boiler"),  # in every doc -> hot
+            F.concat(F.lit("rare"), F.col("id")),
+        ).alias("els"),
+    )
+    out = frequency_capped_explode_cms(
+        docs, "els", "doc_id", max_share=0.1
+    )
+    kept = {r.el for r in out.collect()}
+    assert "boiler" not in kept
+    assert len(kept) == 2_000  # every rare element survives
+    # exact twin agrees on this clear-margin fixture
+    exact = {
+        r.el
+        for r in frequency_capped_explode(
+            docs, "els", "doc_id", max_doc_frequency=0.5
+        ).collect()
+    }
+    assert kept == exact
