@@ -68,11 +68,14 @@ def main() -> None:
         for b in it:
             yield b
 
-    (
-        spark.range(par * 4, numPartitions=par)
-        .mapInPandas(_noop_batches, "id long")
-        .write.format("noop").mode("overwrite").save()
-    )
+    try:  # best effort, same contract as the per-query warm-ups
+        (
+            spark.range(par * 4, numPartitions=par)
+            .mapInPandas(_noop_batches, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"# worker-pool warmup failed: {e}", file=sys.stderr)
 
     # drop caches accumulated by the warm-up pass (several operators
     # persist() internally); each timed query then starts from a clean

@@ -96,32 +96,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    — lsh_multiprobe_topk at probe_radius=0 (the shared implementation;
+    equality pinned in tests).
 
     At scale, write the table bucketed/partitioned by `bucket` so the probe
     prunes to one partition instead of scanning N rows.
     """
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes)
-    sigs = emb.select(
-        F.col(id_col),
-        as_double_array(vec_col).alias("ev"),
-    ).withColumn("bucket", rhp_signature(F.col("ev"), planes))
-    qrow = sigs.filter(F.col(id_col) == query_vec_id).select(
-        F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
-    )
-    qrow = qrow.select("qv", "qbucket", _norm(F.col("qv")).alias("qn"))
-    cands = sigs.join(
-        F.broadcast(qrow), F.col("bucket") == F.col("qbucket")
-    )
-    sim = _dot(F.col("ev"), F.col("qv")) / (
-        _norm(F.col("ev")) * F.col("qn")
-    )
-    return (
-        cands.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
-        .limit(k)
+    return lsh_multiprobe_topk(
+        emb, query_vec_id, k, n_planes, 0, id_col, vec_col, dim
     )
 
 

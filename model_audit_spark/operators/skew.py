@@ -102,19 +102,24 @@ def heavy_hitters_cms(
     the threshold filter has NO false negatives and only eps-bounded
     false positives. For exact counts of survivors, run the tiny
     follow-up groupBy restricted to the returned values."""
-    n_rows = df.count()
     spark = df.sparkSession
-    if n_rows == 0:
-        return spark.createDataFrame([], "value string, est_count long")
-    strs = df.select(F.col(col).cast("string").alias("value"))
-    sk_bytes = strs.agg(
+    strs = df.select(F.col(col).cast("string").alias("value")).persist()
+    # ONE aggregate computes the row count AND the sketch (a second
+    # full scan just for count() would double the pass this function
+    # exists to avoid); the sample below reads the persisted projection.
+    row = strs.agg(
+        F.count(F.lit(1)).alias("n"),
         F.count_min_sketch(
             "value", F.lit(float(eps)), F.lit(float(confidence)),
             F.lit(int(seed)),
-        ).alias("sk")
-    ).first().sk
+        ).alias("sk"),
+    ).first()
+    n_rows = row.n
+    if n_rows == 0:
+        strs.unpersist()
+        return spark.createDataFrame([], "value string, est_count long")
     jvm = spark._jvm
-    jstream = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    jstream = jvm.java.io.ByteArrayInputStream(bytes(row.sk))
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jstream)
     # seeded Bernoulli sample, NOT limit(): limit takes the first
     # partitions' rows, so input sorted/clustered by value would hide a
@@ -130,12 +135,15 @@ def heavy_hitters_cms(
         .limit(10 * sample_n)
         .collect()
     }
+    strs.unpersist()
     thresh = int(min_share * n_rows)
-    hits = [
-        (v, int(sketch.estimateCount(v)))
-        for v in cands
-        if v is not None and sketch.estimateCount(v) >= thresh
-    ]
+    hits = []
+    for v in cands:
+        if v is None:
+            continue
+        est = int(sketch.estimateCount(v))  # one py4j call per candidate
+        if est >= thresh:
+            hits.append((v, est))
     out = spark.createDataFrame(
         hits or [], "value string, est_count long"
     )

@@ -160,9 +160,11 @@ def quantiles_from_sketches(
         lambda acc, s: F.kll_sketch_merge_double(acc, s),
     )
     with_m = base.select(*keys, merged.alias("_m"))
+    # label from the full prob, not int(p*100): 0.999 and 0.99 must not
+    # both become q99, and 0.125 is q12_5 rather than a lying q12
     qcols = [
         F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(float(p)))
-        .alias(f"q{int(p * 100)}")
+        .alias("q" + f"{p * 100:g}".replace(".", "_"))
         for p in probs
     ]
     return with_m.select(*keys, *qcols)

@@ -57,12 +57,15 @@ def test_full_curation_pipeline(spark, tmp_path):
         dup_batch, idx, kept_docs, min_jaccard=0.5
     )
     got = {(r.id_new - 1_000_000, r.id_idx) for r in flagged.collect()}
-    assert {(a, b) for a, b in got if a == b} == {
-        (r.doc_id, r.doc_id) for r in kept_docs.limit(5).collect()
-        if (r.doc_id, r.doc_id) in got
-    }
-    # every copied doc with shingles matches at least its own original
-    assert len({a for a, _ in got}) >= 4  # allow one shingle-less doc
+    copied = [r.doc_id for r in kept_docs.limit(5).collect()]
+    # every copied doc whose text shingles at all must rediscover ITS OWN
+    # original in the index (jaccard 1.0 with itself >= threshold)
+    matched_to_self = [d for d in copied if (d, d) in got]
+    assert len(matched_to_self) >= 4  # allow one shingle-less doc
+    # and nothing matches a doc it is not actually similar to at >= 0.5:
+    # every reported pair must be a (copy, original-or-its-near-dup); with
+    # near-dups already curated out of the index, that means self only
+    assert all(a == b for a, b in got)
 
     # 5. pack the kept corpus; every kept doc lands in exactly one chunk
     packed = pack_chunks(kept_docs, context_len=256)
