@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "write_zordered", "compact_parquet"]
+__all__ = [
+    "zvalue",
+    "write_zordered",
+    "compact_parquet",
+    "z_ranges_for_box",
+    "zbox_filter",
+]
 
 
 def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
@@ -126,3 +132,98 @@ def compact_parquet(
         for st in fs.listStatus(dpath)
         if st.getPath().getName().endswith(".parquet")
     )
+
+
+def z_ranges_for_box(
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Covering z-value ranges for the box x∈[xlo,xhi], y∈[ylo,yhi]
+    (inclusive) under the 2-D Morton order of zvalue([x, y], bits).
+
+    Quadtree descent: an aligned Morton block either lies fully inside
+    the box (emit its contiguous z-range), fully outside (prune), or
+    straddles (recurse into its 4 children). Adjacent emitted ranges are
+    merged; when more than `max_ranges` would be produced, recursion
+    stops early and emits the (coarser, still-correct) covering block —
+    the classic precision/range-count trade: every row in the box is in
+    SOME range; rows outside may be included and must be re-filtered.
+
+    Driver-side and O(ranges · bits); use with zbox_filter to turn a
+    2-D box predicate into a z-range scan over a write_zordered layout
+    (parquet row-group min/max on the z column prunes everything else).
+    """
+    xlo, xhi = x_range
+    ylo, yhi = y_range
+    out: list[tuple[int, int]] = []
+
+    def z_of(x: int, y: int) -> int:
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    budget_exceeded = [False]
+
+    def descend(px: int, py: int, level: int) -> None:
+        # block = [px << level, (px+1) << level) in x, same in y
+        size = 1 << level
+        bx_lo, bx_hi = px * size, px * size + size - 1
+        by_lo, by_hi = py * size, py * size + size - 1
+        if bx_hi < xlo or bx_lo > xhi or by_hi < ylo or by_lo > yhi:
+            return
+        fully_in = (
+            bx_lo >= xlo and bx_hi <= xhi and by_lo >= ylo and by_hi <= yhi
+        )
+        if fully_in or level == 0 or budget_exceeded[0]:
+            lo = z_of(bx_lo, by_lo)
+            out.append((lo, lo + size * size - 1))
+            return
+        if len(out) >= max_ranges:
+            budget_exceeded[0] = True
+            lo = z_of(bx_lo, by_lo)
+            out.append((lo, lo + size * size - 1))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                descend(px * 2 + dx, py * 2 + dy, level - 1)
+
+    descend(0, 0, bits)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def zbox_filter(
+    z_col: Column | str,
+    x_col: Column | str,
+    y_col: Column | str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> Column:
+    """Predicate for a 2-D box over a z-ordered layout: OR of z-BETWEEN
+    ranges (these reach the parquet scan and prune row groups via the z
+    column's min/max stats) AND the exact per-column bounds (re-filters
+    the overshoot coarse ranges may include). Semantically identical to
+    the plain box predicate — pinned exhaustively in tests."""
+    z = F.col(z_col) if isinstance(z_col, str) else z_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    ranges = z_ranges_for_box(x_range, y_range, bits, max_ranges)
+    zpred = None
+    for lo, hi in ranges:
+        r = z.between(lo, hi)
+        zpred = r if zpred is None else zpred | r
+    exact = (
+        x.between(*x_range) & y.between(*y_range)
+    )
+    return exact if zpred is None else zpred & exact

@@ -157,3 +157,63 @@ def test_zvalue_matches_python_reference(spark):
     got = df.select("x", "y", zvalue(["x", "y"]).alias("z")).collect()
     for r in got:
         assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zbox_filter_equals_plain_box_predicate(spark, tmp_path):
+    """zbox_filter (z-range OR-chain AND exact bounds) must select
+    exactly the rows of the plain box predicate, and the z ranges must
+    reach the parquet scan as pushed filters."""
+    from model_audit_spark.sources.layout import zbox_filter, zvalue
+
+    side, bits = 64, 6
+    df = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    ).withColumn("z", zvalue(["x", "y"], bits))
+    path = str(tmp_path / "zq")
+    (
+        df.repartitionByRange(8, "z").sortWithinPartitions("z")
+        .write.parquet(path)
+    )
+    back = spark.read.parquet(path)
+    for box in [((3, 17), (40, 55)), ((0, 63), (10, 10)), ((20, 20), (20, 20))]:
+        (xr, yr) = box
+        got = back.filter(
+            zbox_filter("z", "x", "y", xr, yr, bits=bits)
+        )
+        want = back.filter(
+            F.col("x").between(*xr) & F.col("y").between(*yr)
+        )
+        assert sorted((r.x, r.y) for r in got.collect()) == sorted(
+            (r.x, r.y) for r in want.collect()
+        )
+    plan = back.filter(
+        zbox_filter("z", "x", "y", (3, 17), (40, 55), bits=bits)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "z" in plan.split("PushedFilters")[1][:200]
+
+
+def test_z_ranges_budget_stays_correct(spark):
+    """Range-budget truncation coarsens but never loses coverage."""
+    from model_audit_spark.sources.layout import z_ranges_for_box
+
+    def z_of(x, y, bits=6):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    box = ((3, 60), (5, 59))  # maximally unaligned
+    tight = z_ranges_for_box(*box, bits=6, max_ranges=1000)
+    coarse = z_ranges_for_box(*box, bits=6, max_ranges=4)
+    assert len(coarse) <= len(tight)
+    inbox = {
+        z_of(x, y)
+        for x in range(box[0][0], box[0][1] + 1)
+        for y in range(box[1][0], box[1][1] + 1)
+    }
+    for rs in (tight, coarse):
+        cov = set()
+        for lo, hi in rs:
+            cov.update(range(lo, hi + 1))
+        assert inbox <= cov
