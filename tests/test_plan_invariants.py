@@ -307,3 +307,33 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q17_reuses_persisted_brand_lineitem(spark):
+    """q17: the brand-filtered lineitem relation feeds BOTH the
+    threshold aggregate and the probe join from cache — one lineitem
+    FileScan, the second pass is an InMemoryTableScan."""
+    df = entrymod.queries()["q17_small_quantity"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "InMemoryTableScan" in final
+    scans = [
+        l for l in final.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(scans) <= 1, final
+
+
+def test_conversation_transcripts_single_shuffle_no_join(spark):
+    """Thread assembly is ONE groupBy shuffle over one scan — no join,
+    no extra exchange beyond (possibly) the small-input rebalance."""
+    df = entrymod.queries()["conversation_transcripts"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Join" not in final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("FileScan parquet") == 1, final
