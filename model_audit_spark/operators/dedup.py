@@ -351,6 +351,30 @@ def minhash_index_write(
     rows.write.mode("overwrite").partitionBy("band").parquet(path)
 
 
+def minhash_index_append(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Append a new batch's band rows to an existing minhash index —
+    the per-ingest step of the continuous loop: probe the index
+    (incremental_dedup_pairs), keep the non-dups, APPEND their rows so
+    the next batch sees them. Same parameters as the original
+    minhash_index_write (the coefficients are deterministic, so appended
+    rows are comparable by construction). Partition layout preserved."""
+    rows = lsh_band_rows(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    rows.write.mode("append").partitionBy("band").parquet(path)
+
+
 def minhash_index_read(spark, path: str) -> DataFrame:
     """Read a minhash_index_write layout; filters on `band` prune whole
     partition directories (partition pruning, not row skipping)."""

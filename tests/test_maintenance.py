@@ -65,3 +65,61 @@ def test_upsert_rejects_bad_inputs(spark, tmp_path):
             spark.createDataFrame([(1, 1, 2)], "id long, v long, extra long"),
             ["id"],
         )
+
+
+def test_minhash_index_append_extends_probe_surface(spark, tmp_path):
+    from model_audit_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_read,
+        minhash_index_write,
+    )
+
+    first = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    second = spark.createDataFrame(
+        [(2, "completely different content about distributed engines")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    minhash_index_write(first, path)
+    minhash_index_append(second, path)
+    idx = minhash_index_read(spark, path)
+    assert idx.count() == 2 * 4
+
+    # a copy of the APPENDED doc is now found by the probe
+    batch = second.withColumn("doc_id", F.col("doc_id") + 100)
+    corpus = first.unionByName(second)
+    got = incremental_dedup_pairs(batch, idx, corpus, min_jaccard=0.5)
+    assert [(r.id_new, r.id_idx) for r in got.collect()] == [(102, 2)]
+
+
+def test_stream_upsert_sink_converges_to_latest_rows(spark, tmp_path):
+    from model_audit_spark.streaming import stream_upsert_sink
+
+    src_dir = tmp_path / "batches"
+    src_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "f1"))
+    # second file: replaces key 2, adds key 3
+    b2 = spark.createDataFrame(
+        [(2, "B", 99), (3, "c", 30)], "id long, name string, v long"
+    )
+    b2.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema("id LONG, name STRING, v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    out = str(tmp_path / "sink")
+    q = stream_upsert_sink(
+        stream, out, ["id"], str(tmp_path / "ckpt"), availableNow=True
+    )
+    q.awaitTermination(120)
+    back = {r.id: (r.name, r.v) for r in spark.read.parquet(out).collect()}
+    assert back == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30)}
