@@ -1325,6 +1325,31 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _q_events_retention(spark, sf):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week offset — cohort relation is a per-user aggregate
+    joined back to the distinct (user, week) activity relation; all
+    arithmetic on dates/ints (exact cross-engine)."""
+    e = _t(spark, sf, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    joined = activity.join(cohort, "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def _top_boilerplate_spans(spark, sf):
     """Most-repeated verbatim 5-token spans — the boilerplate report
     behind span-dedup policy (dedup.top_boilerplate_spans)."""
@@ -1647,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
         "dsir_select": _dsir_select,
         "top_boilerplate_spans": _top_boilerplate_spans,
+        "q_events_retention": _q_events_retention,
     }
 
 
@@ -1773,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "top_boilerplate_spans": ora.top_boilerplate_spans(
             span_tokens=5, k=20
         ),
+        "q_events_retention": ora.q_events_retention(),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -1513,6 +1513,29 @@ SELECT event_id, CAST({z} AS BIGINT) AS zval FROM base
 """
 
 
+def q_events_retention() -> str:
+    """Twin of the weekly cohort-retention query. Both engines truncate
+    weeks to Monday; offsets are exact integer day arithmetic."""
+    return """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INTEGER)
+         AS week_offset,
+       count(*) AS n_active
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def top_boilerplate_spans(span_tokens: int = 5, k: int = 20) -> str:
     """Twin of dedup.top_boilerplate_spans — stride-1 n-gram counts over
     token positions, top-k by (count desc, span asc)."""
