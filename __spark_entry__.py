@@ -1325,6 +1325,51 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: orders with ≥1 late lineitem (left-semi against
+    the filtered lineitem relation), counted per priority."""
+    o = _t(spark, sf, "orders")
+    # "late" proxy on this schema (no commitdate column): shipped after
+    # the cutoff — deterministic and engine-portable
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    late = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_events_cube(spark, sf):
+    """CUBE aggregate: event counts and value sums for every
+    (event_type × week) combination INCLUDING both marginal totals and
+    the grand total — the other grouping-sets shape next to
+    q_rollup_revenue's ROLLUP."""
+    e = _t(spark, sf, "events")
+    base = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "value",
+    )
+    return (
+        base.cube("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("week", F.lit("ALL")).alias("week"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def _q_events_retention(spark, sf):
     """Weekly cohort retention: users grouped by first-activity week,
     counted per week offset — cohort relation is a per-user aggregate
@@ -1673,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "top_boilerplate_spans": _top_boilerplate_spans,
         "q_events_retention": _q_events_retention,
+        "q4_order_priority": _q4_order_priority,
+        "q_events_cube": _q_events_cube,
     }
 
 
@@ -1800,6 +1847,8 @@ def oracle_sql() -> dict[str, str]:
             span_tokens=5, k=20
         ),
         "q_events_retention": ora.q_events_retention(),
+        "q4_order_priority": ora.q4_order_priority(),
+        "q_events_cube": ora.q_events_cube(),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -1513,6 +1513,34 @@ SELECT event_id, CAST({z} AS BIGINT) AS zval FROM base
 """
 
 
+def q4_order_priority(cutoff: str = "1998-06-01 00:00:00") -> str:
+    """Twin of the Q4 semi-join shape."""
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > TIMESTAMP '{cutoff}'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_cube() -> str:
+    """Twin of the CUBE aggregate with ALL-coalesced grouping keys."""
+    return """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(CAST(date_trunc('week', ts) AS DATE),
+                         '%Y-%m-%d'), 'ALL') AS week,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type,
+               strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d'))
+"""
+
+
 def q_events_retention() -> str:
     """Twin of the weekly cohort-retention query. Both engines truncate
     weeks to Monday; offsets are exact integer day arithmetic."""
