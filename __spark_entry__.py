@@ -1325,6 +1325,15 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _length_bucketed_batches(spark, sf):
+    """Padding-efficient trainer batches: shard-hash then length-sorted
+    batch_size groups (operators/packing.py)."""
+    from model_audit_spark.operators.packing import length_bucketed_batches
+
+    docs = _t(spark, sf, "documents")
+    return length_bucketed_batches(docs, batch_size=16)
+
+
 def _q4_order_priority(spark, sf):
     """TPC-H Q4 shape: orders with ≥1 late lineitem (left-semi against
     the filtered lineitem relation), counted per priority."""
@@ -1720,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_retention": _q_events_retention,
         "q4_order_priority": _q4_order_priority,
         "q_events_cube": _q_events_cube,
+        "length_bucketed_batches": _length_bucketed_batches,
     }
 
 
@@ -1849,6 +1859,9 @@ def oracle_sql() -> dict[str, str]:
         "q_events_retention": ora.q_events_retention(),
         "q4_order_priority": ora.q4_order_priority(),
         "q_events_cube": ora.q_events_cube(),
+        "length_bucketed_batches": ora.length_bucketed_batches(
+            batch_size=16
+        ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -89,3 +89,54 @@ def pack_chunks(
         last.alias("chunk_last"),
         (last > first).alias("spans_boundary"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "batch",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(id, shard, n_tokens, batch_id, pad_tokens): deterministic
+    length-bucketed batch assignment — the dynamic-batching layout that
+    minimizes padding waste (a batch pads every member to its longest;
+    grouping similar lengths makes max≈mean).
+
+    Same sharded-window discipline as pack_chunks: docs hash to shards
+    (hash-mod, partitioning-independent), then WITHIN each shard are
+    ordered by (n_tokens, id) — unique, so the row_number is bit-stable
+    — and cut into consecutive `batch_size` groups. pad_tokens is the
+    per-row padding cost under the batch's running max via a bounded
+    window over the batch partition members. No global sort; the only
+    shuffles are the shard window and the batch-keyed max."""
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    shard = (h32 % BUCKETS) % n_shards
+    if tokens_col is None:
+        n_tokens = token_count_bpe(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).cast("long")
+    else:
+        n_tokens = F.col(tokens_col).cast("long")
+    w = Window.partitionBy("shard").orderBy("n_tokens", id_col)
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens")
+    ).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) / batch_size)
+        .cast("long")
+        .alias("batch_id"),
+    )
+    wb = Window.partitionBy("shard", "batch_id")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "batch_id",
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_tokens"),
+    )

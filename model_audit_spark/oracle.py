@@ -1897,6 +1897,36 @@ FROM c
 """
 
 
+def length_bucketed_batches(
+    batch_size: int = 32, n_shards: int = 8, salt: str = "batch"
+) -> str:
+    """Twin of packing.length_bucketed_batches: md5 shard, per-shard
+    (n_tokens, id) row_number → batch ids, batch-max padding."""
+    from model_audit_spark.operators.text_analysis import BPE_PATTERN
+
+    h = _hex32(f"md5(CAST(doc_id AS VARCHAR) || ':{salt}')")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST({h} AS BIGINT) % 10000 % {n_shards} AS shard,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+         {sql_quote(BPE_PATTERN)})) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST((row_number() OVER (PARTITION BY shard
+          ORDER BY n_tokens, doc_id) - 1) // {batch_size} AS BIGINT)
+      AS batch_id
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, batch_id,
+  CAST(max(n_tokens) OVER (PARTITION BY shard, batch_id) - n_tokens
+       AS BIGINT) AS pad_tokens
+FROM b
+"""
+
+
 def dedup_simhash(bits: int = 32) -> str:
     hexval = (
         "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"

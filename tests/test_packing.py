@@ -71,3 +71,38 @@ def test_plan_is_shard_partitioned_not_global(spark):
     plan = pack_chunks(docs)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_length_bucketed_batches_invariants(spark):
+    """Batches are exact batch_size groups (except each shard's tail),
+    ordered by length within a shard, and padding = batch max − own."""
+    import pyspark.sql.functions as F
+
+    from model_audit_spark.operators.packing import length_bucketed_batches
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 37)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = length_bucketed_batches(docs, batch_size=8, n_shards=4).collect()
+    assert len(rows) == 200
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault((r.shard, r.batch_id), []).append(r)
+    for (shard, bid), members in by_batch.items():
+        assert len(members) <= 8
+        mx = max(m.n_tokens for m in members)
+        for m in members:
+            assert m.pad_tokens == mx - m.n_tokens
+    # only the LAST batch of a shard may be short
+    for shard in {r.shard for r in rows}:
+        bids = sorted(b for s, b in by_batch if s == shard)
+        for b in bids[:-1]:
+            assert len(by_batch[(shard, b)]) == 8
+    # length-sorted within shard: batch b's max <= batch b+1's min
+    for shard in {r.shard for r in rows}:
+        bids = sorted(b for s, b in by_batch if s == shard)
+        for a, b in zip(bids, bids[1:]):
+            assert max(m.n_tokens for m in by_batch[(shard, a)]) <= min(
+                m.n_tokens for m in by_batch[(shard, b)]
+            )
