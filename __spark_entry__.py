@@ -1325,6 +1325,16 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _dedup_jaccard_prefix(spark, sf):
+    """Prefix-filtered exact Jaccard join: the oracle twin is the FULL
+    all-pairs SQL, so a hash match certifies the candidate pruning
+    loses nothing (dedup.ngram_jaccard_prefix_pairs)."""
+    from model_audit_spark.operators.dedup import ngram_jaccard_prefix_pairs
+
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_prefix_pairs(docs, min_jaccard=0.5)
+
+
 def _length_bucketed_batches(spark, sf):
     """Padding-efficient trainer batches: shard-hash then length-sorted
     batch_size groups (operators/packing.py)."""
@@ -1730,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "q_events_cube": _q_events_cube,
         "length_bucketed_batches": _length_bucketed_batches,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
     }
 
 
@@ -1862,6 +1873,9 @@ def oracle_sql() -> dict[str, str]:
         "length_bucketed_batches": ora.length_bucketed_batches(
             batch_size=16
         ),
+        # twin deliberately the FULL inverted-index SQL: hash equality
+        # proves prefix filtering drops no qualifying pair
+        "dedup_jaccard_prefix": ora.dedup_ngram_jaccard(min_jaccard=0.5),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -525,6 +525,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT-equal results to ngram_jaccard_pairs with far fewer
+    candidates: prefix filtering (PPJoin's core idea). For Jaccard ≥ t a
+    pair must share ≥ ⌈t·|A|⌉ shingles, so each doc only needs to index
+    its |A| − ⌈t·|A|⌉ + 1 rarest shingles (global rare-first order —
+    any total order is correct; rarest-first makes posting lists short).
+    Candidates come from the PREFIX inverted index only; the exact
+    intersection then runs candidate-bounded. The hash-oracle twin is
+    the full all-pairs SQL — a match certifies zero lost pairs.
+
+    Scale: the posting relation shrinks from Σ|sh| rows to Σ prefix
+    sizes (≈ (1−t)·Σ|sh|), and crucially the boilerplate shingles that
+    cause Σ|postings|² blowups are exactly the FREQUENT ones, which the
+    rare-first prefix rarely includes — the skew hedge falls out of the
+    algorithm instead of needing a max_df cap."""
+    if not (0 < min_jaccard <= 1):
+        raise ValueError("min_jaccard must be in (0, 1]")
+    shing = shingles_df(df, text_col, id_col, shingle_n).persist()
+    sizes = shing.select(
+        F.col(id_col).alias("_id"), F.size("sh").alias("n_sh")
+    )
+    expl = shing.select(F.col(id_col), F.explode("sh").alias("s"))
+    freq = expl.groupBy("s").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * min_jaccard - 1e-9)
+        + 1
+    )
+    pre = (
+        expl.join(freq, "s")
+        .join(sizes.withColumnRenamed("_id", id_col), id_col)
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), "s")
+    )
+    buckets = (
+        pre.groupBy("s")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+        .persist()
+    )
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
+    ).distinct()
+    cexpl = expl.withColumnRenamed(id_col, "_id").join(
+        cand_ids, "_id", "left_semi"
+    )
+    inter = (
+        cand.join(cexpl.withColumnRenamed("_id", "id_a"), "id_a")
+        .join(cexpl.withColumnRenamed("_id", "id_b"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / F.greatest(
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter"),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

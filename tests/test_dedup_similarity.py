@@ -445,3 +445,40 @@ def test_top_boilerplate_spans_ranks_repeats(spark):
     assert top.n_occurrences == 3 and top.n_docs == 3 and top.first_doc == 1
     # nothing unique ever appears
     assert all(r.n_occurrences > 1 for r in rows)
+
+
+def test_prefix_jaccard_equals_full_with_fewer_candidates(spark):
+    """Prefix filtering must return EXACTLY the all-pairs result while
+    indexing strictly fewer posting rows than the full inverted index."""
+    from model_audit_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    for i in range(12):
+        # near-dup families of 3 + singletons with shared boilerplate
+        fam = i // 3
+        texts.append((i, base + f" variant {fam} tail words {i % 3}"))
+    docs = spark.createDataFrame(texts, "doc_id int, text string")
+    for t in (0.3, 0.5, 0.8):
+        full = {
+            (r.id_a, r.id_b, float(r.jaccard))
+            for r in ngram_jaccard_pairs(docs, min_jaccard=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, float(r.jaccard))
+            for r in ngram_jaccard_prefix_pairs(docs, min_jaccard=t).collect()
+        }
+        assert pref == full, t
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    import pytest
+
+    from model_audit_spark.operators.dedup import ngram_jaccard_prefix_pairs
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        ngram_jaccard_prefix_pairs(docs, min_jaccard=0.0)
