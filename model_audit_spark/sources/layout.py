@@ -227,3 +227,41 @@ def zbox_filter(
         x.between(*x_range) & y.between(*y_range)
     )
     return exact if zpred is None else zpred & exact
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    bits: int = 8,
+    relative_error: float = 0.01,
+) -> tuple[Column, list[float]]:
+    """(bucket_column, boundaries): map a continuous column onto the
+    integer grid zvalue needs, via approxQuantile boundaries — the
+    scale-legal rank normalization (the exact version is a global
+    single-partition window; approxQuantile is a Greenwald-Khanna
+    sketch, one pass, driver gets 2^bits floats).
+
+    bucket(x) = #{boundaries b : x >= b} computed as a pure O(2^bits)
+    fold over the boundary array literal — no join, no UDF; NULL maps
+    to NULL (z-order callers should filter or coalesce first). The
+    returned boundaries make the bucketing reproducible (store them
+    next to the layout; re-use for queries so predicates bucket
+    identically)."""
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(col, probs, relative_error)
+    # dedupe plateaus (constant columns would otherwise emit 255 equal
+    # boundaries and a degenerate all-in-one-bucket map is correct)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    arr = F.array(*[F.lit(float(b)) for b in uniq])
+    bucket = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(col) >= b, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+    bucket = F.when(F.col(col).isNull(), F.lit(None)).otherwise(bucket)
+    return bucket, uniq

@@ -217,3 +217,35 @@ def test_z_ranges_budget_stays_correct(spark):
         for lo, hi in rs:
             cov.update(range(lo, hi + 1))
         assert inbox <= cov
+
+
+def test_quantile_buckets_balanced_and_monotone(spark):
+    from model_audit_spark.sources.layout import quantile_buckets
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).cast("double").alias("v")
+    )
+    bucket, bounds = quantile_buckets(df, "v", bits=4)
+    rows = df.select("v", bucket.alias("b")).collect()
+    counts = {}
+    for r in rows:
+        counts[r.b] = counts.get(r.b, 0) + 1
+    assert set(counts) == set(range(16))
+    # roughly balanced (approx sketch at 1% error on uniform data)
+    assert max(counts.values()) < 2 * min(counts.values())
+    # monotone: bigger value -> same or later bucket
+    by_v = sorted(rows, key=lambda r: r.v)
+    assert all(a.b <= b.b for a, b in zip(by_v, by_v[1:]))
+    assert len(bounds) == 15
+
+
+def test_quantile_buckets_constant_and_null(spark):
+    from model_audit_spark.sources.layout import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (None,)], "v double"
+    )
+    bucket, bounds = quantile_buckets(df, "v", bits=4)
+    rows = {r.v: r.b for r in df.select("v", bucket.alias("b")).collect()}
+    assert rows[1.0] in (0, 1) and rows[None] is None
+    assert len(bounds) <= 1  # plateau deduped
