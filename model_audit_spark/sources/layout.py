@@ -15,10 +15,10 @@ locality-tight file. Parquet's per-column min/max statistics then do the
 pruning at read time with no engine cooperation needed.
 
 Callers supply integer dimensions (ids, epoch minutes, bucketed
-numerics). Rank-normalizing an arbitrary numeric to an integer grid is
-deliberately NOT built in: the exact version is a global window
-(single-partition at scale); use approxQuantile-derived bucket
-boundaries instead if needed.
+numerics). For continuous columns, `quantile_buckets` maps values onto
+the integer grid via approxQuantile boundaries (one-pass sketch) — the
+EXACT rank normalization is deliberately not offered, because it is a
+global single-partition window at scale.
 """
 
 from __future__ import annotations
