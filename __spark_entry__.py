@@ -1374,15 +1374,23 @@ def _q_events_cube(spark, sf):
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
         "value",
     )
+    # grouping() discriminates the CUBE total rows from a hypothetical
+    # genuine NULL key — coalesce alone would conflate them
     return (
         base.cube("event_type", "week")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping("event_type").alias("_ge"),
+            F.grouping("week").alias("_gw"),
         )
         .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce("week", F.lit("ALL")).alias("week"),
+            F.when(F.col("_ge") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("event_type", F.lit("NULL")))
+            .alias("event_type"),
+            F.when(F.col("_gw") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("week", F.lit("NULL")))
+            .alias("week"),
             "n_events",
             "total_value",
         )

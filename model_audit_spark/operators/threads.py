@@ -35,23 +35,39 @@ def assemble_threads(
     `text_expr` renders one turn (keep it engine-portable: printf-style
     formatting, not double→string casts). Turns are ordered by
     (ts, id) — unique, so the output is bit-stable under any
-    partitioning. `max_turns` keeps the FIRST n turns (head slice after
-    the sort, applied before rendering cost matters downstream).
+    partitioning. `max_turns` keeps the FIRST n turns — enforced with a
+    per-key row_number BEFORE the aggregate, so collect_list state is
+    bounded by max_turns even for a pathological hot thread (the window
+    and the aggregate share the same key, one shuffle); n_turns /
+    first_ts / last_ts still describe the FULL thread via a parallel
+    count aggregate on the unfiltered rows.
     """
     turn = F.struct(
         F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"),
         text_expr.alias("_txt"),
     )
-    agg = df.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(turn)).alias("_turns"),
+    totals = df.groupBy(key_col).agg(
         F.count("*").alias("n_turns"),
         F.min(ts_col).alias("_first"),
         F.max(ts_col).alias("_last"),
     )
-    turns = F.col("_turns")
+    rows = df
     if max_turns is not None:
-        turns = F.slice(turns, 1, max_turns)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+        rows = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_turns)
+            .drop("_rn")
+        )
+    agg = (
+        rows.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(turn)).alias("_turns"))
+        .join(totals, key_col)
+    )
+    turns = F.col("_turns")
     transcript = F.array_join(
         F.transform(turns, lambda t: t["_txt"]), sep
     )

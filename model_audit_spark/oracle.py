@@ -1528,11 +1528,15 @@ GROUP BY o_orderpriority
 
 
 def q_events_cube() -> str:
-    """Twin of the CUBE aggregate with ALL-coalesced grouping keys."""
+    """Twin of the CUBE aggregate; GROUPING() discriminates total rows
+    from genuine NULL keys exactly like the Spark side."""
     return """
-SELECT coalesce(event_type, 'ALL') AS event_type,
-       coalesce(strftime(CAST(date_trunc('week', ts) AS DATE),
-                         '%Y-%m-%d'), 'ALL') AS week,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+            ELSE coalesce(event_type, 'NULL') END AS event_type,
+       CASE WHEN GROUPING(strftime(CAST(date_trunc('week', ts) AS DATE),
+                          '%Y-%m-%d')) = 1 THEN 'ALL'
+            ELSE coalesce(strftime(CAST(date_trunc('week', ts) AS DATE),
+                          '%Y-%m-%d'), 'NULL') END AS week,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
 FROM events
