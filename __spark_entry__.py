@@ -1325,6 +1325,26 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _corpus_drift(spark, sf):
+    """PSI distribution shift of src0 vs the rest over fixed length and
+    quality buckets (operators/drift.py)."""
+    from model_audit_spark.operators.drift import psi_drift
+    from model_audit_spark.operators.text_analysis import doc_stat_columns
+
+    docs = _t(spark, sf, "documents")
+    stats = doc_stat_columns("text")
+    len_bucket = F.least(
+        F.floor(F.length(F.coalesce(F.col("text"), F.lit(""))) / 200),
+        F.lit(19),
+    )
+    q_bucket = F.floor(stats["quality_score"] * 10)
+    return psi_drift(
+        docs,
+        F.col("source") == "src0",
+        {"len": len_bucket, "quality": q_bucket},
+    )
+
+
 def _dedup_jaccard_prefix(spark, sf):
     """Prefix-filtered exact Jaccard join: the oracle twin is the FULL
     all-pairs SQL, so a hash match certifies the candidate pruning
@@ -1749,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_cube": _q_events_cube,
         "length_bucketed_batches": _length_bucketed_batches,
         "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "corpus_drift": _corpus_drift,
     }
 
 
@@ -1884,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         # twin deliberately the FULL inverted-index SQL: hash equality
         # proves prefix filtering drops no qualifying pair
         "dedup_jaccard_prefix": ora.dedup_ngram_jaccard(min_jaccard=0.5),
+        "corpus_drift": ora.corpus_drift(target_source="src0"),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -1513,6 +1513,47 @@ SELECT event_id, CAST({z} AS BIGINT) AS zval FROM base
 """
 
 
+def corpus_drift(target_source: str = "src0") -> str:
+    """Twin of drift.psi_drift over (length, quality) fixed buckets with
+    the source split. Same integer-operand smoothed ratio, 9dp-quantized
+    ln per bucket, 15dp DECIMAL contributions, exact decimal sum."""
+    return f"""
+WITH ts AS ({text_stats()}),
+feat AS (
+  SELECT (d.source = {sql_quote(target_source)}) AS a,
+         least(len(coalesce(d.text, '')) // 200, 19) AS len_bucket,
+         CAST(floor(ts.quality_score * 10) AS BIGINT) AS q_bucket
+  FROM documents d JOIN ts ON ts.doc_id = d.doc_id
+),
+base AS (
+  SELECT a, 'len' AS feature, CAST(len_bucket AS BIGINT) AS bucket FROM feat
+  UNION ALL
+  SELECT a, 'quality', q_bucket FROM feat
+),
+counts AS (
+  SELECT feature, bucket,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+  FROM base GROUP BY feature, bucket
+),
+totals AS (
+  SELECT feature, sum(ca) AS ta, sum(cb) AS tb, count(*) AS nb
+  FROM counts GROUP BY feature
+),
+contrib AS (
+  SELECT c.feature, t.nb,
+    CAST(round(
+      ((c.ca + 1) / (t.ta + t.nb) - (c.cb + 1) / (t.tb + t.nb))
+      * round(ln(((c.ca + 1) * (t.tb + t.nb))
+                 / ((c.cb + 1) * (t.ta + t.nb))), 9),
+      15) AS DECIMAL(38,15)) AS v
+  FROM counts c JOIN totals t ON t.feature = c.feature
+)
+SELECT feature, CAST(nb AS BIGINT) AS n_buckets, sum(v) AS psi
+FROM contrib GROUP BY feature, nb
+"""
+
+
 def q4_order_priority(cutoff: str = "1998-06-01 00:00:00") -> str:
     """Twin of the Q4 semi-join shape."""
     return f"""
