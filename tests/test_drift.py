@@ -15,7 +15,8 @@ def _psi(rows):
 def test_psi_near_zero_for_identical_distributions(spark):
     df = spark.range(2000).select(
         (F.col("id") % 2 == 0).alias("a"),
-        (F.col("id") % 10).alias("bucket_src"),
+        # bucket independent of the split parity
+        ((F.col("id") / 2).cast("long") % 10).alias("bucket_src"),
     )
     out = _psi(
         psi_drift(df, F.col("a"), {"f": F.col("bucket_src")}).collect()
