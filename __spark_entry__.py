@@ -1325,6 +1325,19 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(emb, query_vec_id=0, k=10, n_planes=6, dim=64)
 
 
+def _ann_pq_topk(spark, sf):
+    """Product-quantization ANN: 8-byte codes + asymmetric-distance
+    top-k (similarity.pq_encode / pq_topk, seeded codebooks)."""
+    from model_audit_spark.operators.similarity import (
+        pq_codebooks_seeded,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    return pq_topk(emb, query_vec_id=0, codebooks=books, k=10)
+
+
 def _corpus_drift(spark, sf):
     """PSI distribution shift of src0 vs the rest over fixed length and
     quality buckets (operators/drift.py)."""
@@ -1770,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucketed_batches": _length_bucketed_batches,
         "dedup_jaccard_prefix": _dedup_jaccard_prefix,
         "corpus_drift": _corpus_drift,
+        "ann_pq_topk": _ann_pq_topk,
     }
 
 
@@ -1906,6 +1920,9 @@ def oracle_sql() -> dict[str, str]:
         # proves prefix filtering drops no qualifying pair
         "dedup_jaccard_prefix": ora.dedup_ngram_jaccard(min_jaccard=0.5),
         "corpus_drift": ora.corpus_drift(target_source="src0"),
+        "ann_pq_topk": ora.pq_topk(
+            query_vec_id=0, k=10, m=8, kc=16, dim=64
+        ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

@@ -606,3 +606,134 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "rank", "cosine_sim")
     )
+
+
+def pq_codebooks_seeded(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the vector space is
+    split into `m` subspaces of dim/m dims; each subspace's `k` centroids
+    are the corresponding slices of the k lowest-id vectors (the same
+    sample-quantizer convention as ivf_centroids_seeded — cheap,
+    SQL-reproducible; swap in per-subspace k-means offline for recall).
+    Returns codebooks[sub][centroid] = list of dim/m floats."""
+    if dim % m != 0:
+        raise ValueError("dim must divide into m subspaces")
+    d = dim // m
+    rows = (
+        emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [
+        [list(r.v[s * d : (s + 1) * d]) for r in rows] for s in range(m)
+    ]
+
+
+def _sub_l2(vec: Column, offset: int, centroid: list[float]) -> Column:
+    """Squared L2 between vec[offset:offset+len(c)] and a centroid literal."""
+    terms = None
+    for j, c in enumerate(centroid):
+        dlt = F.element_at(vec, offset + j + 1) - F.lit(c)
+        t = dlt * dlt
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): each subvector's nearest-centroid index
+    (squared-L2 argmin, ties to the LOWEST index — deterministic).
+
+    Pure projection: m·k small literal-distance expressions per row,
+    no shuffle, no Python — the encoded relation is m bytes/vector and
+    is what a 100 TB ANN corpus actually stores (the float vectors stay
+    in cold storage for optional exact re-ranking)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d = len(codebooks[0][0])
+    v = as_double_array(vec_col)
+    base = emb.select(F.col(id_col), v.alias("_v"))
+    cols = []
+    for s in range(m):
+        # argmin over k centroids: array of structs (dist, idx) → array_min
+        entries = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _sub_l2(F.col("_v"), s * d, codebooks[s][c]), 9
+                    ).alias("dist"),
+                    F.lit(c).alias("idx"),
+                )
+                for c in range(k)
+            ]
+        )
+        cols.append(
+            F.array_min(entries).getField("idx").alias(f"code_{s}")
+        )
+    return base.select(F.col(id_col), *cols)
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (id, adc_dist) for the k closest
+    vectors to the query under PQ — distance ≈ Σ_s ||q_s − c[s][code_s]||².
+
+    The 8×16 lookup table is tiny m·k arithmetic on the broadcast query
+    row; each corpus row does m table lookups on its byte codes (already
+    encoded relation via `codes`, or encoded on the fly). Exact twin for
+    verification: cosine_topk; accuracy depends on the codebooks, so the
+    pinned invariant is determinism + self-match (the query's own code
+    distance is the minimum possible for its row)."""
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    d = len(codebooks[0][0])
+    enc = codes if codes is not None else pq_encode(
+        emb, codebooks, id_col, vec_col
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        as_double_array(vec_col).alias("qv")
+    )
+    # distance table as literal-indexed expressions over the broadcast qv
+    tables = []
+    for s in range(m):
+        tables.append(
+            F.array(
+                *[
+                    F.round(
+                        _sub_l2(F.col("qv"), s * d, codebooks[s][c]), 9
+                    )
+                    for c in range(kc)
+                ]
+            ).alias(f"t_{s}")
+        )
+    qt = q.select(*tables)
+    joined = enc.crossJoin(F.broadcast(qt))
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.col(f"t_{s}"), F.col(f"code_{s}") + 1)
+        dist = term if dist is None else dist + term
+    return (
+        joined.select(
+            F.col(id_col), F.round(dist, 6).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

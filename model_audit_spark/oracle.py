@@ -2078,6 +2078,53 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def pq_topk(
+    query_vec_id: int = 0, k: int = 10, m: int = 8, kc: int = 16,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.pq_topk with pq_codebooks_seeded: codebooks =
+    subspace slices of the kc lowest-id vectors (derived IN SQL — no
+    data literals), per-sub squared-L2 argmin (9dp, ties to lowest
+    centroid index), ADC distance = Σ table lookups, 6dp."""
+    d = dim // m
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+  FROM v ORDER BY vec_id LIMIT {kc}
+),
+subs AS (SELECT unnest(range(0, {m})) AS s),
+dists AS (
+  SELECT a.vec_id, s.s, c.cidx,
+    round(list_sum(list_transform(range(1, {d} + 1),
+      j -> (a.v[s.s * {d} + j] - c.cv[s.s * {d} + j])
+         * (a.v[s.s * {d} + j] - c.cv[s.s * {d} + j]))), 9) AS dist
+  FROM v a CROSS JOIN subs s CROSS JOIN cb c
+),
+enc AS (
+  SELECT vec_id, s, cidx AS code FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cidx) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT s, cidx, dist FROM dists WHERE vec_id = {query_vec_id}
+),
+adc AS (
+  SELECT e.vec_id, round(sum(q.dist), 6) AS adc_dist
+  FROM enc e JOIN qtab q ON q.s = e.s AND q.cidx = e.code
+  GROUP BY e.vec_id
+)
+SELECT vec_id, adc_dist FROM adc
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}
+"""
+
+
 def ann_lsh_multiprobe_topk(
     query_vec_id: int = 0, k: int = 10, n_planes: int = 6,
     probe_radius: int = 1, dim: int = 64,

@@ -482,3 +482,42 @@ def test_prefix_jaccard_rejects_bad_threshold(spark):
     docs = spark.createDataFrame([(1, "x y z")], "doc_id int, text string")
     with pytest.raises(ValueError):
         ngram_jaccard_prefix_pairs(docs, min_jaccard=0.0)
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    from model_audit_spark.operators.similarity import (
+        pq_codebooks_seeded,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    a = pq_encode(emb.coalesce(1), books).orderBy("vec_id").collect()
+    b = pq_encode(emb.repartition(16), books).orderBy("vec_id").collect()
+    assert a == b  # pure projection, partitioning-independent
+    for r in a:
+        for s in range(8):
+            assert 0 <= r[f"code_{s}"] < 16
+    # a codebook-seed vector encodes to ITSELF in every subspace
+    seed_ids = sorted(r.vec_id for r in emb.select("vec_id")
+                      .orderBy("vec_id").limit(16).collect())
+    first = next(r for r in a if r.vec_id == seed_ids[0])
+    assert all(first[f"code_{s}"] == 0 for s in range(8))
+
+
+def test_pq_topk_finds_query_and_orders_by_adc(spark):
+    from model_audit_spark.operators.similarity import (
+        pq_codebooks_seeded,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    rows = pq_topk(emb, query_vec_id=0, codebooks=books, k=10).collect()
+    assert len(rows) == 10
+    dists = [float(r.adc_dist) for r in rows]
+    assert dists == sorted(dists)
+    # vec 0 is a codebook seed: its ADC distance to itself is the
+    # minimum achievable for its codes -> it appears in its own top-k
+    assert 0 in {r.vec_id for r in rows}
