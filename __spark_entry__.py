@@ -1338,6 +1338,21 @@ def _ann_pq_topk(spark, sf):
     return pq_topk(emb, query_vec_id=0, codebooks=books, k=10)
 
 
+def _ann_pq_rerank(spark, sf):
+    """Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank
+    (similarity.pq_rerank_topk)."""
+    from model_audit_spark.operators.similarity import (
+        pq_codebooks_seeded,
+        pq_rerank_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    return pq_rerank_topk(
+        emb, query_vec_id=0, codebooks=books, k=10, shortlist=50
+    )
+
+
 def _corpus_drift(spark, sf):
     """PSI distribution shift of src0 vs the rest over fixed length and
     quality buckets (operators/drift.py)."""
@@ -1784,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": _dedup_jaccard_prefix,
         "corpus_drift": _corpus_drift,
         "ann_pq_topk": _ann_pq_topk,
+        "ann_pq_rerank": _ann_pq_rerank,
     }
 
 
@@ -1922,6 +1938,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": ora.corpus_drift(target_source="src0"),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
+        ),
+        "ann_pq_rerank": ora.pq_rerank_topk(
+            query_vec_id=0, k=10, shortlist=50, m=8, kc=16, dim=64
         ),
         # Rows-only (no SQL twin): memorization_seqmatch only (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).

@@ -737,3 +737,40 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieval, the production ANN shape: PQ ADC shortlist
+    (cheap, code-only scan) → exact cosine re-rank of the `shortlist`
+    survivors against the full vectors (touched via a candidate-bounded
+    semi-join — the float vectors are read for ~shortlist rows, not the
+    corpus). Output matches cosine_topk's schema/rounding, so recall is
+    directly measurable against the exact baseline."""
+    short = pq_topk(
+        emb, query_vec_id, codebooks, shortlist, id_col, vec_col, codes
+    ).select(id_col)
+    cand = emb.join(short, id_col, "left_semi")
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        as_double_array(vec_col).alias("qv")
+    )
+    q = q.select("qv", _norm(F.col("qv")).alias("qn"))
+    base = cand.select(
+        F.col(id_col), as_double_array(vec_col).alias("ev")
+    ).crossJoin(F.broadcast(q))
+    sim = _dot(F.col("ev"), F.col("qv")) / (
+        _norm(F.col("ev")) * F.col("qn")
+    )
+    return (
+        base.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

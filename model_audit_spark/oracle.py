@@ -2125,6 +2125,31 @@ ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}
 """
 
 
+def pq_rerank_topk(
+    query_vec_id: int = 0, k: int = 10, shortlist: int = 50,
+    m: int = 8, kc: int = 16, dim: int = 64,
+) -> str:
+    """Twin of similarity.pq_rerank_topk: the PQ shortlist SQL feeds an
+    exact-cosine re-rank identical to the cosine_topk arithmetic."""
+    inner = pq_topk(query_vec_id, shortlist, m, kc, dim)
+    return f"""
+WITH short AS (SELECT vec_id FROM ({inner})),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {query_vec_id})
+SELECT c.vec_id,
+  round(list_sum(list_transform(range(1, {dim} + 1),
+                                j -> c.v[j] * q.qv[j]))
+    / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)
+    AS cosine_sim
+FROM v c JOIN short s ON s.vec_id = c.vec_id CROSS JOIN q
+ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT {k}
+"""
+
+
 def ann_lsh_multiprobe_topk(
     query_vec_id: int = 0, k: int = 10, n_planes: int = 6,
     probe_radius: int = 1, dim: int = 64,

@@ -521,3 +521,27 @@ def test_pq_topk_finds_query_and_orders_by_adc(spark):
     # vec 0 is a codebook seed: its ADC distance to itself is the
     # minimum achievable for its codes -> it appears in its own top-k
     assert 0 in {r.vec_id for r in rows}
+
+
+def test_pq_rerank_improves_toward_exact(spark):
+    """Re-ranked PQ results must overlap exact cosine top-k at least as
+    much as raw ADC ordering does, and with a full-corpus shortlist the
+    re-rank IS the exact result."""
+    from model_audit_spark.operators.similarity import (
+        cosine_topk,
+        pq_codebooks_seeded,
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    exact = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    adc = {r.vec_id for r in pq_topk(emb, 0, books, 10).collect()}
+    rer = {r.vec_id for r in
+           pq_rerank_topk(emb, 0, books, k=10, shortlist=50).collect()}
+    assert len(rer & exact) >= len(adc & exact)
+    full = {r.vec_id for r in
+            pq_rerank_topk(emb, 0, books, k=10, shortlist=n).collect()}
+    assert full == exact
