@@ -6,7 +6,7 @@ Order-sensitive grouped concatenation: Spark aggregates are
 order-nondeterministic, so the transcript is built as
 array_sort(collect_list(struct(order keys..., text))) — the sort key is
 (ts, id), unique per row, making the result partitioning-independent —
-then projected to text and joined. One groupBy shuffle whose rows carry
+then projected to text. One groupBy shuffle whose rows carry
 (key, turn structs); per-key memory is the whole conversation, which is
 the operator's contract (conversations are bounded; `max_turns` slices
 the head deterministically when they are not).
@@ -38,35 +38,48 @@ def assemble_threads(
     partitioning. `max_turns` keeps the FIRST n turns — enforced with a
     per-key row_number BEFORE the aggregate, so collect_list state is
     bounded by max_turns even for a pathological hot thread (the window
-    and the aggregate share the same key, one shuffle); n_turns /
-    first_ts / last_ts still describe the FULL thread via a parallel
-    count aggregate on the unfiltered rows.
+    and the aggregate share the same key, one shuffle; WindowExec spills
+    oversized threads to disk instead of holding them in agg state);
+    n_turns / last_ts still describe the FULL thread via unbounded-frame
+    window aggregates computed in the same WindowExec pass.
     """
     turn = F.struct(
         F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"),
         text_expr.alias("_txt"),
     )
-    totals = df.groupBy(key_col).agg(
-        F.count("*").alias("n_turns"),
-        F.min(ts_col).alias("_first"),
-        F.max(ts_col).alias("_last"),
-    )
-    rows = df
     if max_turns is not None:
         from pyspark.sql import Window
 
+        # Full-thread totals ride the SAME window partitioning as the
+        # row_number cut (one WindowExec group, no totals join): count and
+        # max(ts) use the unbounded frame so they describe the whole
+        # thread even though only the first max_turns rows survive the
+        # filter. The groupBy that follows shares the window's hash
+        # partitioning, so the plan stays one exchange, one scan, no join.
         w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+        wfull = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         rows = (
             df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_full_n", F.count("*").over(wfull))
+            .withColumn("_full_last", F.max(ts_col).over(wfull))
             .filter(F.col("_rn") <= max_turns)
-            .drop("_rn")
         )
-    agg = (
-        rows.groupBy(key_col)
-        .agg(F.array_sort(F.collect_list(turn)).alias("_turns"))
-        .join(totals, key_col)
-    )
+        agg = rows.groupBy(key_col).agg(
+            F.array_sort(F.collect_list(turn)).alias("_turns"),
+            F.first("_full_n").alias("n_turns"),
+            F.min(ts_col).alias("_first"),
+            F.first("_full_last").alias("_last"),
+        )
+    else:
+        agg = df.groupBy(key_col).agg(
+            F.array_sort(F.collect_list(turn)).alias("_turns"),
+            F.count("*").alias("n_turns"),
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+        )
     turns = F.col("_turns")
     transcript = F.array_join(
         F.transform(turns, lambda t: t["_txt"]), sep
