@@ -1654,76 +1654,154 @@ def _streaming_source_verdict(spark, sf):
     )
 
 
+def _embedding_dim_stats(spark, sf):
+    """Per-dimension moments of the embedding column — one hash
+    aggregate keyed by dim (operators/embstats.py)."""
+    from model_audit_spark.operators.embstats import embedding_dim_stats
+
+    return embedding_dim_stats(_t(spark, sf, "embeddings"))
+
+
+def _label_separation(spark, sf):
+    """Pairwise cosine between per-label centroids: class-separability
+    diagnostic over a corpus-size-independent centroid relation
+    (operators/embstats.py)."""
+    from model_audit_spark.operators.embstats import centroid_separation
+
+    return centroid_separation(_t(spark, sf, "embeddings"))
+
+
+def _mixture_weights(spark, sf):
+    """Temperature-scaled source mixing weights over token mass
+    (operators/sampling.py temperature_mix_weights, alpha=0.7)."""
+    from model_audit_spark.operators.sampling import temperature_mix_weights
+
+    docs = _t(spark, sf, "documents")
+    return temperature_mix_weights(
+        docs, stratum_col="source", alpha=0.7, size_col="n_chars"
+    )
+
+
+def _q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year — the widest join tree in the suite (lineitem ⋈ orders ⋈
+    supplier ⋈ customer ⋈ nation×2). Nation dims broadcast; Catalyst
+    pushes the IN(name) filters into both nation scans so the dimension
+    joins prune before the fact-fact join."""
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    na, nb = "NATION_1", "NATION_2"
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(
+            (
+                (F.col("supp_nation") == na)
+                & (F.col("cust_nation") == nb)
+            )
+            | (
+                (F.col("supp_nation") == nb)
+                & (F.col("cust_nation") == na)
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Entries 1-50 are prioritized for queries that have never
-    had a driver correctness row: the 12 round-2 late additions
-    (q_events_rolling, lang_id_ext, doc_chunks, contrastive_triplets,
-    bm25_search, embedding_contamination, quality_calibrated, span_dedup,
-    source_overlap, q_events_funnel, pagerank_dupgraph,
-    memorization_seqmatch — the one genuinely rows-only difflib kernel)
-    plus ALL round-3 additions (dsir_weights, cluster_retention,
-    tfidf_keywords, dedup_incremental, zorder_events, q17_small_quantity,
-    conversation_transcripts, phrase_search, knn_triangles, events_pivot)
-    rotate IN this round — every query that has never had a driver
-    correctness row is inside the window — and round-2-green queries
-    whose code is untouched since their r2 rows (q_rollup_revenue,
-    q_events_sessionize, probe_style_consistency, q_events_asof,
-    q_events_range_join, verify_sources, audit_consistency_rate,
-    benchmark_accuracy_by_class, memorization_verbatim,
-    memorization_levenshtein) rotate OUT to park
-    (their CORRECTNESS_r02.json rows remain the evidence, exactly as the
-    round-1-green parked queries keep their r01 rows). Entries 51+ stay
-    oracle-backed and are checked by the local mirror
+    had a driver correctness row: the round-3 additions that landed after
+    the last rotation (ann_lsh_multiprobe, dsir_select,
+    top_boilerplate_spans, q_events_retention, q4_order_priority,
+    q_events_cube, length_bucketed_batches, dedup_jaccard_prefix,
+    corpus_drift, ann_pq_topk, ann_pq_rerank, embedding_dim_stats,
+    label_separation, mixture_weights, q7_volume_shipping) rotate IN,
+    displacing round-2-green queries whose operator code is untouched
+    since their CORRECTNESS_r02.json rows (verified against the r2→r3
+    diff: detect.py, fingerprint.py, dli.py, audit.py, reef.py,
+    decontam.py and the exact_dedup / pack_chunks / cosine_topk bodies
+    had no round-3 edits) — their r2 rows remain the evidence, exactly
+    as round-1-green parked queries keep their r01 rows. Entries 51+
+    stay oracle-backed and are checked by the local mirror
     (scripts/check_oracle.py) every session; their SURVEY §2 IDs are
-    covered by in-window queries (detect chain by detect_documents,
-    A1/A2/A3 by the compare queries, probe catalog by
-    probe_style_consistency, TPC-H agg/join shapes by
-    rollup/compare/benchmark queries, top-k by similarity_topk +
-    knn_graph, signatures by the *_pairs queries that build them,
-    per-row feature extraction by the r2-green feature queries, media by
-    the r2-green media pair, anti/semi joins by r1-green
-    q_urgent_customers/q_customers_no_orders)."""
+    covered by in-window queries (TPC-H agg/join shapes by
+    q4/q7/q17/cube/retention, top-k by the ANN family + knn_graph,
+    signatures by the *_pairs queries that build them, per-row feature
+    extraction by lang_id_ext/quality_calibrated, anti/semi joins by
+    r1-green q_urgent_customers/q_customers_no_orders)."""
     return {
         # -- 1-50: oracle-backed, in the driver's check window -------------
         "phrase_search": _phrase_search,
         "knn_triangles": _knn_triangles,
         "dsir_weights": _dsir_weights,
         "cluster_retention": _cluster_retention,
-        "detect_documents": _detect_documents,
-        "style_fingerprint": _style_fingerprint,
-        "llmmap_features_documents": _llmmap_features_documents,
-        "llmmap_compare_sources": _llmmap_compare_sources,
-        "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
-        "dli_compare_sources": _dli_compare_sources,
-        "benchmark_detect": _benchmark_detect,
-        "benchmark_accuracy": _benchmark_accuracy,
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+        "dsir_select": _dsir_select,
+        "top_boilerplate_spans": _top_boilerplate_spans,
+        "q_events_retention": _q_events_retention,
+        "q4_order_priority": _q4_order_priority,
+        "q_events_cube": _q_events_cube,
+        "length_bucketed_batches": _length_bucketed_batches,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "corpus_drift": _corpus_drift,
+        "ann_pq_topk": _ann_pq_topk,
+        "ann_pq_rerank": _ann_pq_rerank,
+        "embedding_dim_stats": _embedding_dim_stats,
+        "label_separation": _label_separation,
+        "mixture_weights": _mixture_weights,
+        "q7_volume_shipping": _q7_volume_shipping,
         "tfidf_keywords": _tfidf_keywords,
-        "audit_verdict_sources": _audit_verdict_sources,
         "dedup_incremental": _dedup_incremental,
         "events_pivot": _events_pivot,
         "zorder_events": _zorder_events,
         "events_rollup_cascade": _events_rollup_cascade,
-        "dedup_exact": _dedup_exact,
         "budget_select": _budget_select,
         "paragraph_dedup": _paragraph_dedup,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
-        "pack_chunks": _pack_chunks,
         "semantic_dedup": _semantic_dedup,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
-        "similarity_topk": _similarity_topk,
         "knn_graph": _knn_graph,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
         "q17_small_quantity": _q17_small_quantity,
         "conversation_transcripts": _conversation_transcripts,
-        "cka_labels": _cka_labels,
-        "reef_layer_cka": _reef_layer_cka,
         "streaming_source_verdict": _streaming_source_verdict,
         "curate_corpus": _curate_corpus,
-        "contamination_check": _contamination_check,
         "q_events_rolling": _q_events_rolling,
         "lang_id_ext": _lang_id_ext,
         "doc_chunks": _doc_chunks,
@@ -1788,18 +1866,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": _q_rollup_revenue,
         "q_events_sessionize": _q_events_sessionize,
         "probe_style_consistency": _probe_style_consistency,
-        # mirror-checked this round; rotates into the window next round
-        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
-        "dsir_select": _dsir_select,
-        "top_boilerplate_spans": _top_boilerplate_spans,
-        "q_events_retention": _q_events_retention,
-        "q4_order_priority": _q4_order_priority,
-        "q_events_cube": _q_events_cube,
-        "length_bucketed_batches": _length_bucketed_batches,
-        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
-        "corpus_drift": _corpus_drift,
-        "ann_pq_topk": _ann_pq_topk,
-        "ann_pq_rerank": _ann_pq_rerank,
+        # parked r2-green displaced by this round's later additions
+        # (operator bodies untouched in the r2→r3 diff; see docstring)
+        "detect_documents": _detect_documents,
+        "style_fingerprint": _style_fingerprint,
+        "llmmap_features_documents": _llmmap_features_documents,
+        "llmmap_compare_sources": _llmmap_compare_sources,
+        "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
+        "dli_compare_sources": _dli_compare_sources,
+        "benchmark_detect": _benchmark_detect,
+        "benchmark_accuracy": _benchmark_accuracy,
+        "audit_verdict_sources": _audit_verdict_sources,
+        "dedup_exact": _dedup_exact,
+        "pack_chunks": _pack_chunks,
+        "similarity_topk": _similarity_topk,
+        "cka_labels": _cka_labels,
+        "reef_layer_cka": _reef_layer_cka,
+        "contamination_check": _contamination_check,
     }
 
 
@@ -1936,6 +2019,10 @@ def oracle_sql() -> dict[str, str]:
         # proves prefix filtering drops no qualifying pair
         "dedup_jaccard_prefix": ora.dedup_ngram_jaccard(min_jaccard=0.5),
         "corpus_drift": ora.corpus_drift(target_source="src0"),
+        "embedding_dim_stats": ora.embedding_dim_stats(),
+        "label_separation": ora.label_separation(),
+        "mixture_weights": ora.mixture_weights(alpha=0.7),
+        "q7_volume_shipping": ora.q7_volume_shipping(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

@@ -1,0 +1,136 @@
+"""Embedding-column health analytics (scale extension, no reference
+counterpart — the standard one-pass feature diagnostics a 100 TB
+embedding corpus needs before training or indexing: per-dimension
+moments, per-label centroids, and class-separability scores).
+
+Shapes at scale:
+
+- `embedding_dim_stats` is posexplode → ONE hash aggregate keyed by the
+  dimension index: the shuffle carries at most `dim` rows of fixed-width
+  state per map task (map-side partial combine), i.e. O(dim · tasks)
+  bytes regardless of corpus size. Variance comes from the explicit
+  (Σv, Σv², n) formulation so the DuckDB oracle can use the identical
+  arithmetic — engine-native stddev implementations (Welford vs naive)
+  would diverge below the 6dp rounding otherwise.
+- `label_centroids` is the same single aggregate keyed by
+  (label, dim) — output is labels × dim rows, tiny for any real corpus.
+- `centroid_separation` self-joins that tiny relation on dim (broadcast:
+  its size is bounded by labels × dim, INDEPENDENT of corpus size, so
+  the broadcast never grows with the data) and reduces each (a, b) label
+  pair to a cosine — the classic "are my classes separable / did my
+  embedding collapse" diagnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "embedding_dim_stats",
+    "label_centroids",
+    "centroid_separation",
+]
+
+
+def _long(
+    emb: DataFrame, vec_col: str, extra: list[str]
+) -> DataFrame:
+    """(extra..., dim, v DOUBLE): one row per vector element."""
+    return emb.select(
+        *extra, F.posexplode(vec_col).alias("dim", "_v")
+    ).select(*extra, "dim", F.col("_v").cast("double").alias("v"))
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim, n, mean, variance, min_v, max_v): per-dimension moments.
+
+    Dead dimensions (variance ≈ 0), saturated dimensions (|mean| large)
+    and scale imbalance across dims are the three classic embedding
+    pathologies; all are visible from this one aggregate. Variance is
+    computed as Σv²/n − mean² (population) with the SAME formula in the
+    oracle — see module docstring for why engine-native stddev is
+    avoided.
+    """
+    long = _long(emb, vec_col, [])
+    n = F.count("*")
+    s1 = F.sum("v")
+    s2 = F.sum(F.col("v") * F.col("v"))
+    mean = s1 / n
+    return (
+        long.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(s2 / n - mean * mean, 6).alias("variance"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, dim, c): mean vector per label, long form.
+
+    Long form (not an array column) on purpose: downstream consumers —
+    `centroid_separation`, drift checks, nearest-centroid assignment —
+    all join on (label, dim), and the long relation aggregates with map-
+    side combine instead of shipping whole arrays through the shuffle.
+    """
+    long = _long(emb, vec_col, [label_col])
+    return long.groupBy(label_col, "dim").agg(
+        F.avg("v").alias("c")
+    )
+
+
+def centroid_separation(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label_a, label_b, cosine): pairwise cosine between label
+    centroids, label_a < label_b.
+
+    Centroids collapse the corpus to labels × dim rows first, so the
+    pair join is over a corpus-size-independent relation (broadcast
+    both sides' norms; the join itself is a hash join on dim). Low
+    inter-centroid cosine = well-separated classes; near-1.0 everywhere
+    = embedding collapse.
+    """
+    cent = label_centroids(emb, label_col, vec_col)
+    a = cent.select(
+        F.col(label_col).alias("label_a"),
+        "dim",
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col(label_col).alias("label_b"),
+        "dim",
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("_dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("_na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("_nb2"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("_dot")
+            / (F.sqrt("_na2") * F.sqrt("_nb2")),
+            6,
+        ).alias("cosine"),
+    ).orderBy("label_a", "label_b")

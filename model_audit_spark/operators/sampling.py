@@ -24,7 +24,7 @@ below its target is kept whole (rate capped at 1), mirroring the usual
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Basis-point granularity: rates are exact multiples of 1/10000.
@@ -94,6 +94,45 @@ def mix_rates(
         k: min(1.0, (t * scale) / counts[k]) if counts.get(k) else 0.0
         for k, t in targets.items()
     }
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.7,
+    size_col: str | None = None,
+) -> DataFrame:
+    """(stratum, n_docs, size, share, weight): temperature-scaled
+    sampling weights w_s ∝ size_s^alpha — the T5/mT5 mixing rule that
+    flattens the head of a skewed source distribution (alpha=1 keeps
+    natural proportions, alpha→0 approaches uniform).
+
+    `size` is row count, or Σ size_col (e.g. n_chars) when given, so the
+    temperature can act on token mass rather than document count. One
+    |strata|-row hash aggregate over the corpus; the normalizing window
+    runs over that report-sized relation only (never the corpus), so the
+    single-partition window exchange moves |strata| rows — fine at any
+    corpus scale. Distributed end-to-end: nothing is collected; feed the
+    weights into `mix_rates`-style keep-rate planning or a weighted
+    sampler join.
+    """
+    size = (
+        F.count("*") if size_col is None else F.sum(size_col)
+    ).alias("size")
+    agg = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"), size
+    )
+    w = Window.partitionBy()
+    powed = F.pow(F.col("size").cast("double"), F.lit(float(alpha)))
+    return agg.select(
+        "stratum",
+        "n_docs",
+        "size",
+        F.round(
+            F.col("size").cast("double") / F.sum("size").over(w), 6
+        ).alias("share"),
+        F.round(powed / F.sum(powed).over(w), 6).alias("weight"),
+    ).orderBy("stratum")
 
 
 def corpus_mix(

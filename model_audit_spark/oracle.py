@@ -3478,3 +3478,90 @@ def pagerank_dupgraph(
         + ", ".join(ctes)
         + f" SELECT n AS node, pr FROM r{iterations}"
     )
+
+
+def embedding_dim_stats() -> str:
+    """Mirror of embstats.embedding_dim_stats: per-dimension moments via
+    the explicit (Σv, Σv², n) formulation — NOT engine-native stddev,
+    whose Welford-vs-naive difference would diverge below 6dp."""
+    return """
+WITH long AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT dim, count(*) AS n,
+  round(sum(v) / count(*), 6) AS mean,
+  round(sum(v * v) / count(*)
+        - (sum(v) / count(*)) * (sum(v) / count(*)), 6) AS variance,
+  round(min(v), 6) AS min_v,
+  round(max(v), 6) AS max_v
+FROM long
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+def label_separation() -> str:
+    """Mirror of embstats.centroid_separation: per-label centroids then
+    pairwise centroid cosine, label_a < label_b."""
+    return """
+WITH long AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, dim, avg(v) AS c FROM long GROUP BY label, dim
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    sum(a.c * b.c) AS dot,
+    sum(a.c * a.c) AS na2,
+    sum(b.c * b.c) AS nb2
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
+FROM pairs
+ORDER BY label_a, label_b
+"""
+
+
+def mixture_weights(alpha: float = 0.7) -> str:
+    """Mirror of sampling.temperature_mix_weights over documents
+    (stratum=source, size=Σ n_chars)."""
+    return f"""
+WITH s AS (
+  SELECT source AS stratum, count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY source
+)
+SELECT stratum, n_docs, size,
+  round(CAST(size AS DOUBLE) / sum(CAST(size AS DOUBLE)) OVER (), 6)
+    AS share,
+  round(power(CAST(size AS DOUBLE), {alpha}::DOUBLE)
+        / sum(power(CAST(size AS DOUBLE), {alpha}::DOUBLE)) OVER (), 6)
+    AS weight
+FROM s
+ORDER BY stratum
+"""
+
+
+def q7_volume_shipping(na: str = "NATION_1", nb: str = "NATION_2") -> str:
+    """TPC-H Q7 shape on this schema: bilateral shipping volume between
+    two nations by ship year."""
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{na}' AND n2.n_name = '{nb}')
+   OR (n1.n_name = '{nb}' AND n2.n_name = '{na}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
