@@ -1740,6 +1740,44 @@ def _q7_volume_shipping(spark, sf):
     )
 
 
+def _q_salted_revenue(spark, sf):
+    """Revenue per order priority through skew.salted_join: orderkeys
+    with ≥6 lineitems are treated as hot and salted 4 ways. The oracle
+    twin is the PLAIN join — the hash match certifies the hot/cold
+    split + salt replication loses and duplicates nothing."""
+    from model_audit_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"
+    )
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 6)
+        .select("l_orderkey")
+    )
+    j = salted_join(
+        li, o, "l_orderkey", n_salts=4, hot_keys=hot,
+        uid_col="l_linenumber",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Entries 1-50 are prioritized for queries that have never
@@ -1748,7 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     top_boilerplate_spans, q_events_retention, q4_order_priority,
     q_events_cube, length_bucketed_batches, dedup_jaccard_prefix,
     corpus_drift, ann_pq_topk, ann_pq_rerank, embedding_dim_stats,
-    label_separation, mixture_weights, q7_volume_shipping) rotate IN,
+    label_separation, mixture_weights, q7_volume_shipping,
+    q_salted_revenue) rotate IN,
     displacing round-2-green queries whose operator code is untouched
     since their CORRECTNESS_r02.json rows (verified against the r2→r3
     diff: detect.py, fingerprint.py, dli.py, audit.py, reef.py,
@@ -1783,11 +1822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_separation": _label_separation,
         "mixture_weights": _mixture_weights,
         "q7_volume_shipping": _q7_volume_shipping,
+        "q_salted_revenue": _q_salted_revenue,
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
         "events_pivot": _events_pivot,
         "zorder_events": _zorder_events,
-        "events_rollup_cascade": _events_rollup_cascade,
         "budget_select": _budget_select,
         "paragraph_dedup": _paragraph_dedup,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
@@ -1878,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_accuracy": _benchmark_accuracy,
         "audit_verdict_sources": _audit_verdict_sources,
         "dedup_exact": _dedup_exact,
+        "events_rollup_cascade": _events_rollup_cascade,
         "pack_chunks": _pack_chunks,
         "similarity_topk": _similarity_topk,
         "cka_labels": _cka_labels,
@@ -2023,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "label_separation": ora.label_separation(),
         "mixture_weights": ora.mixture_weights(alpha=0.7),
         "q7_volume_shipping": ora.q7_volume_shipping(),
+        "q_salted_revenue": ora.q_salted_revenue(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

@@ -12,6 +12,13 @@ AQE does not fix:
   shingles above a document-frequency cap before a join/bucket stage
   bounds the Σ bucket² term (boilerplate shingles are the minhash skew
   hazard named in dedup.py).
+- salted_join: KNOWN-a-priori join skew. AQE splits skewed shuffle
+  partitions at runtime, but only when it can observe them (post-shuffle
+  map stats); a join fed by an upstream aggregate or a non-shuffle child
+  can still funnel one hot key to one task. When the hot keys are known
+  ahead of time (from heavy_hitters_cms or domain knowledge),
+  pre-planned salting replicates ONLY the hot keys' build rows n_salts
+  ways and splits their probe rows across the replicas.
 """
 
 from __future__ import annotations
@@ -53,6 +60,57 @@ def salted_count(
     return partial.groupBy(key_col).agg(
         F.sum("_partial").cast("bigint").alias("n")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    hot_keys: DataFrame | None = None,
+    uid_col: str | None = None,
+) -> DataFrame:
+    """Inner equi-join on `key`, with KNOWN hot keys salted n_salts ways.
+
+    Result is bit-identical to `left.join(right, key)` for any input —
+    the oracle twin is the PLAIN join, so a hash match certifies the
+    salting loses and duplicates nothing.
+
+    Shape: `hot_keys` (small: the output of heavy_hitters_cms or a
+    domain list) broadcasts into semi/anti splits of both sides. Cold
+    keys take the ordinary join. Hot probe rows get a deterministic salt
+    from xxhash64(uid_col) (default: the key itself — pass a unique row
+    id to actually spread a hot key's rows); hot build rows are
+    replicated across all n_salts buckets, so the join key becomes
+    (key, salt) and each hot key occupies n_salts tasks instead of one.
+
+    Cost model (document before reaching for this): each side is read by
+    both its hot and cold branch — two scans per input unless the source
+    is already materialized. Prefer AQE skew splitting when the skew is
+    visible to it; use this when the skewed relation is the output of an
+    aggregate/window the optimizer cannot re-split, and persist the
+    inputs if they are raw scans. Replication is confined to hot build
+    rows: cost n_salts × |hot build rows|, not n_salts × |right|.
+    """
+    if hot_keys is None:
+        return left.join(right, key)
+    hot = F.broadcast(hot_keys.select(key).distinct())
+    uid = uid_col or key
+    salt = F.pmod(F.xxhash64(F.col(uid)), F.lit(n_salts)).cast("int")
+    l_hot = left.join(hot, key, "left_semi").withColumn("_salt", salt)
+    r_hot = (
+        right.join(hot, key, "left_semi")
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+        )
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    hot_joined = l_hot.join(r_hot, [key, "_salt"]).drop("_salt")
+    cold = left.join(hot, key, "left_anti").join(
+        right.join(hot, key, "left_anti"), key
+    )
+    return hot_joined.unionByName(cold)
 
 
 def frequency_capped_explode(

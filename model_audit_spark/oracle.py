@@ -3565,3 +3565,15 @@ WHERE (n1.n_name = '{na}' AND n2.n_name = '{nb}')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+def q_salted_revenue() -> str:
+    """Oracle twin of the salted_join query is the PLAIN join — the
+    hash match certifies the hot/cold split + replication is lossless."""
+    return """
+SELECT o_orderpriority,
+  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""

@@ -211,3 +211,61 @@ def test_frequency_capped_explode_cms_drops_hot_elements(spark):
         ).collect()
     }
     assert kept == exact
+
+
+def test_salted_join_equals_plain_join(spark):
+    from model_audit_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ["hot", "a", "b"] for i in range(20 if k == "hot" else 3)],
+        "k string, uid int",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H1"), ("hot", "H2"), ("a", "A"), ("c", "C")],
+        "k string, payload string",
+    )
+    hot = spark.createDataFrame([("hot",)], "k string")
+    out = salted_join(left, right, "k", n_salts=4, hot_keys=hot,
+                      uid_col="uid")
+    plain = left.join(right, "k")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want  # lossless and duplicate-free, incl. 2-row hot build
+    assert len(got) == 20 * 2 + 3  # hot fanout preserved, 'b'/'c' dropped
+
+
+def test_salted_join_no_hot_keys_is_plain(spark):
+    from model_audit_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, uid int")
+    right = spark.createDataFrame([("a", "A")], "k string, payload string")
+    out = salted_join(left, right, "k")
+    assert [tuple(r) for r in out.collect()] == [("a", 1, "A")]
+
+
+def test_salted_join_empty_hot_relation(spark):
+    from model_audit_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, uid int")
+    right = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "k string, payload string"
+    )
+    hot = spark.createDataFrame([], "k string")
+    out = salted_join(left, right, "k", hot_keys=hot, uid_col="uid")
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", 1, "A"), ("b", 2, "B")]
+
+
+def test_salted_join_spreads_hot_probe_rows(spark):
+    """The salt column must actually split a hot key's probe rows across
+    buckets (deterministically), not funnel them to one replica."""
+    from pyspark.sql import functions as F
+
+    n_salts = 4
+    left = spark.range(100).select(
+        F.lit("hot").alias("k"), F.col("id").alias("uid")
+    )
+    salts = left.select(
+        F.pmod(F.xxhash64("uid"), F.lit(n_salts)).cast("int").alias("s")
+    ).distinct()
+    assert salts.count() == n_salts
