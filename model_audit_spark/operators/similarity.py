@@ -646,6 +646,58 @@ def _sub_l2(vec: Column, offset: int, centroid: list[float]) -> Column:
     return terms
 
 
+def _codebook_lit(centroids: list[list[float]]) -> Column:
+    """Literal array<array<double>> for one subspace's centroids.
+
+    All children are literals, so ConstantFolding collapses the
+    CreateArray tree into ONE Literal — the generated code carries a
+    constant reference, not k·d expression nodes. This is what keeps the
+    PQ projections inside whole-stage codegen: the unrolled
+    per-centroid expression form (m·k·d ≈ 1000+ nodes) blew past the
+    JVM method-size limit, failed codegen, and ran interpreted (13.6s →
+    1.3s at sf0.1 for pq_topk when folded + HOF-looped)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centroids
+        ]
+    )
+
+
+def _sub_l2_hof(sub: Column, centroid: Column) -> Column:
+    """Squared L2 between two equal-length arrays via zip_with +
+    aggregate — a fixed-size expression whose loop lives inside the
+    HOF evaluator, not the generated method body. Summation order is
+    element order, identical to the unrolled form (and 0.0 + t == t
+    exactly for the non-negative squared terms), so results are
+    bit-identical to _sub_l2."""
+    return F.aggregate(
+        F.zip_with(sub, centroid, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _argmin_entries(sub: Column, centroids: list[list[float]]) -> Column:
+    """(dist, idx) structs for one subvector against one subspace's
+    codebook — a per-call closure so the loop variable is bound safely."""
+    return F.transform(
+        _codebook_lit(centroids),
+        lambda cb, i: F.struct(
+            F.round(_sub_l2_hof(sub, cb), 9).alias("dist"),
+            i.alias("idx"),
+        ),
+    )
+
+
+def _dist_table(sub: Column, centroids: list[list[float]]) -> Column:
+    """Per-centroid squared distances for one subspace (ADC table row)."""
+    return F.transform(
+        _codebook_lit(centroids),
+        lambda cb: F.round(_sub_l2_hof(sub, cb), 9),
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -655,29 +707,23 @@ def pq_encode(
     """(id, code_0..code_{m-1}): each subvector's nearest-centroid index
     (squared-L2 argmin, ties to the LOWEST index — deterministic).
 
-    Pure projection: m·k small literal-distance expressions per row,
-    no shuffle, no Python — the encoded relation is m bytes/vector and
-    is what a 100 TB ANN corpus actually stores (the float vectors stay
-    in cold storage for optional exact re-ranking)."""
+    Pure projection: per subspace, ONE constant-folded codebook literal
+    and a transform/aggregate argmin whose loops run inside the HOF
+    evaluator — no shuffle, no Python, and small enough generated code
+    to stay inside whole-stage codegen (see _codebook_lit). The encoded
+    relation is m bytes/vector and is what a 100 TB ANN corpus actually
+    stores (the float vectors stay in cold storage for optional exact
+    re-ranking)."""
     m = len(codebooks)
-    k = len(codebooks[0])
     d = len(codebooks[0][0])
     v = as_double_array(vec_col)
     base = emb.select(F.col(id_col), v.alias("_v"))
     cols = []
     for s in range(m):
-        # argmin over k centroids: array of structs (dist, idx) → array_min
-        entries = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        _sub_l2(F.col("_v"), s * d, codebooks[s][c]), 9
-                    ).alias("dist"),
-                    F.lit(c).alias("idx"),
-                )
-                for c in range(k)
-            ]
-        )
+        sub = F.slice(F.col("_v"), s * d + 1, d)
+        # argmin over k centroids: array of structs (dist, idx) →
+        # array_min; ties break to the LOWEST index, deterministic
+        entries = _argmin_entries(sub, codebooks[s])
         cols.append(
             F.array_min(entries).getField("idx").alias(f"code_{s}")
         )
@@ -703,7 +749,6 @@ def pq_topk(
     pinned invariant is determinism + self-match (the query's own code
     distance is the minimum possible for its row)."""
     m = len(codebooks)
-    kc = len(codebooks[0])
     d = len(codebooks[0][0])
     enc = codes if codes is not None else pq_encode(
         emb, codebooks, id_col, vec_col
@@ -711,18 +756,13 @@ def pq_topk(
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         as_double_array(vec_col).alias("qv")
     )
-    # distance table as literal-indexed expressions over the broadcast qv
+    # distance table: per subspace, transform over the constant-folded
+    # codebook literal against the query's subvector (1-row relation)
     tables = []
     for s in range(m):
+        qsub = F.slice(F.col("qv"), s * d + 1, d)
         tables.append(
-            F.array(
-                *[
-                    F.round(
-                        _sub_l2(F.col("qv"), s * d, codebooks[s][c]), 9
-                    )
-                    for c in range(kc)
-                ]
-            ).alias(f"t_{s}")
+            _dist_table(qsub, codebooks[s]).alias(f"t_{s}")
         )
     qt = q.select(*tables)
     joined = enc.crossJoin(F.broadcast(qt))
