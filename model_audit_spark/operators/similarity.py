@@ -636,16 +636,6 @@ def pq_codebooks_seeded(
     ]
 
 
-def _sub_l2(vec: Column, offset: int, centroid: list[float]) -> Column:
-    """Squared L2 between vec[offset:offset+len(c)] and a centroid literal."""
-    terms = None
-    for j, c in enumerate(centroid):
-        dlt = F.element_at(vec, offset + j + 1) - F.lit(c)
-        t = dlt * dlt
-        terms = t if terms is None else terms + t
-    return terms
-
-
 def _codebook_lit(centroids: list[list[float]]) -> Column:
     """Literal array<array<double>> for one subspace's centroids.
 
@@ -668,9 +658,9 @@ def _sub_l2_hof(sub: Column, centroid: Column) -> Column:
     """Squared L2 between two equal-length arrays via zip_with +
     aggregate — a fixed-size expression whose loop lives inside the
     HOF evaluator, not the generated method body. Summation order is
-    element order, identical to the unrolled form (and 0.0 + t == t
-    exactly for the non-negative squared terms), so results are
-    bit-identical to _sub_l2."""
+    element order, identical to an unrolled t1+t2+... chain (and
+    0.0 + t == t exactly for the non-negative squared terms), so results
+    are bit-identical to the previous unrolled-literal formulation."""
     return F.aggregate(
         F.zip_with(sub, centroid, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
