@@ -1740,6 +1740,28 @@ def _q7_volume_shipping(spark, sf):
     )
 
 
+def _snapshot_diff(spark, sf):
+    """Corpus delta between two deterministic snapshot views of the
+    documents table (operators/snapshot.py): drop doc_id%11==0 from the
+    old side, doc_id%13==0 from the new side, and append a ' [v2]'
+    marker to every doc_id%17==0 text on the new side — exercising all
+    three statuses (added / removed / changed)."""
+    from model_audit_spark.operators.snapshot import corpus_snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" [v2]")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return corpus_snapshot_diff(old, new)
+
+
 def _q_salted_revenue(spark, sf):
     """Revenue per order priority through skew.salted_join: orderkeys
     with ≥6 lineitems are treated as hot and salted 4 ways. The oracle
@@ -1787,7 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_events_cube, length_bucketed_batches, dedup_jaccard_prefix,
     corpus_drift, ann_pq_topk, ann_pq_rerank, embedding_dim_stats,
     label_separation, mixture_weights, q7_volume_shipping,
-    q_salted_revenue) rotate IN,
+    q_salted_revenue, snapshot_diff) rotate IN,
     displacing round-2-green queries whose operator code is untouched
     since their CORRECTNESS_r02.json rows (verified against the r2→r3
     diff: detect.py, fingerprint.py, dli.py, audit.py, reef.py,
@@ -1823,12 +1845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _mixture_weights,
         "q7_volume_shipping": _q7_volume_shipping,
         "q_salted_revenue": _q_salted_revenue,
+        "snapshot_diff": _snapshot_diff,
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
         "events_pivot": _events_pivot,
         "zorder_events": _zorder_events,
         "budget_select": _budget_select,
-        "paragraph_dedup": _paragraph_dedup,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
@@ -1917,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_accuracy": _benchmark_accuracy,
         "audit_verdict_sources": _audit_verdict_sources,
         "dedup_exact": _dedup_exact,
+        "paragraph_dedup": _paragraph_dedup,
         "events_rollup_cascade": _events_rollup_cascade,
         "pack_chunks": _pack_chunks,
         "similarity_topk": _similarity_topk,
@@ -2064,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": ora.mixture_weights(alpha=0.7),
         "q7_volume_shipping": ora.q7_volume_shipping(),
         "q_salted_revenue": ora.q_salted_revenue(),
+        "snapshot_diff": ora.snapshot_diff(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

@@ -3577,3 +3577,33 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def snapshot_diff() -> str:
+    """Mirror of the snapshot_diff entry query: old = doc_id%11<>0,
+    new = doc_id%13<>0 with ' [v2]' appended to doc_id%17==0 texts."""
+    return """
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS old_md5
+  FROM documents WHERE doc_id % 11 <> 0
+),
+new AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 17 = 0
+         THEN coalesce(text, '') || ' [v2]'
+         ELSE coalesce(text, '') END) AS new_md5
+  FROM documents WHERE doc_id % 13 <> 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+  CASE WHEN old_md5 IS NULL THEN 'added'
+       WHEN new_md5 IS NULL THEN 'removed'
+       WHEN old_md5 <> new_md5 THEN 'changed' END AS status,
+  coalesce(old_md5, '') AS old_md5,
+  coalesce(new_md5, '') AS new_md5
+FROM j
+WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
+"""

@@ -123,3 +123,31 @@ def test_stream_upsert_sink_converges_to_latest_rows(spark, tmp_path):
     q.awaitTermination(120)
     back = {r.id: (r.name, r.v) for r in spark.read.parquet(out).collect()}
     assert back == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30)}
+
+
+def test_snapshot_diff_statuses(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.snapshot import (
+        corpus_snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame([
+        Row(doc_id=1, text="a"),
+        Row(doc_id=2, text="b"),
+        Row(doc_id=3, text="same"),
+        Row(doc_id=5, text=None),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=2, text="b-edited"),
+        Row(doc_id=3, text="same"),
+        Row(doc_id=4, text="new doc"),
+        Row(doc_id=5, text=""),
+    ])
+    rows = {r["doc_id"]: r["status"]
+            for r in corpus_snapshot_diff(old, new).collect()}
+    # NULL -> '' is NOT a change (repo NULL convention); unchanged absent
+    assert rows == {1: "removed", 2: "changed", 4: "added"}
+    summary = {r["status"]: r["n"]
+               for r in snapshot_diff_summary(old, new).collect()}
+    assert summary == {"added": 1, "changed": 1, "removed": 1}
