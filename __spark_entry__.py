@@ -1740,6 +1740,72 @@ def _q7_volume_shipping(spark, sf):
     )
 
 
+def _q8_market_share(spark, sf):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part revenue
+    sold to ASIA customers, by order year — conditional aggregation over
+    a 7-relation join tree (the join-reorder workout: part filter prunes
+    lineitem first, region filter prunes the customer leg)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    region = (
+        _t(spark, sf, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .join(F.broadcast(region), n2.c_rk == region.r_regionkey)
+        .select(
+            "o_year",
+            (
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("vol"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("vol")
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum("vol"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 def _snapshot_diff(spark, sf):
     """Corpus delta between two deterministic snapshot views of the
     documents table (operators/snapshot.py): drop doc_id%11==0 from the
@@ -1809,7 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_events_cube, length_bucketed_batches, dedup_jaccard_prefix,
     corpus_drift, ann_pq_topk, ann_pq_rerank, embedding_dim_stats,
     label_separation, mixture_weights, q7_volume_shipping,
-    q_salted_revenue, snapshot_diff) rotate IN,
+    q_salted_revenue, snapshot_diff, q8_market_share) rotate IN,
     displacing round-2-green queries whose operator code is untouched
     since their CORRECTNESS_r02.json rows (verified against the r2→r3
     diff: detect.py, fingerprint.py, dli.py, audit.py, reef.py,
@@ -1846,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7_volume_shipping,
         "q_salted_revenue": _q_salted_revenue,
         "snapshot_diff": _snapshot_diff,
+        "q8_market_share": _q8_market_share,
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
         "events_pivot": _events_pivot,
@@ -1858,7 +1925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "knn_graph": _knn_graph,
         "ann_ivf_topk": _ann_ivf_topk,
-        "embedding_near_dups": _embedding_near_dups,
         "q17_small_quantity": _q17_small_quantity,
         "conversation_transcripts": _conversation_transcripts,
         "streaming_source_verdict": _streaming_source_verdict,
@@ -1940,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_verdict_sources": _audit_verdict_sources,
         "dedup_exact": _dedup_exact,
         "paragraph_dedup": _paragraph_dedup,
+        "embedding_near_dups": _embedding_near_dups,
         "events_rollup_cascade": _events_rollup_cascade,
         "pack_chunks": _pack_chunks,
         "similarity_topk": _similarity_topk,
@@ -2088,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": ora.q7_volume_shipping(),
         "q_salted_revenue": ora.q_salted_revenue(),
         "snapshot_diff": ora.snapshot_diff(),
+        "q8_market_share": ora.q8_market_share(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

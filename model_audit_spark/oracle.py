@@ -3607,3 +3607,33 @@ SELECT doc_id,
 FROM j
 WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
 """
+
+
+def q8_market_share(
+    nation: str = "NATION_3",
+    region: str = "ASIA",
+    p_type: str = "ECONOMY",
+) -> str:
+    """TPC-H Q8 shape on this schema: one nation's share of one part
+    type's revenue sold into one region, by order year."""
+    return f"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    l_extendedprice * (1.0 - l_discount) AS vol,
+    n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = '{p_type}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey AND r_name = '{region}'
+)
+SELECT o_year,
+  round(sum(CASE WHEN supp_nation = '{nation}' THEN vol
+                 ELSE 0.0 END) / sum(vol), 6) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
