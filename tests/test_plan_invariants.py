@@ -337,3 +337,27 @@ def test_conversation_transcripts_single_shuffle_no_join(spark):
     assert "Join" not in final
     assert final.count("Exchange hashpartitioning") == 1, final
     assert final.count("FileScan parquet") == 1, final
+
+
+def test_pq_plan_stays_small_for_codegen(spark):
+    """PQ projections must carry codebooks as constant-folded literals,
+    not unrolled per-centroid expression trees: the unrolled form's
+    generated method exceeded the JVM limit, silently fell back to
+    interpreted eval, and ran ~4x slower. Proxy pin: the unrolled form
+    carried m*k*d*2 ≈ 2000 element_at nodes in the plan; the folded+HOF
+    form has a handful (the per-code ADC lookups), with the distance
+    loops inside transform/zip_with/aggregate. (Plan-string LENGTH is not
+    a valid proxy — folded literals print verbosely but are one node.)"""
+    from model_audit_spark.operators.similarity import (
+        pq_codebooks_seeded,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    df = pq_topk(emb, 0, books, 10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_element_at = plan.count("element_at(")
+    assert n_element_at < 50, f"{n_element_at} element_at nodes — unrolled?"
+    assert "transform(" in plan and "aggregate(" in plan
