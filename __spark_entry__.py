@@ -1740,6 +1740,14 @@ def _q7_volume_shipping(spark, sf):
     )
 
 
+def _source_data_card(spark, sf):
+    """Per-source corpus release card in ONE aggregate over ONE scan
+    (operators/text_analysis.py source_data_card)."""
+    from model_audit_spark.operators.text_analysis import source_data_card
+
+    return source_data_card(_t(spark, sf, "documents"))
+
+
 def _q8_market_share(spark, sf):
     """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part revenue
     sold to ASIA customers, by order year — conditional aggregation over
@@ -2013,6 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cka_labels": _cka_labels,
         "reef_layer_cka": _reef_layer_cka,
         "contamination_check": _contamination_check,
+        # mirror-checked this session; rotates into the window next round
+        "source_data_card": _source_data_card,
     }
 
 
@@ -2156,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_revenue": ora.q_salted_revenue(),
         "snapshot_diff": ora.snapshot_diff(),
         "q8_market_share": ora.q8_market_share(),
+        "source_data_card": ora.source_data_card(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

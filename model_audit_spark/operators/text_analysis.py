@@ -230,3 +230,45 @@ def quality_calibrated(
         F.round(pr, 6).alias("q_rank"),
         (pr < keep_frac).alias("keep"),
     )
+
+
+def source_data_card(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """(source, n_docs, total_chars, exact_dup_frac, en_frac,
+    mean_quality): the per-source "data card" row a corpus release ships.
+
+    ONE hash aggregate over ONE scan: every signal is either a plain
+    aggregate or a per-row projection (the quality score) folded into
+    the group state; the exact-dup rate rides the same aggregate as a
+    single-column distinct count (two-phase partial distinct — no expand
+    explosion, shuffle carries (source, md5) pairs). At 100 TB this is
+    the cheapest possible shape for a whole-corpus report: scan once,
+    shuffle fixed-width state per (source, digest).
+    """
+    q = doc_stat_columns(text_col)["quality_score"]
+    digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.groupBy(F.col(stratum_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(chars_col).cast("bigint").alias("total_chars"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct(digest) / F.count("*"),
+                6,
+            ).alias("exact_dup_frac"),
+            F.round(
+                F.avg(
+                    F.when(F.col(lang_col) == "en", 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("en_frac"),
+            F.round(F.avg(q), 6).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )

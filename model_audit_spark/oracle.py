@@ -3637,3 +3637,28 @@ FROM vol
 GROUP BY o_year
 ORDER BY o_year
 """
+
+
+def source_data_card() -> str:
+    """Mirror of text_analysis.source_data_card over documents: per-row
+    quality from the text_stats subquery (same 6dp-rounded doubles on
+    both engines), group-level aggregates on top."""
+    return f"""
+WITH ts AS ({text_stats()}),
+base AS (
+  SELECT d.source, d.n_chars, d.lang,
+    md5(coalesce(d.text, '')) AS digest,
+    ts.quality_score
+  FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
+    AS exact_dup_frac,
+  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS en_frac,
+  round(avg(quality_score), 6) AS mean_quality
+FROM base
+GROUP BY source
+ORDER BY source
+"""

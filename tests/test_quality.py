@@ -134,3 +134,23 @@ def test_quantile_sketch_rollup_near_exact(spark):
     for g in exact:
         assert abs(est[g][0] - exact[g][0]) <= 30, (g, est[g], exact[g])
         assert abs(est[g][1] - exact[g][1]) <= 30, (g, est[g], exact[g])
+
+
+def test_source_data_card_signals(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.text_analysis import source_data_card
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="dup", lang="en", source="a", n_chars=3),
+        Row(doc_id=2, text="dup", lang="en", source="a", n_chars=3),
+        Row(doc_id=3, text="uniq", lang="zh", source="a", n_chars=4),
+        Row(doc_id=4, text=None, lang="en", source="b", n_chars=0),
+    ])
+    out = {r["source"]: r for r in source_data_card(docs).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 3 and a["total_chars"] == 10
+    assert a["exact_dup_frac"] == round(1 - 2 / 3, 6)
+    assert a["en_frac"] == round(2 / 3, 6)
+    b = out["b"]
+    assert b["n_docs"] == 1 and b["exact_dup_frac"] == 0.0
+    assert 0.0 <= b["mean_quality"] <= 1.0
