@@ -1740,6 +1740,31 @@ def _q7_volume_shipping(spark, sf):
     )
 
 
+def _leakage_safe_splits(spark, sf):
+    """Cluster-aware train/val/test assignment: near-dup clusters (the
+    dedup_clusters chain) are split by CLUSTER id, so every member of a
+    near-dup cluster lands in the same split — eval leakage through
+    near-duplicates is structurally impossible
+    (sampling.assign_splits keyed on cluster_id)."""
+    from model_audit_spark.operators.cluster import cluster_documents
+    from model_audit_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "text", "doc_id", min_jaccard=0.5
+    ).select("id_a", "id_b")
+    clustered = cluster_documents(docs, verified, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    return assign_splits(
+        clustered,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="cluster_id",
+    )
+
+
 def _source_data_card(spark, sf):
     """Per-source corpus release card in ONE aggregate over ONE scan
     (operators/text_analysis.py source_data_card)."""
@@ -2023,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _contamination_check,
         # mirror-checked this session; rotates into the window next round
         "source_data_card": _source_data_card,
+        "leakage_safe_splits": _leakage_safe_splits,
     }
 
 
@@ -2167,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": ora.snapshot_diff(),
         "q8_market_share": ora.q8_market_share(),
         "source_data_card": ora.source_data_card(),
+        "leakage_safe_splits": ora.leakage_safe_splits(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

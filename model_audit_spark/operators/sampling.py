@@ -96,6 +96,46 @@ def mix_rates(
     }
 
 
+def assign_splits(
+    df: DataFrame,
+    fracs: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """df + `split`: deterministic multi-way split assignment (train /
+    val / test / ...) from the md5 bucket of `key_col`.
+
+    `fracs` is an ORDERED {name: fraction} (basis-point granularity,
+    should sum to 1; the last split absorbs rounding residue). A pure
+    projection — no shuffle, pushes to the scan, and reassigning a
+    grown corpus never moves an existing key between splits.
+
+    Leakage-safe variant: pass the CLUSTER id (cluster_documents
+    output) as `key_col` — every member of a near-dup cluster lands in
+    the same split by construction, so near-duplicate leakage across
+    train/eval is structurally impossible instead of probabilistically
+    rare.
+    """
+    if not fracs:
+        raise ValueError("fracs must name at least one split")
+    b = sample_bucket(key_col, salt)
+    cum = 0
+    thresholds = []
+    for name, frac in fracs.items():
+        cum += int(round(frac * BUCKETS))
+        thresholds.append((name, cum))
+    names = list(fracs)
+    col = F.when(b < thresholds[0][1], F.lit(names[0]))
+    for name, thr in thresholds[1:-1]:
+        col = col.when(b < thr, F.lit(name))
+    col = (
+        col.otherwise(F.lit(names[-1]))
+        if len(names) > 1
+        else F.lit(names[0])
+    )
+    return df.withColumn("split", col)
+
+
 def temperature_mix_weights(
     df: DataFrame,
     stratum_col: str = "source",

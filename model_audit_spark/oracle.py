@@ -3662,3 +3662,24 @@ FROM base
 GROUP BY source
 ORDER BY source
 """
+
+
+def leakage_safe_splits(
+    min_jaccard: float = 0.5, salt: str = "split"
+) -> str:
+    """Twin of the cluster-keyed assign_splits entry query: near-dup
+    clusters from the recursive-CTE closure, split by the md5 bucket of
+    the CLUSTER id (train 9000 / val 9500 / test rest, basis points)."""
+    h = _hex32(f"md5(CAST(cluster_id AS VARCHAR) || ':{salt}')")
+    return f"""
+WITH c AS ({dedup_clusters(min_jaccard)}),
+b AS (
+  SELECT doc_id, cluster_id, CAST({h} AS BIGINT) % 10000 AS bucket
+  FROM c
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN bucket < 9000 THEN 'train'
+       WHEN bucket < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+"""

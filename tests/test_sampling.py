@@ -200,3 +200,53 @@ def test_contrastive_triplets_properties(spark):
     assert again == {
         (r.anchor, r.positive, r.negative, r.neg_rank) for r in rows
     }
+
+
+def test_assign_splits_fractions_and_determinism(spark):
+    from model_audit_spark.operators.sampling import assign_splits
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    # deterministic: same assignment on re-evaluation
+    again = {r["doc_id"]: r["split"] for r in
+             assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+             .collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_assign_splits_cluster_keyed_is_leakage_safe(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.sampling import assign_splits
+
+    rows = [Row(doc_id=i, cluster_id=i % 7) for i in range(70)]
+    out = assign_splits(
+        spark.createDataFrame(rows),
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+        key_col="cluster_id",
+    )
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg({"split": "approx_count_distinct"})
+        .collect()
+    )
+    # every near-dup cluster maps to exactly ONE split
+    assert all(r[1] == 1 for r in per_cluster)
+
+
+def test_assign_splits_single_split_and_empty_fracs(spark):
+    import pytest as _pytest
+    from model_audit_spark.operators.sampling import assign_splits
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    only = assign_splits(df, {"all": 1.0})
+    assert {r["split"] for r in only.collect()} == {"all"}
+    with _pytest.raises(ValueError):
+        assign_splits(df, {})
