@@ -1765,6 +1765,31 @@ def _leakage_safe_splits(spark, sf):
     )
 
 
+def _dedup_threshold_sweep(spark, sf):
+    """How aggressive should near-dup removal be? Pair counts at every
+    candidate threshold from ONE verify pass: the LSH chain runs once at
+    the loosest threshold (0.3) and the sweep is a broadcast theta-join
+    of the 7-row threshold relation against the verified pairs."""
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "text", "doc_id", min_jaccard=0.3
+    ).select("jaccard")
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x / 10.0) for x in range(3, 10)])
+        ).alias("threshold")
+    )
+    return (
+        F.broadcast(th)
+        .join(verified, F.col("jaccard") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(F.count("jaccard").alias("n_pairs"))
+        .orderBy("threshold")
+    )
+
+
 def _source_data_card(spark, sf):
     """Per-source corpus release card in ONE aggregate over ONE scan
     (operators/text_analysis.py source_data_card)."""
@@ -2049,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirror-checked this session; rotates into the window next round
         "source_data_card": _source_data_card,
         "leakage_safe_splits": _leakage_safe_splits,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
     }
 
 
@@ -2194,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": ora.q8_market_share(),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
+        "dedup_threshold_sweep": ora.dedup_threshold_sweep(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

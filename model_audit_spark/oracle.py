@@ -3683,3 +3683,21 @@ SELECT doc_id, cluster_id,
        ELSE 'test' END AS split
 FROM b
 """
+
+
+def dedup_threshold_sweep() -> str:
+    """Twin of the one-pass threshold sweep: verified pairs at the
+    loosest threshold, counted per candidate cutoff."""
+    return f"""
+WITH v AS (
+  SELECT jaccard FROM ({dedup_minhash_pairs(min_jaccard=0.3)})
+),
+t AS (
+  SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                 0.9]::DOUBLE[]) AS threshold
+)
+SELECT threshold, CAST(count(v.jaccard) AS BIGINT) AS n_pairs
+FROM t LEFT JOIN v ON v.jaccard >= t.threshold
+GROUP BY threshold
+ORDER BY threshold
+"""
