@@ -458,3 +458,29 @@ def streaming_rollup_minute(
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("_sv").cast("double").alias("total_value"),
     )
+
+
+def streaming_bucket_counts(
+    stream: DataFrame,
+    feature_buckets: dict,
+) -> DataFrame:
+    """RUNNING (feature, bucket, n) histogram over a document stream —
+    the streaming half of the PSI drift monitor.
+
+    Same explode → count aggregate as drift.bucket_counts; state is one
+    counter per (feature, bucket) (bounded by the FIXED bucketing, not
+    the stream), so complete-mode output stays report-sized forever.
+    Join the sink table against a static baseline histogram with
+    drift.psi_from_counts to get a live PSI after every micro-batch."""
+    from model_audit_spark.operators.drift import (
+        _feature_bucket_structs,
+    )
+
+    return (
+        stream.select(
+            F.explode(_feature_bucket_structs(feature_buckets)).alias("fb")
+        )
+        .select("fb.feature", "fb.bucket")
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

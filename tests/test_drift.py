@@ -51,3 +51,45 @@ def test_psi_partitioning_independent_and_null_bucket(spark):
     # rows are compared rather than dropped
     rows = psi_drift(base, F.col("a"), {"f": F.col("b")}).collect()
     assert rows[0].n_buckets == 5
+
+
+def test_psi_from_counts_matches_psi_drift(spark):
+    from pyspark.sql import functions as F
+    from model_audit_spark.operators.drift import (
+        bucket_counts,
+        psi_drift,
+        psi_from_counts,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 2 == 0).alias("_a"),
+        (F.col("id") % 7).alias("v"),
+        (F.col("id") % 3).alias("w"),
+    )
+    buckets = {"v": F.col("v"), "w": F.col("w")}
+    whole = {(r["feature"]): (r["n_buckets"], r["psi"])
+             for r in psi_drift(df, F.col("_a"), buckets).collect()}
+    split = psi_from_counts(
+        bucket_counts(df.filter("_a"), buckets),
+        bucket_counts(df.filter("NOT _a"), buckets),
+    )
+    got = {(r["feature"]): (r["n_buckets"], r["psi"])
+           for r in split.collect()}
+    assert got == whole  # bit-identical decimal PSI
+
+
+def test_bucket_counts_disjoint_buckets_survive_outer_join(spark):
+    from pyspark.sql import functions as F
+    from model_audit_spark.operators.drift import (
+        bucket_counts,
+        psi_from_counts,
+    )
+
+    a = spark.range(10).select((F.col("id") % 2).alias("v"))
+    b = spark.range(10).select((F.col("id") % 2 + 5).alias("v"))
+    out = psi_from_counts(
+        bucket_counts(a, {"v": F.col("v")}),
+        bucket_counts(b, {"v": F.col("v")}),
+    ).collect()
+    assert out[0]["n_buckets"] == 4  # union of disjoint bucket sets
+    assert float(out[0]["psi"]) > 0.25  # total shift flagged
