@@ -872,6 +872,23 @@ def _knn_graph(spark, sf):
     return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
 
 
+
+def _dup_verified(docs, min_jaccard: float = 0.5):
+    """Shared sign->band->verify chain for every dup-graph query: ONE
+    persisted shingle relation feeds both the minhash aggregate and the
+    exact Jaccard verify, so the corpus is tokenized/shingled once per
+    query instead of twice (dedup.minhash_signatures `shingles=`)."""
+    from model_audit_spark.operators.dedup import shingles_df
+
+    shing = shingles_df(docs, "text", "doc_id").persist()
+    sigs = minhash_signatures(docs, "text", "doc_id", shingles=shing)
+    pairs = minhash_band_pairs(sigs, "doc_id")
+    return jaccard_verify(
+        docs, pairs, "text", "doc_id",
+        min_jaccard=min_jaccard, shingles=shing,
+    )
+
+
 def _pagerank_dupgraph(spark, sf):
     """Integer-arithmetic PageRank over the symmetric minhash near-dup
     graph — duplication hubs get high rank. Iterative algorithm with a
@@ -880,11 +897,7 @@ def _pagerank_dupgraph(spark, sf):
     from model_audit_spark.operators.cluster import pagerank
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    verified = jaccard_verify(
-        docs, pairs, "text", "doc_id", min_jaccard=0.5
-    ).select("id_a", "id_b").persist()
+    verified = _dup_verified(docs).select("id_a", "id_b").persist()
     edges = verified.unionByName(
         verified.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
@@ -908,11 +921,7 @@ def _source_overlap(spark, sf):
     from model_audit_spark.operators.cluster import source_overlap
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    verified = jaccard_verify(
-        docs, pairs, "text", "doc_id", min_jaccard=0.5
-    ).select("id_a", "id_b")
+    verified = _dup_verified(docs).select("id_a", "id_b")
     return source_overlap(docs, verified)
 
 
@@ -1166,9 +1175,7 @@ def _dedup_minhash_signatures(spark, sf):
 
 def _dedup_minhash_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    return jaccard_verify(docs, pairs, "text", "doc_id", min_jaccard=0.5)
+    return _dup_verified(docs)
 
 
 def _semantic_dedup(spark, sf):
@@ -1212,11 +1219,7 @@ def _dedup_clusters(spark, sf):
     from model_audit_spark.operators.cluster import cluster_documents
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    verified = jaccard_verify(
-        docs, pairs, "text", "doc_id", min_jaccard=0.5
-    ).select("id_a", "id_b")
+    verified = _dup_verified(docs).select("id_a", "id_b")
     return cluster_documents(docs, verified, "doc_id")
 
 
@@ -1231,11 +1234,7 @@ def _cluster_retention(spark, sf):
 
     docs = _t(spark, sf, "documents")
     q = doc_stats(docs).select("doc_id", "quality_score")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    verified = jaccard_verify(
-        docs, pairs, "text", "doc_id", min_jaccard=0.5
-    ).select("id_a", "id_b")
+    verified = _dup_verified(docs).select("id_a", "id_b")
     return cluster_retention_by_quality(q, verified)
 
 
@@ -1750,11 +1749,7 @@ def _leakage_safe_splits(spark, sf):
     from model_audit_spark.operators.sampling import assign_splits
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    verified = jaccard_verify(
-        docs, pairs, "text", "doc_id", min_jaccard=0.5
-    ).select("id_a", "id_b")
+    verified = _dup_verified(docs).select("id_a", "id_b")
     clustered = cluster_documents(docs, verified, "doc_id").select(
         "doc_id", "cluster_id"
     )
@@ -1831,11 +1826,7 @@ def _dedup_threshold_sweep(spark, sf):
     the loosest threshold (0.3) and the sweep is a broadcast theta-join
     of the 7-row threshold relation against the verified pairs."""
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id")
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    verified = jaccard_verify(
-        docs, pairs, "text", "doc_id", min_jaccard=0.3
-    ).select("jaccard")
+    verified = _dup_verified(docs, min_jaccard=0.3).select("jaccard")
     th = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(x / 10.0) for x in range(3, 10)])

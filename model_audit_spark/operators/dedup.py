@@ -95,6 +95,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1} BIGINT): per-doc MinHash signature.
 
@@ -102,10 +103,20 @@ def minhash_signatures(
     permutations minimized in ONE hash aggregate (map-side combine). Docs
     with no shingles get the sentinel MINHASH_PRIME (> any hash value), so
     they keep a row and identical empty docs still band-match (their pairs
-    are later killed by jaccard_verify's 0-jaccard filter)."""
-    long = shingles_df(df, text_col, id_col, shingle_n).select(
-        id_col, F.explode("sh").alias("s")
+    are later killed by jaccard_verify's 0-jaccard filter).
+
+    `shingles` (a shingles_df relation, ideally persisted) lets the
+    sign→band→verify chain tokenize the corpus ONCE: pass the same
+    relation here and to jaccard_verify and the second tokenize+shingle
+    pass disappears (at 100 TB, one full corpus scan saved; persist
+    spills to disk via MEMORY_AND_DISK, or checkpoint it on a real
+    cluster)."""
+    rel = (
+        shingles
+        if shingles is not None
+        else shingles_df(df, text_col, id_col, shingle_n)
     )
+    long = rel.select(id_col, F.explode("sh").alias("s"))
     h32 = long.select(
         id_col,
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
@@ -274,6 +285,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs, exact over shingle sets.
 
@@ -284,7 +296,11 @@ def jaccard_verify(
 
     0-jaccard pairs (e.g. empty-doc sentinel band collisions from
     minhash_signatures) are ALWAYS dropped: the filter is `> 0` when
-    min_jaccard == 0, `>= min_jaccard` otherwise."""
+    min_jaccard == 0, `>= min_jaccard` otherwise.
+
+    `shingles`: pass the SAME (ideally persisted) shingles_df relation
+    given to minhash_signatures and the whole sign→band→verify chain
+    tokenizes the corpus once (see minhash_signatures)."""
     # referenced by cand_ids, the intersection join, and the final output —
     # persist so the banding plan beneath it runs once
     pairs = pairs.persist()
@@ -292,9 +308,13 @@ def jaccard_verify(
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
         .distinct()
     )
+    rel = (
+        shingles
+        if shingles is not None
+        else shingles_df(df, text_col, id_col, shingle_n)
+    )
     shing = (
-        shingles_df(df, text_col, id_col, shingle_n)
-        .withColumnRenamed(id_col, "_id")
+        rel.withColumnRenamed(id_col, "_id")
         .join(cand_ids, "_id", "left_semi")
     )
     sizes = shing.select("_id", F.size("sh").alias("n_sh"))
