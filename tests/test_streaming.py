@@ -468,3 +468,42 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         (1, "2026-01-01 01:00:00", "2026-01-01 01:09:59"),
         (2, "2026-01-01 00:05:00", "2026-01-01 00:15:00"),
     }
+
+
+def test_streaming_bucket_counts_match_batch_histogram(spark, tmp_path):
+    """The running drift histogram's final state equals the batch
+    bucket_counts over the same files — the property that makes the
+    streamed PSI hash-match the all-batch oracle."""
+    from model_audit_spark.operators.drift import bucket_counts
+    from model_audit_spark.streaming import streaming_bucket_counts
+
+    rows = [(i, "x" * (i % 5 * 100)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "drift_docs")
+    # two files -> at least two micro-batch splits are possible
+    df.repartition(2).write.parquet(path)
+
+    buckets = {"len": F.floor(F.length("text") / 100)}
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(path)
+    )
+    q = (
+        streaming_bucket_counts(stream, buckets)
+        .writeStream.format("memory")
+        .queryName("drift_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.feature, r.bucket): r.n
+        for r in spark.table("drift_counts").collect()
+    }
+    want = {
+        (r.feature, r.bucket): r.n
+        for r in bucket_counts(spark.read.parquet(path), buckets).collect()
+    }
+    assert got == want and sum(got.values()) == 50
