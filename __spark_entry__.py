@@ -1795,10 +1795,12 @@ def _streaming_drift(spark, sf):
     stage = tempfile.mkdtemp(prefix="ma_stream_")
     os.symlink(path, os.path.join(stage, "part-0.parquet"))
     schema = docs.schema
+    # coalesce: a NULL source is NOT src0 and must stay on the stream
+    # (B) side, exactly as the batch PSI's is_a=false branch counts it
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
-        .filter(F.col("source") != "src0")
+        .filter(F.coalesce(F.col("source"), F.lit("")) != "src0")
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
