@@ -1843,6 +1843,32 @@ def _dedup_threshold_sweep(spark, sf):
     )
 
 
+def _dedup_clusters_incremental(spark, sf):
+    """Incremental cluster maintenance: docs with doc_id%10==0 arrive as
+    a new batch; their pairs fold into the old assignment via star edges
+    (cluster.incremental_cluster_documents). The oracle is the FULL
+    recompute over all pairs — the hash match certifies the incremental
+    path is lossless."""
+    from model_audit_spark.operators.cluster import (
+        cluster_documents,
+        incremental_cluster_documents,
+    )
+
+    docs = _t(spark, sf, "documents")
+    verified = _dup_verified(docs).select("id_a", "id_b").persist()
+    is_old = lambda c: F.col(c) % 10 != 0  # noqa: E731
+    old_pairs = verified.filter(is_old("id_a") & is_old("id_b"))
+    assignment = cluster_documents(
+        docs.filter(is_old("doc_id")), old_pairs, "doc_id"
+    ).select("doc_id", "cluster_id")
+    new_pairs = verified.filter(
+        ~is_old("id_a") | ~is_old("id_b")
+    )
+    return incremental_cluster_documents(
+        docs, assignment, new_pairs, "doc_id"
+    )
+
+
 def _source_data_card(spark, sf):
     """Per-source corpus release card in ONE aggregate over ONE scan
     (operators/text_analysis.py source_data_card)."""
@@ -2129,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": _leakage_safe_splits,
         "dedup_threshold_sweep": _dedup_threshold_sweep,
         "streaming_drift": _streaming_drift,
+        "dedup_clusters_incremental": _dedup_clusters_incremental,
     }
 
 
@@ -2276,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),
         "streaming_drift": ora.corpus_drift(target_source="src0"),
+        "dedup_clusters_incremental": ora.dedup_clusters(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

@@ -132,6 +132,36 @@ def cluster_documents(
     )
 
 
+def incremental_cluster_documents(
+    docs: DataFrame,
+    assignment: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fold a NEW batch of near-dup pairs into an EXISTING cluster
+    assignment without re-walking the historical pair graph.
+
+    Each old cluster collapses to a star (member → representative edge),
+    which preserves its connectivity with |members| edges instead of the
+    original pair set; min-label propagation then re-converges over
+    star ∪ new_pairs — batch-sized work plus touched clusters, not the
+    full history. Because the representative IS the old cluster's min
+    id, the result is IDENTICAL to a full recompute over
+    (historical pairs ∪ new pairs): the gate query's oracle is the
+    full-recompute SQL, so the hash match certifies the incremental
+    maintenance loses nothing. Output schema = cluster_documents.
+    """
+    star = assignment.filter(
+        F.col(id_col) != F.col("cluster_id")
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+    )
+    edges = star.unionByName(new_pairs.select("id_a", "id_b"))
+    return cluster_documents(docs, edges, id_col, max_iter)
+
+
 def cluster_retention_by_quality(
     docs: DataFrame,
     pairs: DataFrame,

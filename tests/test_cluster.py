@@ -157,3 +157,39 @@ def test_triangle_counts_complete_graph(spark):
     rows = {r.node: r.n_triangles for r in
             triangle_counts(edges).collect()}
     assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_incremental_clusters_equal_full_recompute(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.cluster import (
+        cluster_documents,
+        incremental_cluster_documents,
+    )
+
+    old_docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in [1, 2, 3, 5, 6, 7, 8]]
+    )
+    old_pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)]
+    )
+    all_docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in [1, 2, 3, 5, 6, 7, 8, 10, 20]]
+    )
+    # new batch: joins old clusters together and brings a new member in
+    new_pairs = spark.createDataFrame(
+        [Row(id_a=3, id_b=10), Row(id_a=10, id_b=5), Row(id_a=20, id_b=7)]
+    )
+    assignment = cluster_documents(old_docs, old_pairs).select(
+        "doc_id", "cluster_id"
+    )
+    inc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+           for r in incremental_cluster_documents(
+               all_docs, assignment, new_pairs).collect()}
+    full = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+            for r in cluster_documents(
+                all_docs, old_pairs.unionByName(new_pairs)).collect()}
+    assert inc == full
+    # the merged mega-cluster {1,2,3,5,6,10} keeps min-id 1
+    assert inc[10] == (1, 6, False) and inc[1][2] is True
+    # untouched singleton stays a singleton
+    assert inc[8] == (8, 1, True)
