@@ -574,16 +574,20 @@ def ngram_jaccard_prefix_pairs(
     )
     expl = shing.select(F.col(id_col), F.explode("sh").alias("s"))
     freq = expl.groupBy("s").agg(F.count("*").alias("_df"))
+    # |A| rides the SAME window pass as the rarity rank (unbounded-frame
+    # count over the doc partition), so no sizes join re-shuffles the
+    # corpus-sized exploded relation — one WindowExec, two functions
     wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
+    wfull = Window.partitionBy(id_col)
     prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.col("n_sh") * min_jaccard - 1e-9)
+        F.col("_n")
+        - F.ceil(F.col("_n") * min_jaccard - 1e-9)
         + 1
     )
     pre = (
         expl.join(freq, "s")
-        .join(sizes.withColumnRenamed("_id", id_col), id_col)
         .withColumn("_rn", F.row_number().over(wdoc))
+        .withColumn("_n", F.count("*").over(wfull))
         .filter(F.col("_rn") <= prefix_len)
         .select(F.col(id_col), "s")
     )
