@@ -1843,6 +1843,74 @@ def _dedup_threshold_sweep(spark, sf):
     )
 
 
+def _q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — exercises disjunction normalization: the common
+    conjuncts (quantity floor, size floor) push to the scans while the
+    brand×range disjunction evaluates post-join."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 5)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+            ),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q22_global_threshold(spark, sf):
+    """TPC-H Q22 shape: positive-balance customers above the GLOBAL
+    average balance with no URGENT orders — a scalar-aggregate
+    broadcast (1-row cross join) feeding an anti join against a
+    FILTERED order relation (the filter pushes into the orders scan),
+    grouped by customer segment."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _dedup_clusters_incremental(spark, sf):
     """Incremental cluster maintenance: docs with doc_id%10==0 arrive as
     a new batch; their pairs fold into the old assignment via star edges
@@ -2156,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": _dedup_threshold_sweep,
         "streaming_drift": _streaming_drift,
         "dedup_clusters_incremental": _dedup_clusters_incremental,
+        "q19_disjunctive": _q19_disjunctive,
+        "q22_global_threshold": _q22_global_threshold,
     }
 
 
@@ -2304,6 +2374,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),
         "streaming_drift": ora.corpus_drift(target_source="src0"),
         "dedup_clusters_incremental": ora.dedup_clusters(),
+        "q19_disjunctive": ora.q19_disjunctive(),
+        "q22_global_threshold": ora.q22_global_threshold(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

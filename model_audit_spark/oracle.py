@@ -3701,3 +3701,37 @@ FROM t LEFT JOIN v ON v.jaccard >= t.threshold
 GROUP BY threshold
 ORDER BY threshold
 """
+
+
+def q19_disjunctive() -> str:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides."""
+    return """
+SELECT
+  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity >= 5 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+"""
+
+
+def q22_global_threshold() -> str:
+    """TPC-H Q22 shape: above-global-average balance, no URGENT orders."""
+    return """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+  count(*) AS n_cust,
+  round(sum(c_acctbal), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
