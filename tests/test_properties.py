@@ -347,3 +347,95 @@ def test_stateless_signatures_always_equal_batch(spark, texts):
     a = minhash_signatures(docs).orderBy("doc_id").collect()
     b = minhash_signatures_stateless(docs).orderBy("doc_id").collect()
     assert a == b
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    fracs=st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1, max_size=4,
+    ),
+)
+@_SETTINGS
+def test_assign_splits_total_and_deterministic(spark, n, fracs):
+    """Every row gets exactly one split from the declared names, and the
+    assignment is a pure function of (key, salt) — stable under
+    re-evaluation and corpus growth."""
+    from model_audit_spark.operators.sampling import assign_splits
+
+    total = sum(fracs)
+    named = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = assign_splits(df, named).collect()
+    assert len(out) == n
+    assert {r["split"] for r in out} <= set(named)
+    # growth stability: the first n rows of a larger corpus keep splits
+    bigger = assign_splits(
+        spark.range(n * 2).withColumnRenamed("id", "doc_id"), named
+    )
+    sub = {r["doc_id"]: r["split"]
+           for r in bigger.filter(F.col("doc_id") < n).collect()}
+    assert sub == {r["doc_id"]: r["split"] for r in out}
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1, max_size=6,
+    ),
+    alpha=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@_SETTINGS
+def test_temperature_weights_sum_to_one_and_flatten(spark, sizes, alpha):
+    """Weights are a distribution, and temperature alpha<1 never makes
+    the largest stratum MORE dominant than its natural share."""
+    from model_audit_spark.operators.sampling import (
+        temperature_mix_weights,
+    )
+
+    rows = [(f"s{i}", sz) for i, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source STRING, n_chars LONG")
+    out = temperature_mix_weights(df, size_col="n_chars", alpha=alpha)
+    got = {r["stratum"]: r for r in out.collect()}
+    tot = sum(r["weight"] for r in got.values())
+    assert abs(tot - 1.0) < 1e-4
+    top = max(got.values(), key=lambda r: r["size"])
+    assert top["weight"] <= top["share"] + 1e-6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0, max_size=12,
+    ),
+    cut=st.integers(min_value=0, max_value=15),
+)
+@_SETTINGS
+def test_incremental_components_equal_full_for_any_graph(spark, edges, cut):
+    """For ANY pair graph and ANY old/new partition of its edges, the
+    star-collapsed incremental path equals the full recompute."""
+    from pyspark.sql import Row
+    from model_audit_spark.operators.cluster import (
+        cluster_documents,
+        incremental_cluster_documents,
+    )
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in pairs for n in e} | {0, 1})
+    docs = spark.createDataFrame([Row(doc_id=n) for n in nodes])
+    old = [e for e in pairs if max(e) <= cut]
+    new = [e for e in pairs if max(e) > cut]
+    schema = "id_a LONG, id_b LONG"
+    old_df = spark.createDataFrame(old or [], schema)
+    new_df = spark.createDataFrame(new or [], schema)
+    old_nodes = sorted({n for e in old for n in e} | {0})
+    assignment = cluster_documents(
+        spark.createDataFrame([Row(doc_id=n) for n in old_nodes]), old_df
+    ).select("doc_id", "cluster_id")
+    inc = {r["doc_id"]: r["cluster_id"]
+           for r in incremental_cluster_documents(
+               docs, assignment, new_df).collect()}
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_documents(
+                docs, old_df.unionByName(new_df)).collect()}
+    assert inc == full
