@@ -877,7 +877,13 @@ def _dup_verified(docs, min_jaccard: float = 0.5):
     """Shared sign->band->verify chain for every dup-graph query: ONE
     persisted shingle relation feeds both the minhash aggregate and the
     exact Jaccard verify, so the corpus is tokenized/shingled once per
-    query instead of twice (dedup.minhash_signatures `shingles=`)."""
+    query instead of twice (dedup.minhash_signatures `shingles=`).
+
+    Cache lifecycle: the persisted blocks live until the session drops
+    them — run `spark.catalog.clearCache()` between queries when
+    evaluating many dup-graph queries in one session (bench.py and
+    scripts/check_oracle.py both do), or the per-query caches
+    accumulate."""
     from model_audit_spark.operators.dedup import shingles_df
 
     shing = shingles_df(docs, "text", "doc_id").persist()

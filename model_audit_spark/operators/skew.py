@@ -98,13 +98,9 @@ def salted_join(
     uid = uid_col or key
     salt = F.pmod(F.xxhash64(F.col(uid)), F.lit(n_salts)).cast("int")
     l_hot = left.join(hot, key, "left_semi").withColumn("_salt", salt)
-    r_hot = (
-        right.join(hot, key, "left_semi")
-        .withColumn(
-            "_salt",
-            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
-        )
-        .withColumn("_salt", F.col("_salt").cast("int"))
+    r_hot = right.join(hot, key, "left_semi").withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
     )
     hot_joined = l_hot.join(r_hot, [key, "_salt"]).drop("_salt")
     cold = left.join(hot, key, "left_anti").join(

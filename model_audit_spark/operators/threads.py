@@ -64,13 +64,17 @@ def assemble_threads(
         rows = (
             df.withColumn("_rn", F.row_number().over(w))
             .withColumn("_full_n", F.count("*").over(wfull))
+            .withColumn("_full_first", F.min(ts_col).over(wfull))
             .withColumn("_full_last", F.max(ts_col).over(wfull))
             .filter(F.col("_rn") <= max_turns)
         )
+        # first_ts must also come from the FULL-thread window: min over
+        # the kept head rows alone is NULL when those rows' ts are NULL
+        # (NULLS FIRST ordering keeps them), while window min skips NULLs
         agg = rows.groupBy(key_col).agg(
             F.array_sort(F.collect_list(turn)).alias("_turns"),
             F.first("_full_n").alias("n_turns"),
-            F.min(ts_col).alias("_first"),
+            F.first("_full_first").alias("_first"),
             F.first("_full_last").alias("_last"),
         )
     else:

@@ -471,16 +471,12 @@ def streaming_bucket_counts(
     counter per (feature, bucket) (bounded by the FIXED bucketing, not
     the stream), so complete-mode output stays report-sized forever.
     Join the sink table against a static baseline histogram with
-    drift.psi_from_counts to get a live PSI after every micro-batch."""
-    from model_audit_spark.operators.drift import (
-        _feature_bucket_structs,
-    )
+    drift.psi_from_counts to get a live PSI after every micro-batch.
 
-    return (
-        stream.select(
-            F.explode(_feature_bucket_structs(feature_buckets)).alias("fb")
-        )
-        .select("fb.feature", "fb.bucket")
-        .groupBy("feature", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    This IS drift.bucket_counts — the pipeline is a narrow projection +
+    count aggregate, equally valid on a streaming DataFrame, so one
+    implementation serves both and the batch==stream hash equality can
+    never drift apart."""
+    from model_audit_spark.operators.drift import bucket_counts
+
+    return bucket_counts(stream, feature_buckets)

@@ -280,3 +280,29 @@ def test_assemble_threads_partitioning_independent(spark):
     b = assemble_threads(base.repartition(16), F.col("txt")).collect()
     key = lambda r: r.user_id
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_assemble_threads_full_totals_with_null_ts_head(spark):
+    """Regression: with max_turns, a thread whose FIRST kept rows have
+    NULL ts (NULLS FIRST ordering keeps them) must still report the
+    full-thread first_ts/last_ts, not NULL."""
+    import datetime
+
+    from pyspark.sql import Row
+    from model_audit_spark.operators.threads import assemble_threads
+
+    rows = [
+        Row(user_id=1, event_id=1, ts=None, txt="a"),
+        Row(user_id=1, event_id=2, ts=None, txt="b"),
+        Row(user_id=1, event_id=3,
+            ts=datetime.datetime(2024, 1, 1, 0, 0, 5), txt="c"),
+        Row(user_id=1, event_id=4,
+            ts=datetime.datetime(2024, 1, 1, 0, 0, 7), txt="d"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = assemble_threads(
+        df, F.col("txt"), max_turns=2
+    ).collect()[0]
+    assert out["n_turns"] == 4
+    assert out["first_ts"] == "2024-01-01 00:00:05"
+    assert out["last_ts"] == "2024-01-01 00:00:07"
