@@ -1849,6 +1849,17 @@ def _dedup_threshold_sweep(spark, sf):
     )
 
 
+def _dup_graph_stats(spark, sf):
+    """One-row health report of the near-dup graph: is the chosen
+    threshold producing clique-like clusters (clustering coeff → 1) or
+    transitive chains (→ 0)? (cluster.graph_stats)"""
+    from model_audit_spark.operators.cluster import graph_stats
+
+    docs = _t(spark, sf, "documents")
+    pairs = _dup_verified(docs).select("id_a", "id_b")
+    return graph_stats(pairs, "id_a", "id_b")
+
+
 def _q19_disjunctive(spark, sf):
     """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
     both join sides — exercises disjunction normalization: the common
@@ -2232,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_incremental": _dedup_clusters_incremental,
         "q19_disjunctive": _q19_disjunctive,
         "q22_global_threshold": _q22_global_threshold,
+        "dup_graph_stats": _dup_graph_stats,
     }
 
 
@@ -2382,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_incremental": ora.dedup_clusters(),
         "q19_disjunctive": ora.q19_disjunctive(),
         "q22_global_threshold": ora.q22_global_threshold(),
+        "dup_graph_stats": ora.dup_graph_stats(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

@@ -293,6 +293,71 @@ def triangle_counts(
     )
 
 
+def graph_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row graph health report: (n_nodes, n_edges, max_degree,
+    mean_degree, n_wedges, n_triangles, clustering_coeff).
+
+    The global clustering coefficient 3T/W separates tight clique-like
+    near-dup clusters (→1) from chains of borderline pairs (→0) — the
+    single number that says whether a dedup threshold produced real
+    groups or transitive mush. All inputs to the final division are
+    exact integers (wedges = Σ deg·(deg−1)/2, triangles from the
+    oriented cyclic join), so the rounded ratio is bit-stable across
+    engines. Same persisted undirected relation feeds degrees, wedges,
+    and all three triangle legs."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    dstats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.sum("deg").alias("_degsum"),
+    )
+    wedges = und.join(
+        und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    n_edges = und.count()
+    return (
+        dstats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            "max_degree",
+            F.round(
+                F.col("_degsum") / F.greatest("n_nodes", F.lit(1)), 6
+            ).alias("mean_degree"),
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3 * F.col("n_triangles")
+                / F.greatest("n_wedges", F.lit(1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 PAGERANK_SCALE = 10**12  # integer "pico-mass"; total initial mass = SCALE
 
 

@@ -3735,3 +3735,42 @@ WHERE c_acctbal > avg_bal.a
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def dup_graph_stats(min_jaccard: float = 0.5) -> str:
+    """Twin of cluster.graph_stats over the verified minhash pairs."""
+    return f"""
+WITH p AS (
+  SELECT id_a, id_b FROM ({dedup_minhash_pairs(min_jaccard)})
+),
+und AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM p WHERE id_a <> id_b
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(max(deg) AS BIGINT) AS max_degree,
+         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         CAST(sum(deg) AS BIGINT) AS degsum
+  FROM deg
+),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, max_degree,
+  round(CAST(degsum AS DOUBLE) / greatest(n_nodes, 1), 6)
+    AS mean_degree,
+  n_wedges, n_triangles,
+  round(3.0 * n_triangles / greatest(n_wedges, 1), 6)
+    AS clustering_coeff
+FROM d, e, t
+"""

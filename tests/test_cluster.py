@@ -193,3 +193,22 @@ def test_incremental_clusters_equal_full_recompute(spark):
     assert inc[10] == (1, 6, False) and inc[1][2] is True
     # untouched singleton stays a singleton
     assert inc[8] == (8, 1, True)
+
+
+def test_graph_stats_triangle_plus_tail(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.cluster import graph_stats
+
+    # triangle 1-2-3 plus a pendant edge 3-4 (duplicated + reversed
+    # inputs must normalize away)
+    edges = spark.createDataFrame([
+        Row(src=1, dst=2), Row(src=2, dst=1), Row(src=2, dst=3),
+        Row(src=1, dst=3), Row(src=3, dst=4), Row(src=4, dst=4),
+    ])
+    r = graph_stats(edges).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["max_degree"] == 3  # node 3
+    # wedges: deg [2,2,3,1] -> 1+1+3+0 = 5; one triangle
+    assert r["n_wedges"] == 5 and r["n_triangles"] == 1
+    assert r["clustering_coeff"] == 0.6  # 3*1/5
+    assert r["mean_degree"] == 2.0
