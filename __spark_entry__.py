@@ -1849,6 +1849,16 @@ def _dedup_threshold_sweep(spark, sf):
     )
 
 
+def _embedding_principal(spark, sf):
+    """Dominant principal direction of the embedding corpus: quantized
+    mean-covariance + exact-integer power iteration — an ITERATIVE
+    numeric algorithm that still hash-matches its SQL twin
+    (embstats.principal_direction)."""
+    from model_audit_spark.operators.embstats import principal_direction
+
+    return principal_direction(_t(spark, sf, "embeddings"))
+
+
 def _dup_graph_stats(spark, sf):
     """One-row health report of the near-dup graph: is the chosen
     threshold producing clique-like clusters (clustering coeff → 1) or
@@ -2244,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": _q19_disjunctive,
         "q22_global_threshold": _q22_global_threshold,
         "dup_graph_stats": _dup_graph_stats,
+        "embedding_principal": _embedding_principal,
     }
 
 
@@ -2395,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": ora.q19_disjunctive(),
         "q22_global_threshold": ora.q22_global_threshold(),
         "dup_graph_stats": ora.dup_graph_stats(),
+        "embedding_principal": ora.embedding_principal(),
         "ann_pq_topk": ora.pq_topk(
             query_vec_id=0, k=10, m=8, kc=16, dim=64
         ),

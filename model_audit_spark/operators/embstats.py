@@ -30,6 +30,8 @@ __all__ = [
     "embedding_dim_stats",
     "label_centroids",
     "centroid_separation",
+    "covariance_long",
+    "principal_direction",
 ]
 
 
@@ -134,3 +136,106 @@ def centroid_separation(
             6,
         ).alias("cosine"),
     ).orderBy("label_a", "label_b")
+
+
+PI_UNIT = 10**6  # fixed-point scale for covariance and vector entries
+
+
+def covariance_long(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(i, j, cq BIGINT): quantized MEAN covariance matrix in long form.
+
+    c̄_ij = (Σ v_i·v_j − Σv_i·Σv_j/n) / n from one id-keyed self-join of
+    the long relation (N·dim² products — linear in corpus size; the
+    matrix itself is dim² rows, tiny). Normalizing by n keeps entries
+    O(feature scale²) at ANY corpus size; they quantize to 6dp
+    fixed-point BIGINTs so everything downstream is exact integer
+    arithmetic. Bound for the exact iteration below: |cq| must stay
+    < 2⁵³/(dim·(PI_UNIT+1)) ≈ 1.4e8 at dim=64 — i.e. mean-covariance
+    entries up to ~140, far beyond any normalized embedding."""
+    long = _long(emb, vec_col, [id_col])
+    a = long.select(id_col, F.col("dim").alias("i"), F.col("v").alias("vi"))
+    b = long.select(id_col, F.col("dim").alias("j"), F.col("v").alias("vj"))
+    co = (
+        a.join(b, id_col)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("vi") * F.col("vj")).alias("_s"),
+            F.count("*").alias("_n"),
+            F.sum("vi").alias("_si"),
+            F.sum("vj").alias("_sj"),
+        )
+    )
+    c = (
+        F.col("_s") - F.col("_si") * F.col("_sj") / F.col("_n")
+    ) / F.col("_n")
+    # round() yields an integer-valued double; the long cast is then
+    # exact in both engines (DuckDB twin uses floor() before its CAST,
+    # which ROUNDS rather than truncates)
+    return co.select(
+        "i",
+        "j",
+        F.round(c * PI_UNIT).cast("long").alias("cq"),
+    )
+
+
+def principal_direction(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """(dim, loading): the corpus's dominant principal direction via
+    power iteration over the quantized covariance — anisotropy / rogue-
+    dimension diagnostic (embeddings collapsing onto one axis show a
+    single dominant loading).
+
+    The iteration dynamics are EXACT integers: v₀ = PI_UNIT·𝟙; each step
+    computes acc = C_q·v (BIGINT products, |acc| < 2⁵³ by the cq bound
+    in covariance_long), takes s = floor(max|acc|/PI_UNIT)+1 — an exact
+    integer derived from the data, so the rescale ADAPTS to the spectrum
+    instead of under/overflowing a fixed shift — and sets
+    v' = floor(acc/s). Both operands of the division are exactly
+    representable doubles, so the floor is bit-stable in every engine
+    and the unrolled SQL twin hash-matches despite this being an
+    iterative numeric algorithm. Sign is fixed by the all-ones start;
+    `iterations` is a fixed unroll (dominant-direction estimate, not a
+    convergence loop). After the one corpus-sized covariance aggregate,
+    each step is dim rows — iterating is free at any scale."""
+    cq = covariance_long(emb, vec_col, id_col).persist()
+    dims = cq.select(F.col("i").alias("dim")).distinct()
+    v = dims.select("dim", F.lit(PI_UNIT).cast("long").alias("vq"))
+    for _ in range(iterations):
+        acc = (
+            cq.join(v, cq["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("cq") * F.col("vq")).alias("_acc"))
+        )
+        scale = acc.agg(
+            (
+                F.floor(F.max(F.abs("_acc")) / F.lit(float(PI_UNIT)))
+                + 1
+            )
+            .cast("long")
+            .alias("_s")
+        )
+        v = acc.crossJoin(F.broadcast(scale)).select(
+            F.col("i").alias("dim"),
+            F.floor(F.col("_acc") / F.col("_s"))
+            .cast("long")
+            .alias("vq"),
+        )
+    norm = v.agg(
+        F.sqrt(F.sum(F.col("vq") * F.col("vq"))).alias("_n")
+    )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .select(
+            "dim",
+            F.round(
+                F.col("vq") / F.greatest("_n", F.lit(1.0)), 6
+            ).alias("loading"),
+        )
+        .orderBy("dim")
+    )

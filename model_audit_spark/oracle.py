@@ -3774,3 +3774,64 @@ SELECT n_nodes, n_edges, max_degree,
     AS clustering_coeff
 FROM d, e, t
 """
+
+
+def embedding_principal(iterations: int = 3) -> str:
+    """Twin of embstats.principal_direction: quantized mean-covariance,
+    exact-integer power iteration unrolled as CTEs with the same
+    data-adaptive rescale."""
+    u = 10**6
+    ctes = [
+        """long AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)""",
+        """co AS (
+  SELECT a.dim AS i, b.dim AS j,
+    sum(a.v * b.v) AS s, count(*) AS n,
+    sum(a.v) AS si, sum(b.v) AS sj
+  FROM long a JOIN long b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+)""",
+        f"""cq AS (
+  SELECT i, j,
+    CAST(floor(round(((s - si * sj / n) / n) * {u})) AS BIGINT) AS cq
+  FROM co
+)""",
+        f"""v0 AS (
+  SELECT DISTINCT i AS dim, CAST({u} AS BIGINT) AS vq FROM cq
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"v{k - 1}"
+        ctes.append(
+            f"""a{k} AS (
+  SELECT cq.i, CAST(sum(cq.cq * {p}.vq) AS BIGINT) AS acc
+  FROM cq JOIN {p} ON cq.j = {p}.dim GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""s{k} AS (
+  SELECT CAST(floor(max(abs(acc)) / {u}.0) + 1 AS BIGINT) AS s
+  FROM a{k}
+)"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+  SELECT i AS dim, CAST(floor(acc / s) AS BIGINT) AS vq
+  FROM a{k}, s{k}
+)"""
+        )
+    last = f"v{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+nrm AS (
+  SELECT sqrt(sum(CAST(vq AS DOUBLE) * vq)) AS nn FROM {last}
+)
+SELECT dim, round(vq / greatest(nn, 1.0), 6) AS loading
+FROM {last}, nrm
+ORDER BY dim
+"""
+    )

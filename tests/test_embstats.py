@@ -121,3 +121,28 @@ def test_temperature_row_count_mode(docs):
            temperature_mix_weights(docs, alpha=1.0).collect()}
     assert out["big"]["size"] == 90
     assert out["big"]["weight"] == 0.9
+
+
+def test_principal_direction_recovers_dominant_axis(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.embstats import principal_direction
+
+    # points along the (0.6, 0.8) axis plus a tiny orthogonal dim
+    rows = [Row(vec_id=i, embedding=[0.6 * i, 0.8 * i, 0.001],
+                label=0) for i in range(1, 9)]
+    out = {r["dim"]: r["loading"]
+           for r in principal_direction(
+               spark.createDataFrame(rows)).collect()}
+    assert abs(out[0] - 0.6) < 0.01
+    assert abs(out[1] - 0.8) < 0.01
+    assert abs(out[2]) < 0.01
+
+
+def test_principal_direction_zero_variance_safe(spark):
+    from pyspark.sql import Row
+    from model_audit_spark.operators.embstats import principal_direction
+
+    rows = [Row(vec_id=i, embedding=[1.0, 1.0], label=0)
+            for i in range(4)]
+    out = principal_direction(spark.createDataFrame(rows)).collect()
+    assert [r["loading"] for r in out] == [0.0, 0.0]
