@@ -203,28 +203,32 @@ def principal_direction(
     `iterations` is a fixed unroll (dominant-direction estimate, not a
     convergence loop). After the one corpus-sized covariance aggregate,
     each step is dim rows — iterating is free at any scale."""
+    from pyspark.sql import Window
+
     cq = covariance_long(emb, vec_col, id_col).persist()
     dims = cq.select(F.col("i").alias("dim")).distinct()
     v = dims.select("dim", F.lit(PI_UNIT).cast("long").alias("vq"))
+    # the adaptive scale is a global window over the dim-sized acc
+    # relation (NOT a separate broadcast job): everything stays one lazy
+    # DAG, and a single-partition window over dim rows is free at any
+    # corpus scale — the corpus only ever touches the covariance build
+    wall = Window.partitionBy()
     for _ in range(iterations):
         acc = (
             cq.join(v, cq["j"] == v["dim"])
             .groupBy("i")
             .agg(F.sum(F.col("cq") * F.col("vq")).alias("_acc"))
         )
-        scale = acc.agg(
-            (
-                F.floor(F.max(F.abs("_acc")) / F.lit(float(PI_UNIT)))
-                + 1
+        s = (
+            F.floor(
+                F.max(F.abs("_acc")).over(wall)
+                / F.lit(float(PI_UNIT))
             )
-            .cast("long")
-            .alias("_s")
-        )
-        v = acc.crossJoin(F.broadcast(scale)).select(
+            + 1
+        ).cast("long")
+        v = acc.select(
             F.col("i").alias("dim"),
-            F.floor(F.col("_acc") / F.col("_s"))
-            .cast("long")
-            .alias("vq"),
+            F.floor(F.col("_acc") / s).cast("long").alias("vq"),
         )
     norm = v.agg(
         F.sqrt(F.sum(F.col("vq") * F.col("vq"))).alias("_n")
