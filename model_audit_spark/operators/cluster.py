@@ -337,12 +337,13 @@ def graph_stats(
     tri = wedges.join(
         und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
     ).agg(F.count("*").cast("long").alias("n_triangles"))
-    n_edges = und.count()
+    ecount = und.agg(F.count("*").cast("long").alias("n_edges"))
     return (
         dstats.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ecount))
         .select(
             "n_nodes",
-            F.lit(n_edges).cast("long").alias("n_edges"),
+            "n_edges",
             "max_degree",
             F.round(
                 F.col("_degsum") / F.greatest("n_nodes", F.lit(1)), 6
