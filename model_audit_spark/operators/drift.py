@@ -12,7 +12,10 @@ k. Determinism (DETERMINISM.md rule 3): the smoothed ratio
 ((cA+1)(TB+n)) / ((cB+1)(TA+n)) has exact-integer operands (identical
 IEEE division in every engine), ln is quantized to 9dp per bucket, each
 contribution is rounded at 15dp and cast DECIMAL(38,15), and the
-per-feature sum is exact decimal arithmetic.
+per-feature sum is exact decimal arithmetic. The emitted psi is that
+exact decimal cast DOUBLE at the final projection (rule 4: identical
+decimals → identical doubles; comparators that canonicalize Decimal vs
+float asymmetrically — the round-3 driver hash failures — then agree).
 """
 
 from __future__ import annotations
@@ -98,7 +101,7 @@ def psi_from_counts(
             "feature", F.col("nb").alias("n_buckets"), contrib.alias("_c")
         )
         .groupBy("feature", "n_buckets")
-        .agg(F.sum("_c").alias("psi"))
+        .agg(F.sum("_c").cast("double").alias("psi"))
     )
 
 
@@ -141,5 +144,5 @@ def psi_drift(
     return (
         j.select("feature", F.col("nb").alias("n_buckets"), contrib.alias("_c"))
         .groupBy("feature", "n_buckets")
-        .agg(F.sum("_c").alias("psi"))
+        .agg(F.sum("_c").cast("double").alias("psi"))
     )

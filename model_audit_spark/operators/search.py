@@ -16,8 +16,10 @@ Plan shape at scale:
 Bit-stability: idf is rounded to 9dp once per TERM (a handful of ln
 calls — the only op where engines can drift a ulp), each contribution is
 rounded to 9dp and cast DECIMAL(28,9), and the per-doc sum is exact
-decimal arithmetic; the emitted score stays DECIMAL so no engine-side
-double rounding exists anywhere.
+decimal arithmetic; the emitted score is that exact decimal cast to
+DOUBLE at the final projection (identical decimals → identical doubles,
+and comparators that canonicalize Decimal and float differently — the
+round-3 driver hash failures — see the same bits from both engines).
 """
 
 from __future__ import annotations
@@ -121,7 +123,12 @@ def bm25_search(
             F.sum(contrib).alias("score"),
         )
     )
-    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    # order/limit on the exact DECIMAL, emit DOUBLE (DETERMINISM.md rule 4)
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .withColumn("score", F.col("score").cast("double"))
+    )
 
 
 def phrase_search(
@@ -200,7 +207,8 @@ def tfidf_keywords(
     — quantized once per DISTINCT surviving term (round 9dp); each
     score is round(idf9 · tf / dl, 9) cast DECIMAL(28,9) (exact-integer
     tf, dl → identical IEEE products cross-engine); ties in the window
-    break on term asc.
+    break on term asc. The window ranks on the exact DECIMAL; the
+    emitted score is cast DOUBLE at the final projection (rule 4).
 
     NULL text behaves as empty (repo-wide convention): such docs emit
     no keywords but still count in N.
@@ -247,5 +255,11 @@ def tfidf_keywords(
     return (
         scored.withColumn("kw_rank", F.row_number().over(w))
         .filter(F.col("kw_rank") <= k)
-        .select(id_col, "term", "tf", "score", "kw_rank")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.col("score").cast("double").alias("score"),
+            "kw_rank",
+        )
     )

@@ -1516,7 +1516,8 @@ SELECT event_id, CAST({z} AS BIGINT) AS zval FROM base
 def corpus_drift(target_source: str = "src0") -> str:
     """Twin of drift.psi_drift over (length, quality) fixed buckets with
     the source split. Same integer-operand smoothed ratio, 9dp-quantized
-    ln per bucket, 15dp DECIMAL contributions, exact decimal sum."""
+    ln per bucket, 15dp DECIMAL contributions, exact decimal sum; psi is
+    cast DOUBLE at the final projection exactly like the Spark side."""
     return f"""
 WITH ts AS ({text_stats()}),
 feat AS (
@@ -1549,7 +1550,8 @@ contrib AS (
       15) AS DECIMAL(38,15)) AS v
   FROM counts c JOIN totals t ON t.feature = c.feature
 )
-SELECT feature, CAST(nb AS BIGINT) AS n_buckets, sum(v) AS psi
+SELECT feature, CAST(nb AS BIGINT) AS n_buckets,
+       CAST(sum(v) AS DOUBLE) AS psi
 FROM contrib GROUP BY feature, nb
 """
 
@@ -3053,8 +3055,9 @@ FROM ranked WHERE neg_rank <= {n_neg}
 
 def bm25_search(query: str = "spark join filter", k: int = 20) -> str:
     """Twin of search.bm25_search. Same two-stage 9dp rounding (idf per
-    term, then each contribution) and exact DECIMAL summation; score
-    stays DECIMAL so no engine-side double rounding exists."""
+    term, then each contribution) and exact DECIMAL summation; order and
+    top-k cut on the exact DECIMAL, emitted score cast DOUBLE exactly
+    like the Spark side (DETERMINISM.md rule 4)."""
     import re as _re
 
     terms = sorted({t for t in _re.findall(r"[\w]+", query.lower()) if t})
@@ -3095,8 +3098,8 @@ scored AS (
   FROM tf JOIN terms_idf USING (term)
   GROUP BY tf.doc_id
 )
-SELECT doc_id, n_hits, score FROM scored
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+SELECT doc_id, n_hits, CAST(score AS DOUBLE) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
 """
 
 
@@ -3171,7 +3174,8 @@ def tfidf_keywords(
     k: int = 3, min_df: int = 2, max_df_frac: float = 0.3
 ) -> str:
     """Twin of search.tfidf_keywords — smooth idf rounded 9dp per term,
-    score = round(idf9·tf/dl, 9) DECIMAL(28,9), ties on term asc."""
+    score = round(idf9·tf/dl, 9) DECIMAL(28,9), ties on term asc; the
+    window ranks on the exact DECIMAL, emitted score cast DOUBLE."""
     return f"""
 WITH base AS (
   SELECT doc_id, {_tokens("coalesce(text, '')")} AS toks FROM documents
@@ -3204,7 +3208,7 @@ ranked AS (
          ) AS kw_rank
   FROM scored
 )
-SELECT doc_id, term, tf, score, kw_rank
+SELECT doc_id, term, tf, CAST(score AS DOUBLE) AS score, kw_rank
 FROM ranked WHERE kw_rank <= {k}
 """
 

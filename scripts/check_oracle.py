@@ -30,7 +30,7 @@ TABLES = [
 ]
 
 
-def canon_cell(v):
+def canon_cell(v, side="spark"):
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -46,7 +46,17 @@ def canon_cell(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return canon_cell(float(v))
+        # Mirror the DRIVER's asymmetry (round-3 finding): the driver's
+        # pandas path converts DUCKDB decimals to float64 while Spark
+        # rows keep exact Decimal objects ("1.500000000" vs "1.5"), so a
+        # DECIMAL-emitting query hash-fails at the driver even when the
+        # values are bit-identical. Reproduce that here — exact string on
+        # the Spark side, float path on the oracle side — so any query
+        # that emits DECIMAL trips the mirror BEFORE it trips the driver.
+        # (Emit DOUBLE instead: DETERMINISM.md rule 4.)
+        if side == "spark":
+            return str(v)
+        return canon_cell(float(v), side)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     return str(v)
@@ -100,10 +110,10 @@ def duck_type_class(dt) -> str:
     return s.lower()
 
 
-def frame_digest(cols, rows):
+def frame_digest(cols, rows, side="spark"):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "|".join(canon_cell(r[i]) for i in order) for r in rows
+        "|".join(canon_cell(r[i], side) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for ln in lines:
@@ -185,8 +195,8 @@ def main():
                 if sc != oc:
                     problems.append(f"dtype[{c}] spark:{sc} vs duckdb:{oc}")
         if not problems:
-            sh = frame_digest(scols, [list(r) for r in srows])
-            oh = frame_digest(ocols, orows)
+            sh = frame_digest(scols, [list(r) for r in srows], "spark")
+            oh = frame_digest(ocols, orows, "oracle")
             if sh != oh:
                 problems.append(f"value-hash {sh} vs {oh}")
         if problems:
@@ -196,11 +206,12 @@ def main():
             if sorted(scols) == sorted(ocols):
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
                 sset = {
-                    "|".join(canon_cell(list(r)[i]) for i in order)
+                    "|".join(canon_cell(list(r)[i], "spark") for i in order)
                     for r in srows
                 }
                 oset = {
-                    "|".join(canon_cell(r[i]) for i in order) for r in orows
+                    "|".join(canon_cell(r[i], "oracle") for i in order)
+                    for r in orows
                 }
                 only_s = sorted(sset - oset)[:3]
                 only_o = sorted(oset - sset)[:3]
