@@ -2413,6 +2413,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_rerank": ora.pq_rerank_topk(
             query_vec_id=0, k=10, shortlist=50, m=8, kc=16, dim=64
         ),
-        # Rows-only (no SQL twin): memorization_seqmatch only (difflib
+        # difflib SequenceMatcher as a recursive-CTE SQL twin (r4): the
+        # formerly rows-only kernel is now hash-checked — every query in
+        # queries() is oracle-backed.
+        "memorization_seqmatch": ora.memorization_seqmatch(),
+        # (previous note, retired r4): memorization_seqmatch (difflib
         # SequenceMatcher kernel; its levenshtein scale twin IS checked).
     }

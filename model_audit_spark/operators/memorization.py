@@ -8,7 +8,11 @@ paraphrase and counts ~8-word phrases reproduced verbatim (F25). Here the
 test fixture supplies it — and the scoring operators are:
 
 - sequence_match_scores: difflib.SequenceMatcher.ratio() for exact reference
-  parity (F24). Arrow-batched pandas UDF: pure-Python kernel, no SQL twin.
+  parity (F24). Arrow-batched pandas UDF: pure-Python kernel. The SQL twin
+  (oracle.memorization_seqmatch) re-implements the difflib algorithm as a
+  recursive CTE — matching-blocks queue → BFS over clipped diagonal
+  match-runs, autojunk popular chars excluded from the DP but allowed in
+  the end-extension — so the kernel is hash-checkable, not rows-only.
 - levenshtein_similarity: 1 − lev(a,b)/max(|a|,|b|,1) — the Spark-native
   proxy (built-in, whole-stage codegen, SQL-oracle-checkable). Not
   bit-identical to SequenceMatcher; both are exposed.
@@ -26,20 +30,23 @@ from pyspark.sql.functions import pandas_udf
 from model_audit_spark.functions.text import words
 
 
-@pandas_udf("double")
-def _seq_match_ratio(a, b):
+@pandas_udf("m long, t long")
+def _seq_match_blocks(a, b):
+    """Per pair: M = total matched chars over difflib matching blocks,
+    T = len(a.strip()) + len(b.strip()). ratio() == 2M/T, but M and T are
+    exact integers the score can be derived from without any engine-side
+    float rounding (DETERMINISM.md failure mode 2)."""
     from difflib import SequenceMatcher
 
     import pandas as pd
 
-    return pd.Series(
-        [
-            SequenceMatcher(
-                None, (x or "").strip(), (y or "").strip()
-            ).ratio()
-            for x, y in zip(a, b)
-        ]
-    )
+    ms, ts = [], []
+    for x, y in zip(a, b):
+        sa, sb = (x or "").strip(), (y or "").strip()
+        sm = SequenceMatcher(None, sa, sb)
+        ms.append(sum(bl.size for bl in sm.get_matching_blocks()))
+        ts.append(len(sa) + len(sb))
+    return pd.DataFrame({"m": ms, "t": ts})
 
 
 def sequence_match_scores(
@@ -48,12 +55,33 @@ def sequence_match_scores(
     completion_col: str = "completion",
     id_col: str = "pair_id",
 ) -> DataFrame:
-    """F24: SequenceMatcher ratio of true suffix vs model completion."""
-    return pairs.select(
+    """F24: SequenceMatcher ratio of true suffix vs model completion
+    (reference mcp_server.py:376-384), emitted as
+    (id, n_matched, total_len, score).
+
+    score = ratio() = 2M/T quantized half-up at 4dp via exact integer
+    arithmetic: (40000·M + T) div (2·T) / 1e4 — identical in every
+    engine because the operands are integers (an engine round() on the
+    double ratio is not, DETERMINISM.md mode 2). Empty-vs-empty scores
+    1.0, matching difflib's T == 0 convention."""
+    mt = pairs.select(
         F.col(id_col),
-        F.round(
-            _seq_match_ratio(F.col(suffix_col), F.col(completion_col)), 4
-        ).alias("score"),
+        _seq_match_blocks(
+            F.col(suffix_col), F.col(completion_col)
+        ).alias("_mt"),
+    )
+    t = F.col("_mt.t")
+    return mt.select(
+        id_col,
+        F.col("_mt.m").alias("n_matched"),
+        t.alias("total_len"),
+        F.when(
+            t > 0,
+            (F.expr("(40000 * _mt.m + _mt.t) div (2 * _mt.t)"))
+            / F.lit(10000.0),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("score"),
     )
 
 

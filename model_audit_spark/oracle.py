@@ -1205,6 +1205,163 @@ SELECT count(*) AS n_samples, round(avg(score), 6) AS avg_score FROM scored
 """
 
 
+def _seqmatch_best_subquery(P: str, AL: str, AH: str, BL: str, BH: str) -> str:
+    """Scalar subquery: difflib find_longest_match for the region
+    [AL,AH]x[BL,BH] (1-based inclusive), already junk/popular-extended.
+
+    Candidates are the global maximal non-popular diagonal match-runs
+    (`cand`) clipped to the region — exactly the j2len DP's maxima —
+    with difflib's tie-break (core k desc, then core start i asc, j asc
+    = first cell reaching the max in the i-asc/j-asc scan). The emitted
+    (bi, bj, bk) is the clip of the CONTAINING full match-run (`cand`
+    carries it): difflib's end-extension walks through popular chars
+    because autojunk populates bpopular, never bjunk. The ck=0 corner
+    row is the fallback: with an empty DP (every match cell popular),
+    besti/bestj sit at (alo, blo) and the right-extension loop still
+    grows a match when a[alo] == b[blo]."""
+    return f"""
+  (SELECT {{'bi': ebi, 'bj': ebj, 'bk': ebk}}
+   FROM (
+     SELECT greatest(c.fi0, {AL}, {BL} + c.d) AS ebi,
+            greatest(c.fi0, {AL}, {BL} + c.d) - c.d AS ebj,
+            least(c.fiend, {AH}, {BH} + c.d)
+              - greatest(c.fi0, {AL}, {BL} + c.d) + 1 AS ebk,
+            least(c.ci0 + c.cl - 1, {AH}, {BH} + c.d)
+              - greatest(c.ci0, {AL}, {BL} + c.d) + 1 AS ck,
+            greatest(c.ci0, {AL}, {BL} + c.d) AS ci,
+            greatest(c.ci0, {AL}, {BL} + c.d) - c.d AS cj
+     FROM cand c
+     WHERE c.pair_id = {P}
+       AND least(c.ci0 + c.cl - 1, {AH}, {BH} + c.d)
+           >= greatest(c.ci0, {AL}, {BL} + c.d)
+     UNION ALL
+     SELECT {AL} AS ebi, {BL} AS ebj,
+            least(f.fiend, {AH}, {BH} + ({AL} - {BL})) - {AL} + 1 AS ebk,
+            0 AS ck, {AL} AS ci, {BL} AS cj
+     FROM runs_full f
+     WHERE f.pair_id = {P} AND f.d = {AL} - {BL}
+       AND {AL} BETWEEN f.fi0 AND f.fiend
+       AND {AL} <= {AH} AND {BL} <= {BH}
+   )
+   ORDER BY ck DESC, ci ASC, cj ASC
+   LIMIT 1)"""
+
+
+def seqmatch_scores_sql(pairs_cte: str) -> str:
+    """difflib.SequenceMatcher (isjunk=None, autojunk=True) as pure SQL
+    over a `memo_split(pair_id, suffix, completion)` relation supplied by
+    `pairs_cte` — the twin of operators/memorization.sequence_match_scores
+    (reference kernel mcp_server.py:376-384).
+
+    Shape: per pair, explode both stripped strings to (pos, char) cells,
+    join on char into match cells, mark chars popular per autojunk
+    (len(b) >= 200 and count > len(b)//100 + 1 — these leave b2j but not
+    bjunk), reduce cells to maximal diagonal runs (core = non-popular,
+    full = all), then run get_matching_blocks' region queue as a
+    recursive CTE: each region row carries its best extended match and
+    spawns the two difflib subregions. M = Σ bk; emitted score is
+    ratio() = 2M/T quantized half-up at 4dp in exact integer arithmetic
+    ((40000·M + T) // (2·T) / 1e4), identical to the Spark emit.
+    Validated cell-for-cell against difflib on 82 adversarial cases
+    (empties, all-popular autojunk strings, whitespace trims, random
+    150-400 char pairs) plus the live memo pairs."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH RECURSIVE {pairs_cte},
+ab AS (
+  SELECT pair_id, trim(suffix, {ws}) AS a, trim(completion, {ws}) AS b
+  FROM memo_split
+),
+lens AS (
+  SELECT pair_id, a, b, length(a) AS la, length(b) AS lb FROM ab
+),
+acell AS (
+  SELECT pair_id, i, substring(a, i, 1) AS ch
+  FROM (SELECT pair_id, a, unnest(range(1, la + 1)) AS i FROM lens)
+),
+bcell AS (
+  SELECT pair_id, j, substring(b, j, 1) AS ch
+  FROM (SELECT pair_id, b, unnest(range(1, lb + 1)) AS j FROM lens)
+),
+popular AS (
+  SELECT bc.pair_id, bc.ch
+  FROM bcell bc JOIN lens l USING (pair_id)
+  WHERE l.lb >= 200
+  GROUP BY bc.pair_id, bc.ch, l.lb
+  HAVING count(*) > l.lb // 100 + 1
+),
+m AS (
+  SELECT ac.pair_id, ac.i, bc.j, (p.ch IS NOT NULL) AS pop
+  FROM acell ac
+  JOIN bcell bc ON bc.pair_id = ac.pair_id AND bc.ch = ac.ch
+  LEFT JOIN popular p ON p.pair_id = ac.pair_id AND p.ch = ac.ch
+),
+runs_full AS (
+  SELECT pair_id, d, min(i) AS fi0, min(i) + count(*) - 1 AS fiend
+  FROM (SELECT pair_id, i, i - j AS d,
+               i - row_number() OVER (PARTITION BY pair_id, i - j ORDER BY i)
+                 AS grp
+        FROM m)
+  GROUP BY pair_id, d, grp
+),
+runs_core AS (
+  SELECT pair_id, d, min(i) AS ci0, count(*) AS cl
+  FROM (SELECT pair_id, i, i - j AS d,
+               i - row_number() OVER (PARTITION BY pair_id, i - j ORDER BY i)
+                 AS grp
+        FROM m WHERE NOT pop)
+  GROUP BY pair_id, d, grp
+),
+cand AS (
+  SELECT c.pair_id, c.d, c.ci0, c.cl, f.fi0, f.fiend
+  FROM runs_core c
+  JOIN runs_full f ON f.pair_id = c.pair_id AND f.d = c.d
+   AND c.ci0 BETWEEN f.fi0 AND f.fiend
+),
+reg AS (
+  SELECT l.pair_id, 1 AS al, l.la AS ah, 1 AS bl, l.lb AS bh,
+         {_seqmatch_best_subquery('l.pair_id', '1', 'l.la', '1', 'l.lb')}
+           AS best
+  FROM lens l
+  UNION ALL
+  SELECT r.pair_id, ch.cal AS al, ch.cah AS ah, ch.cbl AS bl, ch.cbh AS bh,
+         {_seqmatch_best_subquery(
+             'r.pair_id', 'ch.cal', 'ch.cah', 'ch.cbl', 'ch.cbh')}
+           AS best
+  FROM reg r, LATERAL (
+    SELECT r.al AS cal, r.best['bi'] - 1 AS cah,
+           r.bl AS cbl, r.best['bj'] - 1 AS cbh
+    WHERE r.al < r.best['bi'] AND r.bl < r.best['bj']
+    UNION ALL
+    SELECT r.best['bi'] + r.best['bk'], r.ah,
+           r.best['bj'] + r.best['bk'], r.bh
+    WHERE r.best['bi'] + r.best['bk'] <= r.ah
+      AND r.best['bj'] + r.best['bk'] <= r.bh
+  ) ch
+  WHERE r.best IS NOT NULL
+),
+msum AS (
+  SELECT pair_id, sum(best['bk']) AS mm
+  FROM reg WHERE best IS NOT NULL GROUP BY pair_id
+)
+SELECT l.pair_id,
+  CAST(coalesce(m.mm, 0) AS BIGINT) AS n_matched,
+  CAST(l.la + l.lb AS BIGINT) AS total_len,
+  CASE WHEN l.la + l.lb > 0
+       THEN ((40000 * coalesce(m.mm, 0) + (l.la + l.lb))
+             // (2 * (l.la + l.lb))) / 10000.0
+       ELSE 1.0 END AS score
+FROM lens l LEFT JOIN msum m ON m.pair_id = l.pair_id
+"""
+
+
+def memorization_seqmatch() -> str:
+    """Twin of __spark_entry__._memorization_seqmatch — the difflib
+    SequenceMatcher kernel over the memo pairs, previously the one
+    rows-only query."""
+    return seqmatch_scores_sql(_memo_pairs_ctes())
+
+
 def memorization_levenshtein() -> str:
     return f"""
 WITH {_memo_pairs_ctes()}

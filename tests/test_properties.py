@@ -439,3 +439,48 @@ def test_incremental_components_equal_full_for_any_graph(spark, edges, cut):
             for r in cluster_documents(
                 docs, old_df.unionByName(new_df)).collect()}
     assert inc == full
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="ab c\nd", max_size=260),
+            st.text(alphabet="ab c\nd", max_size=260),
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@_SETTINGS
+def test_seqmatch_sql_twin_equals_difflib(pairs):
+    """The recursive-CTE difflib twin (oracle.seqmatch_scores_sql) is
+    bit-identical to SequenceMatcher for ANY strings — including the
+    autojunk regime (len >= 200, popular chars leave the DP but stay
+    extendable) and the empty/corner-fallback edges."""
+    from difflib import SequenceMatcher
+
+    import duckdb
+
+    from model_audit_spark.oracle import seqmatch_scores_sql
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE _pairs (pair_id BIGINT, suffix VARCHAR, "
+        "completion VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO _pairs VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
+    sql = seqmatch_scores_sql(
+        "memo_split AS (SELECT pair_id, suffix, completion FROM _pairs)"
+    )
+    got = {r[0]: r[1:] for r in con.sql(sql).fetchall()}
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = a.strip(), b.strip()
+        m = sum(
+            bl.size
+            for bl in SequenceMatcher(None, sa, sb).get_matching_blocks()
+        )
+        t = len(sa) + len(sb)
+        score = ((40000 * m + t) // (2 * t)) / 10000.0 if t else 1.0
+        assert got[i] == (m, t, score), (i, a, b, got[i], (m, t, score))
