@@ -383,16 +383,18 @@ def pagerank(
     semantics otherwise standard: uniform init, dangling mass
     redistributed uniformly, teleport (100-damping)%.
 
-    Per round: one (src-keyed) join edges⋈pr, one dst-keyed aggregate,
-    one scalar dangling aggregate — the same shuffle budget as
-    connected_components, and the same lineage discipline: each round's
-    pr is localCheckpoint'ed so the analyzed plan stays one round deep
+    The dangling-node SET is static across rounds, so degrees are joined
+    ONCE into a checkpointed (node, outdeg) relation and `pr` carries
+    `outdeg` forward — each round is then one (src-keyed) join edges⋈pr,
+    one dst-keyed aggregate, and a scalar dangling aggregate read
+    straight off the previous round's checkpointed pr (no per-round
+    pr⋈out_deg join, no per-round persist/unpersist pair — the r2/r3
+    shape spent a third of its wall-clock there). Each round's pr is
+    localCheckpoint'ed so the analyzed plan stays one round deep
     (unrolled, Catalyst re-optimizes a growing tree every round and the
-    3-round plan was measured 10× slower than the checkpointed one).
-    The pr⋈out_deg join is cached for the round so the dangling
-    aggregate and the contribution join both read ONE evaluation of it,
-    and every persisted/checkpointed intermediate except the returned
-    relation is released before returning.
+    3-round plan was measured 10× slower than the checkpointed one);
+    every cached intermediate except the returned relation is released
+    before returning.
     """
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -400,26 +402,29 @@ def pagerank(
             F.col(id_col), F.lit(0).cast("long").alias("pr")
         )
     base = PAGERANK_SCALE * (100 - damping_pct) // 100 // n_nodes
-    out_deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
-        F.count("*").alias("outdeg")
-    ).persist()
-    pr = nodes.select(
-        F.col(id_col).alias("_n"),
-        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
-    ).localCheckpoint()
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
-    for _ in range(iterations):
-        with_deg = pr.join(
-            out_deg, pr["_n"] == out_deg["_u"], "left"
-        ).persist()
-        dang = with_deg.filter(F.col("outdeg").isNull()).agg(
+    out_deg = e.groupBy(F.col("_u").alias("_du")).agg(
+        F.count("*").alias("outdeg")
+    )
+    node_info = (
+        nodes.select(F.col(id_col).alias("_n"))
+        .join(out_deg, F.col("_n") == F.col("_du"), "left")
+        .select("_n", "outdeg")
+        .localCheckpoint()
+    )
+    pr = node_info.select(
+        "_n", "outdeg",
+        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
+    ).localCheckpoint(eager=False)
+    for it in range(iterations):
+        dang = pr.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("d")
         )
         contrib = (
             e.join(
-                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                pr.filter(F.col("outdeg").isNotNull()).select(
                     F.col("_n").alias("_u2"),
                     F.expr("pr DIV outdeg").alias("share"),
                 ),
@@ -429,11 +434,10 @@ def pagerank(
             .agg(F.sum("share").cast("long").alias("c"))
         )
         pr = (
-            pr.select("_n")
-            .join(contrib, "_n", "left")
+            node_info.join(contrib, "_n", "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "_n",
+                "_n", "outdeg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -442,9 +446,13 @@ def pagerank(
                     )
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint()  # eager: both with_deg readers ran here
+            # intermediate rounds checkpoint LAZILY: Catalyst still sees a
+            # one-round-deep plan per round (the LogicalRDD leaf is cut
+            # immediately), but the per-round eager jobs collapse into the
+            # final round's single eager materialization — which must stay
+            # eager so e can be unpersisted before returning (a lazy tail
+            # would re-evaluate an expensive caller edges relation 3×).
+            .localCheckpoint(eager=(it == iterations - 1))
         )
-        with_deg.unpersist()
-    out_deg.unpersist()
     e.unpersist()
     return pr.select(F.col("_n").alias(id_col), "pr")

@@ -89,6 +89,33 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(word_tokens(text_col), n)
 
 
+def _minhash_fold(hash_array: Column, num_hashes: int) -> Column:
+    """Fold a shingle-hash array into a struct of k running affine-
+    permutation mins — the ONE signature kernel shared by the batch and
+    stateless/streaming paths (their outputs are equality-pinned in
+    tests). NULL/empty arrays fold to the MINHASH_PRIME sentinel init."""
+    coeffs = minhash_coeffs(num_hashes)
+    init = F.struct(
+        *[
+            F.lit(MINHASH_PRIME).cast("long").alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return F.aggregate(
+        F.coalesce(hash_array, F.array().cast("array<long>")),
+        init,
+        lambda acc, hv: F.struct(
+            *[
+                F.least(
+                    acc[f"mh_{i}"],
+                    (F.lit(a) * hv + F.lit(b)) % F.lit(MINHASH_PRIME),
+                ).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -99,11 +126,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1} BIGINT): per-doc MinHash signature.
 
-    explode(shingles) → one md5 per shingle → 32-bit int → k affine
-    permutations minimized in ONE hash aggregate (map-side combine). Docs
-    with no shingles get the sentinel MINHASH_PRIME (> any hash value), so
-    they keep a row and identical empty docs still band-match (their pairs
-    are later killed by jaccard_verify's 0-jaccard filter).
+    ZERO-shuffle: the per-doc shingle array already exists (shingles_df
+    keeps one row per doc), so the signature is a pure projection —
+    one md5 per shingle → 32-bit int → k affine permutations folded
+    into a running-min struct within the row (`F.aggregate`, the same
+    fold the streaming stateless twin uses; min is order-independent so
+    the result is bit-identical to a hash aggregate). The r1-r3 shape
+    (explode → k-column min groupBy → restore join) shuffled the whole
+    (id, hash) relation and rescanned df for empty docs; docs with no
+    shingles now fold straight to the MINHASH_PRIME sentinel init (> any
+    hash value), so they keep a row and identical empty docs still
+    band-match (their pairs are later killed by jaccard_verify's
+    0-jaccard filter).
 
     `shingles` (a shingles_df relation, ideally persisted) lets the
     sign→band→verify chain tokenize the corpus ONCE: pass the same
@@ -116,25 +150,17 @@ def minhash_signatures(
         if shingles is not None
         else shingles_df(df, text_col, id_col, shingle_n)
     )
-    long = rel.select(id_col, F.explode("sh").alias("s"))
-    h32 = long.select(
-        id_col,
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
+    h = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    mins = h32.groupBy(id_col).agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-        ]
+    with_sig = rel.select(
+        F.col(id_col), _minhash_fold(h, num_hashes).alias("_sig")
     )
-    return df.select(F.col(id_col)).join(mins, id_col, "left").select(
-        id_col,
+    return with_sig.select(
+        F.col(id_col),
         *[
-            F.coalesce(F.col(f"mh_{i}"), F.lit(MINHASH_PRIME))
-            .cast("long")
-            .alias(f"mh_{i}")
+            F.col("_sig").getField(f"mh_{i}").alias(f"mh_{i}")
             for i in range(num_hashes)
         ],
     )
@@ -166,33 +192,15 @@ def minhash_signatures_stateless(
 
     `keep_cols` pass through untouched (e.g. the event-time column a
     streaming caller needs for its watermark)."""
-    coeffs = minhash_coeffs(num_hashes)
     sh = word_shingles(F.col(text_col), shingle_n)
     h = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    init = F.struct(
-        *[
-            F.lit(MINHASH_PRIME).cast("long").alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sig = F.aggregate(
-        F.coalesce(h, F.array().cast("array<long>")),
-        init,
-        lambda acc, hv: F.struct(
-            *[
-                F.least(
-                    acc[f"mh_{i}"],
-                    (F.lit(a) * hv + F.lit(b)) % F.lit(MINHASH_PRIME),
-                ).alias(f"mh_{i}")
-                for i, (a, b) in enumerate(coeffs)
-            ]
-        ),
-    )
     with_sig = df.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols], sig.alias("_sig")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        _minhash_fold(h, num_hashes).alias("_sig"),
     )
     return with_sig.select(
         F.col(id_col),
