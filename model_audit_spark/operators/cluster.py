@@ -264,13 +264,22 @@ def triangle_counts(
     the cyclic join, and without pinning it the upstream plan (LSH bands,
     cosine verify) would execute three times.
 
-    Join shape: wedges e(a,b)⋈e(b,c) on the middle node, closed by
-    e(a,c) — each triangle counted exactly once because a < b < c is
-    enforced by the edge orientation. Shuffles are keyed equi-joins; the
-    skew hedge at 100 TB is degree-ordered orientation (point each edge
-    from its lower-degree endpoint, bounding wedge fan-out to O(m^1.5)
-    total) — id-orientation is kept here because the SQL oracle mirrors
-    it literally."""
+    Join shape (compact-forward with DEGREE-ORDERED orientation): each
+    undirected edge points from its lower-(degree, id) endpoint, wedges
+    pair the out-edges of each node — o(u,v)⋈o(u,w) with rank(v) <
+    rank(w) — and close with the oriented edge o(v,w). Every triangle
+    {x,y,z} with rank x<y<z is generated exactly once as the wedge at x.
+    Under this orientation out-degrees are O(√m) amortized, so total
+    wedge fan-out is bounded by O(m^1.5) REGARDLESS of hub skew — a
+    boilerplate hub with 10⁶ near-dup neighbors contributes its edges to
+    other nodes' small out-lists instead of 10¹² id-oriented wedges (the
+    r1-r3 shape). Ranks compare as (deg, id) structs, mirrored in the
+    SQL twin as row-value comparisons over a degree CTE.
+
+    Cache lifecycle: the persisted undirected/oriented relations live
+    until the session drops them (same convention as _dup_verified) —
+    run spark.catalog.clearCache() between queries when evaluating many
+    graph queries in one session."""
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -280,14 +289,55 @@ def triangle_counts(
         .distinct()
         .persist()
     )
-    wedges = und.join(
-        und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    o = _oriented_edges(und).persist()
+    return _oriented_triangle_corners(o)
+
+
+def _oriented_edges(und: DataFrame) -> DataFrame:
+    """(u, v, dv): each distinct undirected (a < b) edge pointed from its
+    lower-(degree, id) endpoint; dv carries the head's degree so the
+    wedge join can compare ranks without re-joining degrees."""
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    withdeg = und.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    return withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def _oriented_triangle_corners(o: DataFrame) -> DataFrame:
+    """(node, n_triangles) from a persisted oriented-edge relation: the
+    out-wedge at the lowest-rank corner, closed by the oriented third
+    edge, corners exploded into the count."""
+    x, y = o.alias("x"), o.alias("y")
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            F.struct(F.col("x.dv"), F.col("x.v"))
+            < F.struct(F.col("y.dv"), F.col("y.v"))
+        )
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.v").alias("v"),
+            F.col("y.v").alias("w"),
+        )
     )
     tri = wedges.join(
-        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+        o.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
     )
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
@@ -306,9 +356,15 @@ def graph_stats(
     single number that says whether a dedup threshold produced real
     groups or transitive mush. All inputs to the final division are
     exact integers (wedges = Σ deg·(deg−1)/2, triangles from the
-    oriented cyclic join), so the rounded ratio is bit-stable across
-    engines. Same persisted undirected relation feeds degrees, wedges,
-    and all three triangle legs."""
+    degree-ordered compact-forward join — the same O(m^1.5)-bounded
+    orientation as triangle_counts), so the rounded ratio is bit-stable
+    across engines. Same persisted undirected relation feeds degrees and
+    the oriented edges.
+
+    Cache lifecycle: the persisted undirected/oriented relations live
+    until the session drops them (same convention as _dup_verified) —
+    run spark.catalog.clearCache() between queries when evaluating many
+    graph queries in one session."""
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -331,12 +387,23 @@ def graph_stats(
         .alias("n_wedges"),
         F.sum("deg").alias("_degsum"),
     )
-    wedges = und.join(
-        und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    o = _oriented_edges(und).persist()
+    x, y = o.alias("x"), o.alias("y")
+    tri = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            F.struct(F.col("x.dv"), F.col("x.v"))
+            < F.struct(F.col("y.dv"), F.col("y.v"))
+        )
+        .select(
+            F.col("x.v").alias("v"), F.col("y.v").alias("w")
+        )
+        .join(
+            o.select(F.col("u").alias("v"), F.col("v").alias("w")),
+            ["v", "w"],
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
     )
-    tri = wedges.join(
-        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
-    ).agg(F.count("*").cast("long").alias("n_triangles"))
     ecount = und.agg(F.count("*").cast("long").alias("n_edges"))
     return (
         dstats.crossJoin(F.broadcast(tri))

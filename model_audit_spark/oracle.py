@@ -3277,7 +3277,12 @@ def knn_triangles(
 ) -> str:
     """Twin of cluster.triangle_counts over the kNN graph: normalize to
     distinct undirected a<b edges, wedge join on the middle node, close
-    with the third edge, explode the corners."""
+    with the third edge, explode the corners.
+
+    Deliberately the naive id-oriented enumeration: per-node triangle
+    participation is orientation-invariant, so hash equality certifies
+    the Spark side's degree-ordered compact-forward join (the O(m^1.5)
+    skew-safe plan) finds exactly the same triangles."""
     inner = knn_graph(k=k, n_bands=n_bands, planes_per_band=planes_per_band,
                       dim=dim)
     return f"""
@@ -3899,7 +3904,14 @@ ORDER BY c_mktsegment
 
 
 def dup_graph_stats(min_jaccard: float = 0.5) -> str:
-    """Twin of cluster.graph_stats over the verified minhash pairs."""
+    """Twin of cluster.graph_stats over the verified minhash pairs.
+
+    The triangle CTE deliberately keeps the naive id-oriented (a<b<c)
+    enumeration: triangle counts are orientation-invariant, so hash
+    equality certifies the Spark side's degree-ordered compact-forward
+    join (the O(m^1.5) skew-safe plan) produces exactly the same
+    triangles as the straightforward enumeration — the same
+    stronger-oracle pattern as dedup_jaccard_prefix."""
     return f"""
 WITH p AS (
   SELECT id_a, id_b FROM ({dedup_minhash_pairs(min_jaccard)})

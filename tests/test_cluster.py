@@ -212,3 +212,40 @@ def test_graph_stats_triangle_plus_tail(spark):
     assert r["n_wedges"] == 5 and r["n_triangles"] == 1
     assert r["clustering_coeff"] == 0.6  # 3*1/5
     assert r["mean_degree"] == 2.0
+
+
+def test_degree_orientation_kills_hub_wedges(spark):
+    """A boilerplate hub (star) generates ZERO out-wedges under the
+    degree-ordered orientation — id-orientation would pay C(n, 2) at the
+    hub. Also pins total wedge fan-out on star+triangle and that the
+    triangle counts still come out right with a high-degree hub in play."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.cluster import (
+        _oriented_edges,
+        triangle_counts,
+    )
+
+    # hub 0 with leaves 1..20, plus triangle (1, 2, 21); the 1-2 edge
+    # also closes a second triangle (0, 1, 2) through the hub
+    star = [(0, i) for i in range(1, 21)]
+    tri = [(1, 2), (1, 21), (2, 21)]
+    edges = spark.createDataFrame(star + tri, "src LONG, dst LONG")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    o = _oriented_edges(und)
+    outdeg = {r["u"]: r["n"] for r in
+              o.groupBy("u").agg(F.count("*").alias("n")).collect()}
+    # hub 0 has degree 20 — every star edge points INTO it, and its
+    # out-degree stays 0; wedge fan-out Σ C(outdeg, 2) stays tiny
+    assert outdeg.get(0, 0) == 0
+    n_wedges = sum(d * (d - 1) // 2 for d in outdeg.values())
+    assert n_wedges <= 3  # vs C(20, 2) = 190 at an id-oriented hub
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 21: 1}
