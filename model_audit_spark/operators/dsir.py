@@ -19,8 +19,10 @@ Scale shape (one scan, one tokenize, fixed-width shuffles):
    the ONLY corpus-sized shuffle, carrying (id, bool, int, count).
    That relation is persisted (fixed-width, far smaller than text).
 2. global bucket counts by target flag re-aggregate it (conditional
-   sums — one pass, no second scan), totals collect as 2 driver
-   scalars.
+   sums — one pass, no second scan); the two corpus totals ride along
+   as a single-partition window over that ≤ n_buckets-row relation —
+   one lazy DAG end to end, no mid-pipeline driver round-trip (the
+   same in-DAG pattern as principal_direction's adaptive scale).
 3. the ≤ n_buckets-row log-ratio table broadcasts back and the per-doc
    weight is one more keyed aggregate.
 
@@ -83,21 +85,28 @@ def dsir_weights(
         .agg(F.count("*").alias("n"))
         .persist()
     )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
     glob = per_doc.groupBy("b").agg(
         F.sum(F.when(F.col("_t"), F.col("n")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("_t"), F.col("n")).otherwise(0)).alias("cr"),
+    ).select(
+        "b", "ct", "cr",
+        # corpus totals in-DAG: single-partition window over the
+        # <= n_buckets-row bucket relation — free at any corpus scale
+        F.sum("ct").over(wall).alias("_tt"),
+        F.sum("cr").over(wall).alias("_tr"),
     )
-    tot = glob.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    ).first()
-    tt, tr = int(tot.tt or 0), int(tot.tr or 0)
     # one ln per distinct bucket, quantized to nanonats; operands widen
     # to double BEFORE multiplying (BIGINT products overflow at scale,
     # and identical int->double conversions keep engines bit-equal)
     r9 = F.round(
         F.log(
-            ((F.col("ct") + 1).cast("double") * F.lit(float(tr + n_buckets)))
-            / ((F.col("cr") + 1).cast("double") * F.lit(float(tt + n_buckets)))
+            ((F.col("ct") + 1).cast("double")
+             * (F.col("_tr") + n_buckets).cast("double"))
+            / ((F.col("cr") + 1).cast("double")
+               * (F.col("_tt") + n_buckets).cast("double"))
         )
         * NANO
     ).cast("long")
