@@ -1647,7 +1647,16 @@ def _streaming_source_verdict(spark, sf):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(300)
+        # availableNow must drain cleanly: a timeout or failed query
+        # would leave a partial memory-sink table and silently produce
+        # wrong results downstream — error out instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming query did not terminate within 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     w = Window.partitionBy("source").orderBy(F.desc("n_texts"))
@@ -1822,7 +1831,16 @@ def _streaming_drift(spark, sf):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(300)
+        # availableNow must drain cleanly: a timeout or failed query
+        # would leave a partial memory-sink table and silently produce
+        # wrong results downstream — error out instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming query did not terminate within 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return psi_from_counts(baseline, spark.table(name))

