@@ -1956,6 +1956,277 @@ def _q22_global_threshold(spark, sf):
     )
 
 
+def _q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape — pure scan-aggregate: every predicate (date
+    range, discount band, quantity cap) pushes into the parquet scan
+    (PushedFilters), no join, no shuffle beyond the 1-row agg."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount"))
+                .cast("decimal(18,4)")
+            ).alias("_s4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        # integer HALF_UP emit (see _q10_returned_items): exact 4dp
+        # decimal sum -> integral long -> (x+50) DIV 100 -> /100.0
+        .select(
+            (
+                F.expr("(CAST(_s4 * 10000 AS BIGINT) + 50) DIV 100")
+                / F.lit(100.0)
+            ).alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+def _q10_returned_items(spark, sf):
+    """TPC-H Q10 shape — returned-item reporting: 3-table join with the
+    quarter filter on orders and the returnflag filter on lineitem both
+    pushed to their scans, nation broadcast, top-20 by revenue."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("_s4")
+        )
+        # HALF_UP to 2dp entirely in integers (decimal rescale is NOT
+        # portable: Spark rounds, DuckDB truncates — and an engine
+        # round() on the double hits exact .x5 ties): scale the exact
+        # 4dp sum to an integral long, (x+50) DIV 100, emit /100.0
+        .select(
+            "c_custkey", "c_name", "n_name", "c_acctbal",
+            (
+                F.expr(
+                    "(CAST(_s4 * 10000 AS BIGINT) + 50) DIV 100"
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q12_ship_delay(spark, sf):
+    """TPC-H Q12 shape (adapted: the testdata schema has no l_shipmode /
+    commitdate, so the grouping dimension is the DERIVED ship-delay
+    bucket) — join + conditional aggregation: per 30-day order-to-ship
+    delay bucket, how many high- vs low-priority lineitems shipped in
+    1996."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.datediff("l_shipdate", "o_orderdate") / 30),
+            F.lit(0),
+        ),
+        F.lit(5),
+    ).cast("int")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def _q13_order_distribution(spark, sf):
+    """TPC-H Q13 shape — the double aggregate over a LEFT OUTER join:
+    orders per customer (zero included, priority filter standing in for
+    the comment NOT LIKE), then the customer-count distribution."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape — join + conditional-fraction aggregate: the
+    PROMO share of September-1996 revenue (part side broadcast; the
+    month filter pushes to the lineitem scan)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            # exact decimal sums; the final division runs on identical
+            # doubles in both engines
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape — aggregate view + global-max scalar: quarterly
+    revenue per supplier, then exactly the suppliers achieving the
+    maximum (the rounded revenue is compared, so the equality is over
+    identical 2dp values in both engines)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("_s4")
+        )
+        # integer HALF_UP emit (see _q10_returned_items) — this value
+        # also feeds the max-equality, so it must be tie-proof
+        .select(
+            "l_suppkey",
+            (
+                F.expr("(CAST(_s4 * 10000 AS BIGINT) + 50) DIV 100")
+                / F.lit(100.0)
+            ).alias("total_revenue"),
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q18_large_volume(spark, sf):
+    """TPC-H Q18 shape — HAVING-filtered aggregate driving a semi
+    lookup: orders whose total quantity exceeds 300, with customer and
+    order details, top 100 by (totalprice desc, orderkey)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def _q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in the
+    testdata, so "late" = shipped strictly after every other supplier
+    on the order) — the EXISTS / NOT-EXISTS double correlation as a
+    semi join plus an anti join with a non-equi conjunct: suppliers who
+    were the last to ship on finished multi-supplier orders."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).drop(
+        "o_orderkey"
+    ).persist()
+    l2 = l1.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("_ok3"),
+        F.col("l_suppkey").alias("_sk3"),
+        F.col("l_shipdate").alias("_sd3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3"))
+            & (F.col("_sd3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def _dedup_clusters_incremental(spark, sf):
     """Incremental cluster maintenance: docs with doc_id%10==0 arrive as
     a new batch; their pairs fold into the old assignment via star edges
@@ -2163,6 +2434,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_revenue": _q_salted_revenue,
         "snapshot_diff": _snapshot_diff,
         "q8_market_share": _q8_market_share,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q12_ship_delay": _q12_ship_delay,
+        "q13_order_distribution": _q13_order_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q18_large_volume": _q18_large_volume,
+        "q21_waiting_supplier": _q21_waiting_supplier,
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
         "events_pivot": _events_pivot,
@@ -2416,6 +2695,14 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_revenue": ora.q_salted_revenue(),
         "snapshot_diff": ora.snapshot_diff(),
         "q8_market_share": ora.q8_market_share(),
+        "q6_forecast_revenue": ora.q6_forecast_revenue(),
+        "q10_returned_items": ora.q10_returned_items(),
+        "q12_ship_delay": ora.q12_ship_delay(),
+        "q13_order_distribution": ora.q13_order_distribution(),
+        "q14_promo_revenue": ora.q14_promo_revenue(),
+        "q15_top_supplier": ora.q15_top_supplier(),
+        "q18_large_volume": ora.q18_large_volume(),
+        "q21_waiting_supplier": ora.q21_waiting_supplier(),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

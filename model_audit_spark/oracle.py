@@ -4008,3 +4008,164 @@ FROM {last}, nrm
 ORDER BY dim
 """
     )
+
+
+def q6_forecast_revenue() -> str:
+    """Twin of the Q6 pure scan-aggregate shape."""
+    return """
+SELECT ((CAST(sum(CAST(l_extendedprice * l_discount
+                      AS DECIMAL(18,4))) * 10000 AS BIGINT) + 50) // 100)
+         / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items() -> str:
+    """Twin of the Q10 returned-item join shape."""
+    return """
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       ((CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,4))) * 10000 AS BIGINT) + 50) // 100)
+         / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_ship_delay() -> str:
+    """Twin of the Q12 conditional-aggregation shape over the derived
+    30-day ship-delay bucket."""
+    return """
+SELECT CAST(least(greatest(
+         date_diff('day', o.o_orderdate, l.l_shipdate) // 30, 0), 5)
+       AS INTEGER) AS delay_bucket,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY delay_bucket
+"""
+
+
+def q13_order_distribution() -> str:
+    """Twin of the Q13 double-aggregate-over-outer-join shape."""
+    return """
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue() -> str:
+    """Twin of the Q14 conditional-fraction shape."""
+    return """
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q15_top_supplier() -> str:
+    """Twin of the Q15 view + global-max shape (equality over identical
+    2dp-rounded revenues)."""
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         ((CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT) + 50) // 100)
+           / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q18_large_volume() -> str:
+    """Twin of the Q18 HAVING-aggregate shape."""
+    return """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q21_waiting_supplier() -> str:
+    """Twin of the Q21 EXISTS / NOT-EXISTS double correlation (adapted:
+    late = shipped strictly after every other supplier on the order)."""
+    return """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM l1 l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l1 l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
