@@ -2227,6 +2227,18 @@ def _q21_waiting_supplier(spark, sf):
     )
 
 
+def _dedup_containment(spark, sf):
+    """Asymmetric near-dup: pairs where the smaller document's shingle
+    set is >= 60% inside the larger one — the embedded-document case
+    Jaccard LSH misses (dedup.containment_prefix_pairs). One-sided
+    rare-first prefix candidates; the oracle is the FULL all-pairs SQL,
+    so the hash match certifies lossless pruning."""
+    from model_audit_spark.operators.dedup import containment_prefix_pairs
+
+    docs = _t(spark, sf, "documents")
+    return containment_prefix_pairs(docs, min_containment=0.6)
+
+
 def _dedup_clusters_incremental(spark, sf):
     """Incremental cluster maintenance: docs with doc_id%10==0 arrive as
     a new batch; their pairs fold into the old assignment via star edges
@@ -2442,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q15_top_supplier,
         "q18_large_volume": _q18_large_volume,
         "q21_waiting_supplier": _q21_waiting_supplier,
+        "dedup_containment": _dedup_containment,
         "tfidf_keywords": _tfidf_keywords,
         "dedup_incremental": _dedup_incremental,
         "events_pivot": _events_pivot,
@@ -2703,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": ora.q15_top_supplier(),
         "q18_large_volume": ora.q18_large_volume(),
         "q21_waiting_supplier": ora.q21_waiting_supplier(),
+        "dedup_containment": ora.dedup_containment(min_containment=0.6),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -659,6 +659,106 @@ def ngram_jaccard_prefix_pairs(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, containment): every pair with
+    |A∩B| / min(|A|, |B|) ≥ min_containment (id_a < id_b) — the
+    ASYMMETRIC near-dup: one document embedded in a larger one
+    (boilerplate-wrapped mirrors, quote-inflated pages, doc+appendix
+    re-crawls). Jaccard-targeted LSH structurally MISSES these — a
+    small doc inside a big one has containment 1.0 but Jaccard
+    |S|/|L| ≈ 0, so it never band-collides.
+
+    Candidates by ONE-SIDED prefix filtering: under a global rare-first
+    shingle order, containment ≥ t with S the smaller side forces S's
+    first |S| − ⌈t·|S|⌉ + 1 shingles to hit L's FULL set (if the whole
+    prefix missed, the remaining |S| − prefix_len < t·|S| shingles
+    could not cover the required intersection). So every doc's PREFIX
+    posting joins the FULL inverted index, keeping only
+    (smaller, larger) role pairs via (n_sh, id) struct order. The full
+    posting list of a rare prefix shingle is short by construction —
+    PPJoin's skew hedge carries over; the boilerplate shingles with
+    quadratic posting lists almost never enter a rare-first prefix.
+    Exact candidate-bounded verify; the oracle twin is the full
+    all-pairs SQL, so a hash match certifies the pruning lost nothing.
+    """
+    if not (0 < min_containment <= 1):
+        raise ValueError("min_containment must be in (0, 1]")
+    shing = shingles_df(df, text_col, id_col, shingle_n).persist()
+    expl_n = shing.select(
+        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s")
+    )
+    freq = expl_n.groupBy("s").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.col("_n") * min_containment - 1e-9)
+        + 1
+    )
+    pre = (
+        expl_n.join(freq, "s")
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(
+            F.col(id_col).alias("_id_s"),
+            F.col("_n").alias("_n_s"),
+            "s",
+        )
+    )
+    fullp = expl_n.select(
+        F.col(id_col).alias("_id_l"), F.col("_n").alias("_n_l"), "s"
+    )
+    cand = (
+        pre.join(fullp, "s")
+        .filter(
+            F.struct(F.col("_n_s"), F.col("_id_s"))
+            < F.struct(F.col("_n_l"), F.col("_id_l"))
+        )
+        .select(
+            F.least("_id_s", "_id_l").alias("id_a"),
+            F.greatest("_id_s", "_id_l").alias("id_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
+    ).distinct()
+    expl = shing.select(F.col(id_col).alias("_id"), F.explode("sh").alias("s"))
+    cexpl = expl.join(cand_ids, "_id", "left_semi")
+    sizes = shing.select(F.col(id_col).alias("_id"), F.size("sh").alias("n_sh"))
+    inter = (
+        cand.join(cexpl.withColumnRenamed("_id", "id_a"), "id_a")
+        .join(cexpl.withColumnRenamed("_id", "id_b"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont = F.round(
+        F.col("n_inter")
+        / F.greatest(F.least(F.col("n_a"), F.col("n_b")), F.lit(1)),
+        6,
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

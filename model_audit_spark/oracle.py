@@ -4169,3 +4169,30 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name ASC
 LIMIT 20
 """
+
+
+def dedup_containment(min_containment: float = 0.8) -> str:
+    """Exact all-pairs shingle containment |A∩B|/min(|A|,|B|) — the
+    twin of dedup.containment_prefix_pairs. Deliberately the FULL
+    inverted-index SQL with no prefix pruning: hash equality certifies
+    the one-sided rare-first prefix filter drops no qualifying pair."""
+    cont = "i.n_inter / greatest(least(sa.n_sh, sb.n_sh), 1)"
+    return f"""
+WITH {_shingle_ctes()},
+expl AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+),
+sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM shing
+),
+inter AS (
+  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS n_inter
+  FROM expl ea JOIN expl eb ON eb.s = ea.s AND ea.doc_id < eb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, round({cont}, 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round({cont}, 6) >= {min_containment!r}
+"""

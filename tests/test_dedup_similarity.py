@@ -545,3 +545,60 @@ def test_pq_rerank_improves_toward_exact(spark):
     full = {r.vec_id for r in
             pq_rerank_topk(emb, 0, books, k=10, shortlist=n).collect()}
     assert full == exact
+
+
+def test_containment_catches_embedded_doc_that_jaccard_misses(spark):
+    """A small doc fully embedded in a much larger one: containment 1.0,
+    Jaccard far below threshold — the asymmetric case. Brute-force check
+    of every emitted value, plus the miss-proof vs the jaccard path."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.dedup import (
+        containment_prefix_pairs,
+        ngram_jaccard_prefix_pairs,
+        shingles_df,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + (
+        " one two three four five six seven eight nine ten eleven twelve"
+        " thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, small),
+            (2, big),
+            (3, "totally different text about spark plans and shuffles"),
+            (4, small),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_prefix_pairs(
+            docs, min_containment=0.8
+        ).collect()
+    }
+    # brute force over the same distinct shingle sets
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingles_df(docs).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        denom = max(min(len(sets[a]), len(sets[b])), 1)
+        c = round(inter / denom, 6)
+        if c >= 0.8:
+            expect[(a, b)] = c
+    assert got == expect
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_prefix_pairs(
+            docs, min_jaccard=0.8
+        ).collect()
+    }
+    assert (1, 2) not in jac  # Jaccard-targeted path misses the embed
