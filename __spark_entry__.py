@@ -2401,51 +2401,38 @@ def _q_salted_revenue(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
-    entries only. Entries 1-50 are prioritized for queries that have never
-    had a driver correctness row: the round-3 additions that landed after
-    the last rotation (ann_lsh_multiprobe, dsir_select,
-    top_boilerplate_spans, q_events_retention, q4_order_priority,
-    q_events_cube, length_bucketed_batches, dedup_jaccard_prefix,
-    corpus_drift, ann_pq_topk, ann_pq_rerank, embedding_dim_stats,
-    label_separation, mixture_weights, q7_volume_shipping,
-    q_salted_revenue, snapshot_diff, q8_market_share) rotate IN,
-    displacing round-2-green queries whose operator code is untouched
-    since their CORRECTNESS_r02.json rows (verified against the r2→r3
-    diff: detect.py, fingerprint.py, dli.py, audit.py, reef.py,
-    decontam.py and the exact_dedup / pack_chunks / cosine_topk bodies
-    had no round-3 edits) — their r2 rows remain the evidence, exactly
-    as round-1-green parked queries keep their r01 rows. Entries 51+
-    stay oracle-backed and are checked by the local mirror
-    (scripts/check_oracle.py) every session; their SURVEY §2 IDs are
-    covered by in-window queries (TPC-H agg/join shapes by
-    q4/q7/q17/cube/retention, top-k by the ANN family + knn_graph,
-    signatures by the *_pairs queries that build them, per-row feature
-    extraction by lang_id_ext/quality_calibrated, anti/semi joins by
-    r1-green q_urgent_customers/q_customers_no_orders)."""
+    entries only. Round-4 rotation, in priority order: (1) the three
+    round-3 hash-red DECIMAL emitters, now emitting DOUBLE, plus
+    streaming_drift (same root cause, pre-emptively fixed) and
+    memorization_seqmatch (newly oracle-backed difflib SQL twin — no
+    rows-only queries remain); (2) the nine round-3 queries that landed
+    past the window and have never had a driver row; (3) this round's
+    new queries (TPC-H Q6/Q10/Q12/Q13/Q14/Q15/Q18/Q21 shapes and the
+    containment join); (4) queries whose operator code CHANGED this
+    round — the zero-shuffle minhash fold feeds every dup-chain query,
+    pagerank's round restructure, the degree-ordered triangle join, the
+    map-side covariance, the DSIR in-DAG totals, the row-unique default
+    salt, and the strict streaming drain — so their old green rows no
+    longer certify the current code; (5) remaining slots refresh the
+    r1-green queries with the OLDEST driver evidence. Entries 51+ keep
+    their newest green rows (r2/r3 code untouched where parked) and are
+    re-checked by the local mirror (scripts/check_oracle.py) every
+    session — the full surface was mirror-green at this rotation."""
     return {
-        # -- 1-50: oracle-backed, in the driver's check window -------------
-        "phrase_search": _phrase_search,
-        "knn_triangles": _knn_triangles,
-        "dsir_weights": _dsir_weights,
-        "cluster_retention": _cluster_retention,
-        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
-        "dsir_select": _dsir_select,
-        "top_boilerplate_spans": _top_boilerplate_spans,
-        "q_events_retention": _q_events_retention,
-        "q4_order_priority": _q4_order_priority,
-        "q_events_cube": _q_events_cube,
-        "length_bucketed_batches": _length_bucketed_batches,
-        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        # -- 1-50: the driver's check window -----------------------------
+        "bm25_search": _bm25_search,
+        "tfidf_keywords": _tfidf_keywords,
         "corpus_drift": _corpus_drift,
-        "ann_pq_topk": _ann_pq_topk,
-        "ann_pq_rerank": _ann_pq_rerank,
-        "embedding_dim_stats": _embedding_dim_stats,
-        "label_separation": _label_separation,
-        "mixture_weights": _mixture_weights,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q_salted_revenue": _q_salted_revenue,
-        "snapshot_diff": _snapshot_diff,
-        "q8_market_share": _q8_market_share,
+        "streaming_drift": _streaming_drift,
+        "memorization_seqmatch": _memorization_seqmatch,
+        "dedup_clusters_incremental": _dedup_clusters_incremental,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
+        "dup_graph_stats": _dup_graph_stats,
+        "embedding_principal": _embedding_principal,
+        "leakage_safe_splits": _leakage_safe_splits,
+        "q19_disjunctive": _q19_disjunctive,
+        "q22_global_threshold": _q22_global_threshold,
+        "source_data_card": _source_data_card,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
         "q12_ship_delay": _q12_ship_delay,
@@ -2455,40 +2442,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": _q18_large_volume,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_containment": _dedup_containment,
-        "tfidf_keywords": _tfidf_keywords,
-        "dedup_incremental": _dedup_incremental,
-        "events_pivot": _events_pivot,
-        "zorder_events": _zorder_events,
-        "budget_select": _budget_select,
-        "dedup_minhash_pairs": _dedup_minhash_pairs,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_clusters": _dedup_clusters,
-        "semantic_dedup": _semantic_dedup,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,
-        "knn_graph": _knn_graph,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "q17_small_quantity": _q17_small_quantity,
-        "conversation_transcripts": _conversation_transcripts,
-        "streaming_source_verdict": _streaming_source_verdict,
-        "curate_corpus": _curate_corpus,
-        "q_events_rolling": _q_events_rolling,
-        "lang_id_ext": _lang_id_ext,
-        "doc_chunks": _doc_chunks,
-        "contrastive_triplets": _contrastive_triplets,
-        "bm25_search": _bm25_search,
-        "embedding_contamination": _embedding_contamination,
-        "quality_calibrated": _quality_calibrated,
-        "span_dedup": _span_dedup,
-        "source_overlap": _source_overlap,
-        "q_events_funnel": _q_events_funnel,
         "pagerank_dupgraph": _pagerank_dupgraph,
-        "memorization_seqmatch": _memorization_seqmatch,
-        # -- 51+: oracle-backed, outside the driver window; r1-driver-green
-        # (CORRECTNESS_r01.json) and IDs redundant with in-window queries
-        # (all still checked by the local mirror)
+        "knn_triangles": _knn_triangles,
+        "dedup_minhash_signatures": _dedup_minhash_signatures,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_incremental": _dedup_incremental,
+        "cluster_retention": _cluster_retention,
+        "source_overlap": _source_overlap,
+        "curate_corpus": _curate_corpus,
+        "dsir_weights": _dsir_weights,
+        "dsir_select": _dsir_select,
+        "q_salted_revenue": _q_salted_revenue,
+        "streaming_source_verdict": _streaming_source_verdict,
+        "semantic_dedup": _semantic_dedup,
         "q1_pricing_summary": _q1,
-        "style_count_distribution": _style_count_distribution,
-        "ann_lsh_topk": _ann_lsh_topk,
+        "q3_top_unshipped": _q3,
+        "q5_regional_revenue": _q5,
         "q_urgent_customers": _q_urgent_customers,
         "q_window_orders": _q_window_orders,
         "claimed_families": _claimed_families,
@@ -2499,17 +2469,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dli_features_by_source": _dli_features,
         "probes_filtered": _probes_filtered,
         "probe_category_counts": _probe_category_counts,
-        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
         "cache_keys": _cache_keys,
-        "q3_top_unshipped": _q3,
-        "q5_regional_revenue": _q5,
+        # -- 51+: outside the window; driver-green rows retained, still
+        # mirror-checked every session
+        "phrase_search": _phrase_search,
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+        "top_boilerplate_spans": _top_boilerplate_spans,
+        "q_events_retention": _q_events_retention,
+        "q4_order_priority": _q4_order_priority,
+        "q_events_cube": _q_events_cube,
+        "length_bucketed_batches": _length_bucketed_batches,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "ann_pq_topk": _ann_pq_topk,
+        "ann_pq_rerank": _ann_pq_rerank,
+        "embedding_dim_stats": _embedding_dim_stats,
+        "label_separation": _label_separation,
+        "mixture_weights": _mixture_weights,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "snapshot_diff": _snapshot_diff,
+        "q8_market_share": _q8_market_share,
+        "events_pivot": _events_pivot,
+        "zorder_events": _zorder_events,
+        "budget_select": _budget_select,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "knn_graph": _knn_graph,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "q17_small_quantity": _q17_small_quantity,
+        "conversation_transcripts": _conversation_transcripts,
+        "q_events_rolling": _q_events_rolling,
+        "lang_id_ext": _lang_id_ext,
+        "doc_chunks": _doc_chunks,
+        "contrastive_triplets": _contrastive_triplets,
+        "embedding_contamination": _embedding_contamination,
+        "quality_calibrated": _quality_calibrated,
+        "span_dedup": _span_dedup,
+        "q_events_funnel": _q_events_funnel,
+        "style_count_distribution": _style_count_distribution,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
         "embedding_pairs_exact": _embedding_pairs_exact,
         "q_topk_customers": _q_topk_customers,
         "q_events_hourly": _q_events_hourly,
         "q_customers_no_orders": _q_customers_no_orders,
         "lang_distribution": _lang_distribution,
         "style_scores_long": _style_scores_long,
-        "dedup_minhash_signatures": _dedup_minhash_signatures,
         "dedup_simhash": _dedup_simhash,
         "text_stats": _text_stats,
         "watermark_documents": _watermark_documents,
@@ -2525,8 +2529,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_average": _memorization_average,
         "q_events_asof": _q_events_asof,
         "q_events_range_join": _q_events_range_join,
-        # -- parked r2-green (rows in CORRECTNESS_r02.json; code untouched
-        # since) displaced by the round-3 additions now in-window
         "verify_sources": _verify_sources,
         "audit_consistency_rate": _audit_consistency_rate,
         "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
@@ -2535,8 +2537,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": _q_rollup_revenue,
         "q_events_sessionize": _q_events_sessionize,
         "probe_style_consistency": _probe_style_consistency,
-        # parked r2-green displaced by this round's later additions
-        # (operator bodies untouched in the r2→r3 diff; see docstring)
         "detect_documents": _detect_documents,
         "style_fingerprint": _style_fingerprint,
         "llmmap_features_documents": _llmmap_features_documents,
@@ -2555,16 +2555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cka_labels": _cka_labels,
         "reef_layer_cka": _reef_layer_cka,
         "contamination_check": _contamination_check,
-        # mirror-checked this session; rotates into the window next round
-        "source_data_card": _source_data_card,
-        "leakage_safe_splits": _leakage_safe_splits,
-        "dedup_threshold_sweep": _dedup_threshold_sweep,
-        "streaming_drift": _streaming_drift,
-        "dedup_clusters_incremental": _dedup_clusters_incremental,
-        "q19_disjunctive": _q19_disjunctive,
-        "q22_global_threshold": _q22_global_threshold,
-        "dup_graph_stats": _dup_graph_stats,
-        "embedding_principal": _embedding_principal,
     }
 
 
