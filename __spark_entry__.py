@@ -2227,6 +2227,32 @@ def _q21_waiting_supplier(spark, sf):
     )
 
 
+def _quota_sample(spark, sf):
+    """Exact-count stratified sample: seeded-hash rank per source, CASE
+    quota cut (sampling.quota_sample) — the count-contract the
+    fractional sampler cannot honor."""
+    from model_audit_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf, "documents")
+    return quota_sample(
+        docs,
+        {"src0": 12, "src1": 7, "src2": 20},
+        stratum_col="source",
+        id_col="doc_id",
+        salt="s2",
+        default_quota=3,
+    ).select("doc_id", "source", F.col("smp_rank").cast("bigint").alias("smp_rank"))
+
+
+def _vocab_coverage(spark, sf):
+    """Global top-500 vocabulary + per-source OOV occurrence/type rates
+    (text_analysis.vocab_coverage) — tokenizer-coverage health."""
+    from model_audit_spark.operators.text_analysis import vocab_coverage
+
+    docs = _t(spark, sf, "documents")
+    return vocab_coverage(docs, vocab_size=500)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2442,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": _q18_large_volume,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_containment": _dedup_containment,
+        "quota_sample": _quota_sample,
+        "vocab_coverage": _vocab_coverage,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2468,10 +2496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dli_bigrams_by_source": _dli_bigrams,
         "dli_features_by_source": _dli_features,
         "probes_filtered": _probes_filtered,
-        "probe_category_counts": _probe_category_counts,
-        "cache_keys": _cache_keys,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "cache_keys": _cache_keys,
+        "probe_category_counts": _probe_category_counts,
         "phrase_search": _phrase_search,
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
         "top_boilerplate_spans": _top_boilerplate_spans,
@@ -2707,6 +2735,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": ora.q18_large_volume(),
         "q21_waiting_supplier": ora.q21_waiting_supplier(),
         "dedup_containment": ora.dedup_containment(min_containment=0.6),
+        "quota_sample": ora.quota_sample(),
+        "vocab_coverage": ora.vocab_coverage(vocab_size=500),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

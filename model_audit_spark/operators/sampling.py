@@ -69,6 +69,45 @@ def stratified_sample(
     return df.filter(sample_bucket(id_col, salt) < threshold)
 
 
+def quota_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_quota: int = 0,
+) -> DataFrame:
+    """EXACT-COUNT stratified sample: stratum k keeps exactly
+    min(quota_k, |stratum k|) rows — the "exactly 100k docs per
+    language" contract a training-mix spec states in counts, which the
+    fractional stratified_sample cannot honor (hash thresholds only
+    approximate a count). Emits the input columns + smp_rank (1-based
+    within stratum).
+
+    Deterministic: rank = row_number per stratum ordered by
+    (md5(salt|id), id) — a seeded shuffle order that is reproducible
+    across engines and runs, never data order. One window per stratum
+    partition; if one stratum dominates the corpus at 100 TB, the skew
+    hedge is the usual rank-threshold pre-filter: hash_sample the
+    stratum down to ~2× its quota first (the seeded order makes the
+    two-stage cut EXACTLY the one-stage cut as long as the pre-filter
+    keeps ≥ quota rows — both select the same smallest hash values).
+    """
+    threshold = F.lit(int(default_quota))
+    for k, q in sorted(quotas.items()):
+        threshold = F.when(
+            F.col(stratum_col) == k, F.lit(int(q))
+        ).otherwise(threshold)
+    draw = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(draw, F.col(id_col))
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= threshold)
+    )
+
+
 def mix_rates(
     df: DataFrame,
     targets: dict[str, float],

@@ -272,3 +272,67 @@ def source_data_card(
         )
         .orderBy("source")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary coverage report per group: build the global top-V
+    token vocabulary and measure each source's out-of-vocabulary rate —
+    the "will a tokenizer trained on this mix cover that source" signal
+    (high OOV rate = the source's token distribution is poorly
+    represented in the corpus-wide vocabulary; fertility blows up and
+    so does training cost).
+
+    Output: (group, n_tokens, oov_tokens, oov_rate, n_types, oov_types,
+    oov_type_rate) — occurrence-weighted AND type-weighted rates (a
+    source can have low token-OOV but a long tail of unseen types).
+
+    Shape at scale: ONE tokenize pass persisted as (group, token)
+    occurrences; global counts aggregate it (map-side combine), the
+    top-V cut is a TakeOrdered-style limit by (count desc, token asc) —
+    deterministic tie-break — and the V-row vocabulary broadcasts back
+    into a per-group conditional aggregate. No corpus-sized shuffle
+    carries text; the two aggregates carry fixed-width counts. NULL
+    text behaves as empty (repo convention): contributes no tokens but
+    the group keeps its row via the outer aggregate."""
+    # explode_OUTER: a group whose docs are all NULL/empty still keeps
+    # a row (tok NULL), honoring the NULL-text-as-empty convention
+    occ = df.select(
+        F.col(group_col),
+        F.explode_outer(
+            word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    ).persist()
+    vocab = (
+        occ.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("tok"))
+        .limit(int(vocab_size))
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    tagged = occ.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("tok").isNotNull() & F.col("_in_vocab").isNull()
+    by_group = tagged.groupBy(group_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("oov_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.countDistinct(F.when(oov, F.col("tok"))).alias("oov_types"),
+    )
+    return by_group.select(
+        group_col,
+        "n_tokens",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens") / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("oov_rate"),
+        "n_types",
+        "oov_types",
+        F.round(
+            F.col("oov_types") / F.greatest("n_types", F.lit(1)), 6
+        ).alias("oov_type_rate"),
+    ).orderBy(group_col)

@@ -4196,3 +4196,68 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE round({cont}, 6) >= {min_containment!r}
 """
+
+
+def quota_sample() -> str:
+    """Twin of sampling.quota_sample over documents by source: seeded
+    md5 shuffle order, row_number per stratum, CASE quota cut."""
+    return """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('s2' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS smp_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(smp_rank AS BIGINT) AS smp_rank
+FROM ranked
+WHERE smp_rank <= CASE source
+  WHEN 'src0' THEN 12 WHEN 'src1' THEN 7 WHEN 'src2' THEN 20
+  ELSE 3 END
+"""
+
+
+def vocab_coverage(vocab_size: int = 500) -> str:
+    """Twin of text_analysis.vocab_coverage: global top-V vocabulary
+    (count desc, token asc tie-break), occurrence- and type-weighted
+    per-source OOV rates."""
+    return f"""
+WITH occ AS (
+  SELECT source, unnest({_tokens("coalesce(text, '')")}) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM occ GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT {vocab_size}
+  )
+),
+tagged AS (
+  SELECT o.source, o.tok, (v.tok IS NOT NULL) AS in_vocab
+  FROM occ o LEFT JOIN vocab v ON v.tok = o.tok
+),
+g AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+      AS oov_tokens,
+    CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+    CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN tok END) AS BIGINT)
+      AS oov_types
+  FROM tagged GROUP BY source
+)
+SELECT s.source,
+  coalesce(g.n_tokens, 0) AS n_tokens,
+  coalesce(g.oov_tokens, 0) AS oov_tokens,
+  round(coalesce(g.oov_tokens, 0)
+        / CAST(greatest(coalesce(g.n_tokens, 0), 1) AS DOUBLE), 6)
+    AS oov_rate,
+  coalesce(g.n_types, 0) AS n_types,
+  coalesce(g.oov_types, 0) AS oov_types,
+  round(coalesce(g.oov_types, 0)
+        / CAST(greatest(coalesce(g.n_types, 0), 1) AS DOUBLE), 6)
+    AS oov_type_rate
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN g ON g.source = s.source
+"""

@@ -250,3 +250,39 @@ def test_assign_splits_single_split_and_empty_fracs(spark):
     assert {r["split"] for r in only.collect()} == {"all"}
     with _pytest.raises(ValueError):
         assign_splits(df, {})
+
+
+def test_quota_sample_exact_counts_and_two_stage_equality(spark):
+    """Quota sample keeps exactly min(quota, |stratum|) rows, ranks are
+    dense 1..n, and a hash_sample pre-filter that keeps >= quota rows
+    selects EXACTLY the same set (the documented two-stage skew hedge)."""
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.sampling import (
+        hash_sample,
+        quota_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = quota_sample(
+        df, {"a": 10, "b": 100}, stratum_col="source",
+        id_col="doc_id", salt="s9",
+    )
+    got = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("smp_rank").alias("mx")
+    ).collect()
+    sizes = {r["source"]: (r["n"], r["mx"]) for r in got}
+    assert sizes["a"] == (10, 10)
+    assert sizes["b"] == (30, 30)  # only 30 'b' rows exist
+
+    # two-stage: generous pre-filter keeps the same final selection
+    pre = hash_sample(df, 0.9, id_col="doc_id", salt="s9")
+    assert pre.filter(F.col("source") == "a").count() >= 10
+    two = quota_sample(
+        pre, {"a": 10, "b": 100}, stratum_col="source",
+        id_col="doc_id", salt="s9",
+    )
+    one_ids = {r["doc_id"] for r in out.filter(F.col("source") == "a").collect()}
+    two_ids = {r["doc_id"] for r in two.filter(F.col("source") == "a").collect()}
+    assert one_ids == two_ids

@@ -306,3 +306,25 @@ def test_assemble_threads_full_totals_with_null_ts_head(spark):
     assert out["n_turns"] == 4
     assert out["first_ts"] == "2024-01-01 00:00:05"
     assert out["last_ts"] == "2024-01-01 00:00:07"
+
+
+def test_vocab_coverage_invariants(spark):
+    """OOV of a source fully inside the vocab is 0; a source of unique
+    junk tokens is 1.0 when the vocab is saturated by the common source;
+    rates bounded; every group keeps a row (NULL text as empty)."""
+    from model_audit_spark.operators.text_analysis import vocab_coverage
+
+    common = " ".join(f"w{i}" for i in range(5))
+    rows = (
+        [(i, common, "core") for i in range(20)]
+        + [(100 + i, f"rare{i} rare{i + 50}", "tail") for i in range(4)]
+        + [(200, None, "empty")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in
+           vocab_coverage(df, vocab_size=5).collect()}
+    assert got["core"]["oov_rate"] == 0.0
+    assert got["tail"]["oov_rate"] == 1.0 and got["tail"]["oov_type_rate"] == 1.0
+    assert got["empty"]["n_tokens"] == 0 and got["empty"]["oov_rate"] == 0.0
+    for g in got.values():
+        assert 0.0 <= g["oov_rate"] <= 1.0 and 0.0 <= g["oov_type_rate"] <= 1.0
