@@ -580,22 +580,24 @@ def ngram_jaccard_prefix_pairs(
     sizes = shing.select(
         F.col(id_col).alias("_id"), F.size("sh").alias("n_sh")
     )
-    expl = shing.select(F.col(id_col), F.explode("sh").alias("s"))
+    # |A| rides the explode projection itself (size BEFORE the generator
+    # — zero extra cost), so the rarity rank is the ONE window pass; the
+    # r3 shape computed |A| as a second unordered count window over the
+    # same partition, paying a second WindowExec buffering pass
+    expl_n = shing.select(
+        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s")
+    )
+    expl = expl_n.select(id_col, "s")
     freq = expl.groupBy("s").agg(F.count("*").alias("_df"))
-    # |A| rides the SAME window pass as the rarity rank (unbounded-frame
-    # count over the doc partition), so no sizes join re-shuffles the
-    # corpus-sized exploded relation — one WindowExec, two functions
     wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
-    wfull = Window.partitionBy(id_col)
     prefix_len = (
         F.col("_n")
         - F.ceil(F.col("_n") * min_jaccard - 1e-9)
         + 1
     )
     pre = (
-        expl.join(freq, "s")
+        expl_n.join(freq, "s")
         .withColumn("_rn", F.row_number().over(wdoc))
-        .withColumn("_n", F.count("*").over(wfull))
         .filter(F.col("_rn") <= prefix_len)
         .select(F.col(id_col), "s")
     )
