@@ -2253,6 +2253,19 @@ def _vocab_coverage(spark, sf):
     return vocab_coverage(docs, vocab_size=500)
 
 
+def _weighted_sample_es(spark, sf):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    50 documents drawn proportional to n_chars via seeded exponential
+    keys — pure projection + TakeOrdered top-k (sampling
+    .weighted_sample_es)."""
+    from model_audit_spark.operators.sampling import weighted_sample_es
+
+    docs = _t(spark, sf, "documents")
+    return weighted_sample_es(
+        docs, weight_col="n_chars", k=50, id_col="doc_id", salt="es1"
+    ).select("doc_id", "source", "n_chars", "es_key")
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2470,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _dedup_containment,
         "quota_sample": _quota_sample,
         "vocab_coverage": _vocab_coverage,
+        "weighted_sample_es": _weighted_sample_es,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2495,9 +2509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "dli_bigrams_by_source": _dli_bigrams,
         "dli_features_by_source": _dli_features,
-        "probes_filtered": _probes_filtered,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "probes_filtered": _probes_filtered,
         "cache_keys": _cache_keys,
         "probe_category_counts": _probe_category_counts,
         "phrase_search": _phrase_search,
@@ -2737,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": ora.dedup_containment(min_containment=0.6),
         "quota_sample": ora.quota_sample(),
         "vocab_coverage": ora.vocab_coverage(vocab_size=500),
+        "weighted_sample_es": ora.weighted_sample_es(k=50, salt="es1"),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -88,10 +88,14 @@ def quota_sample(
     (md5(salt|id), id) — a seeded shuffle order that is reproducible
     across engines and runs, never data order. One window per stratum
     partition; if one stratum dominates the corpus at 100 TB, the skew
-    hedge is the usual rank-threshold pre-filter: hash_sample the
-    stratum down to ~2× its quota first (the seeded order makes the
-    two-stage cut EXACTLY the one-stage cut as long as the pre-filter
-    keeps ≥ quota rows — both select the same smallest hash values).
+    hedge is a draw-threshold pre-filter using the SAME seeded draw:
+    `df.filter(F.md5(F.concat_ws("|", F.lit(salt),
+    F.col(id).cast("string"))) < "20")` keeps the ~1/8 smallest draws,
+    and as long as ≥ quota rows survive per stratum the two-stage cut
+    is EXACTLY the one-stage cut (a prefix threshold on the draw can
+    only drop rows ranked AFTER the winners). A pre-filter with a
+    different hash (e.g. hash_sample's bucket) does NOT have this
+    property — it drops an unrelated subset.
     """
     threshold = F.lit(int(default_quota))
     for k, q in sorted(quotas.items()):
@@ -105,6 +109,58 @@ def quota_sample(
     return (
         df.withColumn("smp_rank", F.row_number().over(w))
         .filter(F.col("smp_rank") <= threshold)
+    )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement via exponential keys
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each row draws key = −ln(u)/w and the k SMALLEST keys
+    win — exactly equivalent to sequential weighted draws without
+    replacement, but embarrassingly parallel: a pure projection plus a
+    global top-k (TakeOrdered — never a full sort). The quality-weighted
+    corpus subsample ("sample 1M docs ∝ quality") in one pass.
+
+    Deterministic and cross-engine exact: u = (h+1)/2³², h = the first
+    8 md5 hex digits of salt|id — a seeded uniform both engines compute
+    identically; ln(1/u) is quantized to integer nanonats (the ONE
+    transcendental, DETERMINISM.md rule 3); the sort key is
+    nanonats/weight — a division of two exact integers, bit-identical
+    in every engine — with the id as tie-break. Emits
+    (input columns…, es_key)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]; ln(1/u) = ln(2^32) - ln(h+1), quantized in one shot
+    lnq = F.round(
+        F.log((2.0 ** 32) / (h + F.lit(1)).cast("double")) * 1e9
+    ).cast("long")
+    key = lnq / F.col(weight_col).cast("long").cast("double")
+    return (
+        # weight <= 0 ⇒ selection probability 0 (ES semantics); dropping
+        # the rows also keeps the key division NaN/inf-free
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.asc("es_key"), F.asc(id_col))
+        .limit(int(k))
     )
 
 

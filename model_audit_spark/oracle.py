@@ -4261,3 +4261,22 @@ SELECT s.source,
 FROM (SELECT DISTINCT source FROM documents) s
 LEFT JOIN g ON g.source = s.source
 """
+
+
+def weighted_sample_es(k: int = 50, salt: str = "es1") -> str:
+    """Twin of sampling.weighted_sample_es over documents weighted by
+    n_chars: seeded md5 uniform, ln(1/u) quantized to integer nanonats,
+    key = nanonats / weight (exact-integer division → identical
+    doubles), k smallest with id tie-break."""
+    h = _hex32(f"md5('{salt}' || '|' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    CAST(round(ln(4294967296.0 / ({h} + 1)) * 1000000000) AS BIGINT)
+      / CAST(CAST(n_chars AS BIGINT) AS DOUBLE) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, es_key
+FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT {k}
+"""

@@ -254,14 +254,12 @@ def test_assign_splits_single_split_and_empty_fracs(spark):
 
 def test_quota_sample_exact_counts_and_two_stage_equality(spark):
     """Quota sample keeps exactly min(quota, |stratum|) rows, ranks are
-    dense 1..n, and a hash_sample pre-filter that keeps >= quota rows
-    selects EXACTLY the same set (the documented two-stage skew hedge)."""
+    dense 1..n, and a SAME-DRAW threshold pre-filter that keeps >= quota
+    rows selects EXACTLY the same set (the documented two-stage skew
+    hedge — a different-hash pre-filter would NOT have this property)."""
     from pyspark.sql import functions as F
 
-    from model_audit_spark.operators.sampling import (
-        hash_sample,
-        quota_sample,
-    )
+    from model_audit_spark.operators.sampling import quota_sample
 
     rows = [(i, "a" if i % 3 else "b") for i in range(90)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
@@ -276,8 +274,11 @@ def test_quota_sample_exact_counts_and_two_stage_equality(spark):
     assert sizes["a"] == (10, 10)
     assert sizes["b"] == (30, 30)  # only 30 'b' rows exist
 
-    # two-stage: generous pre-filter keeps the same final selection
-    pre = hash_sample(df, 0.9, id_col="doc_id", salt="s9")
+    # two-stage: a SAME-DRAW prefix threshold keeps the final selection
+    draw = F.md5(
+        F.concat_ws("|", F.lit("s9"), F.col("doc_id").cast("string"))
+    )
+    pre = df.filter(draw < "e0")  # ~7/8 of draws survive
     assert pre.filter(F.col("source") == "a").count() >= 10
     two = quota_sample(
         pre, {"a": 10, "b": 100}, stratum_col="source",
@@ -286,3 +287,37 @@ def test_quota_sample_exact_counts_and_two_stage_equality(spark):
     one_ids = {r["doc_id"] for r in out.filter(F.col("source") == "a").collect()}
     two_ids = {r["doc_id"] for r in two.filter(F.col("source") == "a").collect()}
     assert one_ids == two_ids
+
+
+def test_weighted_sample_es_matches_bruteforce_and_skews_to_weight(spark):
+    """The Spark selection equals the brute-force ES computation row for
+    row, zero-weight rows never appear, and a 100x-weight stratum wins
+    far more slots than its row share."""
+    import hashlib
+    import math
+
+    from model_audit_spark.operators.sampling import weighted_sample_es
+
+    rows = [(i, 1000 if i < 20 else 10) for i in range(200)] + [(500, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["es_key"])
+        for r in weighted_sample_es(
+            df, weight_col="w", k=30, id_col="doc_id", salt="t1"
+        ).collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"t1|{i}".encode()).hexdigest()[:8], 16)
+        lnq = round(math.log(2.0 ** 32 / (h + 1)) * 1e9)
+        return lnq / float(w)
+
+    brute = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (t[1], t[0]),
+    )[:30]
+    assert [i for i, _ in got] == [i for i, _ in brute]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, brute))
+    assert 500 not in {i for i, _ in got}
+    heavy = sum(1 for i, _ in got if i < 20)
+    assert heavy >= 10  # 20 rows at 100x weight dominate 180 light rows
