@@ -2266,6 +2266,18 @@ def _weighted_sample_es(spark, sf):
     ).select("doc_id", "source", "n_chars", "es_key")
 
 
+def _bpe_merges(spark, sf):
+    """Distributed BPE merge learning (Sennrich 2016): 8 merges over the
+    corpus word-frequency relation — pair counts, in-DAG argmax, greedy
+    left-to-right rewrite per step (operators/bpe.py). The oracle
+    unrolls every step as CTEs with an island-parity rewrite, so the
+    iterative tokenizer-training loop is hash-certified."""
+    from model_audit_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf, "documents")
+    return learn_bpe_merges(docs, n_merges=8)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2484,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _quota_sample,
         "vocab_coverage": _vocab_coverage,
         "weighted_sample_es": _weighted_sample_es,
+        "bpe_merges": _bpe_merges,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2508,9 +2521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_distribution": _detect_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "dli_bigrams_by_source": _dli_bigrams,
-        "dli_features_by_source": _dli_features,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "dli_features_by_source": _dli_features,
         "probes_filtered": _probes_filtered,
         "cache_keys": _cache_keys,
         "probe_category_counts": _probe_category_counts,
@@ -2752,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": ora.quota_sample(),
         "vocab_coverage": ora.vocab_coverage(vocab_size=500),
         "weighted_sample_es": ora.weighted_sample_es(k=50, salt="es1"),
+        "bpe_merges": ora.bpe_merges(n_merges=8),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

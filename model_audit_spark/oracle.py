@@ -4280,3 +4280,83 @@ WITH keyed AS (
 SELECT doc_id, source, n_chars, es_key
 FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT {k}
 """
+
+
+def bpe_merges(n_merges: int = 6, min_pair_count: int = 2) -> str:
+    """Twin of bpe.learn_bpe_merges over documents: the Sennrich merge
+    loop unrolled as CTE chains — per step, a freq-weighted adjacent-
+    pair count, the (cnt desc, l, r) argmax, and the greedy
+    LEFT-TO-RIGHT NON-OVERLAPPING rewrite expressed relationally as a
+    gaps-and-islands parity selection: within each maximal run of
+    consecutive candidate positions only the odd-ranked ones merge
+    (exactly what the sequential greedy scan does: 'l l l' merges at
+    position 1 but not 2), rows following a selected position drop, and
+    the word rebuilds with an ordered list aggregate."""
+    parts = [
+        f"""vocab_0 AS (
+  SELECT word, count(*) AS freq, string_split(word, '') AS seq
+  FROM (SELECT unnest({_tokens("coalesce(text, '')")}) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"vocab_{r - 1}"
+        parts.append(f"""pairs_{r} AS (
+  SELECT l, rr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, seq[i] AS l, seq[i + 1] AS rr
+    FROM (SELECT word, freq, seq,
+                 unnest(range(1, len(seq))) AS i
+          FROM {prev})
+  ) GROUP BY l, rr HAVING sum(freq) >= {min_pair_count}
+)""")
+        parts.append(f"""best_{r} AS (
+  SELECT l AS pl, rr AS pr, cnt FROM pairs_{r}
+  ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
+)""")
+        parts.append(f"""pos_{r} AS (
+  SELECT word, freq, seq, bl, br,
+         unnest(range(1, len(seq) + 1)) AS p
+  FROM (SELECT v.word, v.freq, v.seq, b.pl AS bl, b.pr AS br
+        FROM {prev} v LEFT JOIN best_{r} b ON TRUE)
+)""")
+        parts.append(f"""cand_{r} AS (
+  SELECT word, freq, p, seq[p] AS sym, bl, br,
+         (bl IS NOT NULL AND p < len(seq)
+          AND seq[p] = bl AND seq[p + 1] = br) AS cand
+  FROM pos_{r}
+)""")
+        parts.append(f"""sel_{r} AS (
+  SELECT word, freq, p, sym, bl, br, cand,
+         cand AND (row_number() OVER (
+             PARTITION BY word, grp ORDER BY p) % 2 = 1) AS selected
+  FROM (
+    SELECT *, CASE WHEN cand THEN p - row_number() OVER (
+        PARTITION BY word, cand ORDER BY p) END AS grp
+    FROM cand_{r}
+  )
+)""")
+        parts.append(f"""vocab_{r} AS (
+  SELECT word, any_value(freq) AS freq,
+    list(CASE WHEN selected THEN bl || br ELSE sym END ORDER BY p)
+      FILTER (WHERE NOT skip) AS seq
+  FROM (
+    SELECT *, coalesce(lag(selected) OVER (
+        PARTITION BY word ORDER BY p), FALSE) AS skip
+    FROM sel_{r}
+  )
+  GROUP BY word
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS step, pl AS "left", pr AS "right", '
+        f"cnt AS pair_count FROM best_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(step AS INTEGER) AS step, \"left\", \"right\","
+          " pair_count FROM (\n"
+        + union
+        + "\n)"
+    )

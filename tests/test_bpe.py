@@ -1,0 +1,111 @@
+"""BPE merge learning: parity with a sequential reference implementation,
+the greedy-overlap rule, and early exhaustion."""
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+
+def _ref_bpe(words: list[str], k: int, min_count: int = 2):
+    """Sequential Sennrich reference: pair counts over the word-freq
+    dict, (count desc, pair asc) argmax, greedy left-to-right rewrite."""
+    vocab = collections.Counter(words)
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        pc = {p: c for p, c in pc.items() if c >= min_count}
+        if not pc:
+            break
+        mx = max(pc.values())
+        best = sorted(p for p, c in pc.items() if c == mx)[0]
+        merges.append((step, best[0], best[1], pc[best]))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if (
+                    i + 1 < len(s)
+                    and s[i] == best[0]
+                    and s[i + 1] == best[1]
+                ):
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _learned(spark, text: str, k: int):
+    from model_audit_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, n_merges=k)
+        .orderBy("step")
+        .collect()
+    ]
+
+
+def test_bpe_matches_sequential_reference_on_classic_corpus(spark):
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest"
+    )
+    assert _learned(spark, text, 6) == _ref_bpe(text.split(), 6)
+
+
+def test_bpe_greedy_left_to_right_non_overlapping(spark):
+    """'llll' with the (l, l) merge must become [ll, ll] — position 1
+    merges, position 2 is consumed, position 3 merges (island parity)."""
+    from model_audit_spark.operators.bpe import apply_merge
+
+    df = spark.createDataFrame(
+        [(["l", "l", "l", "l"],), (["l", "l", "l"],), (["a", "l", "l"],)],
+        "seq array<string>",
+    )
+    out = df.select(
+        apply_merge(F.col("seq"), F.lit("l"), F.lit("l")).alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == [
+        ["ll", "ll"],
+        ["ll", "l"],
+        ["a", "ll"],
+    ]
+    # full loop on a chain corpus agrees with the reference
+    text = "llll llll lll"
+    assert _learned(spark, text, 3) == _ref_bpe(text.split(), 3)
+
+
+def test_bpe_early_exhaustion_emits_fewer_rows(spark):
+    """A corpus whose pairs all drop under min_pair_count after a few
+    merges stops early on BOTH paths."""
+    text = "ab ab cd"  # (a,b) x2 qualifies; after merging, nothing does
+    got = _learned(spark, text, 5)
+    ref = _ref_bpe(text.split(), 5)
+    assert got == ref
+    assert len(got) == 1 and got[0][:3] == (1, "a", "b")
+
+
+def test_bpe_oracle_twin_matches_reference(spark):
+    """The unrolled SQL twin reproduces the sequential reference on an
+    adversarial mixed corpus (chains + ties + singletons)."""
+    import duckdb
+
+    from model_audit_spark.oracle import bpe_merges
+
+    text = "banana banana bandana aaa aaaa ab ab xyz"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, "
+        f"'{text}' AS text"
+    )
+    rows = sorted(con.sql(bpe_merges(5)).fetchall())
+    assert rows == _ref_bpe(text.split(), 5)
