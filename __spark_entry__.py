@@ -2278,6 +2278,17 @@ def _bpe_merges(spark, sf):
     return learn_bpe_merges(docs, n_merges=8)
 
 
+def _bpe_segments(spark, sf):
+    """The application half of BPE: how the 8 learned merges segment the
+    200 most frequent corpus words, with per-word fertility
+    (bpe.bpe_vocab_segments) — same unrolled-CTE oracle chain, final
+    vocabulary state."""
+    from model_audit_spark.operators.bpe import bpe_vocab_segments
+
+    docs = _t(spark, sf, "documents")
+    return bpe_vocab_segments(docs, n_merges=8, top_k=200)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2497,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "weighted_sample_es": _weighted_sample_es,
         "bpe_merges": _bpe_merges,
+        "bpe_segments": _bpe_segments,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2520,9 +2532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _corpus_stats,
         "detect_distribution": _detect_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
-        "dli_bigrams_by_source": _dli_bigrams,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "dli_bigrams_by_source": _dli_bigrams,
         "dli_features_by_source": _dli_features,
         "probes_filtered": _probes_filtered,
         "cache_keys": _cache_keys,
@@ -2766,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": ora.vocab_coverage(vocab_size=500),
         "weighted_sample_es": ora.weighted_sample_es(k=50, salt="es1"),
         "bpe_merges": ora.bpe_merges(n_merges=8),
+        "bpe_segments": ora.bpe_vocab_segments(n_merges=8, top_k=200),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 
 from model_audit_spark.functions.text import word_tokens
 
-__all__ = ["word_freqs", "apply_merge", "learn_bpe_merges"]
+__all__ = [
+    "word_freqs",
+    "apply_merge",
+    "learn_bpe_merges",
+    "bpe_vocab_segments",
+]
 
 
 def word_freqs(
@@ -107,18 +112,16 @@ def apply_merge(seq: Column, left: Column, right: Column) -> Column:
     )
 
 
-def learn_bpe_merges(
+def _merge_chain(
     df: DataFrame,
-    n_merges: int = 6,
-    text_col: str = "text",
-    min_pair_count: int = 2,
-) -> DataFrame:
-    """(step, left, right, pair_count): the first `n_merges` BPE merges
-    learned from the corpus (step 1-based). Stops early (emits fewer
-    rows) when no adjacent pair reaches `min_pair_count` — mirrored in
-    the SQL twin, so early exhaustion is hash-checked too."""
+    n_merges: int,
+    text_col: str,
+    min_pair_count: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the merge loop; return (per-step 1-row merge relations, final
+    vocabulary relation (word, seq, freq))."""
     vocab = word_freqs(df, text_col).select(
-        F.split(F.col("word"), "").alias("seq"), "freq"
+        "word", F.split(F.col("word"), "").alias("seq"), "freq"
     ).localCheckpoint(eager=False)
 
     spark = df.sparkSession
@@ -170,6 +173,7 @@ def learn_bpe_merges(
         vocab = (
             vocab.crossJoin(F.broadcast(best1))
             .select(
+                "word",
                 apply_merge(
                     F.col("seq"), F.col("_bl"), F.col("_br")
                 ).alias("seq"),
@@ -177,7 +181,48 @@ def learn_bpe_merges(
             )
             .localCheckpoint(eager=False)
         )
+    return merge_rows, vocab
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """(step, left, right, pair_count): the first `n_merges` BPE merges
+    learned from the corpus (step 1-based). Stops early (emits fewer
+    rows) when no adjacent pair reaches `min_pair_count` — mirrored in
+    the SQL twin, so early exhaustion is hash-checked too."""
+    merge_rows, _ = _merge_chain(df, n_merges, text_col, min_pair_count)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
+    return out
+
+
+def bpe_vocab_segments(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(word, freq, segments, n_subwords): the APPLICATION half of BPE —
+    how the learned merges segment every corpus word, i.e. the actual
+    subword tokenization plus the per-word fertility (n_subwords; its
+    freq-weighted mean is the tokenizer-fertility metric that prices
+    training compute). `top_k` bounds output to the most frequent words
+    ((freq desc, word asc) — deterministic)."""
+    _, vocab = _merge_chain(df, n_merges, text_col, min_pair_count)
+    out = vocab.select(
+        "word",
+        "freq",
+        F.array_join("seq", " ").alias("segments"),
+        F.size("seq").cast("int").alias("n_subwords"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("freq"), F.asc("word")
+        ).limit(int(top_k))
     return out

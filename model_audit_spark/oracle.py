@@ -4282,11 +4282,11 @@ FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT {k}
 """
 
 
-def bpe_merges(n_merges: int = 6, min_pair_count: int = 2) -> str:
-    """Twin of bpe.learn_bpe_merges over documents: the Sennrich merge
-    loop unrolled as CTE chains — per step, a freq-weighted adjacent-
-    pair count, the (cnt desc, l, r) argmax, and the greedy
-    LEFT-TO-RIGHT NON-OVERLAPPING rewrite expressed relationally as a
+def _bpe_ctes(n_merges: int, min_pair_count: int) -> str:
+    """Shared CTE chain for the BPE twins: the Sennrich merge loop
+    unrolled — per step, a freq-weighted adjacent-pair count, the
+    (cnt desc, l, r) argmax, and the greedy LEFT-TO-RIGHT
+    NON-OVERLAPPING rewrite expressed relationally as a
     gaps-and-islands parity selection: within each maximal run of
     consecutive candidate positions only the odd-ranked ones merge
     (exactly what the sequential greedy scan does: 'l l l' merges at
@@ -4347,16 +4347,36 @@ def bpe_merges(n_merges: int = 6, min_pair_count: int = 2) -> str:
   )
   GROUP BY word
 )""")
+    return "WITH " + ",\n".join(parts)
+
+
+def bpe_merges(n_merges: int = 6, min_pair_count: int = 2) -> str:
+    """Twin of bpe.learn_bpe_merges over documents (see _bpe_ctes)."""
     union = "\nUNION ALL\n".join(
         f'SELECT {r} AS step, pl AS "left", pr AS "right", '
         f"cnt AS pair_count FROM best_{r}"
         for r in range(1, n_merges + 1)
     )
     return (
-        "WITH "
-        + ",\n".join(parts)
+        _bpe_ctes(n_merges, min_pair_count)
         + "\nSELECT CAST(step AS INTEGER) AS step, \"left\", \"right\","
           " pair_count FROM (\n"
         + union
         + "\n)"
+    )
+
+
+def bpe_vocab_segments(
+    n_merges: int = 6, min_pair_count: int = 2, top_k: int = 200
+) -> str:
+    """Twin of bpe.bpe_vocab_segments: the final vocabulary state of the
+    same unrolled chain — per-word subword segmentation and fertility."""
+    return (
+        _bpe_ctes(n_merges, min_pair_count)
+        + f"""
+SELECT word, freq, array_to_string(seq, ' ') AS segments,
+       CAST(len(seq) AS INTEGER) AS n_subwords
+FROM (SELECT * FROM vocab_{n_merges}
+      ORDER BY freq DESC, word ASC LIMIT {top_k})
+"""
     )

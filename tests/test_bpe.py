@@ -109,3 +109,42 @@ def test_bpe_oracle_twin_matches_reference(spark):
     )
     rows = sorted(con.sql(bpe_merges(5)).fetchall())
     assert rows == _ref_bpe(text.split(), 5)
+
+
+def test_bpe_vocab_segments_matches_reference_segmentation(spark):
+    """Final segmentation equals the reference's end-state sequences;
+    fertility (n_subwords) is len(segments.split())."""
+    from model_audit_spark.operators.bpe import bpe_vocab_segments
+
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest"
+    )
+    # reference end-state after 6 merges
+    words = text.split()
+    merges = _ref_bpe(words, 6)
+    seqs = {w: list(w) for w in set(words)}
+    for _, a, b, _c in merges:
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["word"]: (r["freq"], r["segments"], r["n_subwords"])
+        for r in bpe_vocab_segments(df, n_merges=6).collect()
+    }
+    import collections
+
+    freqs = collections.Counter(words)
+    for w, (f, seg, n) in got.items():
+        assert f == freqs[w]
+        assert seg == " ".join(seqs[w])
+        assert n == len(seqs[w])
+    assert set(got) == set(freqs)
