@@ -2469,8 +2469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     memorization_seqmatch (newly oracle-backed difflib SQL twin — no
     rows-only queries remain); (2) the nine round-3 queries that landed
     past the window and have never had a driver row; (3) this round's
-    new queries (TPC-H Q6/Q10/Q12/Q13/Q14/Q15/Q18/Q21 shapes and the
-    containment join); (4) queries whose operator code CHANGED this
+    new queries (TPC-H Q6/Q10/Q12/Q13/Q14/Q15/Q18/Q21 shapes, the
+    containment join, exact-quota + Efraimidis-Spirakis weighted
+    sampling, vocabulary-coverage OOV reporting, and the distributed
+    BPE merge-learning/segmentation pair); (4) queries whose operator code CHANGED this
     round — the zero-shuffle minhash fold feeds every dup-chain query,
     pagerank's round restructure, the degree-ordered triangle join, the
     map-side covariance, the DSIR in-DAG totals, the row-unique default
