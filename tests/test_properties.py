@@ -511,3 +511,34 @@ def test_seqmatch_sql_twin_equals_difflib(pairs):
         t = len(sa) + len(sb)
         score = ((40000 * m + t) // (2 * t)) / 10000.0 if t else 1.0
         assert got[i] == (m, t, score), (i, a, b, got[i], (m, t, score))
+
+
+@given(texts=st.lists(_TEXT, min_size=2, max_size=12))
+@_SETTINGS
+def test_containment_prefix_pairs_lossless_for_any_corpus(spark, texts):
+    """The one-sided prefix filter NEVER loses a qualifying containment
+    pair — brute-force over the same distinct shingle sets for ANY
+    corpus (unicode, markers, empty/whitespace)."""
+    from itertools import combinations
+
+    from model_audit_spark.operators.dedup import (
+        containment_prefix_pairs,
+        shingles_df,
+    )
+
+    docs = _docs(spark, texts)
+    t = 0.7
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_prefix_pairs(
+            docs, min_containment=t
+        ).collect()
+    }
+    sets = {r["doc_id"]: set(r["sh"]) for r in shingles_df(docs).collect()}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        c = round(inter / max(min(len(sets[a]), len(sets[b])), 1), 6)
+        if c >= t:
+            expect[(a, b)] = c
+    assert got == expect
