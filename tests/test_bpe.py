@@ -148,3 +148,32 @@ def test_bpe_vocab_segments_matches_reference_segmentation(spark):
         assert seg == " ".join(seqs[w])
         assert n == len(seqs[w])
     assert set(got) == set(freqs)
+
+
+def test_bpe_sql_twin_property_random_corpora():
+    """The unrolled SQL twin equals the sequential reference for ANY
+    small corpus — random words over a tiny alphabet maximize merge
+    collisions, ties, chains, and early exhaustion (no Spark needed:
+    this pins the twin itself; the Spark side is pinned above)."""
+    import random
+
+    import duckdb
+
+    from model_audit_spark.oracle import bpe_merges
+
+    rng = random.Random(7)
+    for trial in range(12):
+        n_words = rng.randint(1, 12)
+        words = [
+            "".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(n_words)
+        ]
+        text = " ".join(words)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{text}' AS text"
+        )
+        got = sorted(con.sql(bpe_merges(4)).fetchall())
+        assert got == _ref_bpe(words, 4), (trial, text, got)
