@@ -194,6 +194,10 @@ def learn_bpe_merges(
     learned from the corpus (step 1-based). Stops early (emits fewer
     rows) when no adjacent pair reaches `min_pair_count` — mirrored in
     the SQL twin, so early exhaustion is hash-checked too."""
+    if n_merges <= 0:
+        return df.sparkSession.createDataFrame(
+            [], "step INT, left STRING, right STRING, pair_count LONG"
+        )
     merge_rows, _ = _merge_chain(df, n_merges, text_col, min_pair_count)
     out = merge_rows[0]
     for m in merge_rows[1:]:

@@ -315,10 +315,12 @@ def _oriented_edges(und: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangle_corners(o: DataFrame) -> DataFrame:
-    """(node, n_triangles) from a persisted oriented-edge relation: the
-    out-wedge at the lowest-rank corner, closed by the oriented third
-    edge, corners exploded into the count."""
+def _oriented_triangles(o: DataFrame) -> DataFrame:
+    """(u, v, w): every triangle exactly once from a persisted
+    oriented-edge relation — the out-wedge at the lowest-rank corner
+    ((dv, v) struct order encodes the single-count invariant), closed by
+    the oriented third edge. The ONE implementation both triangle_counts
+    and graph_stats consume."""
     x, y = o.alias("x"), o.alias("y")
     wedges = (
         x.join(y, F.col("x.u") == F.col("y.u"))
@@ -332,12 +334,18 @@ def _oriented_triangle_corners(o: DataFrame) -> DataFrame:
             F.col("y.v").alias("w"),
         )
     )
-    tri = wedges.join(
+    return wedges.join(
         o.select(F.col("u").alias("v"), F.col("v").alias("w")),
         ["v", "w"],
     )
+
+
+def _oriented_triangle_corners(o: DataFrame) -> DataFrame:
+    """(node, n_triangles): corners of _oriented_triangles exploded into
+    the per-node count."""
     return (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        _oriented_triangles(o)
+        .select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
@@ -388,21 +396,8 @@ def graph_stats(
         F.sum("deg").alias("_degsum"),
     )
     o = _oriented_edges(und).persist()
-    x, y = o.alias("x"), o.alias("y")
-    tri = (
-        x.join(y, F.col("x.u") == F.col("y.u"))
-        .filter(
-            F.struct(F.col("x.dv"), F.col("x.v"))
-            < F.struct(F.col("y.dv"), F.col("y.v"))
-        )
-        .select(
-            F.col("x.v").alias("v"), F.col("y.v").alias("w")
-        )
-        .join(
-            o.select(F.col("u").alias("v"), F.col("v").alias("w")),
-            ["v", "w"],
-        )
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+    tri = _oriented_triangles(o).agg(
+        F.count("*").cast("long").alias("n_triangles")
     )
     ecount = und.agg(F.count("*").cast("long").alias("n_edges"))
     return (

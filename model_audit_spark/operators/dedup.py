@@ -553,6 +553,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def _rare_prefix_postings(
+    shing: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id, _n, s): each doc's |S| − ⌈threshold·|S|⌉ + 1 globally-RAREST
+    shingles — the prefix-filter posting relation shared by the Jaccard
+    and containment joins (one source of truth for the pruning-safety
+    invariant). Doc size rides the explode projection (size before the
+    generator — zero extra cost), so the rarity rank ((df, s) order) is
+    the ONE window pass; the 1e-9 epsilon keeps exact-integer products
+    from ceiling up a slot."""
+    expl_n = shing.select(
+        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s")
+    )
+    freq = expl_n.groupBy("s").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
+    prefix_len = (
+        F.col("_n") - F.ceil(F.col("_n") * threshold - 1e-9) + 1
+    )
+    return (
+        expl_n.join(freq, "s")
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), "_n", "s")
+    )
+
+
 def ngram_jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -580,26 +606,9 @@ def ngram_jaccard_prefix_pairs(
     sizes = shing.select(
         F.col(id_col).alias("_id"), F.size("sh").alias("n_sh")
     )
-    # |A| rides the explode projection itself (size BEFORE the generator
-    # — zero extra cost), so the rarity rank is the ONE window pass; the
-    # r3 shape computed |A| as a second unordered count window over the
-    # same partition, paying a second WindowExec buffering pass
-    expl_n = shing.select(
-        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s")
-    )
-    expl = expl_n.select(id_col, "s")
-    freq = expl.groupBy("s").agg(F.count("*").alias("_df"))
-    wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
-    prefix_len = (
-        F.col("_n")
-        - F.ceil(F.col("_n") * min_jaccard - 1e-9)
-        + 1
-    )
-    pre = (
-        expl_n.join(freq, "s")
-        .withColumn("_rn", F.row_number().over(wdoc))
-        .filter(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), "s")
+    expl = shing.select(F.col(id_col), F.explode("sh").alias("s"))
+    pre = _rare_prefix_postings(shing, id_col, min_jaccard).select(
+        F.col(id_col), "s"
     )
     buckets = (
         pre.groupBy("s")
@@ -692,28 +701,15 @@ def containment_prefix_pairs(
     if not (0 < min_containment <= 1):
         raise ValueError("min_containment must be in (0, 1]")
     shing = shingles_df(df, text_col, id_col, shingle_n).persist()
-    expl_n = shing.select(
-        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s")
+    pre = _rare_prefix_postings(shing, id_col, min_containment).select(
+        F.col(id_col).alias("_id_s"),
+        F.col("_n").alias("_n_s"),
+        "s",
     )
-    freq = expl_n.groupBy("s").agg(F.count("*").alias("_df"))
-    wdoc = Window.partitionBy(id_col).orderBy("_df", "s")
-    prefix_len = (
-        F.col("_n")
-        - F.ceil(F.col("_n") * min_containment - 1e-9)
-        + 1
-    )
-    pre = (
-        expl_n.join(freq, "s")
-        .withColumn("_rn", F.row_number().over(wdoc))
-        .filter(F.col("_rn") <= prefix_len)
-        .select(
-            F.col(id_col).alias("_id_s"),
-            F.col("_n").alias("_n_s"),
-            "s",
-        )
-    )
-    fullp = expl_n.select(
-        F.col(id_col).alias("_id_l"), F.col("_n").alias("_n_l"), "s"
+    fullp = shing.select(
+        F.col(id_col).alias("_id_l"),
+        F.size("sh").alias("_n_l"),
+        F.explode("sh").alias("s"),
     )
     cand = (
         pre.join(fullp, "s")

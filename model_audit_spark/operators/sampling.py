@@ -131,9 +131,11 @@ def weighted_sample_es(
     8 md5 hex digits of salt|id — a seeded uniform both engines compute
     identically; ln(1/u) is quantized to integer nanonats (the ONE
     transcendental, DETERMINISM.md rule 3); the sort key is
-    nanonats/weight — a division of two exact integers, bit-identical
-    in every engine — with the id as tie-break. Emits
-    (input columns…, es_key)."""
+    nanonats/weight — the exact integer divided by the weight DOUBLE
+    (fractional weights like quality scores are first-class; the
+    stored double is bit-identical in every engine, so the quotient
+    is too) — with the id as tie-break. Emits (input columns…,
+    es_key)."""
     if k <= 0:
         raise ValueError("k must be positive")
     h = F.conv(
@@ -153,7 +155,7 @@ def weighted_sample_es(
     lnq = F.round(
         F.log((2.0 ** 32) / (h + F.lit(1)).cast("double")) * 1e9
     ).cast("long")
-    key = lnq / F.col(weight_col).cast("long").cast("double")
+    key = lnq / F.col(weight_col).cast("double")
     return (
         # weight <= 0 ⇒ selection probability 0 (ES semantics); dropping
         # the rows also keeps the key division NaN/inf-free

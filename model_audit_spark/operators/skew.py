@@ -80,8 +80,10 @@ def salted_join(
     domain list) broadcasts into semi/anti splits of both sides. Cold
     keys take the ordinary join. Hot probe rows get a deterministic salt
     from xxhash64(uid_col) — or, when no uid_col is passed, xxhash64
-    over ALL probe columns, which is row-unique up to fully-identical
-    rows (interchangeable anyway). Salting by the join key itself would
+    over all ATOMIC probe columns (maps are unhashable, large nested
+    payloads not worth hashing), which is row-unique up to
+    fully-identical rows (interchangeable anyway). Salting by the join
+    key itself would
     send every probe row of a hot key to ONE salt bucket: full
     replication cost, zero skew relief. Hot build rows are replicated
     across all n_salts buckets, so the join key becomes (key, salt) and
@@ -100,11 +102,21 @@ def salted_join(
     if hot_keys is None:
         return left.join(right, key)
     hot = F.broadcast(hot_keys.select(key).distinct())
-    uid_cols = (
-        [F.col(uid_col)]
-        if uid_col
-        else [F.col(c) for c in left.columns]
-    )
+    if uid_col:
+        uid_cols = [F.col(uid_col)]
+    else:
+        # hash every ATOMIC probe column: row-unique up to fully
+        # identical rows (interchangeable anyway). Map columns are
+        # excluded — xxhash64 rejects MapType outright — and so are
+        # nested array/struct payloads, which hash fine but would pay
+        # per-row hashing of large payloads for no extra spread.
+        atomic = [
+            f.name
+            for f in left.schema.fields
+            if f.dataType.typeName()
+            not in ("map", "array", "struct")
+        ]
+        uid_cols = [F.col(c) for c in (atomic or [key])]
     salt = F.pmod(F.xxhash64(*uid_cols), F.lit(n_salts)).cast("int")
     l_hot = left.join(hot, key, "left_semi").withColumn("_salt", salt)
     r_hot = right.join(hot, key, "left_semi").withColumn(

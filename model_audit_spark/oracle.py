@@ -1265,7 +1265,11 @@ def seqmatch_scores_sql(pairs_cte: str) -> str:
     Validated cell-for-cell against difflib on 82 adversarial cases
     (empties, all-popular autojunk strings, whitespace trims, random
     150-400 char pairs) plus the live memo pairs."""
-    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    # the FULL Python str.strip() whitespace set (every codepoint with
+    # str.isspace() below U+3001) — the Spark kernel strips unicode
+    # whitespace (NBSP, NEL, ideographic space, ...), so trimming only
+    # ASCII here would hash-diverge on such edges
+    ws = "chr(9) || chr(10) || chr(11) || chr(12) || chr(13) || chr(28) || chr(29) || chr(30) || chr(31) || chr(32) || chr(133) || chr(160) || chr(5760) || chr(8192) || chr(8193) || chr(8194) || chr(8195) || chr(8196) || chr(8197) || chr(8198) || chr(8199) || chr(8200) || chr(8201) || chr(8202) || chr(8232) || chr(8233) || chr(8239) || chr(8287) || chr(12288)"
     return f"""
 WITH RECURSIVE {pairs_cte},
 ab AS (
@@ -4273,7 +4277,7 @@ def weighted_sample_es(k: int = 50, salt: str = "es1") -> str:
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
     CAST(round(ln(4294967296.0 / ({h} + 1)) * 1000000000) AS BIGINT)
-      / CAST(CAST(n_chars AS BIGINT) AS DOUBLE) AS es_key
+      / CAST(n_chars AS DOUBLE) AS es_key
   FROM documents
   WHERE n_chars > 0
 )

@@ -471,8 +471,8 @@ def test_incremental_components_equal_full_for_any_graph(spark, edges, cut):
 @given(
     pairs=st.lists(
         st.tuples(
-            st.text(alphabet="ab c\nd", max_size=260),
-            st.text(alphabet="ab c\nd", max_size=260),
+            st.text(alphabet="ab c\nd\xa0\u3000", max_size=260),
+            st.text(alphabet="ab c\nd\xa0\u3000", max_size=260),
         ),
         min_size=1, max_size=6,
     )
@@ -482,7 +482,9 @@ def test_seqmatch_sql_twin_equals_difflib(pairs):
     """The recursive-CTE difflib twin (oracle.seqmatch_scores_sql) is
     bit-identical to SequenceMatcher for ANY strings — including the
     autojunk regime (len >= 200, popular chars leave the DP but stay
-    extendable) and the empty/corner-fallback edges."""
+    extendable), UNICODE whitespace trims (NBSP / ideographic space —
+    Python str.strip() semantics, round-4 review finding), and the
+    empty/corner-fallback edges."""
     from difflib import SequenceMatcher
 
     import duckdb

@@ -321,3 +321,32 @@ def test_weighted_sample_es_matches_bruteforce_and_skews_to_weight(spark):
     assert 500 not in {i for i, _ in got}
     heavy = sum(1 for i, _ in got if i < 20)
     assert heavy >= 10  # 20 rows at 100x weight dominate 180 light rows
+
+
+def test_weighted_sample_es_fractional_weights(spark):
+    """Fractional weights (quality scores) are first-class: selection
+    matches the brute-force computation and high-quality rows dominate
+    — the truncate-to-long regression would zero them all out."""
+    import hashlib
+    import math
+
+    from model_audit_spark.operators.sampling import weighted_sample_es
+
+    rows = [(i, 0.9 if i < 10 else 0.01) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample_es(
+            df, weight_col="q", k=8, id_col="doc_id", salt="f1"
+        ).collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"f1|{i}".encode()).hexdigest()[:8], 16)
+        return round(math.log(2.0 ** 32 / (h + 1)) * 1e9) / w
+
+    brute = sorted(
+        ((i, key(i, w)) for i, w in rows), key=lambda t: (t[1], t[0])
+    )[:8]
+    assert got == [i for i, _ in brute]
+    assert sum(1 for i in got if i < 10) >= 5
