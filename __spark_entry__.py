@@ -2289,6 +2289,19 @@ def _bpe_segments(spark, sf):
     return bpe_vocab_segments(docs, n_merges=8, top_k=200)
 
 
+def _events_decayed(spark, sf):
+    """Exponentially time-decayed event counts (1-day half-life at the
+    corpus end time) — the trending/recency aggregate; one corpus-sized
+    hash agg, transcendental per DISTINCT (type, minute) only
+    (rollup.decayed_counts)."""
+    from model_audit_spark.operators.rollup import decayed_counts
+
+    ev = _t(spark, sf, "events")
+    return decayed_counts(
+        ev, ref_time="2024-01-31 00:00:00", half_life_minutes=1440
+    )
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2511,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_es": _weighted_sample_es,
         "bpe_merges": _bpe_merges,
         "bpe_segments": _bpe_segments,
+        "events_decayed": _events_decayed,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2533,9 +2547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claimed_families": _claimed_families,
         "corpus_stats": _corpus_stats,
         "detect_distribution": _detect_distribution,
-        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "dli_bigrams_by_source": _dli_bigrams,
         "dli_features_by_source": _dli_features,
         "probes_filtered": _probes_filtered,
@@ -2781,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_es": ora.weighted_sample_es(k=50, salt="es1"),
         "bpe_merges": ora.bpe_merges(n_merges=8),
         "bpe_segments": ora.bpe_vocab_segments(n_merges=8, top_k=200),
+        "events_decayed": ora.decayed_counts(),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

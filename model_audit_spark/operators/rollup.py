@@ -88,3 +88,55 @@ def rollup_cascade(
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("_sv").cast("double").alias("total_value"),
     )
+
+
+def decayed_counts(
+    df,
+    ref_time: str,
+    half_life_minutes: int = 1440,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+):
+    """(key..., n_events, decayed_count): exponentially time-decayed
+    event counts at `ref_time` — the trending/recency signal
+    (half-life-weighted popularity: an event h minutes old contributes
+    2^(−h/half_life)).
+
+    Scale shape: events pre-aggregate to (key, age-minute) counts FIRST
+    — the one corpus-sized hash aggregate, map-side combined — so the
+    transcendental is evaluated once per DISTINCT (key, minute) row
+    (bounded by keys × minutes of history, not events). Determinism
+    (DETERMINISM.md rule 3): age = (epoch(ref) − floor(epoch(ts)))
+    DIV 60 — exact integers, the floor-epoch mirror of the z-order
+    minute key; the weight quantizes to integer nanonats
+    (round(2^(−age/hl)·1e9)); the weighted sum is exact BIGINT; the
+    emitted decayed_count is nanonats/1e9 — an exact-integer division,
+    identical doubles in every engine. Events after `ref_time` are
+    excluded (negative ages would be future events)."""
+    if key_cols is None:
+        key_cols = ["event_type"]
+    ref = F.lit(ref_time).cast("timestamp")
+    age_min = F.expr(
+        f"(unix_timestamp(CAST('{ref_time}' AS TIMESTAMP)) - "
+        f"unix_timestamp({ts_col})) DIV 60"
+    )
+    per_minute = (
+        df.filter(F.col(ts_col) <= ref)
+        .groupBy(*key_cols, age_min.alias("_age"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w9 = F.round(
+        F.exp(
+            F.lit(-0.6931471805599453)
+            * (F.col("_age").cast("double") / F.lit(float(half_life_minutes)))
+        )
+        * 1e9
+    ).cast("long")
+    return (
+        per_minute.groupBy(*key_cols)
+        .agg(
+            F.sum("_n").cast("long").alias("n_events"),
+            (F.sum(F.col("_n") * w9) / F.lit(1e9)).alias("decayed_count"),
+        )
+        .orderBy(*key_cols)
+    )

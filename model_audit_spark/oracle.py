@@ -4384,3 +4384,34 @@ FROM (SELECT * FROM vocab_{n_merges}
       ORDER BY freq DESC, word ASC LIMIT {top_k})
 """
     )
+
+
+def decayed_counts(
+    ref_time: str = "2024-01-31 00:00:00", half_life_minutes: int = 1440
+) -> str:
+    """Twin of rollup.decayed_counts: floor-epoch minute ages, one
+    nanonat-quantized 2^(-age/hl) per distinct (key, age), exact BIGINT
+    weighted sum, /1e9 double emit."""
+    return f"""
+WITH per_minute AS (
+  SELECT event_type,
+         (CAST(floor(epoch(TIMESTAMP '{ref_time}')) AS BIGINT)
+          - CAST(floor(epoch(ts)) AS BIGINT)) // 60 AS age,
+         count(*) AS n
+  FROM events
+  WHERE ts <= TIMESTAMP '{ref_time}'
+  GROUP BY 1, 2
+),
+weighted AS (
+  SELECT event_type, n,
+         CAST(round(exp(-0.6931471805599453
+                        * (CAST(age AS DOUBLE) / {half_life_minutes}.0))
+                    * 1000000000) AS BIGINT) AS w9
+  FROM per_minute
+)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       sum(n * w9) / 1000000000.0 AS decayed_count
+FROM weighted GROUP BY event_type
+ORDER BY event_type
+"""

@@ -122,3 +122,30 @@ def test_events_pivot_unpivot_roundtrip(spark):
     got = {(r.user_id, r.event_type): r.n for r in long.filter("n > 0").collect()}
     want = {(r.user_id, r.event_type): r.n for r in direct.collect()}
     assert got == want
+
+
+def test_decayed_counts_hand_computed(spark):
+    """Hand-computed decay weights: events at exactly 0, half-life, and
+    2x half-life minutes before ref contribute 1, 0.5, 0.25; future
+    events are excluded."""
+    from model_audit_spark.operators.rollup import decayed_counts
+
+    rows = [
+        (1, "2024-01-02 00:00:00", "a"),   # age 0      -> 1.0
+        (2, "2024-01-01 12:00:00", "a"),   # age 720    -> 0.5
+        (3, "2024-01-01 00:00:00", "a"),   # age 1440   -> 0.25
+        (4, "2024-01-02 00:00:01", "a"),   # future     -> excluded
+        (5, "2024-01-02 00:00:00", "b"),   # age 0      -> 1.0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: (r["n_events"], r["decayed_count"])
+        for r in decayed_counts(
+            df, ref_time="2024-01-02 00:00:00", half_life_minutes=720
+        ).collect()
+    }
+    assert got["a"][0] == 3
+    assert abs(got["a"][1] - 1.75) < 1e-9
+    assert got["b"] == (1, 1.0)
