@@ -2302,6 +2302,17 @@ def _events_decayed(spark, sf):
     )
 
 
+def _ann_sq8_topk(spark, sf):
+    """SQ8 scalar-quantization ANN: 1 byte/dim codes from per-dim
+    min/max, approximate dot via a per-query scale array — the
+    accuracy/size midpoint between brute-force float and PQ
+    (similarity.sq8_topk)."""
+    from model_audit_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return sq8_topk(emb, query_vec_id=0, k=10)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2525,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_segments": _bpe_segments,
         "events_decayed": _events_decayed,
+        "ann_sq8_topk": _ann_sq8_topk,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2546,9 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_orders": _q_window_orders,
         "claimed_families": _claimed_families,
         "corpus_stats": _corpus_stats,
-        "detect_distribution": _detect_distribution,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "detect_distribution": _detect_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "dli_bigrams_by_source": _dli_bigrams,
         "dli_features_by_source": _dli_features,
@@ -2796,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": ora.bpe_merges(n_merges=8),
         "bpe_segments": ora.bpe_vocab_segments(n_merges=8, top_k=200),
         "events_decayed": ora.decayed_counts(),
+        "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -804,3 +804,114 @@ def pq_rerank_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def sq8_params(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """1-row (mns, mxs, rgs ARRAY<DOUBLE>): per-dimension min / max /
+    range for SQ8 scalar quantization — order-independent exact
+    reductions (min/max), collected dim-ordered. The training-free
+    quantizer: at 100 TB these params come from one O(dim·tasks)
+    aggregate, or from the maintained dim-stats table."""
+    long = emb.select(
+        F.posexplode(as_double_array(vec_col)).alias("dim", "v")
+    )
+    per_dim = long.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("dim", "mn", "mx"))
+    )
+    return per_dim.agg(sorted_structs.alias("_l")).select(
+        F.transform(F.col("_l"), lambda x: x["mn"]).alias("mns"),
+        F.transform(F.col("_l"), lambda x: x["mx"]).alias("mxs"),
+        F.transform(
+            F.col("_l"), lambda x: x["mx"] - x["mn"]
+        ).alias("rgs"),
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): SQ8 codes — code_i = floor((v_i − mn_i)
+    · 255 / rg_i + 0.5), degenerate (rg = 0) dims code to 0. floor(x +
+    0.5) is the PORTABLE half-up (an engine round() on an arbitrary
+    double is not — DETERMINISM.md mode 2); 4 bytes/dim becomes 1, the
+    relation a 100 TB ANN scan actually reads."""
+    j = emb.crossJoin(F.broadcast(params))
+    shifted = F.zip_with(
+        as_double_array(vec_col), F.col("mns"), lambda v, mn: v - mn
+    )
+    codes = F.zip_with(
+        shifted,
+        F.col("rgs"),
+        lambda t, rg: F.when(
+            rg > 0, F.floor(t * 255.0 / rg + 0.5).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return j.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, approx_dot) for the k best approximate dot products under
+    SQ8 — the scalar-quantization leg of the ANN family (between
+    brute-force float and PQ in the accuracy/size tradeoff).
+
+    dot(q, decode(c)) = Σ q_i·mn_i + Σ (q_i·rg_i/255)·code_i: the first
+    term is a per-query scalar, the second an in-row left fold over the
+    code array against the broadcast per-query scale array — zero
+    shuffle beyond the top-k, and the float additions run in FIXED
+    array order, so the SQL twin (list_reduce left fold) reproduces the
+    sums bit for bit."""
+    params = sq8_params(emb, vec_col)
+    enc = sq8_encode(emb, params, id_col, vec_col)
+    q = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .crossJoin(F.broadcast(params))
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    as_double_array(vec_col),
+                    F.col("mns"),
+                    lambda qv, mn: qv * mn,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("qconst"),
+            F.zip_with(
+                as_double_array(vec_col),
+                F.col("rgs"),
+                lambda qv, rg: qv * rg / 255.0,
+            ).alias("qscale"),
+        )
+    )
+    joined = enc.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    score = F.col("qconst") + F.aggregate(
+        F.zip_with(
+            F.col("qscale"),
+            F.col("codes"),
+            lambda s, c: s * c.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select(
+            F.col(id_col), F.round(score, 6).alias("approx_dot")
+        )
+        .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )

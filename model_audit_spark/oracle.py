@@ -4415,3 +4415,54 @@ SELECT event_type,
 FROM weighted GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def sq8_topk(query_vec_id: int = 0, k: int = 10) -> str:
+    """Twin of similarity.sq8_topk: per-dim min/max params, floor(x+0.5)
+    codes (portable half-up), and the same left-fold summation order
+    (list_reduce seeded with 0.0 mirrors F.aggregate's init) so the
+    float dot products agree bit for bit."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+long AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM v)
+),
+pd AS (SELECT i, min(x) AS mn, max(x) AS mx FROM long GROUP BY i),
+params AS (
+  SELECT list(mn ORDER BY i) AS mns,
+         list(mx ORDER BY i) AS mxs,
+         list(mx - mn ORDER BY i) AS rgs
+  FROM pd
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(range(1, len(v.v) + 1),
+      i -> CASE WHEN p.rgs[i] > 0
+           THEN CAST(floor((v.v[i] - p.mns[i]) * 255.0 / p.rgs[i] + 0.5)
+                     AS INTEGER)
+           ELSE 0 END) AS codes
+  FROM v, params p
+),
+q AS (
+  SELECT
+    {fold.format(arr="list_transform(range(1, len(v.v) + 1), i -> v.v[i] * p.mns[i])")} AS qconst,
+    list_transform(range(1, len(v.v) + 1),
+                   i -> v.v[i] * p.rgs[i] / 255.0) AS qscale
+  FROM v, params p WHERE v.vec_id = {query_vec_id}
+)
+SELECT c.vec_id,
+  round(q.qconst
+        + {fold.format(arr="list_transform(range(1, len(c.codes) + 1), i -> q.qscale[i] * CAST(c.codes[i] AS DOUBLE))")},
+        6) AS approx_dot
+FROM codes c, q
+WHERE c.vec_id <> {query_vec_id}
+ORDER BY approx_dot DESC, c.vec_id ASC LIMIT {k}
+"""

@@ -269,3 +269,58 @@ def test_salted_join_spreads_hot_probe_rows(spark):
         F.pmod(F.xxhash64("uid"), F.lit(n_salts)).cast("int").alias("s")
     ).distinct()
     assert salts.count() == n_salts
+
+
+def test_sq8_codes_bounded_and_reconstruction_error(spark):
+    """Codes live in [0, 255]; per-dim reconstruction error is bounded
+    by half a quantization step (rg/510); degenerate dims code to 0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.similarity import (
+        sq8_encode,
+        sq8_params,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim - 1)] + [7.0])
+        for i in range(60)
+    ]  # last dim constant -> degenerate
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = sq8_params(emb)
+    p = params.collect()[0]
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(emb, params).collect()}
+    for i, vec in rows:
+        cs = codes[i]
+        assert all(0 <= c <= 255 for c in cs)
+        assert cs[dim - 1] == 0  # degenerate dim
+        for d in range(dim - 1):
+            rg = p["rgs"][d]
+            recon = p["mns"][d] + rg / 255.0 * cs[d]
+            assert abs(recon - vec[d]) <= rg / 510.0 + 1e-9
+
+
+def test_sq8_topk_recall_against_exact_dot(spark):
+    """SQ8's 8-bit dot approximation recovers most of the exact top-k
+    (tight quantization: recall@10 >= 0.8 on gaussian vectors)."""
+    import random
+
+    from model_audit_spark.operators.similarity import sq8_topk
+
+    rng = random.Random(5)
+    dim = 16
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in sq8_topk(emb, query_vec_id=0, k=10).collect()]
+    q = rows[0][1]
+    exact = sorted(
+        ((i, sum(a * b for a, b in zip(q, v))) for i, v in rows if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    exact_ids = {i for i, _ in exact}
+    assert len(set(got) & exact_ids) >= 8
