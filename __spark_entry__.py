@@ -2313,6 +2313,16 @@ def _ann_sq8_topk(spark, sf):
     return sq8_topk(emb, query_vec_id=0, k=10)
 
 
+def _ann_sq8_rerank(spark, sf):
+    """Two-stage SQ8 retrieval: byte-code shortlist -> exact cosine
+    re-rank over the candidate-bounded float vectors
+    (similarity.sq8_rerank_topk)."""
+    from model_audit_spark.operators.similarity import sq8_rerank_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return sq8_rerank_topk(emb, query_vec_id=0, k=10, shortlist=50)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2537,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segments": _bpe_segments,
         "events_decayed": _events_decayed,
         "ann_sq8_topk": _ann_sq8_topk,
+        "ann_sq8_rerank": _ann_sq8_rerank,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2557,9 +2568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_urgent_customers": _q_urgent_customers,
         "q_window_orders": _q_window_orders,
         "claimed_families": _claimed_families,
-        "corpus_stats": _corpus_stats,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "corpus_stats": _corpus_stats,
         "detect_distribution": _detect_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "dli_bigrams_by_source": _dli_bigrams,
@@ -2809,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segments": ora.bpe_vocab_segments(n_merges=8, top_k=200),
         "events_decayed": ora.decayed_counts(),
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
+        "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -896,9 +896,10 @@ def sq8_topk(
             ).alias("qscale"),
         )
     )
-    joined = enc.filter(F.col(id_col) != query_vec_id).crossJoin(
-        F.broadcast(q)
-    )
+    # the query row itself stays in (family convention: cosine_topk /
+    # pq_topk keep it; the self row scoring at/near the top is also the
+    # built-in sanity check of the quantizer)
+    joined = enc.crossJoin(F.broadcast(q))
     score = F.col("qconst") + F.aggregate(
         F.zip_with(
             F.col("qscale"),
@@ -913,5 +914,39 @@ def sq8_topk(
             F.col(id_col), F.round(score, 6).alias("approx_dot")
         )
         .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq8_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage SQ8 retrieval: 1-byte-code shortlist → exact cosine
+    re-rank of the survivors against the full float vectors (candidate-
+    bounded semi-join — same production shape as pq_rerank_topk, with
+    the scalar quantizer as the cheap stage). Output matches
+    cosine_topk's schema/rounding, so recall is directly measurable."""
+    short = sq8_topk(
+        emb, query_vec_id, shortlist, id_col, vec_col
+    ).select(id_col)
+    cand = emb.join(short, id_col, "left_semi")
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        as_double_array(vec_col).alias("qv")
+    )
+    q = q.select("qv", _norm(F.col("qv")).alias("qn"))
+    base = cand.select(
+        F.col(id_col), as_double_array(vec_col).alias("ev")
+    ).crossJoin(F.broadcast(q))
+    sim = _dot(F.col("ev"), F.col("qv")) / (
+        _norm(F.col("ev")) * F.col("qn")
+    )
+    return (
+        base.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )

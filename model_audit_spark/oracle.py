@@ -4463,6 +4463,30 @@ SELECT c.vec_id,
         + {fold.format(arr="list_transform(range(1, len(c.codes) + 1), i -> q.qscale[i] * CAST(c.codes[i] AS DOUBLE))")},
         6) AS approx_dot
 FROM codes c, q
-WHERE c.vec_id <> {query_vec_id}
 ORDER BY approx_dot DESC, c.vec_id ASC LIMIT {k}
+"""
+
+
+def sq8_rerank_topk(
+    query_vec_id: int = 0, k: int = 10, shortlist: int = 50,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.sq8_rerank_topk: the SQ8 shortlist SQL feeds
+    an exact-cosine re-rank identical to the cosine_topk arithmetic."""
+    inner = sq8_topk(query_vec_id, shortlist)
+    return f"""
+WITH short AS (SELECT vec_id FROM ({inner})),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {query_vec_id})
+SELECT c.vec_id,
+  round(list_sum(list_transform(range(1, {dim} + 1),
+                                j -> c.v[j] * q.qv[j]))
+    / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)
+    AS cosine_sim
+FROM v c JOIN short s ON s.vec_id = c.vec_id CROSS JOIN q
+ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT {k}
 """

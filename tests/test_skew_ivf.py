@@ -319,8 +319,35 @@ def test_sq8_topk_recall_against_exact_dot(spark):
     got = [r["vec_id"] for r in sq8_topk(emb, query_vec_id=0, k=10).collect()]
     q = rows[0][1]
     exact = sorted(
-        ((i, sum(a * b for a, b in zip(q, v))) for i, v in rows if i != 0),
+        ((i, sum(a * b for a, b in zip(q, v))) for i, v in rows),
         key=lambda t: (-t[1], t[0]),
     )[:10]
     exact_ids = {i for i, _ in exact}
     assert len(set(got) & exact_ids) >= 8
+
+
+def test_sq8_rerank_full_shortlist_equals_exact(spark):
+    """With shortlist covering the whole corpus, SQ8 re-rank == the
+    exact cosine top-k (the quantizer only prunes, never re-scores)."""
+    import random
+
+    from model_audit_spark.operators.similarity import (
+        cosine_topk,
+        sq8_rerank_topk,
+    )
+
+    rng = random.Random(9)
+    dim = 12
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in sq8_rerank_topk(
+            emb, query_vec_id=0, k=10, shortlist=200
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in cosine_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    assert got == exact
