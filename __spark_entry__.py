@@ -2323,6 +2323,18 @@ def _ann_sq8_rerank(spark, sf):
     return sq8_rerank_topk(emb, query_vec_id=0, k=10, shortlist=50)
 
 
+def _ann_ivf_sq8(spark, sf):
+    """IVF + SQ8 hybrid: coarse cells bound candidates, 1-byte codes
+    score them — the probe path never touches float vectors
+    (similarity.ivf_sq8_topk)."""
+    from model_audit_spark.operators.similarity import ivf_sq8_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_sq8_topk(
+        emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3
+    )
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2548,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decayed": _events_decayed,
         "ann_sq8_topk": _ann_sq8_topk,
         "ann_sq8_rerank": _ann_sq8_rerank,
+        "ann_ivf_sq8": _ann_ivf_sq8,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "knn_triangles": _knn_triangles,
         "dedup_minhash_signatures": _dedup_minhash_signatures,
@@ -2567,9 +2580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5,
         "q_urgent_customers": _q_urgent_customers,
         "q_window_orders": _q_window_orders,
-        "claimed_families": _claimed_families,
         # -- 51+: outside the window; driver-green rows retained, still
         # mirror-checked every session
+        "claimed_families": _claimed_families,
         "corpus_stats": _corpus_stats,
         "detect_distribution": _detect_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
@@ -2821,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed": ora.decayed_counts(),
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),
+        "ann_ivf_sq8": ora.ivf_sq8_topk(query_vec_id=0, k=10, n_clusters=8, nprobe=3),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -950,3 +950,76 @@ def sq8_rerank_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + SQ8 hybrid — the production inverted-file shape: the coarse
+    quantizer bounds candidates to the `nprobe` nearest cells, and the
+    candidate scan reads 1-byte SQ8 codes instead of float vectors
+    (at 100 TB the float relation is only ever touched by index build
+    and re-rank; the probe path is cells → byte codes → top-k).
+    Seeded-sample quantizer so the whole index build is reproducible in
+    the SQL twin. Emits (id, approx_dot)."""
+    centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    params = sq8_params(emb, vec_col)
+    enc = sq8_encode(emb, params, id_col, vec_col)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, c, _centroid_norm(c)) for cid, c in enumerate(centroids)],
+        "cid INT, cv ARRAY<DOUBLE>, cn DOUBLE",
+    )
+    qrow = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col("ev").alias("qv")
+    )
+    probe = (
+        cdf.crossJoin(F.broadcast(qrow))
+        .select(
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / F.col("cn")).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand_ids = assigned.join(
+        F.broadcast(probe), F.col("cluster") == F.col("cid")
+    ).select(id_col)
+    q = qrow.crossJoin(F.broadcast(params)).select(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("mns"), lambda qv, mn: qv * mn),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("qconst"),
+        F.zip_with(
+            F.col("qv"), F.col("rgs"), lambda qv, rg: qv * rg / 255.0
+        ).alias("qscale"),
+    )
+    joined = (
+        enc.join(cand_ids, id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+    )
+    score = F.col("qconst") + F.aggregate(
+        F.zip_with(
+            F.col("qscale"),
+            F.col("codes"),
+            lambda s, c: s * c.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select(
+            F.col(id_col), F.round(score, 6).alias("approx_dot")
+        )
+        .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )

@@ -4490,3 +4490,83 @@ SELECT c.vec_id,
 FROM v c JOIN short s ON s.vec_id = c.vec_id CROSS JOIN q
 ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT {k}
 """
+
+
+def ivf_sq8_topk(
+    query_vec_id: int = 0, k: int = 10, n_clusters: int = 8,
+    nprobe: int = 3, dim: int = 64,
+) -> str:
+    """Twin of similarity.ivf_sq8_topk: the seeded IVF cell CTEs
+    (ann_ivf_topk) bound the candidates; SQ8 scoring (sq8_topk's
+    params/codes/fold arithmetic) ranks them."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {n_clusters})
+),
+cscored AS (
+  SELECT vec_id, v, cid,
+    list_sum(list_transform(range(1, {dim} + 1), j -> v[j] * cv[j])) / cn
+      AS s
+  FROM v CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid ASC) AS rn
+    FROM cscored) WHERE rn = 1
+),
+qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+      list_sum(list_transform(range(1, {dim} + 1), j -> q.qv[j] * c.cv[j]))
+        / c.cn AS s
+    FROM cents c CROSS JOIN qv q
+    ORDER BY s DESC, c.cid ASC LIMIT {nprobe})
+),
+long AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM v)
+),
+pd AS (SELECT i, min(x) AS mn, max(x) AS mx FROM long GROUP BY i),
+params AS (
+  SELECT list(mn ORDER BY i) AS mns,
+         list(mx - mn ORDER BY i) AS rgs
+  FROM pd
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(range(1, len(v.v) + 1),
+      i -> CASE WHEN p.rgs[i] > 0
+           THEN CAST(floor((v.v[i] - p.mns[i]) * 255.0 / p.rgs[i] + 0.5)
+                     AS INTEGER)
+           ELSE 0 END) AS codes
+  FROM v, params p
+),
+qs AS (
+  SELECT
+    {fold.format(arr="list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * p.mns[i])")} AS qconst,
+    list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * p.rgs[i] / 255.0) AS qscale
+  FROM qv q, params p
+)
+SELECT c.vec_id,
+  round(qs.qconst
+        + {fold.format(arr="list_transform(range(1, len(c.codes) + 1), i -> qs.qscale[i] * CAST(c.codes[i] AS DOUBLE))")},
+        6) AS approx_dot
+FROM codes c
+JOIN assigned a ON a.vec_id = c.vec_id
+JOIN probe pr ON pr.cid = a.cid
+CROSS JOIN qs
+ORDER BY approx_dot DESC, c.vec_id ASC LIMIT {k}
+"""

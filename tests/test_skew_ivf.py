@@ -351,3 +351,44 @@ def test_sq8_rerank_full_shortlist_equals_exact(spark):
         for r in cosine_topk(emb, query_vec_id=0, k=10).collect()
     ]
     assert got == exact
+
+
+def test_ivf_sq8_candidates_subset_of_probed_cells(spark):
+    """IVF+SQ8 results come only from probed cells, and with nprobe
+    covering every cell the hybrid equals plain SQ8 top-k (cell pruning
+    is the ONLY difference between the two scorers)."""
+    import random
+
+    from model_audit_spark.operators.similarity import (
+        ivf_centroids_seeded,
+        ivf_assign,
+        ivf_sq8_topk,
+        sq8_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    dim = 12
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_clusters = 4
+    got = [
+        r["vec_id"]
+        for r in ivf_sq8_topk(
+            emb, query_vec_id=0, k=10, n_clusters=n_clusters, nprobe=2
+        ).collect()
+    ]
+    assert len(got) == 10
+    # full-probe hybrid == plain SQ8
+    full = [
+        (r["vec_id"], r["approx_dot"])
+        for r in ivf_sq8_topk(
+            emb, query_vec_id=0, k=10,
+            n_clusters=n_clusters, nprobe=n_clusters,
+        ).collect()
+    ]
+    plain = [
+        (r["vec_id"], r["approx_dot"])
+        for r in sq8_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    assert full == plain
