@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from model_audit_spark.persistence import track
+
 __all__ = ["connected_components", "cluster_documents"]
 
 
@@ -276,11 +278,12 @@ def triangle_counts(
     r1-r3 shape). Ranks compare as (deg, id) structs, mirrored in the
     SQL twin as row-value comparisons over a degree CTE.
 
-    Cache lifecycle: the persisted undirected/oriented relations live
-    until the session drops them (same convention as _dup_verified) —
-    run spark.catalog.clearCache() between queries when evaluating many
-    graph queries in one session."""
-    und = (
+    Cache lifecycle: the persisted undirected/oriented relations are
+    registered with persistence.track(), so a long session evaluating
+    many graph queries releases them via persistence.release_all()
+    (spark.catalog.clearCache() between queries — the gate harness's
+    convention — also works)."""
+    und = track(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -289,7 +292,7 @@ def triangle_counts(
         .distinct()
         .persist()
     )
-    o = _oriented_edges(und).persist()
+    o = track(_oriented_edges(und).persist())
     return _oriented_triangle_corners(o)
 
 
@@ -369,11 +372,12 @@ def graph_stats(
     across engines. Same persisted undirected relation feeds degrees and
     the oriented edges.
 
-    Cache lifecycle: the persisted undirected/oriented relations live
-    until the session drops them (same convention as _dup_verified) —
-    run spark.catalog.clearCache() between queries when evaluating many
-    graph queries in one session."""
-    und = (
+    Cache lifecycle: the persisted undirected/oriented relations are
+    registered with persistence.track(), so a long session evaluating
+    many graph queries releases them via persistence.release_all()
+    (spark.catalog.clearCache() between queries — the gate harness's
+    convention — also works)."""
+    und = track(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -395,7 +399,7 @@ def graph_stats(
         .alias("n_wedges"),
         F.sum("deg").alias("_degsum"),
     )
-    o = _oriented_edges(und).persist()
+    o = track(_oriented_edges(und).persist())
     tri = _oriented_triangles(o).agg(
         F.count("*").cast("long").alias("n_triangles")
     )

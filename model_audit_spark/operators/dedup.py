@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from model_audit_spark.functions.text import ngrams, word_tokens
+from model_audit_spark.persistence import track
 
 # Smallest prime > 2^32; minhash permutation modulus and the sentinel
 # signature value for documents with no shingles.
@@ -144,7 +145,16 @@ def minhash_signatures(
     relation here and to jaccard_verify and the second tokenize+shingle
     pass disappears (at 100 TB, one full corpus scan saved; persist
     spills to disk via MEMORY_AND_DISK, or checkpoint it on a real
-    cluster)."""
+    cluster).
+
+    CONTRACT: when supplied, `shingles` must hold exactly one row per
+    `df` row (shingles_df over the SAME df, unfiltered) — the output is
+    a projection of `shingles`, so docs present in df but missing from
+    the relation get no signature row (unlike the r1-r3 shape, which
+    left-joined back to df and emitted sentinel rows for them). Every
+    in-repo caller passes the full shingles_df; a caller that filters
+    the relation must re-join against df itself if it needs the
+    one-row-per-doc guarantee."""
     rel = (
         shingles
         if shingles is not None
@@ -311,7 +321,7 @@ def jaccard_verify(
     tokenizes the corpus once (see minhash_signatures)."""
     # referenced by cand_ids, the intersection join, and the final output —
     # persist so the banding plan beneath it runs once
-    pairs = pairs.persist()
+    pairs = track(pairs.persist())
     cand_ids = (
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
         .distinct()
@@ -502,8 +512,9 @@ def ngram_jaccard_pairs(
     if min_jaccard <= 0:
         raise ValueError("min_jaccard must be > 0 (index covers jaccard > 0)")
     # consumed by both sizes and the posting-list aggregate — persist so the
-    # tokenize+shingle subtree runs once (SCALE.md rule 3)
-    shing = shingles_df(df, text_col, id_col, shingle_n).persist()
+    # tokenize+shingle subtree runs once (SCALE.md rule 3); tracked for
+    # persistence.release_all()
+    shing = track(shingles_df(df, text_col, id_col, shingle_n).persist())
     sizes = shing.select(F.col(id_col).alias("_id"), F.size("sh").alias("n_sh"))
     postings = (
         shing.select(F.col(id_col), F.explode("sh").alias("s"))
@@ -602,7 +613,7 @@ def ngram_jaccard_prefix_pairs(
     algorithm instead of needing a max_df cap."""
     if not (0 < min_jaccard <= 1):
         raise ValueError("min_jaccard must be in (0, 1]")
-    shing = shingles_df(df, text_col, id_col, shingle_n).persist()
+    shing = track(shingles_df(df, text_col, id_col, shingle_n).persist())
     sizes = shing.select(
         F.col(id_col).alias("_id"), F.size("sh").alias("n_sh")
     )
@@ -625,7 +636,7 @@ def ngram_jaccard_prefix_pairs(
             ),
         )
     )
-    cand = (
+    cand = track(
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
@@ -697,10 +708,20 @@ def containment_prefix_pairs(
     quadratic posting lists almost never enter a rare-first prefix.
     Exact candidate-bounded verify; the oracle twin is the full
     all-pairs SQL, so a hash match certifies the pruning lost nothing.
+
+    Cache lifecycle (the triangle_counts convention): `shing` and `cand`
+    persist because the verify stage reads each of them from multiple
+    join branches — without the persist the tokenize+shingle subtree
+    executes once per branch (a repeated full-corpus pass at 100 TB).
+    They are registered with persistence.track(), so callers evaluating
+    many queries in one session release them via
+    persistence.release_all() (the gate harness's clearCache() between
+    queries does the same); on a real cluster, checkpoint `shing`
+    instead to also truncate lineage.
     """
     if not (0 < min_containment <= 1):
         raise ValueError("min_containment must be in (0, 1]")
-    shing = shingles_df(df, text_col, id_col, shingle_n).persist()
+    shing = track(shingles_df(df, text_col, id_col, shingle_n).persist())
     pre = _rare_prefix_postings(shing, id_col, min_containment).select(
         F.col(id_col).alias("_id_s"),
         F.col("_n").alias("_n_s"),
@@ -711,7 +732,7 @@ def containment_prefix_pairs(
         F.size("sh").alias("_n_l"),
         F.explode("sh").alias("s"),
     )
-    cand = (
+    cand = track(
         pre.join(fullp, "s")
         .filter(
             F.struct(F.col("_n_s"), F.col("_id_s"))
@@ -782,7 +803,7 @@ def simhash_near_dup_pairs(
     # self-join read it, and without this the full tokenize + 32-vote
     # hash-agg subtree executes once PER SIDE (verified: 2 FileScans, no
     # ReusedExchange) — a second full-corpus pass at 100 TB.
-    sh = simhash(df, text_col, id_col, bits).persist()
+    sh = track(simhash(df, text_col, id_col, bits).persist())
     banded = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",

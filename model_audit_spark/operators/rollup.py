@@ -106,9 +106,15 @@ def decayed_counts(
     — the one corpus-sized hash aggregate, map-side combined — so the
     transcendental is evaluated once per DISTINCT (key, minute) row
     (bounded by keys × minutes of history, not events). Determinism
-    (DETERMINISM.md rule 3): age = (epoch(ref) − floor(epoch(ts)))
-    DIV 60 — exact integers, the floor-epoch mirror of the z-order
-    minute key; the weight quantizes to integer nanonats
+    (DETERMINISM.md rule 3): age = floor((epoch(ref) − epoch(ts)) / 60)
+    — both epochs are exact BIGINTs and the diff is non-negative (future
+    events filtered), so floor-of-double-division equals the oracle's
+    integer DIV 60 (diff an exact multiple of 60 divides exactly in
+    double; otherwise the quotient is non-integral and the sub-ulp
+    division error cannot cross an integer boundary). Built from bound
+    columns — `ref_time` is never spliced into a SQL string, so quote
+    characters in it cannot produce a parse error; the weight quantizes
+    to integer nanonats
     (round(2^(−age/hl)·1e9)); the weighted sum is exact BIGINT; the
     emitted decayed_count is nanonats/1e9 — an exact-integer division,
     identical doubles in every engine. Events after `ref_time` are
@@ -116,10 +122,10 @@ def decayed_counts(
     if key_cols is None:
         key_cols = ["event_type"]
     ref = F.lit(ref_time).cast("timestamp")
-    age_min = F.expr(
-        f"(unix_timestamp(CAST('{ref_time}' AS TIMESTAMP)) - "
-        f"unix_timestamp({ts_col})) DIV 60"
-    )
+    age_min = F.floor(
+        (F.unix_timestamp(ref) - F.unix_timestamp(F.col(ts_col)))
+        / F.lit(60)
+    ).cast("long")
     per_minute = (
         df.filter(F.col(ts_col) <= ref)
         .groupBy(*key_cols, age_min.alias("_age"))

@@ -19,6 +19,7 @@ from model_audit_spark.functions.text import (
     words,
 )
 from model_audit_spark.operators.dedup import shingles_from_tokens
+from model_audit_spark.persistence import track
 
 # A GPT2-ish byte-pair-encoding pre-tokenizer approximation: contractions,
 # letter runs, digit runs, punctuation runs, whitespace runs.
@@ -301,12 +302,15 @@ def vocab_coverage(
     the group keeps its row via the outer aggregate."""
     # explode_OUTER: a group whose docs are all NULL/empty still keeps
     # a row (tok NULL), honoring the NULL-text-as-empty convention
-    occ = df.select(
+    # persisted: the occurrence relation feeds BOTH the global top-V
+    # vocabulary aggregate and the per-group OOV aggregate; tracked so
+    # persistence.release_all() (or the harness's clearCache()) drops it
+    occ = track(df.select(
         F.col(group_col),
         F.explode_outer(
             word_tokens(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("tok"),
-    ).persist()
+    ).persist())
     vocab = (
         occ.filter(F.col("tok").isNotNull())
         .groupBy("tok")

@@ -4472,7 +4472,10 @@ def sq8_rerank_topk(
     dim: int = 64,
 ) -> str:
     """Twin of similarity.sq8_rerank_topk: the SQ8 shortlist SQL feeds
-    an exact-cosine re-rank identical to the cosine_topk arithmetic."""
+    an exact-cosine re-rank identical to the cosine_topk arithmetic.
+    Ranges derive from len(v) — the `dim` parameter is retained for
+    signature compatibility but never baked into the SQL, so a fixture
+    dimension change cannot silently truncate the dot product."""
     inner = sq8_topk(query_vec_id, shortlist)
     return f"""
 WITH short AS (SELECT vec_id FROM ({inner})),
@@ -4482,7 +4485,7 @@ v AS (
 ),
 q AS (SELECT v AS qv FROM v WHERE vec_id = {query_vec_id})
 SELECT c.vec_id,
-  round(list_sum(list_transform(range(1, {dim} + 1),
+  round(list_sum(list_transform(range(1, len(c.v) + 1),
                                 j -> c.v[j] * q.qv[j]))
     / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)
@@ -4498,7 +4501,10 @@ def ivf_sq8_topk(
 ) -> str:
     """Twin of similarity.ivf_sq8_topk: the seeded IVF cell CTEs
     (ann_ivf_topk) bound the candidates; SQ8 scoring (sq8_topk's
-    params/codes/fold arithmetic) ranks them."""
+    params/codes/fold arithmetic) ranks them. Ranges derive from
+    len(v)/len(qv) — `dim` is kept for signature compatibility only,
+    never baked into the SQL (a fixture dim change cannot silently
+    truncate the dot products)."""
     fold = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), "
         "(a, b) -> a + b)"
@@ -4515,7 +4521,7 @@ cents AS (
 ),
 cscored AS (
   SELECT vec_id, v, cid,
-    list_sum(list_transform(range(1, {dim} + 1), j -> v[j] * cv[j])) / cn
+    list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * cv[j])) / cn
       AS s
   FROM v CROSS JOIN cents
 ),
@@ -4529,7 +4535,8 @@ qv AS (SELECT v AS qv FROM v WHERE vec_id = {query_vec_id}),
 probe AS (
   SELECT cid FROM (
     SELECT c.cid,
-      list_sum(list_transform(range(1, {dim} + 1), j -> q.qv[j] * c.cv[j]))
+      list_sum(list_transform(range(1, len(q.qv) + 1),
+                              j -> q.qv[j] * c.cv[j]))
         / c.cn AS s
     FROM cents c CROSS JOIN qv q
     ORDER BY s DESC, c.cid ASC LIMIT {nprobe})

@@ -1,0 +1,109 @@
+"""Session-scoped persist registry and relation memo.
+
+Several operators persist mid-chain relations that more than one
+downstream branch reads (the shingle relation feeding sign→band→verify,
+the undirected/oriented edge relations feeding triangle counts, the
+inverted-index postings feeding vocabulary coverage). A single query
+evaluation needs those blocks alive until its action finishes, so the
+operator cannot unpersist them itself — the result it returns is lazy.
+Historically cleanup was delegated to ``spark.catalog.clearCache()``
+between queries (the gate harness's convention), which works for a
+one-query-per-session harness but lets a long-lived session evaluating
+many graph queries accumulate executor storage blocks.
+
+This module closes that gap with two small primitives:
+
+- ``track(df)`` — register a persisted DataFrame so ``release_all()``
+  can drop it explicitly. Operators route their mid-chain persists
+  through this instead of bare ``.persist()``.
+- ``memo(key, builder)`` — session-scoped memo for relations that are
+  IDENTICAL across queries (e.g. the shingle relation of one parquet
+  table): the first caller builds + persists, later callers reuse the
+  cached blocks instead of re-tokenizing the corpus. The memo
+  re-validates the entry's storage level on every hit (``is_cached``
+  lies after ``clearCache()`` — the cache-manager lookup still matches
+  the plan — but ``storageLevel`` drops to NONE, observed on PySpark
+  4.1), so a harness that ran ``clearCache()`` in between transparently
+  rebuilds — a stale entry can never serve dropped blocks.
+
+At 100 TB the same discipline applies unchanged — ``track``/``memo``
+wrap whatever StorageLevel the caller chose (MEMORY_AND_DISK spills;
+a real cluster would checkpoint the memoized relation instead to also
+truncate lineage), and ``release_all()`` is the session's explicit
+end-of-batch hook instead of a blanket ``clearCache()`` that would also
+evict unrelated users' blocks on a shared cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Hashable
+
+from pyspark.sql import DataFrame
+
+_tracked: list[DataFrame] = []
+_memo: dict[Hashable, DataFrame] = {}
+
+
+def _is_live(df: DataFrame) -> bool:
+    """True iff the DataFrame's blocks are actually pinned. NOT
+    df.is_cached: after spark.catalog.clearCache() the cache-manager
+    lookup still reports True while the storage level is already NONE —
+    the level is the ground truth for "will a scan hit cached blocks"."""
+    lvl = df.storageLevel
+    return bool(lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for explicit release.
+
+    Returns the DataFrame unchanged so call sites stay one-line:
+    ``rel = track(build().persist())``."""
+    _tracked.append(df)
+    return df
+
+
+def memo(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
+    """Return the session-cached DataFrame for `key`, building and
+    persisting it on first use (or after its blocks were dropped).
+
+    `builder` must return the relation UN-persisted; memo() persists and
+    tracks it. The storage-level re-check makes the memo safe under an
+    external ``spark.catalog.clearCache()``: the entry is rebuilt, never
+    served stale."""
+    df = _memo.get(key)
+    if df is not None and _is_live(df):
+        return df
+    df = builder().persist()
+    _memo[key] = df
+    _tracked.append(df)
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every tracked relation and clear the memo.
+
+    The explicit end-of-session / between-batch hook. Returns the number
+    of relations released (idempotent: a second call returns 0)."""
+    n = 0
+    for df in _tracked:
+        try:
+            if _is_live(df):
+                df.unpersist()
+                n += 1
+        except Exception:
+            # a dead SparkSession mid-teardown must not mask the caller's
+            # own shutdown path
+            pass
+    _tracked.clear()
+    _memo.clear()
+    return n
+
+
+def tracked_count() -> int:
+    """Number of relations currently registered (pytest pins this)."""
+    return len(_tracked)
+
+
+def memo_size() -> int:
+    """Number of live memo entries (pytest pins this)."""
+    return len(_memo)

@@ -1,0 +1,98 @@
+"""Session-scoped persist registry / memo (model_audit_spark.persistence).
+
+Pins the r5 cache-lifecycle contract: repeated graph-query sessions hold
+ONE cached shingle relation (memo reuse), release_all() actually drops
+the storage blocks, and an external clearCache() can never make the
+memo serve stale (dropped) blocks — it rebuilds.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from model_audit_spark import persistence
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    persistence.release_all()
+    yield
+    persistence.release_all()
+
+
+def _n_persistent_rdds(spark):
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_memo_returns_same_relation(spark):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    a = persistence.memo(("t", 1), build)
+    a.count()
+    b = persistence.memo(("t", 1), build)
+    assert a is b
+    assert len(calls) == 1
+    assert persistence.memo_size() == 1
+    # a different key builds independently
+    c = persistence.memo(("t", 2), build)
+    assert c is not a
+    assert len(calls) == 2
+
+
+def test_memo_rebuilds_after_clear_cache(spark):
+    a = persistence.memo(("cc",), lambda: spark.range(5))
+    a.count()
+    assert persistence._is_live(a)
+    spark.catalog.clearCache()
+    assert not persistence._is_live(a)
+    b = persistence.memo(("cc",), lambda: spark.range(5))
+    assert b is not a  # stale entry replaced, never served
+    assert persistence._is_live(b)
+
+
+def test_release_all_drops_blocks(spark):
+    spark.catalog.clearCache()
+    base = _n_persistent_rdds(spark)
+    df = persistence.memo(("rel",), lambda: spark.range(100))
+    df.count()
+    tracked = persistence.track(spark.range(50).persist())
+    tracked.count()
+    assert _n_persistent_rdds(spark) >= base + 2
+    released = persistence.release_all()
+    assert released == 2
+    assert _n_persistent_rdds(spark) == base
+    assert persistence.tracked_count() == 0
+    assert persistence.memo_size() == 0
+    # idempotent
+    assert persistence.release_all() == 0
+
+
+def test_dup_verified_session_holds_one_shingle_relation(spark, tmp_path):
+    """Two different dup-graph queries over the same documents table
+    share one memoized shingle relation (the r5 storage-block pin)."""
+    import __spark_entry__ as entry
+
+    p = str(tmp_path / "documents.parquet")
+    rows = [(i, f"alpha beta gamma delta epsilon doc {i % 3}", "s")
+            for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+
+    spark.catalog.clearCache()
+    persistence.release_all()
+    entry._dup_verified(docs).count()
+    m1 = persistence.memo_size()
+    t1 = persistence.tracked_count()
+    entry._dup_verified(docs, min_jaccard=0.3).count()
+    # second query reused the memoized shingle relation: no new memo entry
+    assert persistence.memo_size() == m1 == 1
+    # jaccard_verify's per-call pair persist is tracked (so releasable),
+    # but the corpus-sized shingle relation was NOT duplicated
+    assert persistence.tracked_count() == t1 + 1
+    persistence.release_all()
+    assert _n_persistent_rdds(spark) == 0
