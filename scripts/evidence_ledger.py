@@ -1,0 +1,345 @@
+#!/usr/bin/env python
+"""Driver-evidence freshness ledger (round-5 verdict task 1).
+
+For every query in __spark_entry__.queries(), answers: "does the NEWEST
+green driver row still certify the CURRENT code?" A query is STALE when
+code in its dependency closure changed after the round that produced its
+newest green CORRECTNESS_r0N.json row — its driver evidence predates the
+code it would run today. Stale queries must rotate into the next round's
+50-slot check window (the driver checks only the first 50 entries of
+queries()).
+
+Dependency closure — UNIT-level (function / class / top-level constant),
+traced across modules through import bindings:
+
+- roots: the query's entry function in __spark_entry__.py and its oracle
+  twin (`ora.<fn>`) in model_audit_spark/oracle.py;
+- from each unit, every referenced name that resolves to (a) another
+  unit in the same file, (b) a `from model_audit_spark.x import y`
+  binding (top-level or in-body) → unit `y` of module x, or (c) an
+  attribute access `m.y` where `m` is a bound package module → unit `y`
+  of that module — is followed, to a fixpoint.
+
+Unit granularity (not file) is the point: the r4 ledger prototype used
+file-level closure and flagged 111/142 queries stale because ANY edit to
+a shared module (e.g. adding one new operator to dedup.py) invalidated
+every query importing it. Unit tracing only flags queries whose actually
+executed code (or a constant it reads) changed. Limitations, accepted
+and documented: references that resolve to nothing trackable (dynamic
+getattr, names injected by decorators) are ignored — under-approximation
+is possible in principle, but the package has no star imports and the
+operators are plain module-level defs.
+
+The closure fingerprint is sha256 over sorted (path:unit, source
+segment). Historic fingerprints come from `git show <round-commit>:` of
+each involved file, where <round-commit> is the commit that added
+CORRECTNESS_r0N.json (the driver commits evidence on top of the round's
+final tree); units are re-resolved per historic tree, so a unit that
+moved between files is followed correctly.
+
+Output: EVIDENCE_LEDGER.json + a human summary; exit 1 if any STALE
+query is NOT in the first-50 window (the pre-driver invariant: every
+stale query must be windowed so the next driver run refreshes it).
+
+Usage: python scripts/evidence_ledger.py [--json-only]
+"""
+
+from __future__ import annotations
+
+import ast
+import functools
+import hashlib
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path("/root/repo")
+sys.path.insert(0, str(REPO))
+
+PKG = "model_audit_spark"
+ENTRY = "__spark_entry__.py"
+ORACLE = f"{PKG}/oracle.py"
+
+
+# ---------------------------------------------------------------- git layer
+
+def round_commits() -> dict[int, str]:
+    out = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", p.name).group(1))
+        commits = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "--", p.name],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.split()
+        if commits:
+            out[n] = commits[-1]
+    return out
+
+
+def green_rounds() -> dict[str, list[int]]:
+    g: dict[str, list[int]] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", p.name).group(1))
+        for q, row in json.loads(p.read_text()).items():
+            if (row.get("hash_match") and row.get("rows_match")
+                    and not row.get("err")):
+                g.setdefault(q, []).append(n)
+    return g
+
+
+@functools.lru_cache(maxsize=8192)
+def git_show(commit: str, path: str) -> str | None:
+    r = subprocess.run(
+        ["git", "show", f"{commit}:{path}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    return r.stdout if r.returncode == 0 else None
+
+
+# ------------------------------------------------------------- parse layer
+
+class Unit:
+    __slots__ = ("segment", "names", "attrs", "imports")
+
+    def __init__(self, segment, names, attrs, imports):
+        self.segment = segment      # source text
+        self.names = names          # referenced bare names
+        self.attrs = attrs          # {(base_name, attr)}
+        self.imports = imports      # {bound: (module, orig|None)}
+
+
+def _imports_in(node) -> dict[str, tuple[str, str | None]]:
+    out: dict[str, tuple[str, str | None]] = {}
+    for n in ast.walk(node):
+        if isinstance(n, ast.ImportFrom) and n.module:
+            for a in n.names:
+                out[a.asname or a.name] = (n.module, a.name)
+        elif isinstance(n, ast.Import):
+            for a in n.names:
+                out[a.asname or a.name] = (a.name, None)
+    return out
+
+
+class PySource:
+    """Unit-granular view of one python file: top-level functions,
+    classes, and simple constant assignments, each with the names /
+    attribute accesses / import bindings it references."""
+
+    def __init__(self, text: str):
+        self.text = text
+        tree = ast.parse(text)
+        self.units: dict[str, Unit] = {}
+        self.top_imports = _imports_in(
+            ast.Module(
+                body=[n for n in tree.body
+                      if isinstance(n, (ast.Import, ast.ImportFrom))],
+                type_ignores=[],
+            )
+        )
+        for node in tree.body:
+            names = []
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets
+                         if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                    node.target, ast.Name):
+                names = [node.target.id]
+            if not names:
+                continue
+            seg = ast.get_source_segment(text, node) or ""
+            refs = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+            attrs = {
+                (n.value.id, n.attr)
+                for n in ast.walk(node)
+                if isinstance(n, ast.Attribute)
+                and isinstance(n.value, ast.Name)
+            }
+            imps = _imports_in(node)
+            u = Unit(seg, refs, attrs, imps)
+            for nm in names:
+                self.units[nm] = u
+
+
+_TEXTS: dict[str, str] = {}
+
+
+@functools.lru_cache(maxsize=256)
+def _parse(key: str) -> PySource:
+    return PySource(_TEXTS[key])
+
+
+def parse_cached(text: str) -> PySource:
+    k = hashlib.sha256(text.encode()).hexdigest()
+    _TEXTS[k] = text
+    return _parse(k)
+
+
+# ----------------------------------------------------------- closure layer
+
+def module_paths(mod: str) -> list[str]:
+    p = mod.replace(".", "/")
+    return [f"{p}.py", f"{p}/__init__.py"]
+
+
+def closure_fingerprint(
+    roots: list[tuple[str, str]], file_text
+) -> str | None:
+    """sha256 over the unit closure's sources at one tree state.
+    `roots`: [(path, unit_name)]. Returns None when a root is missing
+    (tree predates the query)."""
+    sources: dict[str, PySource | None] = {}
+
+    def src_of(path: str) -> PySource | None:
+        if path not in sources:
+            t = file_text(path)
+            try:
+                sources[path] = parse_cached(t) if t is not None else None
+            except SyntaxError:
+                sources[path] = None
+        return sources[path]
+
+    def resolve_module(mod: str) -> str | None:
+        for cand in module_paths(mod):
+            if src_of(cand) is not None:
+                return cand
+        return None
+
+    seen: set[tuple[str, str]] = set()
+    parts: dict[str, str] = {}
+    todo = list(roots)
+    for path, name in roots:
+        s = src_of(path)
+        if s is None or name not in s.units:
+            return None
+    while todo:
+        path, name = todo.pop()
+        if (path, name) in seen:
+            continue
+        seen.add((path, name))
+        s = src_of(path)
+        if s is None or name not in s.units:
+            continue
+        u = s.units[name]
+        parts[f"{path}:{name}"] = u.segment
+
+        def binding(nm: str):
+            return u.imports.get(nm) or s.top_imports.get(nm)
+
+        for nm in u.names:
+            if nm in s.units:
+                todo.append((path, nm))
+                continue
+            b = binding(nm)
+            if b and b[0].startswith(PKG) and b[1]:
+                # `from pkg.mod import orig` — orig may itself be a
+                # submodule (`from model_audit_spark import oracle`)
+                sub = resolve_module(f"{b[0]}.{b[1]}")
+                if sub is None:
+                    mp = resolve_module(b[0])
+                    if mp:
+                        todo.append((mp, b[1]))
+        for base, attr in u.attrs:
+            b = binding(base)
+            if not b or not b[0].startswith(PKG):
+                continue
+            mod = b[0] if b[1] is None else f"{b[0]}.{b[1]}"
+            mp = resolve_module(mod)
+            if mp:
+                todo.append((mp, attr))
+
+    h = hashlib.sha256()
+    for key in sorted(parts):
+        h.update(key.encode())
+        h.update(b"\0")
+        h.update(parts[key].encode())
+        h.update(b"\1")
+    return h.hexdigest()
+
+
+# -------------------------------------------------------------- query maps
+
+def query_roots() -> dict[str, list[tuple[str, str]]]:
+    entry = parse_cached((REPO / ENTRY).read_text())
+    qfn: dict[str, str] = {}
+    tree = ast.parse(entry.text)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            for d in ast.walk(node):
+                if isinstance(d, ast.Dict):
+                    for k, v in zip(d.keys, d.values):
+                        if isinstance(k, ast.Constant) and isinstance(
+                                v, ast.Name):
+                            qfn[k.value] = v.id
+    ofn: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == "oracle_sql":
+            src = ast.get_source_segment(entry.text, node)
+            for m in re.finditer(r'"(\w+)":\s*ora\.(\w+)\(', src):
+                ofn[m.group(1)] = m.group(2)
+    roots = {}
+    for q, fn in qfn.items():
+        r = [(ENTRY, fn)]
+        if q in ofn:
+            r.append((ORACLE, ofn[q]))
+        roots[q] = r
+    return roots
+
+
+def main() -> int:
+    json_only = "--json-only" in sys.argv
+    commits = round_commits()
+    greens = green_rounds()
+    roots = query_roots()
+
+    def head_text(p: str) -> str | None:
+        f = REPO / p
+        return f.read_text() if f.exists() else None
+
+    import __spark_entry__ as entry_mod
+
+    order = list(entry_mod.queries().keys())
+    window = set(order[:50])
+    ledger, stale = {}, []
+    for q in order:
+        r = roots.get(q, [])
+        rounds = greens.get(q, [])
+        newest = max(rounds) if rounds else None
+        cur_fp = closure_fingerprint(r, head_text) if r else None
+        fresh = False
+        if newest is not None and newest in commits and cur_fp:
+            c = commits[newest]
+            hist_fp = closure_fingerprint(
+                r, lambda p, c=c: git_show(c, p)
+            )
+            fresh = hist_fp == cur_fp
+        ledger[q] = {
+            "rounds_green": rounds,
+            "newest_green_round": newest,
+            "fresh": fresh,
+            "in_next_window": q in window,
+            "fingerprint": cur_fp,
+        }
+        if not fresh:
+            stale.append(q)
+
+    (REPO / "EVIDENCE_LEDGER.json").write_text(
+        json.dumps(ledger, indent=1, sort_keys=True) + "\n"
+    )
+    uncovered = [q for q in stale if q not in window]
+    if not json_only:
+        print(f"queries: {len(order)}  stale: {len(stale)}  "
+              f"stale-outside-window: {len(uncovered)}")
+        for q in stale:
+            mark = "windowed" if q in window else "** UNCOVERED **"
+            print(f"  stale  {q:<34} newest_green="
+                  f"r{ledger[q]['newest_green_round']}  {mark}")
+    return 1 if uncovered else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
