@@ -2343,6 +2343,18 @@ def _ann_ivf_sq8(spark, sf):
     )
 
 
+def _ann_recall_report(spark, sf):
+    """Measured recall@10 of every ANN path (lsh / multiprobe / ivf /
+    pq / pq_rerank / sq8 / sq8_rerank / ivf_sq8) against the exact
+    cosine top-10 — one oracle-checked row per method, same parameters
+    as the standing per-method gate queries (similarity.
+    ann_recall_report; twin composes the certified CTEs)."""
+    from model_audit_spark.operators.similarity import ann_recall_report
+
+    emb = _t(spark, sf, "embeddings")
+    return ann_recall_report(emb, query_vec_id=0, k=10, dim=64)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2538,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session — the full surface was mirror-green at this rotation."""
     return {
         # -- 1-50: the driver's check window -----------------------------
+        "ann_recall_report": _ann_recall_report,
         "bm25_search": _bm25_search,
         "tfidf_keywords": _tfidf_keywords,
         "corpus_drift": _corpus_drift,
@@ -2843,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),
         "ann_ivf_sq8": ora.ivf_sq8_topk(query_vec_id=0, k=10, n_clusters=8, nprobe=3),
+        "ann_recall_report": ora.ann_recall_report(query_vec_id=0, k=10),
         "source_data_card": ora.source_data_card(),
         "leakage_safe_splits": ora.leakage_safe_splits(),
         "dedup_threshold_sweep": ora.dedup_threshold_sweep(),

@@ -1023,3 +1023,85 @@ def ivf_sq8_topk(
         .orderBy(F.desc("approx_dot"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(method, k_returned, n_hits, recall_at_k): measured recall@k of
+    every approximate retrieval path against the exact cosine top-k —
+    the number a 100 TB operator actually reads when choosing nprobe /
+    n_planes / shortlist. The r1-r4 gates certified each ANN query as
+    LOSSLESS vs a SQL twin running the same approximation; this query
+    makes retrieval QUALITY itself an oracle-checked output (the twin
+    composes the same certified CTEs, so a hash match pins both engines
+    to identical hit counts).
+
+    Methods and parameters mirror the standing gate queries exactly
+    (ann_lsh_topk .. ann_ivf_sq8 in __spark_entry__): LSH 6 planes,
+    multiprobe radius 1, IVF 8 cells / 3 probes, PQ m=8 kc=16
+    (shortlist 50 for rerank), SQ8 (shortlist 50 for rerank), IVF+SQ8.
+
+    Shape: each method is a candidate-bounded mini-plan ending in a
+    k-row TakeOrdered; the union carries 8·k id rows; the exact top-k
+    (k rows) broadcasts into the hit-join. Nothing here scans the corpus
+    more than the underlying methods already do; at scale the built
+    indexes (IVF assignment, PQ/SQ8 codes) would be persisted relations
+    shared across the methods instead of rebuilt per method."""
+    exact = (
+        cosine_topk(emb, query_vec_id, k, id_col, vec_col)
+        .select(F.col(id_col), F.lit(1).alias("_hit"))
+    )
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim)
+    centroids = ivf_centroids_seeded(emb, n_clusters=8)
+    assigned = ivf_assign(emb, centroids)
+    methods = {
+        "ivf": ivf_probe(
+            assigned, query_vec_id, centroids, k=k, nprobe=3
+        ),
+        "ivf_sq8": ivf_sq8_topk(
+            emb, query_vec_id, k=k, n_clusters=8, nprobe=3
+        ),
+        "lsh": lsh_topk(emb, query_vec_id, k=k, n_planes=6, dim=dim),
+        "lsh_multiprobe": lsh_multiprobe_topk(
+            emb, query_vec_id, k=k, n_planes=6, probe_radius=1, dim=dim
+        ),
+        "pq": pq_topk(emb, query_vec_id, codebooks=books, k=k),
+        "pq_rerank": pq_rerank_topk(
+            emb, query_vec_id, codebooks=books, k=k, shortlist=50
+        ),
+        "sq8": sq8_topk(emb, query_vec_id, k=k),
+        "sq8_rerank": sq8_rerank_topk(
+            emb, query_vec_id, k=k, shortlist=50
+        ),
+    }
+    parts = None
+    for name in sorted(methods):
+        p = methods[name].select(
+            F.lit(name).alias("method"), F.col(id_col)
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.join(F.broadcast(exact), id_col, "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "method",
+            "k_returned",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("method")
+    )

@@ -4577,3 +4577,42 @@ JOIN probe pr ON pr.cid = a.cid
 CROSS JOIN qs
 ORDER BY approx_dot DESC, c.vec_id ASC LIMIT {k}
 """
+
+
+def ann_recall_report(query_vec_id: int = 0, k: int = 10) -> str:
+    """Twin of similarity.ann_recall_report: each approximate method's
+    ALREADY-CERTIFIED SQL twin runs as a subquery (same parameters as
+    the standing gate queries), unioned, and hit-joined against the
+    exact cosine top-k — so a hash match pins BOTH engines to identical
+    per-method hit counts, turning retrieval quality into an
+    oracle-checked number."""
+    exact = similarity_topk(query_vec_id, k)
+    subs = {
+        "ivf": ann_ivf_topk(query_vec_id, k, 8, 3),
+        "ivf_sq8": ivf_sq8_topk(query_vec_id, k, 8, 3),
+        "lsh": ann_lsh_topk(query_vec_id, k, 6),
+        "lsh_multiprobe": ann_lsh_multiprobe_topk(
+            query_vec_id, k, 6, 1
+        ),
+        "pq": pq_topk(query_vec_id, k, 8, 16),
+        "pq_rerank": pq_rerank_topk(query_vec_id, k, 50, 8, 16),
+        "sq8": sq8_topk(query_vec_id, k),
+        "sq8_rerank": sq8_rerank_topk(query_vec_id, k, 50),
+    }
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, vec_id FROM ({sql})"
+        for name, sql in sorted(subs.items())
+    )
+    return f"""
+WITH exact_ids AS (SELECT vec_id FROM ({exact})),
+u AS ({union})
+SELECT u.method,
+  count(*) AS k_returned,
+  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hits,
+  round(CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / {float(k)}, 6) AS recall_at_k
+FROM u LEFT JOIN exact_ids e ON e.vec_id = u.vec_id
+GROUP BY u.method
+ORDER BY u.method
+"""

@@ -392,3 +392,36 @@ def test_ivf_sq8_candidates_subset_of_probed_cells(spark):
         for r in sq8_topk(emb, query_vec_id=0, k=10).collect()
     ]
     assert full == plain
+
+
+def test_ann_recall_report_floors(spark):
+    """The measured-recall gate (r5): one row per ANN method, recall@10
+    vs exact cosine on the sf0.001 fixture. Floors pinned from the
+    DuckDB twin (ivf/ivf_sq8/sq8/sq8_rerank = 1.0, pq_rerank 0.7,
+    lsh_multiprobe 0.4, pq 0.4, lsh 0.2) minus a margin of one hit —
+    these are deterministic pipelines, so the pin is really equality,
+    but the floor form keeps the test meaningful if the fixture grows."""
+    from model_audit_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {
+        r["method"]: r
+        for r in ann_recall_report(emb, query_vec_id=0, k=10).collect()
+    }
+    assert set(rows) == {
+        "ivf", "ivf_sq8", "lsh", "lsh_multiprobe",
+        "pq", "pq_rerank", "sq8", "sq8_rerank",
+    }
+    floors = {
+        "ivf": 1.0, "ivf_sq8": 1.0, "sq8": 1.0, "sq8_rerank": 1.0,
+        "pq_rerank": 0.6, "lsh_multiprobe": 0.3, "pq": 0.3, "lsh": 0.1,
+    }
+    for m, floor in floors.items():
+        assert rows[m]["recall_at_k"] >= floor, (m, rows[m])
+    # the rerank stage must never hurt recall, and multiprobe must
+    # dominate its single-bucket base (superset containment)
+    assert rows["sq8_rerank"]["recall_at_k"] >= rows["sq8"]["recall_at_k"]
+    assert rows["pq_rerank"]["recall_at_k"] >= rows["pq"]["recall_at_k"]
+    assert (rows["lsh_multiprobe"]["recall_at_k"]
+            >= rows["lsh"]["recall_at_k"])
+    assert all(r["k_returned"] <= 10 for r in rows.values())
