@@ -14,8 +14,9 @@ exercise here; the PIL/soundfile branches follow the libraries'
 documented public APIs). `strict=False` runs a deterministic fake
 decoder (content-hash-seeded) so the Spark plumbing — schemas, batch
 iteration, partition sizing, downstream feature math — is real,
-testable, and oracle-checkable end to end. Video frame sampling stays
-stubbed under strict (an ffmpeg binding is a heavier optional dep).
+testable, and oracle-checkable end to end. Video frame sampling (r5)
+follows the same guard: PyAV preferred, imageio-ffmpeg fallback,
+NotImplementedError only where both are absent.
 """
 
 from __future__ import annotations
@@ -136,11 +137,80 @@ def decode_image_features(
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+def _decode_video_frames_strict(
+    content: bytes, every_ms: int
+) -> list[tuple[int, str]]:
+    """Real frame sampling behind a guarded import (the r3 PIL/soundfile
+    pattern): PyAV preferred (container demux, pts-accurate timestamps),
+    imageio's ffmpeg reader as fallback (index-based, ts = i·1000/fps).
+    Raises NotImplementedError only where neither library is installed.
+    Returns [(frame_ts_ms, digest16)] — one entry per sampled frame, the
+    first frame at/after each every_ms boundary."""
+    import io
+
+    try:
+        import av
+    except ImportError:
+        av = None
+    if av is not None:
+        out: list[tuple[int, str]] = []
+        next_ts = 0
+        with av.open(io.BytesIO(content)) as container:
+            stream = container.streams.video[0]
+            tb = stream.time_base
+            for frame in container.decode(stream):
+                ts_ms = (
+                    int(frame.pts * tb * 1000)
+                    if frame.pts is not None
+                    else len(out) * every_ms
+                )
+                if ts_ms >= next_ts:
+                    digest = hashlib.sha256(
+                        frame.to_ndarray(format="gray").tobytes()
+                    ).hexdigest()[:16]
+                    out.append((ts_ms, digest))
+                    next_ts = (ts_ms // every_ms + 1) * every_ms
+        return out
+    try:
+        import imageio
+    except ImportError as e:
+        raise NotImplementedError(
+            "video decode needs PyAV (pip install av) or imageio + "
+            "imageio-ffmpeg; strict=False runs the deterministic fake "
+            "frame sampler instead"
+        ) from e
+    reader = imageio.get_reader(content, format="ffmpeg")
+    fps = float(reader.get_meta_data().get("fps") or 0.0)
+    if fps <= 0:
+        reader.close()
+        raise NotImplementedError(
+            "imageio could not determine fps for this container; "
+            "install PyAV for pts-accurate sampling"
+        )
+    step = max(1, round(fps * every_ms / 1000.0))
+    out = []
+    for i, frame in enumerate(reader):
+        if i % step == 0:
+            out.append(
+                (
+                    int(i * 1000 / fps),
+                    hashlib.sha256(frame.tobytes()).hexdigest()[:16],
+                )
+            )
+    reader.close()
+    return out
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, strict: bool = False
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (mapInPandas row
-    expansion — the batch shape a real ffmpeg-backed sampler needs)."""
+    expansion — the batch shape a real ffmpeg-backed sampler needs).
+
+    strict=True decodes with PyAV / imageio-ffmpeg through the guarded
+    `_decode_video_frames_strict` (NotImplementedError where both are
+    absent); strict=False runs the deterministic fake sampler — real
+    row-expansion plumbing, content-hash frame digests."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -151,10 +221,14 @@ def sample_video_frames(
                 if r.media_type != "video":
                     continue
                 if strict:
-                    raise NotImplementedError(
-                        "video decode needs ffmpeg — not available; swap "
-                        "the fake frame sampler here"
+                    frames = _decode_video_frames_strict(
+                        bytes(r.content or b""), every_ms
                     )
+                    rows.extend(
+                        (r.media_id, i, ts, dg)
+                        for i, (ts, dg) in enumerate(frames)
+                    )
+                    continue
                 duration = int(r.duration_ms or 0)
                 for i, ts in enumerate(range(0, duration, every_ms)):
                     digest = hashlib.sha256(
