@@ -155,6 +155,18 @@ def weighted_sample_es(
     lnq = F.round(
         F.log((2.0 ** 32) / (h + F.lit(1)).cast("double")) * 1e9
     ).cast("long")
+    # PORTABILITY INVARIANT (pinned by test_properties::
+    # test_weighted_sample_es_long_mantissa_weights): the emitted es_key
+    # is the IEEE-754 quotient of an exact integer (lnq, nanonats) by
+    # the STORED weight double. Division of two identical doubles is
+    # correctly rounded on every engine, so the quotient — and therefore
+    # the (es_key, id) order and the emitted value — is bit-identical in
+    # Spark, DuckDB, and Python REGARDLESS of the weight's mantissa
+    # length. This holds only while weights are read from storage; if a
+    # caller ever passes a COMPUTED weight expression, the computation
+    # itself must be engine-portable too (same DETERMINISM.md rule 3
+    # discipline), or the quotient may differ in the last ulp and flip a
+    # near-tie.
     key = lnq / F.col(weight_col).cast("double")
     return (
         # weight <= 0 ⇒ selection probability 0 (ES semantics); dropping

@@ -544,3 +544,58 @@ def test_containment_prefix_pairs_lossless_for_any_corpus(spark, texts):
         if c >= t:
             expect[(a, b)] = c
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=1e-9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_sample_es_long_mantissa_weights(spark, weights):
+    """ES-key portability pin (sampling.py invariant comment): for
+    arbitrary full-mantissa double weights, the emitted es_key must be
+    BIT-identical to the pure-Python reimplementation (exact integer
+    nanonats / stored double — correctly-rounded IEEE division on every
+    engine), and the selection must be independent of the input's
+    partitioning (1 vs 8 partitions — the local stand-in for --cpus=7
+    vs 32)."""
+    import hashlib
+    import math
+
+    from model_audit_spark.operators.sampling import weighted_sample_es
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    k = max(1, len(rows) // 2)
+
+    def py_key(i, w):
+        h = int(
+            hashlib.md5(f"|{i}".encode()).hexdigest()[:8], 16
+        )
+        lnq = round(math.log((2.0 ** 32) / (h + 1)) * 1e9)
+        return lnq / w
+
+    expect = sorted(
+        ((py_key(i, w), i) for i, w in rows if w > 0)
+    )[:k]
+
+    for parts in (1, 8):
+        got = [
+            (r["es_key"], r["doc_id"])
+            for r in weighted_sample_es(
+                df.repartition(parts), "weight", k
+            ).collect()
+        ]
+        assert got == expect, (parts, got[:3], expect[:3])
