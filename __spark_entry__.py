@@ -2297,6 +2297,34 @@ def _bpe_segments(spark, sf):
     return bpe_vocab_segments(docs, n_merges=8, top_k=200)
 
 
+def _bpe_merges64(spark, sf):
+    """BPE at production merge counts (r5): the same Sennrich loop at
+    n_merges=64 in the driver-argmax shape (bpe.learn_bpe_merges_driver
+    — winning pair returns as one row per step, rewrite is a literal
+    projection, checkpoint every 6 steps). The oracle unrolls all 64
+    steps as MATERIALIZED CTEs (linear, not exponential), so the full
+    chain is hash-certified step by step. vocab_partitions=1: the
+    fixture vocabulary is tiny (31 words); production leaves it None."""
+    from model_audit_spark.operators.bpe import learn_bpe_merges_driver
+
+    docs = _t(spark, sf, "documents")
+    return learn_bpe_merges_driver(
+        docs, n_merges=64, ckpt_every=6, vocab_partitions=1
+    )
+
+
+def _bpe_fertility64(spark, sf):
+    """Final-state certificate of the 64-merge chain: exact vocabulary
+    totals + freq-weighted mean fertility (tokens per word — the number
+    that prices training compute) in one row (bpe.bpe_fertility)."""
+    from model_audit_spark.operators.bpe import bpe_fertility
+
+    docs = _t(spark, sf, "documents")
+    return bpe_fertility(
+        docs, n_merges=64, ckpt_every=6, vocab_partitions=1
+    )
+
+
 def _events_decayed(spark, sf):
     """Exponentially time-decayed event counts (1-day half-life at the
     corpus end time) — the trending/recency aggregate; one corpus-sized
@@ -2578,6 +2606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_es": _weighted_sample_es,
         "bpe_merges": _bpe_merges,
         "bpe_segments": _bpe_segments,
+        "bpe_merges64": _bpe_merges64,
+        "bpe_fertility64": _bpe_fertility64,
         "events_decayed": _events_decayed,
         "ann_sq8_topk": _ann_sq8_topk,
         "ann_sq8_rerank": _ann_sq8_rerank,
@@ -2852,6 +2882,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_es": ora.weighted_sample_es(k=50, salt="es1"),
         "bpe_merges": ora.bpe_merges(n_merges=8),
         "bpe_segments": ora.bpe_vocab_segments(n_merges=8, top_k=200),
+        "bpe_merges64": ora.bpe_merges(n_merges=64),
+        "bpe_fertility64": ora.bpe_fertility(n_merges=64),
         "events_decayed": ora.decayed_counts(),
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),

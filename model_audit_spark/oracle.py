@@ -4295,9 +4295,16 @@ def _bpe_ctes(n_merges: int, min_pair_count: int) -> str:
     consecutive candidate positions only the odd-ranked ones merge
     (exactly what the sequential greedy scan does: 'l l l' merges at
     position 1 but not 2), rows following a selected position drop, and
-    the word rebuilds with an ordered list aggregate."""
+    the word rebuilds with an ordered list aggregate.
+
+    Every CTE is AS MATERIALIZED: each vocab_r is referenced ~3x by the
+    next step, and DuckDB's default CTE inlining makes the evaluation
+    tree EXPONENTIAL in n_merges (8 steps ran; 16+ never finished —
+    r5 measurement). Materialization pins one evaluation per step, so
+    the chain is linear and 64-merge certification is feasible
+    (16 steps: >600 s inlined -> 1.6 s materialized at sf0.01)."""
     parts = [
-        f"""vocab_0 AS (
+        f"""vocab_0 AS MATERIALIZED (
   SELECT word, count(*) AS freq, string_split(word, '') AS seq
   FROM (SELECT unnest({_tokens("coalesce(text, '')")}) AS word
         FROM documents)
@@ -4306,7 +4313,7 @@ def _bpe_ctes(n_merges: int, min_pair_count: int) -> str:
     ]
     for r in range(1, n_merges + 1):
         prev = f"vocab_{r - 1}"
-        parts.append(f"""pairs_{r} AS (
+        parts.append(f"""pairs_{r} AS MATERIALIZED (
   SELECT l, rr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
     SELECT freq, seq[i] AS l, seq[i + 1] AS rr
     FROM (SELECT word, freq, seq,
@@ -4314,23 +4321,23 @@ def _bpe_ctes(n_merges: int, min_pair_count: int) -> str:
           FROM {prev})
   ) GROUP BY l, rr HAVING sum(freq) >= {min_pair_count}
 )""")
-        parts.append(f"""best_{r} AS (
+        parts.append(f"""best_{r} AS MATERIALIZED (
   SELECT l AS pl, rr AS pr, cnt FROM pairs_{r}
   ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
 )""")
-        parts.append(f"""pos_{r} AS (
+        parts.append(f"""pos_{r} AS MATERIALIZED (
   SELECT word, freq, seq, bl, br,
          unnest(range(1, len(seq) + 1)) AS p
   FROM (SELECT v.word, v.freq, v.seq, b.pl AS bl, b.pr AS br
         FROM {prev} v LEFT JOIN best_{r} b ON TRUE)
 )""")
-        parts.append(f"""cand_{r} AS (
+        parts.append(f"""cand_{r} AS MATERIALIZED (
   SELECT word, freq, p, seq[p] AS sym, bl, br,
          (bl IS NOT NULL AND p < len(seq)
           AND seq[p] = bl AND seq[p + 1] = br) AS cand
   FROM pos_{r}
 )""")
-        parts.append(f"""sel_{r} AS (
+        parts.append(f"""sel_{r} AS MATERIALIZED (
   SELECT word, freq, p, sym, bl, br, cand,
          cand AND (row_number() OVER (
              PARTITION BY word, grp ORDER BY p) % 2 = 1) AS selected
@@ -4340,7 +4347,7 @@ def _bpe_ctes(n_merges: int, min_pair_count: int) -> str:
     FROM cand_{r}
   )
 )""")
-        parts.append(f"""vocab_{r} AS (
+        parts.append(f"""vocab_{r} AS MATERIALIZED (
   SELECT word, any_value(freq) AS freq,
     list(CASE WHEN selected THEN bl || br ELSE sym END ORDER BY p)
       FILTER (WHERE NOT skip) AS seq
@@ -4616,3 +4623,29 @@ FROM u LEFT JOIN exact_ids e ON e.vec_id = u.vec_id
 GROUP BY u.method
 ORDER BY u.method
 """
+
+
+def bpe_fertility(n_merges: int = 64, min_pair_count: int = 2) -> str:
+    """Twin of bpe.bpe_fertility: the FINAL-STATE certificate of a long
+    merge chain — exact-integer vocabulary totals and the freq-weighted
+    mean fertility after all n_merges rewrites, plus how many steps
+    found a winner. Certifies the end state without emitting the
+    vocabulary (the MATERIALIZED per-step CTEs keep the 64-step chain
+    linear — see _bpe_ctes)."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT pl FROM best_{r}" for r in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_ctes(n_merges, min_pair_count)
+        + f""",
+merged AS (SELECT pl FROM ({union}))
+SELECT
+  CAST((SELECT count(*) FROM merged) AS INTEGER) AS n_merges_done,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(freq) AS BIGINT) AS total_freq,
+  CAST(sum(len(seq) * freq) AS BIGINT) AS total_subwords,
+  round(CAST(sum(len(seq) * freq) AS DOUBLE)
+        / CAST(greatest(sum(freq), 1) AS DOUBLE), 6) AS mean_fertility
+FROM vocab_{n_merges}
+"""
+    )

@@ -177,3 +177,62 @@ def test_bpe_sql_twin_property_random_corpora():
         )
         got = sorted(con.sql(bpe_merges(4)).fetchall())
         assert got == _ref_bpe(words, 4), (trial, text, got)
+
+
+def test_driver_argmax_equals_in_dag_chain(spark):
+    """The two merge-loop shapes (in-DAG min_by chain vs driver-argmax
+    literal rewrite, r5) must emit IDENTICAL merge tables — same
+    algorithm, different execution shape."""
+    from model_audit_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_driver,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat " * 3 + f"tail{i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dag = [tuple(r) for r in learn_bpe_merges(df, n_merges=10).collect()]
+    drv = [
+        tuple(r)
+        for r in learn_bpe_merges_driver(
+            df, n_merges=10, ckpt_every=3
+        ).collect()
+    ]
+    assert dag == drv
+    assert len(dag) == 10
+
+
+def test_driver_argmax_early_exhaustion_stops_loop(spark):
+    from model_audit_spark.operators.bpe import learn_bpe_merges_driver
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    # 'a b' merges (count 3); then 'ab' is a single symbol per word —
+    # no adjacent pair reaches min_pair_count=2 again
+    out = learn_bpe_merges_driver(df, n_merges=50).collect()
+    assert len(out) == 1
+    assert (out[0]["left"], out[0]["right"]) == ("a", "b")
+
+
+def test_bpe_fertility_final_state(spark):
+    """Fertility = freq-weighted subwords per word; with enough merges
+    the corpus' frequent words collapse to single symbols, pushing the
+    mean toward 1 from above. Totals are exact integers."""
+    from model_audit_spark.operators.bpe import bpe_fertility
+
+    rows = [(i, "alpha beta beta") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r0 = bpe_fertility(df, n_merges=0).collect()[0]
+    r8 = bpe_fertility(df, n_merges=8).collect()[0]
+    assert r0["n_words"] == r8["n_words"] == 2
+    assert r0["total_freq"] == r8["total_freq"] == 60
+    # before merges: 'alpha'=5 chars x20 + 'beta'=4x40 = 260 subwords
+    assert r0["total_subwords"] == 260
+    assert r0["mean_fertility"] == round(260 / 60, 6)
+    # 8 merges fully fuse both words (4+3 needed): 1 subword per token
+    assert r8["total_subwords"] == 60
+    assert r8["mean_fertility"] == 1.0
+    assert r8["n_merges_done"] <= 8
