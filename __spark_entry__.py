@@ -2557,38 +2557,85 @@ def _q_salted_revenue(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
-    entries only. Round-4 rotation, in priority order: (1) the three
-    round-3 hash-red DECIMAL emitters, now emitting DOUBLE, plus
-    streaming_drift (same root cause, pre-emptively fixed) and
-    memorization_seqmatch (newly oracle-backed difflib SQL twin — no
-    rows-only queries remain); (2) the nine round-3 queries that landed
-    past the window and have never had a driver row; (3) this round's
-    new queries (TPC-H Q6/Q10/Q12/Q13/Q14/Q15/Q18/Q21 shapes, the
-    containment join, exact-quota + Efraimidis-Spirakis weighted
-    sampling, vocabulary-coverage OOV reporting, and the distributed
-    BPE merge-learning/segmentation pair); (4) queries whose operator code CHANGED this
-    round — the zero-shuffle minhash fold feeds every dup-chain query,
-    pagerank's round restructure, the degree-ordered triangle join, the
-    map-side covariance, the DSIR in-DAG totals, the row-unique default
-    salt, and the strict streaming drain — so their old green rows no
-    longer certify the current code; (5) remaining slots refresh the
-    r1-green queries with the OLDEST driver evidence. Entries 51+ keep
-    their newest green rows (r2/r3 code untouched where parked) and are
-    re-checked by the local mirror (scripts/check_oracle.py) every
-    session — the full surface was mirror-green at this rotation."""
+    entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
+    (unit-level dependency fingerprints vs each query's newest green driver
+    round — the ledger replaces the hand-argued rotation of r1-r4), in
+    priority order: (1) the three new r5 queries (ann_recall_report,
+    bpe_merges64, bpe_fertility64 — never driver-certified); (2) every
+    STALE query, oldest driver evidence first — r1: the 16 queries whose
+    shared operator modules (skew/readers/similarity/text) drifted since
+    round 1; r2: media_decode (multimodal decode guards changed r3+r5);
+    r3: the prefix-filter pair the r4 verdict flagged plus
+    dedup_simhash_pairs (r5 cache-registry wiring); r4: the 21 queries
+    touched by this round's persistence.track()/memo refactor, the
+    decayed_counts bound-column rewrite, the sq8 oracle len() fix, the
+    min_by BPE argmax, and the ES-key comment pin; (3) six FRESH queries
+    with the oldest (r1/r2) driver rows, refreshed opportunistically.
+    After the r5 driver run the ledger invariant is zero stale queries.
+    Entries 51+ keep their newest green rows (their closures are
+    byte-identical to the code those rows certified — ledger-verified,
+    not argued) and are re-checked by the local mirror
+    (scripts/check_oracle.py) every session."""
     return {
-        # -- 1-50: the driver's check window -----------------------------
+        # -- 1-50: the driver's check window (ledger-derived r5 rotation)
         "ann_recall_report": _ann_recall_report,
+        "bpe_merges64": _bpe_merges64,
+        "bpe_fertility64": _bpe_fertility64,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "cache_keys": _cache_keys,
+        "corpus_stats": _corpus_stats,
+        "dedup_simhash": _dedup_simhash,
+        "detect_distribution": _detect_distribution,
+        "dli_bigrams_by_source": _dli_bigrams,
+        "dli_features_by_source": _dli_features,
+        "embedding_pairs_exact": _embedding_pairs_exact,
+        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
+        "lang_distribution": _lang_distribution,
+        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
+        "q_customers_no_orders": _q_customers_no_orders,
+        "q_events_hourly": _q_events_hourly,
+        "q_topk_customers": _q_topk_customers,
+        "style_count_distribution": _style_count_distribution,
+        "style_scores_long": _style_scores_long,
+        "media_decode": _media_decode,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "ann_ivf_sq8": _ann_ivf_sq8,
+        "ann_sq8_rerank": _ann_sq8_rerank,
+        "bpe_merges": _bpe_merges,
+        "bpe_segments": _bpe_segments,
+        "cluster_retention": _cluster_retention,
+        "curate_corpus": _curate_corpus,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_clusters_incremental": _dedup_clusters_incremental,
+        "dedup_containment": _dedup_containment,
+        "dedup_incremental": _dedup_incremental,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_minhash_signatures": _dedup_minhash_signatures,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
+        "dup_graph_stats": _dup_graph_stats,
+        "events_decayed": _events_decayed,
+        "knn_triangles": _knn_triangles,
+        "leakage_safe_splits": _leakage_safe_splits,
+        "pagerank_dupgraph": _pagerank_dupgraph,
+        "source_overlap": _source_overlap,
+        "vocab_coverage": _vocab_coverage,
+        "weighted_sample_es": _weighted_sample_es,
+        "claimed_families": _claimed_families,
+        "probe_category_counts": _probe_category_counts,
+        "probes_filtered": _probes_filtered,
+        "audit_consistency_rate": _audit_consistency_rate,
+        "audit_verdict_sources": _audit_verdict_sources,
+        "benchmark_accuracy": _benchmark_accuracy,
+        # -- 51+: outside the window; driver-green rows retained and
+        # ledger-verified fresh, still mirror-checked every session
         "bm25_search": _bm25_search,
         "tfidf_keywords": _tfidf_keywords,
         "corpus_drift": _corpus_drift,
         "streaming_drift": _streaming_drift,
         "memorization_seqmatch": _memorization_seqmatch,
-        "dedup_clusters_incremental": _dedup_clusters_incremental,
-        "dedup_threshold_sweep": _dedup_threshold_sweep,
-        "dup_graph_stats": _dup_graph_stats,
         "embedding_principal": _embedding_principal,
-        "leakage_safe_splits": _leakage_safe_splits,
         "q19_disjunctive": _q19_disjunctive,
         "q22_global_threshold": _q22_global_threshold,
         "source_data_card": _source_data_card,
@@ -2600,27 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q15_top_supplier,
         "q18_large_volume": _q18_large_volume,
         "q21_waiting_supplier": _q21_waiting_supplier,
-        "dedup_containment": _dedup_containment,
         "quota_sample": _quota_sample,
-        "vocab_coverage": _vocab_coverage,
-        "weighted_sample_es": _weighted_sample_es,
-        "bpe_merges": _bpe_merges,
-        "bpe_segments": _bpe_segments,
-        "bpe_merges64": _bpe_merges64,
-        "bpe_fertility64": _bpe_fertility64,
-        "events_decayed": _events_decayed,
         "ann_sq8_topk": _ann_sq8_topk,
-        "ann_sq8_rerank": _ann_sq8_rerank,
-        "ann_ivf_sq8": _ann_ivf_sq8,
-        "pagerank_dupgraph": _pagerank_dupgraph,
-        "knn_triangles": _knn_triangles,
-        "dedup_minhash_signatures": _dedup_minhash_signatures,
-        "dedup_minhash_pairs": _dedup_minhash_pairs,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_incremental": _dedup_incremental,
-        "cluster_retention": _cluster_retention,
-        "source_overlap": _source_overlap,
-        "curate_corpus": _curate_corpus,
         "dsir_weights": _dsir_weights,
         "dsir_select": _dsir_select,
         "q_salted_revenue": _q_salted_revenue,
@@ -2631,17 +2659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5,
         "q_urgent_customers": _q_urgent_customers,
         "q_window_orders": _q_window_orders,
-        # -- 51+: outside the window; driver-green rows retained, still
-        # mirror-checked every session
-        "claimed_families": _claimed_families,
-        "corpus_stats": _corpus_stats,
-        "detect_distribution": _detect_distribution,
-        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
-        "dli_bigrams_by_source": _dli_bigrams,
-        "dli_features_by_source": _dli_features,
-        "probes_filtered": _probes_filtered,
-        "cache_keys": _cache_keys,
-        "probe_category_counts": _probe_category_counts,
         "phrase_search": _phrase_search,
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
         "top_boilerplate_spans": _top_boilerplate_spans,
@@ -2649,7 +2666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "q_events_cube": _q_events_cube,
         "length_bucketed_batches": _length_bucketed_batches,
-        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
         "ann_pq_topk": _ann_pq_topk,
         "ann_pq_rerank": _ann_pq_rerank,
         "embedding_dim_stats": _embedding_dim_stats,
@@ -2661,8 +2677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _events_pivot,
         "zorder_events": _zorder_events,
         "budget_select": _budget_select,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "knn_graph": _knn_graph,
         "ann_ivf_topk": _ann_ivf_topk,
         "q17_small_quantity": _q17_small_quantity,
@@ -2675,16 +2689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": _quality_calibrated,
         "span_dedup": _span_dedup,
         "q_events_funnel": _q_events_funnel,
-        "style_count_distribution": _style_count_distribution,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
-        "embedding_pairs_exact": _embedding_pairs_exact,
-        "q_topk_customers": _q_topk_customers,
-        "q_events_hourly": _q_events_hourly,
-        "q_customers_no_orders": _q_customers_no_orders,
-        "lang_distribution": _lang_distribution,
-        "style_scores_long": _style_scores_long,
-        "dedup_simhash": _dedup_simhash,
         "text_stats": _text_stats,
         "watermark_documents": _watermark_documents,
         "doc_fingerprints": _doc_fingerprints,
@@ -2693,14 +2697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _quality_repetition,
         "pii_scan": _pii_scan,
         "media_profile": _media_profile,
-        "media_decode": _media_decode,
         "corpus_sample": _corpus_sample,
         "length_percentiles": _length_percentiles,
         "memorization_average": _memorization_average,
         "q_events_asof": _q_events_asof,
         "q_events_range_join": _q_events_range_join,
         "verify_sources": _verify_sources,
-        "audit_consistency_rate": _audit_consistency_rate,
         "benchmark_accuracy_by_class": _benchmark_accuracy_by_class,
         "memorization_verbatim": _memorization_verbatim,
         "memorization_levenshtein": _memorization_levenshtein,
@@ -2714,8 +2716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llmmap_fingerprint_hashes": _llmmap_fingerprint_hashes,
         "dli_compare_sources": _dli_compare_sources,
         "benchmark_detect": _benchmark_detect,
-        "benchmark_accuracy": _benchmark_accuracy,
-        "audit_verdict_sources": _audit_verdict_sources,
         "dedup_exact": _dedup_exact,
         "paragraph_dedup": _paragraph_dedup,
         "embedding_near_dups": _embedding_near_dups,

@@ -99,6 +99,13 @@ def main() -> None:
         # pressure (measured: 2-4x timing variance on late bench queries)
         del df
         gc.collect()
+        # release_all() first: unpersists every operator-tracked relation
+        # AND resets the session memo (clearCache alone leaves stale memo
+        # entries that the liveness re-check would rebuild anyway, but the
+        # explicit hook keeps the registry bounded across 145 queries)
+        from model_audit_spark import persistence
+
+        persistence.release_all()
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)

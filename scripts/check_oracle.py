@@ -157,6 +157,9 @@ def main():
         import gc
 
         gc.collect()
+        from model_audit_spark import persistence
+
+        persistence.release_all()
         spark.catalog.clearCache()
         t0 = time.time()
         try:
