@@ -2383,6 +2383,18 @@ def _ann_recall_report(spark, sf):
     return ann_recall_report(emb, query_vec_id=0, k=10, dim=64)
 
 
+def _ann_param_sweep(spark, sf):
+    """Recall@10 as a function of each ANN family's tunable —
+    multiprobe radius 0/1/2, IVF nprobe 1/2/8, SQ8/PQ rerank shortlist
+    10/50 — against exact cosine (similarity.ann_param_sweep). The
+    recall-vs-cost table an operator reads to set the knobs at 100 TB;
+    monotone along every axis (superset probes), pinned in tests."""
+    from model_audit_spark.operators.similarity import ann_param_sweep
+
+    emb = _t(spark, sf, "embeddings")
+    return ann_param_sweep(emb, query_vec_id=0, k=10, dim=64)
+
+
 def _dedup_containment(spark, sf):
     """Asymmetric near-dup: pairs where the smaller document's shingle
     set is >= 60% inside the larger one — the embedded-document case
@@ -2581,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
+        "ann_param_sweep": _ann_param_sweep,
         "ann_lsh_topk": _ann_lsh_topk,
         "cache_keys": _cache_keys,
         "corpus_stats": _corpus_stats,
@@ -2627,9 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probes_filtered": _probes_filtered,
         "audit_consistency_rate": _audit_consistency_rate,
         "audit_verdict_sources": _audit_verdict_sources,
-        "benchmark_accuracy": _benchmark_accuracy,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified fresh, still mirror-checked every session
+        "benchmark_accuracy": _benchmark_accuracy,
         "bm25_search": _bm25_search,
         "tfidf_keywords": _tfidf_keywords,
         "corpus_drift": _corpus_drift,
@@ -2884,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segments": ora.bpe_vocab_segments(n_merges=8, top_k=200),
         "bpe_merges64": ora.bpe_merges(n_merges=64),
         "bpe_fertility64": ora.bpe_fertility(n_merges=64),
+        "ann_param_sweep": ora.ann_param_sweep(query_vec_id=0, k=10),
         "events_decayed": ora.decayed_counts(),
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),

@@ -1105,3 +1105,112 @@ def ann_recall_report(
         )
         .orderBy("method")
     )
+
+
+def ann_param_sweep(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    radii: tuple[int, ...] = (0, 1, 2),
+    nprobes: tuple[int, ...] = (1, 2, 8),
+    shortlists: tuple[int, ...] = (10, 50),
+) -> DataFrame:
+    """(method, param, k_returned, n_hits, recall_at_k): recall@k as a
+    FUNCTION of each ANN family's tunable — the table an operator reads
+    to pick multiprobe radius, IVF nprobe, and rerank shortlist at
+    100 TB (ann_recall_report answers "how good is each method as
+    configured"; this answers "how does quality buy cost"). Recall is
+    non-decreasing along every parameter axis (pinned in tests:
+    radius probes a superset of buckets, nprobe a superset of cells, a
+    longer shortlist a superset of rerank candidates).
+
+    Shared-index shape: the IVF assignment and PQ codebooks build ONCE
+    and feed all their variants; each variant is a candidate-bounded
+    mini-plan ending in a k-row TakeOrdered, so the sweep costs the
+    per-variant probes, not repeated index builds. At scale assigned /
+    codes are persisted index relations and the sweep is pure probe
+    work."""
+    exact = (
+        cosine_topk(emb, query_vec_id, k, id_col, vec_col)
+        .select(F.col(id_col), F.lit(1).alias("_hit"))
+    )
+    centroids = ivf_centroids_seeded(emb, 8, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim)
+    variants: list[tuple[str, str, DataFrame]] = []
+    for r in radii:
+        variants.append(
+            (
+                "lsh_multiprobe",
+                f"radius={r}",
+                lsh_multiprobe_topk(
+                    emb, query_vec_id, k=k, n_planes=6,
+                    probe_radius=r, id_col=id_col, vec_col=vec_col,
+                    dim=dim,
+                ),
+            )
+        )
+    for np_ in nprobes:
+        variants.append(
+            (
+                "ivf",
+                f"nprobe={np_}",
+                ivf_probe(
+                    assigned, query_vec_id, centroids, k=k,
+                    nprobe=np_, id_col=id_col,
+                ),
+            )
+        )
+    for sl in shortlists:
+        variants.append(
+            (
+                "sq8_rerank",
+                f"shortlist={sl}",
+                sq8_rerank_topk(
+                    emb, query_vec_id, k=k, shortlist=sl,
+                    id_col=id_col, vec_col=vec_col,
+                ),
+            )
+        )
+    for sl in shortlists:
+        variants.append(
+            (
+                "pq_rerank",
+                f"shortlist={sl}",
+                pq_rerank_topk(
+                    emb, query_vec_id, codebooks=books, k=k,
+                    shortlist=sl, id_col=id_col, vec_col=vec_col,
+                ),
+            )
+        )
+    parts = None
+    for method, param, df in variants:
+        p = df.select(
+            F.lit(method).alias("method"),
+            F.lit(param).alias("param"),
+            F.col(id_col),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.join(F.broadcast(exact), id_col, "left")
+        .groupBy("method", "param")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "method",
+            "param",
+            "k_returned",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("method", "param")
+    )

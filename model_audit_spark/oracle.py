@@ -4649,3 +4649,49 @@ SELECT
 FROM vocab_{n_merges}
 """
     )
+
+
+def ann_param_sweep(query_vec_id: int = 0, k: int = 10) -> str:
+    """Twin of similarity.ann_param_sweep: the certified per-method CTEs
+    at each swept parameter value, unioned and hit-joined against the
+    exact top-k — identical variant labels, so the recall-vs-cost table
+    hash-matches row for row."""
+    exact = similarity_topk(query_vec_id, k)
+    variants = []
+    for r in (0, 1, 2):
+        variants.append(
+            ("lsh_multiprobe", f"radius={r}",
+             ann_lsh_multiprobe_topk(query_vec_id, k, 6, r))
+        )
+    for np_ in (1, 2, 8):
+        variants.append(
+            ("ivf", f"nprobe={np_}",
+             ann_ivf_topk(query_vec_id, k, 8, np_))
+        )
+    for sl in (10, 50):
+        variants.append(
+            ("sq8_rerank", f"shortlist={sl}",
+             sq8_rerank_topk(query_vec_id, k, sl))
+        )
+    for sl in (10, 50):
+        variants.append(
+            ("pq_rerank", f"shortlist={sl}",
+             pq_rerank_topk(query_vec_id, k, sl, 8, 16))
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, '{p}' AS param, vec_id FROM ({sql})"
+        for m, p, sql in variants
+    )
+    return f"""
+WITH exact_ids AS (SELECT vec_id FROM ({exact})),
+u AS ({union})
+SELECT u.method, u.param,
+  count(*) AS k_returned,
+  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hits,
+  round(CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / {float(k)}, 6) AS recall_at_k
+FROM u LEFT JOIN exact_ids e ON e.vec_id = u.vec_id
+GROUP BY u.method, u.param
+ORDER BY u.method, u.param
+"""

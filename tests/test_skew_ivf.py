@@ -425,3 +425,29 @@ def test_ann_recall_report_floors(spark):
     assert (rows["lsh_multiprobe"]["recall_at_k"]
             >= rows["lsh"]["recall_at_k"])
     assert all(r["k_returned"] <= 10 for r in rows.values())
+
+
+def test_ann_param_sweep_monotone_recall(spark):
+    """Recall must be non-decreasing along every tunable axis: a larger
+    probe radius / nprobe / shortlist probes a SUPERSET of candidates
+    (r5 sweep operator)."""
+    from model_audit_spark.operators.similarity import ann_param_sweep
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {
+        (r["method"], r["param"]): r["recall_at_k"]
+        for r in ann_param_sweep(emb, query_vec_id=0, k=10).collect()
+    }
+    assert len(rows) == 10
+    assert (rows[("lsh_multiprobe", "radius=0")]
+            <= rows[("lsh_multiprobe", "radius=1")]
+            <= rows[("lsh_multiprobe", "radius=2")])
+    assert (rows[("ivf", "nprobe=1")]
+            <= rows[("ivf", "nprobe=2")]
+            <= rows[("ivf", "nprobe=8")])
+    assert (rows[("sq8_rerank", "shortlist=10")]
+            <= rows[("sq8_rerank", "shortlist=50")])
+    assert (rows[("pq_rerank", "shortlist=10")]
+            <= rows[("pq_rerank", "shortlist=50")])
+    # nprobe=8 of 8 cells probes everything -> exact
+    assert rows[("ivf", "nprobe=8")] == 1.0
