@@ -15,7 +15,7 @@ All arithmetic is in double; embeddings cast from float32 once.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1213,4 +1213,191 @@ def ann_param_sweep(
             ),
         )
         .orderBy("method", "param")
+    )
+
+
+def ivf_sq8_index_write(
+    emb: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the production ANN index — IVF cells × SQ8 byte
+    codes — as three parquet relations under `path`:
+
+      codes/      (id, codes ARRAY<INT>) partitioned by cluster=<cid>/
+                  — the ONLY relation a probe scans; the directory
+                  layout IS the inverted file (a probe joining on
+                  `cluster` triggers dynamic partition pruning, so
+                  nprobe cells are read, not the corpus). Parquet's
+                  dictionary/byte-pack encoding stores the 0-255 codes
+                  at ~1 byte each at rest.
+      params/     the 1-row SQ8 (mns, mxs, rgs) quantizer.
+      centroids/  (cid, cv, cn) coarse quantizer rows.
+
+    The float vectors are NOT in the index — at 100 TB they stay in the
+    base table, touched only at build and re-rank (the probe path is
+    cells → byte codes → top-k, 4x less IO than float scan even before
+    pruning)."""
+    centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    params = sq8_params(emb, vec_col)
+    enc = sq8_encode(emb, params, id_col, vec_col)
+    rel = assigned.select(id_col, "cluster").join(enc, id_col)
+    rel.write.partitionBy("cluster").mode(mode).parquet(f"{path}/codes")
+    params.write.mode(mode).parquet(f"{path}/params")
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, c, _centroid_norm(c)) for cid, c in enumerate(centroids)],
+        "cid INT, cv ARRAY<DOUBLE>, cn DOUBLE",
+    )
+    cdf.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_sq8_index_probe(
+    spark,
+    path: str,
+    query_vec: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF+SQ8 index: identical output to
+    ivf_sq8_topk over the same corpus (equality pinned in tests), but
+    every relation comes from the index on disk — the query never sees
+    a float corpus vector. `query_vec` is a 1-row DataFrame with column
+    `qv ARRAY<DOUBLE>` (the caller reads it from wherever query vectors
+    live).
+
+    Plan shape: centroids (n rows) cross the broadcast query row →
+    nprobe cell ids → broadcast-joined into the codes scan, where the
+    cluster=<cid>/ partitioning turns the join key into dynamic
+    partition pruning (plan pin in tests) — the scan reads nprobe
+    directories. Scoring is the same per-query scale-array fold as
+    ivf_sq8_topk."""
+    cdf = spark.read.parquet(f"{path}/centroids")
+    params = spark.read.parquet(f"{path}/params")
+    codes = spark.read.parquet(f"{path}/codes").withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+    probe = (
+        cdf.crossJoin(F.broadcast(query_vec))
+        .select(
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / F.col("cn")).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    q = query_vec.crossJoin(F.broadcast(params)).select(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("mns"), lambda qv, mn: qv * mn),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("qconst"),
+        F.zip_with(
+            F.col("qv"), F.col("rgs"), lambda qv, rg: qv * rg / 255.0
+        ).alias("qscale"),
+    )
+    joined = codes.join(
+        F.broadcast(probe), F.col("cluster") == F.col("cid")
+    ).crossJoin(F.broadcast(q))
+    score = F.col("qconst") + F.aggregate(
+        F.zip_with(
+            F.col("qscale"),
+            F.col("codes"),
+            lambda s, c: s * c.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select(
+            F.col(id_col), F.round(score, 6).alias("approx_dot")
+        )
+        .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_sq8_index_probe_many(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    qid_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched probe of the persisted IVF+SQ8 index: `queries` is
+    (query_id, qv ARRAY<DOUBLE>), output is (query_id, vec_id,
+    approx_dot) — top-k per query, the retrieval-service shape (and the
+    per-micro-batch kernel of streaming_ann_probe).
+
+    Plan: queries × centroids (n_clusters rows, broadcast) → per-query
+    nprobe cells via a (query_id)-partitioned rank; the (query_id, cid)
+    cell list joins the codes scan on `cluster` — with a small query
+    batch the broadcast join's cluster-key filter prunes the
+    partitioned index directories; scoring folds each query's scale
+    array over the candidate codes; final per-query top-k is a
+    (query_id)-keyed window rank, shuffling only (query_id, id, score)
+    candidate rows. Per-query results are IDENTICAL to the single-query
+    ivf_sq8_index_probe (pinned in tests)."""
+    cdf = spark.read.parquet(f"{path}/centroids")
+    params = spark.read.parquet(f"{path}/params")
+    codes = spark.read.parquet(f"{path}/codes").withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+    scored_cells = queries.crossJoin(F.broadcast(cdf)).select(
+        qid_col,
+        "qv",
+        "cid",
+        (_dot(F.col("qv"), F.col("cv")) / F.col("cn")).alias("s"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("s"), F.asc("cid"))
+    cells = (
+        scored_cells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, "qv", "cid")
+    )
+    qprep = cells.crossJoin(F.broadcast(params)).select(
+        qid_col,
+        "cid",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("mns"), lambda qv, mn: qv * mn),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("qconst"),
+        F.zip_with(
+            F.col("qv"), F.col("rgs"), lambda qv, rg: qv * rg / 255.0
+        ).alias("qscale"),
+    )
+    joined = codes.join(
+        F.broadcast(qprep), F.col("cluster") == F.col("cid")
+    )
+    score = F.col("qconst") + F.aggregate(
+        F.zip_with(
+            F.col("qscale"),
+            F.col("codes"),
+            lambda s, c: s * c.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy(qid_col).orderBy(
+        F.desc("approx_dot"), F.asc(id_col)
+    )
+    return (
+        joined.select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(score, 6).alias("approx_dot"),
+        )
+        .withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy(qid_col, F.desc("approx_dot"), F.asc(id_col))
     )

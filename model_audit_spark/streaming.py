@@ -480,3 +480,49 @@ def streaming_bucket_counts(
     from model_audit_spark.operators.drift import bucket_counts
 
     return bucket_counts(stream, feature_buckets)
+
+
+def streaming_ann_probe(
+    stream_queries,
+    index_path: str,
+    sink_fn,
+    checkpoint: str,
+    k: int = 10,
+    nprobe: int = 3,
+    qid_col: str = "query_id",
+    **trigger_kwargs,
+):
+    """Streaming retrieval against the persisted IVF+SQ8 index: a
+    stream of (query_id, qv ARRAY<DOUBLE>) rows is probed per
+    micro-batch with the batched index kernel
+    (similarity.ivf_sq8_index_probe_many) and each batch's (query_id,
+    vec_id, approx_dot) top-k goes to `sink_fn(result_df, batch_id)`.
+
+    foreachBatch is the right shape here — per-query top-k needs a
+    window rank, which Structured Streaming cannot run incrementally;
+    the micro-batch IS the natural request batch of a retrieval
+    service, and inside it the full batch plan (broadcast cells, DPP
+    codes scan) applies unchanged. The index is re-read per batch by
+    path — a concurrently re-written index (ivf_sq8_index_write) is
+    picked up on the next batch, the same contract as the LSH
+    stream-static probe. Returns the started StreamingQuery."""
+    from model_audit_spark.operators.similarity import (
+        ivf_sq8_index_probe_many,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        out = ivf_sq8_index_probe_many(
+            spark, index_path, batch_df, k=k, nprobe=nprobe,
+            qid_col=qid_col,
+        )
+        sink_fn(out, batch_id)
+
+    return (
+        stream_queries.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger_kwargs or {"availableNow": True}))
+        .start()
+    )

@@ -451,3 +451,85 @@ def test_ann_param_sweep_monotone_recall(spark):
             <= rows[("pq_rerank", "shortlist=50")])
     # nprobe=8 of 8 cells probes everything -> exact
     assert rows[("ivf", "nprobe=8")] == 1.0
+
+
+def test_ivf_sq8_persisted_index_probe(spark, tmp_path):
+    """The persisted IVF+SQ8 index (r5): probe-from-disk output equals
+    the in-memory (oracle-certified) ivf_sq8_topk, and the codes scan
+    is dynamic-partition-pruned to the probed cells — the float corpus
+    is never read on the probe path."""
+    from model_audit_spark.operators.similarity import (
+        as_double_array,
+        ivf_sq8_index_probe,
+        ivf_sq8_index_write,
+        ivf_sq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_sq8_index")
+    ivf_sq8_index_write(emb, path, n_clusters=8)
+
+    # a real query service supplies the vector itself — a literal row,
+    # so the probe plan below touches ONLY the index relations
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qv")
+    ).collect()[0]["qv"]
+    qv = spark.createDataFrame([(qvec,)], "qv ARRAY<DOUBLE>")
+    got = ivf_sq8_index_probe(spark, path, qv, k=10, nprobe=3)
+    want = ivf_sq8_topk(emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in plan
+        or "PartitionFilters: [isnotnull(cluster" in plan
+    ), plan[:2000]
+    # the probe plan reads the index only — no scan of the float table
+    assert "embeddings.parquet" not in plan
+
+
+def test_ivf_sq8_batched_probe_matches_single(spark, tmp_path):
+    """Per-query rows of the batched index probe equal the single-query
+    probe — the retrieval-service kernel is the same arithmetic."""
+    from model_audit_spark.operators.similarity import (
+        as_double_array,
+        ivf_sq8_index_probe,
+        ivf_sq8_index_probe_many,
+        ivf_sq8_index_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(emb, path, n_clusters=8)
+
+    qids = [0, 3, 7]
+    vecs = {
+        r["vec_id"]: r["qv"]
+        for r in emb.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", as_double_array("embedding").alias("qv"))
+        .collect()
+    }
+    queries = spark.createDataFrame(
+        [(qid, vecs[qid]) for qid in qids],
+        "query_id LONG, qv ARRAY<DOUBLE>",
+    )
+    many = ivf_sq8_index_probe_many(
+        spark, path, queries, k=5, nprobe=3
+    ).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["approx_dot"])
+        )
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        qv = spark.createDataFrame([(vecs[qid],)], "qv ARRAY<DOUBLE>")
+        single = [
+            (r["vec_id"], r["approx_dot"])
+            for r in ivf_sq8_index_probe(
+                spark, path, qv, k=5, nprobe=3
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid

@@ -507,3 +507,47 @@ def test_streaming_bucket_counts_match_batch_histogram(spark, tmp_path):
         for r in bucket_counts(spark.read.parquet(path), buckets).collect()
     }
     assert got == want and sum(got.values()) == 50
+
+
+def test_streaming_ann_probe_equals_batch(spark, tmp_path):
+    """Streamed query vectors probed against the persisted IVF+SQ8
+    index produce exactly the batch kernel's per-query top-k."""
+    import pyspark.sql.functions as F
+
+    from model_audit_spark.operators.similarity import (
+        as_double_array,
+        ivf_sq8_index_probe_many,
+        ivf_sq8_index_write,
+    )
+    from model_audit_spark.streaming import streaming_ann_probe
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    ivf_sq8_index_write(emb, idx, n_clusters=8)
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    )
+    qdir = str(tmp_path / "queries")
+    queries.write.parquet(qdir)
+
+    got = []
+    q = streaming_ann_probe(
+        spark.readStream.schema("query_id LONG, qv ARRAY<DOUBLE>")
+        .parquet(qdir),
+        idx,
+        lambda df, bid: got.extend(tuple(r) for r in df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=5,
+        nprobe=3,
+    )
+    q.awaitTermination(120)
+    want = [
+        tuple(r)
+        for r in ivf_sq8_index_probe_many(
+            spark, idx, queries, k=5, nprobe=3
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) == 4 * 5
