@@ -2383,6 +2383,30 @@ def _ann_recall_report(spark, sf):
     return ann_recall_report(emb, query_vec_id=0, k=10, dim=64)
 
 
+def _quality_threshold_sweep(spark, sf):
+    """Retention curve of the quality filter: docs kept / fraction /
+    mean surviving quality per cutoff, from ONE scored scan theta-
+    joined against the broadcast threshold relation
+    (text_analysis.quality_threshold_sweep)."""
+    from model_audit_spark.operators.text_analysis import (
+        quality_threshold_sweep,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return quality_threshold_sweep(docs)
+
+
+def _paragraph_near_dups(spark, sf):
+    """Fuzzy passage-level dedup: the minhash band+verify chain over
+    the PARAGRAPH relation (pid = doc:pos) — catches lightly-edited
+    repeated passages that byte-exact paragraph_dedup misses and that
+    document-level Jaccard dilutes (dedup.paragraph_near_dup_pairs)."""
+    from model_audit_spark.operators.dedup import paragraph_near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return paragraph_near_dup_pairs(docs, min_jaccard=0.5)
+
+
 def _ann_param_sweep(spark, sf):
     """Recall@10 as a function of each ANN family's tunable —
     multiprobe radius 0/1/2, IVF nprobe 1/2/8, SQ8/PQ rerank shortlist
@@ -2594,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
         "ann_param_sweep": _ann_param_sweep,
+        "paragraph_near_dups": _paragraph_near_dups,
+        "quality_threshold_sweep": _quality_threshold_sweep,
         "ann_lsh_topk": _ann_lsh_topk,
         "cache_keys": _cache_keys,
         "corpus_stats": _corpus_stats,
@@ -2638,10 +2664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claimed_families": _claimed_families,
         "probe_category_counts": _probe_category_counts,
         "probes_filtered": _probes_filtered,
-        "audit_consistency_rate": _audit_consistency_rate,
-        "audit_verdict_sources": _audit_verdict_sources,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified fresh, still mirror-checked every session
+        "audit_consistency_rate": _audit_consistency_rate,
+        "audit_verdict_sources": _audit_verdict_sources,
         "benchmark_accuracy": _benchmark_accuracy,
         "bm25_search": _bm25_search,
         "tfidf_keywords": _tfidf_keywords,
@@ -2898,6 +2924,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges64": ora.bpe_merges(n_merges=64),
         "bpe_fertility64": ora.bpe_fertility(n_merges=64),
         "ann_param_sweep": ora.ann_param_sweep(query_vec_id=0, k=10),
+        "paragraph_near_dups": ora.paragraph_near_dups(min_jaccard=0.5),
+        "quality_threshold_sweep": ora.quality_threshold_sweep(),
         "events_decayed": ora.decayed_counts(),
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),

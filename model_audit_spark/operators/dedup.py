@@ -1058,3 +1058,65 @@ def top_boilerplate_spans(
         .orderBy(F.desc("n_occurrences"), F.asc("span"))
         .limit(k)
     )
+
+
+def paragraph_relation(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(pid STRING, para STRING): one row per non-empty trimmed
+    paragraph, pid = '<doc_id>:<0-based position>' — the paragraph-
+    granular unit relation the near-dup chain runs over (same \\n{2,}
+    split + trim + drop-empty convention as paragraph_dedup_stats)."""
+    paras = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(paras).alias("pos", "para")
+    ).select(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.col("pos").cast("string"),
+        ).alias("pid"),
+        "para",
+    )
+
+
+def paragraph_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over PARAGRAPHS (ids are pid strings) —
+    the fuzzy tier of passage-level dedup. paragraph_dedup_stats
+    catches byte-identical repeated passages; this catches the
+    lightly-edited ones (dates bumped, entities swapped) that
+    boilerplate templates generate at corpus scale, exactly where
+    document-level Jaccard stays low because the wrapper text differs.
+
+    Pure composition of the certified chain (shingles → zero-shuffle
+    minhash fold → band pairs → exact Jaccard verify) over the
+    paragraph relation instead of documents: one tokenize pass over
+    the exploded paragraphs (persisted, tracked), everything downstream
+    identical — so the scale properties (banded candidates, candidate-
+    bounded verify) carry over unchanged, just at ~paragraphs/doc
+    higher row count in the unit relation."""
+    paras = paragraph_relation(df, text_col, id_col)
+    shing = track(
+        shingles_df(paras, "para", "pid", shingle_n).persist()
+    )
+    sigs = minhash_signatures(
+        paras, "para", "pid", num_hashes, shingle_n, shingles=shing
+    )
+    pairs = minhash_band_pairs(sigs, "pid", num_hashes)
+    return jaccard_verify(
+        paras, pairs, "para", "pid", shingle_n,
+        min_jaccard=min_jaccard, shingles=shing,
+    )

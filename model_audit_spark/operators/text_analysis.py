@@ -340,3 +340,68 @@ def vocab_coverage(
             F.col("oov_types") / F.greatest("n_types", F.lit(1)), 6
         ).alias("oov_type_rate"),
     ).orderBy(group_col)
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (
+        0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+    ),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(threshold, n_kept, frac_kept, mean_quality_kept): the retention
+    curve of the quality filter — how many docs (and of what average
+    quality) survive each cutoff, from ONE scan (the
+    dedup_threshold_sweep pattern: score once, theta-join the 7-row
+    broadcast threshold relation, aggregate per threshold).
+
+    Determinism: the per-doc score is already 6dp-rounded, so
+    round(q·1e6) is an EXACT micro-unit integer; comparisons and the
+    kept-sum run on BIGINTs, and the emitted ratios are raw doubles
+    from exact-integer divisions (identical inputs → identical doubles
+    in every engine — DETERMINISM.md safe pattern, no engine round).
+    At 100 TB this is one corpus scan + a 7-key aggregate; the decision
+    table a filtering run consults before committing to a cutoff."""
+    spark = df.sparkSession
+    stats = doc_stat_columns(text_col)
+    q = df.select(
+        F.round(stats["quality_score"] * 1e6)
+        .cast("long")
+        .alias("q_micro")
+    )
+    total = q.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    t = spark.createDataFrame(
+        [(float(x),) for x in thresholds], "threshold DOUBLE"
+    ).select(
+        "threshold",
+        F.round(F.col("threshold") * 1e6).cast("long").alias("t_micro"),
+    )
+    per = (
+        q.join(F.broadcast(t), F.col("q_micro") >= F.col("t_micro"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("q_micro").cast("long").alias("_sum_micro"),
+        )
+    )
+    return (
+        t.select("threshold")
+        .join(per, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                / F.greatest(F.col("n_total"), F.lit(1))
+            ).alias("frac_kept"),
+            F.when(
+                F.col("n_kept") > 0,
+                F.col("_sum_micro") / (F.col("n_kept") * F.lit(1e6)),
+            ).alias("mean_quality_kept"),
+        )
+        .orderBy("threshold")
+    )

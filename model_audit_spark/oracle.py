@@ -1411,9 +1411,11 @@ def _hex32(hexstr: str) -> str:
     )
 
 
-def _shingle_ctes() -> str:
-    """toksrc + shing CTEs: distinct word 3-shingles per document, the SQL
-    twin of dedup.shingles_df."""
+def _shingle_ctes(base: str = "documents") -> str:
+    """toksrc + shing CTEs: distinct word 3-shingles per unit, the SQL
+    twin of dedup.shingles_df. `base` is any relation/CTE providing
+    (doc_id, text) — documents by default, the paragraph relation for
+    the passage-granular chain (r5)."""
     shingles = (
         "list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
         "ELSE list_transform(range(1, len(toks) - 1), "
@@ -1421,7 +1423,7 @@ def _shingle_ctes() -> str:
     )
     return f"""
 toksrc AS (
-  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+  SELECT doc_id, {_tokens('text')} AS toks FROM {base}
 ),
 shing AS (
   SELECT doc_id, {shingles} AS sh FROM toksrc
@@ -1512,7 +1514,9 @@ SELECT source, {cols} FROM base GROUP BY source
 """
 
 
-def _minhash_ctes(num_hashes: int = 16) -> str:
+def _minhash_ctes(
+    num_hashes: int = 16, base: str = "documents"
+) -> str:
     from model_audit_spark.operators.dedup import (
         MINHASH_PRIME,
         minhash_coeffs,
@@ -1526,7 +1530,7 @@ def _minhash_ctes(num_hashes: int = 16) -> str:
         f"CAST(coalesce(m.mh_{i}, {MINHASH_PRIME}) AS BIGINT) AS mh_{i}"
         for i in range(num_hashes)
     )
-    return f"""{_shingle_ctes()},
+    return f"""{_shingle_ctes(base)},
 mh_expl AS (
   SELECT doc_id, unnest(sh) AS s FROM shing
 ),
@@ -1538,7 +1542,7 @@ mh_min AS (
 ),
 sigs AS (
   SELECT d.doc_id, {sig_cols}
-  FROM documents d LEFT JOIN mh_min m ON m.doc_id = d.doc_id
+  FROM {base} d LEFT JOIN mh_min m ON m.doc_id = d.doc_id
 )"""
 
 
@@ -1552,7 +1556,15 @@ SELECT doc_id, md5({sig_concat}) AS signature FROM sigs
 """
 
 
-def dedup_minhash_pairs(min_jaccard: float = 0.5) -> str:
+def dedup_minhash_pairs(
+    min_jaccard: float = 0.5,
+    base: str = "documents",
+    extra_ctes: str = "",
+) -> str:
+    """Band-candidate + exact-Jaccard-verify chain over `base`
+    (doc_id, text); `extra_ctes` prepends CTE definitions (must end
+    with a comma) so a derived unit relation — e.g. paragraphs — can
+    feed the same certified chain."""
     bands = []
     for b in range(4):
         parts = " || '|' || ".join(
@@ -1561,7 +1573,7 @@ def dedup_minhash_pairs(min_jaccard: float = 0.5) -> str:
         bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
     bands_sql = " UNION ALL ".join(bands)
     return f"""
-WITH {_minhash_ctes()},
+WITH {extra_ctes}{_minhash_ctes(base=base)},
 bandhash AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4694,4 +4706,68 @@ SELECT u.method, u.param,
 FROM u LEFT JOIN exact_ids e ON e.vec_id = u.vec_id
 GROUP BY u.method, u.param
 ORDER BY u.method, u.param
+"""
+
+
+def paragraph_near_dups(min_jaccard: float = 0.5) -> str:
+    r"""Twin of dedup.paragraph_near_dup_pairs: the certified minhash
+    band+verify chain over the PARAGRAPH relation — pid = doc_id ':'
+    0-based position (DuckDB's list_transform index is 1-based, hence
+    the -1), same \n{2,} split / trim / drop-empty as paragraph_dedup."""
+    extra = r"""pbase AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(u['pos'] - 1 AS VARCHAR)
+           AS doc_id,
+         u['para'] AS text
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_filter(list_transform(
+               string_split_regex(coalesce(text, ''), '\n{2,}'),
+               x -> trim(x)), x -> x != ''),
+             (x, i) -> {'para': x, 'pos': i})) AS u
+    FROM documents
+  )
+),
+"""
+    return dedup_minhash_pairs(
+        min_jaccard=min_jaccard, base="pbase", extra_ctes=extra
+    )
+
+
+def quality_threshold_sweep(
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+) -> str:
+    """Twin of text_analysis.quality_threshold_sweep: per-doc quality
+    from the certified text_stats CTE, micro-unit BIGINT comparisons,
+    raw-double ratio emits (exact-integer divisions — no engine
+    round)."""
+    tlist = ", ".join(repr(float(x)) for x in thresholds)
+    return f"""
+WITH ts AS (SELECT quality_score FROM ({text_stats()})),
+q AS (
+  SELECT CAST(round(quality_score * 1000000) AS BIGINT) AS q_micro
+  FROM ts
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q),
+t AS (
+  SELECT threshold,
+         CAST(round(threshold * 1000000) AS BIGINT) AS t_micro
+  FROM (SELECT unnest([{tlist}]::DOUBLE[]) AS threshold)
+),
+per AS (
+  SELECT t.threshold,
+         CAST(count(q.q_micro) AS BIGINT) AS n_kept,
+         CAST(coalesce(sum(q.q_micro), 0) AS BIGINT) AS sum_micro
+  FROM t LEFT JOIN q ON q.q_micro >= t.t_micro
+  GROUP BY t.threshold
+)
+SELECT p.threshold,
+       p.n_kept,
+       CAST(p.n_kept AS DOUBLE) / greatest(tot.n_total, 1)
+         AS frac_kept,
+       CASE WHEN p.n_kept > 0
+            THEN CAST(p.sum_micro AS DOUBLE) / (p.n_kept * 1000000.0)
+       END AS mean_quality_kept
+FROM per p CROSS JOIN tot
+ORDER BY p.threshold
 """

@@ -602,3 +602,47 @@ def test_containment_catches_embedded_doc_that_jaccard_misses(spark):
         ).collect()
     }
     assert (1, 2) not in jac  # Jaccard-targeted path misses the embed
+
+
+def test_paragraph_near_dups_catch_edited_passages(spark):
+    """The fuzzy passage tier (r5): a lightly-edited shared paragraph
+    must pair at the PARAGRAPH level even though (a) it is not
+    byte-identical (exact paragraph dedup misses it) and (b) the
+    documents around it differ (document-level Jaccard stays low)."""
+    from model_audit_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        paragraph_near_dup_pairs,
+        paragraph_relation,
+    )
+
+    shared_a = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning in spring"
+    )
+    # one word edited -> near-dup, not exact-dup
+    shared_b = shared_a.replace("spring", "autumn")
+    doc1 = (
+        "completely unrelated opening paragraph about databases\n\n"
+        + shared_a
+        + "\n\nclosing text about query optimizers and planners"
+    )
+    doc2 = (
+        "a different intro concerning storage engines entirely\n\n"
+        + shared_b
+        + "\n\nfinal remarks on vectorized execution pipelines"
+    )
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    rel = paragraph_relation(df)
+    assert rel.count() == 6
+    assert {r["pid"] for r in rel.collect()} == {
+        "1:0", "1:1", "1:2", "2:0", "2:1", "2:2"
+    }
+
+    pairs = paragraph_near_dup_pairs(df, min_jaccard=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [("1:1", "2:1")]
+    assert pairs[0]["jaccard"] >= 0.5
+    # the docs as wholes do NOT reach the same threshold
+    doc_pairs = ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+    assert doc_pairs == []

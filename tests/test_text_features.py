@@ -328,3 +328,32 @@ def test_vocab_coverage_invariants(spark):
     assert got["empty"]["n_tokens"] == 0 and got["empty"]["oov_rate"] == 0.0
     for g in got.values():
         assert 0.0 <= g["oov_rate"] <= 1.0 and 0.0 <= g["oov_type_rate"] <= 1.0
+
+
+def test_quality_threshold_sweep_monotone_and_exact(spark):
+    """Retention curve invariants: n_kept non-increasing in threshold;
+    mean quality of the kept set non-decreasing; counts exact against
+    a brute-force filter."""
+    import pyspark.sql.functions as F
+
+    from model_audit_spark.operators.text_analysis import (
+        doc_stats,
+        quality_threshold_sweep,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    rows = quality_threshold_sweep(docs).collect()
+    assert [r["threshold"] for r in rows] == [
+        0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8
+    ]
+    kept = [r["n_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    means = [r["mean_quality_kept"] for r in rows if r["n_kept"] > 0]
+    assert means == sorted(means)
+    # exact count cross-check at one cutoff
+    q = doc_stats(docs).filter(F.col("quality_score") >= 0.5).count()
+    at_05 = {r["threshold"]: r["n_kept"] for r in rows}[0.5]
+    assert at_05 == q
+    assert all(0 <= r["frac_kept"] <= 1 for r in rows)
