@@ -2383,6 +2383,31 @@ def _ann_recall_report(spark, sf):
     return ann_recall_report(emb, query_vec_id=0, k=10, dim=64)
 
 
+def _events_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov: purchase vs view value
+    distributions — max ECDF gap with no binning choice beyond the
+    portable quantization (drift.ks_two_sample; complements PSI)."""
+    from model_audit_spark.operators.drift import ks_two_sample
+
+    ev = _t(spark, sf, "events")
+    return ks_two_sample(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+        value_col="value",
+    )
+
+
+def _events_hourly_anomalies(spark, sf):
+    """Volume-anomaly monitor: hours deviating >= 2 sigma from the
+    trailing 24 observed hours of the same event type — exact-integer
+    trailing moments, identical-double z (drift.hourly_anomaly_zscore)."""
+    from model_audit_spark.operators.drift import hourly_anomaly_zscore
+
+    ev = _t(spark, sf, "events")
+    return hourly_anomaly_zscore(ev)
+
+
 def _quality_threshold_sweep(spark, sf):
     """Retention curve of the quality filter: docs kept / fraction /
     mean surviving quality per cutoff, from ONE scored scan theta-
@@ -2620,6 +2645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_param_sweep": _ann_param_sweep,
         "paragraph_near_dups": _paragraph_near_dups,
         "quality_threshold_sweep": _quality_threshold_sweep,
+        "events_ks_drift": _events_ks_drift,
+        "events_hourly_anomalies": _events_hourly_anomalies,
         "ann_lsh_topk": _ann_lsh_topk,
         "cache_keys": _cache_keys,
         "corpus_stats": _corpus_stats,
@@ -2662,10 +2689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "weighted_sample_es": _weighted_sample_es,
         "claimed_families": _claimed_families,
-        "probe_category_counts": _probe_category_counts,
-        "probes_filtered": _probes_filtered,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified fresh, still mirror-checked every session
+        "probe_category_counts": _probe_category_counts,
+        "probes_filtered": _probes_filtered,
         "audit_consistency_rate": _audit_consistency_rate,
         "audit_verdict_sources": _audit_verdict_sources,
         "benchmark_accuracy": _benchmark_accuracy,
@@ -2926,6 +2953,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_param_sweep": ora.ann_param_sweep(query_vec_id=0, k=10),
         "paragraph_near_dups": ora.paragraph_near_dups(min_jaccard=0.5),
         "quality_threshold_sweep": ora.quality_threshold_sweep(),
+        "events_ks_drift": ora.ks_purchase_vs_view(),
+        "events_hourly_anomalies": ora.events_hourly_anomalies(),
         "events_decayed": ora.decayed_counts(),
         "ann_sq8_topk": ora.sq8_topk(query_vec_id=0, k=10),
         "ann_sq8_rerank": ora.sq8_rerank_topk(query_vec_id=0, k=10, shortlist=50),

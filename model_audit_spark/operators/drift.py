@@ -146,3 +146,146 @@ def psi_drift(
         .groupBy("feature", "n_buckets")
         .agg(F.sum("_c").cast("double").alias("psi"))
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    side_a,
+    side_b,
+    value_col: str = "value",
+    quant: int = 10000,
+) -> DataFrame:
+    """One-row (n_a, n_b, ks_stat, ks_at_value): the two-sample
+    Kolmogorov-Smirnov statistic — max ECDF gap between two cohorts of
+    `value_col` — the distribution-shape drift test that complements
+    PSI (PSI sees mass moved between fixed buckets; KS sees WHERE the
+    curves diverge, with no binning choice beyond the quantization).
+
+    `side_a` / `side_b` are boolean Columns selecting the cohorts
+    (e.g. event_type filters, or a ts split for before/after).
+
+    Determinism + scale: values quantize to q = floor(v·quant + 0.5)
+    BIGINT (the portable half-up — an engine round() on an arbitrary
+    double is not, DETERMINISM.md mode 2); counts aggregate per
+    DISTINCT q (map-side combined — the one corpus-sized shuffle);
+    the ECDF gap is |cum_a/n_a − cum_b/n_b| from exact-integer
+    cumulative sums, emitted raw (identical doubles both engines). The
+    global-order cumulative window runs over DISTINCT quantized values
+    — bounded by value-range · quant, the same fixed-resolution
+    contract as the PSI bucketing; at 100 TB lower `quant` (or
+    pre-bucket) rather than window over billions of distinct doubles.
+    The argmax tie-breaks to the LOWEST quantized value."""
+    from pyspark.sql import Window
+
+    q = F.floor(
+        F.col(value_col).cast("double") * quant + F.lit(0.5)
+    ).cast("long")
+    tagged = df.select(
+        q.alias("_q"),
+        F.when(side_a, 1).otherwise(0).alias("_a"),
+        F.when(side_b, 1).otherwise(0).alias("_b"),
+    ).filter((F.col("_a") == 1) | (F.col("_b") == 1))
+    counts = tagged.groupBy("_q").agg(
+        F.sum("_a").cast("long").alias("ca"),
+        F.sum("_b").cast("long").alias("cb"),
+    )
+    w = Window.orderBy("_q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = counts.select(
+        "_q",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cuma") / F.greatest(F.col("n_a"), F.lit(1))
+        - F.col("cumb") / F.greatest(F.col("n_b"), F.lit(1))
+    )
+    return (
+        cums.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            gap.alias("_gap"),
+            F.col("_q"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("_gap").alias("ks_stat"),
+            F.min_by(
+                F.col("_q"), F.struct(-F.col("_gap"), F.col("_q"))
+            ).alias("_qmax"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_stat",
+            (F.col("_qmax") / F.lit(float(quant))).alias("ks_at_value"),
+        )
+    )
+
+
+def hourly_anomaly_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    trailing: int = 24,
+    min_history: int = 12,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """(key, hour, n_events, mean_trailing, z): hours whose event count
+    deviates ≥ `z_threshold` standard deviations from the trailing
+    `trailing` OBSERVED hours of the same key — the volume-anomaly
+    monitor over the event stream (traffic spikes, outages, bot bursts).
+
+    Exact-integer dynamics: hourly counts, their trailing sums and
+    sums-of-squares are BIGINTs; mean and population variance are
+    exact-integer divisions; z = (n − mean)/sqrt(var) on identical
+    doubles in every engine (sqrt of an identical double is identical —
+    correctly rounded), emitted raw. Hours with fewer than
+    `min_history` trailing observations, or zero variance, are not
+    judged. Window is ROWS over observed hours (a silent-gap hour is
+    absent from the relation — it contributes no row; densify upstream
+    if calendar-hour semantics are needed)."""
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("key").orderBy("hour").rowsBetween(
+        -trailing, -1
+    )
+    stats = hourly.select(
+        "key",
+        "hour",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .over(w)
+        .cast("long")
+        .alias("_ss"),
+        F.count("n_events").over(w).cast("long").alias("_c"),
+    ).filter(F.col("_c") >= min_history)
+    mean = F.col("_s") / F.col("_c")
+    var = F.col("_ss") / F.col("_c") - mean * mean
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        stats.select(
+            "key",
+            "hour",
+            "n_events",
+            mean.alias("mean_trailing"),
+            F.when(var > 0, z).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .orderBy("key", "hour")
+    )

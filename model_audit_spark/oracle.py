@@ -4771,3 +4771,82 @@ SELECT p.threshold,
 FROM per p CROSS JOIN tot
 ORDER BY p.threshold
 """
+
+
+def ks_purchase_vs_view(quant: int = 10000) -> str:
+    """Twin of drift.ks_two_sample over events: purchase vs view value
+    distributions. Portable half-up quantization (floor(v·q + 0.5)),
+    exact-integer cumulative ECDFs, raw-double gap; argmax tie-breaks
+    to the lowest quantized value."""
+    return f"""
+WITH tagged AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * {quant} + 0.5) AS BIGINT)
+           AS q,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+),
+counts AS (
+  SELECT q, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+  FROM tagged GROUP BY q
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts
+),
+cums AS (
+  SELECT q,
+    CAST(sum(ca) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cuma,
+    CAST(sum(cb) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cumb
+  FROM counts
+),
+gaps AS (
+  SELECT t.n_a, t.n_b, c.q,
+    abs(CAST(c.cuma AS DOUBLE) / greatest(t.n_a, 1)
+        - CAST(c.cumb AS DOUBLE) / greatest(t.n_b, 1)) AS gap
+  FROM cums c CROSS JOIN tot t
+)
+SELECT g.n_a, g.n_b,
+       max(g.gap) AS ks_stat,
+       (SELECT min(q) FROM gaps g2
+        WHERE g2.gap = (SELECT max(gap) FROM gaps)) / {float(quant)!r}
+         AS ks_at_value
+FROM gaps g GROUP BY g.n_a, g.n_b
+"""
+
+
+def events_hourly_anomalies(
+    trailing: int = 24, min_history: int = 12, z_threshold: float = 2.0
+) -> str:
+    """Twin of drift.hourly_anomaly_zscore over events: exact-integer
+    trailing sums/sums-of-squares, identical-double mean/variance/z
+    expressions (same operation shapes as the Spark plan), raw emits."""
+    mean = "CAST(s AS DOUBLE) / c"
+    var = f"CAST(ss AS DOUBLE) / c - ({mean}) * ({mean})"
+    z = f"(n_events - ({mean})) / sqrt({var})"
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT key, hour, n_events,
+    CAST(sum(n_events) OVER w AS BIGINT) AS s,
+    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS ss,
+    CAST(count(n_events) OVER w AS BIGINT) AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY key ORDER BY hour
+               ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
+)
+SELECT key, hour, n_events,
+       {mean} AS mean_trailing,
+       {z} AS z
+FROM stats
+WHERE c >= {min_history} AND ({var}) > 0
+  AND abs({z}) >= {z_threshold!r}
+ORDER BY key, hour
+"""

@@ -93,3 +93,68 @@ def test_bucket_counts_disjoint_buckets_survive_outer_join(spark):
     ).collect()
     assert out[0]["n_buckets"] == 4  # union of disjoint bucket sets
     assert float(out[0]["psi"]) > 0.25  # total shift flagged
+
+
+def test_ks_two_sample_identical_and_shifted(spark):
+    """KS = 0 for identical cohorts; a constant shift produces a large
+    statistic at the crossing point; statistic bounded in [0, 1]."""
+    import pyspark.sql.functions as F
+
+    from model_audit_spark.operators.drift import ks_two_sample
+
+    rows = [("a", float(i % 50)) for i in range(500)] + [
+        ("b", float(i % 50)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    same = ks_two_sample(
+        df, F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    assert same["n_a"] == same["n_b"] == 500
+    assert same["ks_stat"] == 0.0
+
+    shifted = df.withColumn(
+        "value",
+        F.when(F.col("g") == "b", F.col("value") + 25.0).otherwise(
+            F.col("value")
+        ),
+    )
+    r = ks_two_sample(
+        shifted, F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    # values 0..49 vs 25..74: ECDF gap peaks at 0.5 just below 25
+    assert r["ks_stat"] == 0.5
+    assert 24.0 <= r["ks_at_value"] <= 25.0
+    assert 0.0 <= r["ks_stat"] <= 1.0
+
+
+def test_hourly_anomaly_zscore_flags_injected_spike(spark):
+    """A 10x traffic spike after a flat day must be flagged with a
+    large positive z; the flat hours must not be."""
+    import datetime
+
+    from model_audit_spark.operators.drift import hourly_anomaly_zscore
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        # jittered baseline (zero-variance history is not judged — the
+        # z denominator would be 0; documented operator behavior)
+        n = 100 + (h % 5) if h != 27 else 1000  # spike at hour 27
+        for _ in range(n):
+            rows.append(
+                ("click", base + datetime.timedelta(hours=h), eid)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    flagged = hourly_anomaly_zscore(df, z_threshold=2.0).collect()
+    hours = [(r["hour"].hour + (r["hour"].day - 1) * 24, r["z"])
+             for r in flagged]
+    spike = [z for h, z in hours if h == 27]
+    assert len(spike) == 1 and spike[0] > 10
+    # the constant-rate warmup hours are never flagged; the hour right
+    # AFTER the spike may flag low (the spike inflates its trailing
+    # mean), which is correct monitor behavior
+    assert all(h >= 27 for h, _ in hours)
