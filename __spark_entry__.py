@@ -2794,7 +2794,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Twins whose generated SQL references a CTE chain more than once per
+# round/stage — DuckDB's default inlining re-evaluates those
+# exponentially (DETERMINISM.md failure mode 9); ora.materialized pins
+# one evaluation each (equality re-verified per query at adoption:
+# identical rows, pagerank 21.3 s -> 0.17 s at sf0.01).
+_MATERIALIZED_TWINS = {
+    "dedup_minhash_pairs", "dedup_clusters", "dedup_clusters_incremental",
+    "cluster_retention", "leakage_safe_splits", "source_overlap",
+    "curate_corpus", "dedup_threshold_sweep", "pagerank_dupgraph",
+    "dup_graph_stats", "knn_triangles", "dedup_incremental",
+    "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
+    "paragraph_near_dups", "semantic_dedup", "contrastive_triplets",
+    "span_dedup", "embedding_principal",
+}
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_raw()
+    return {
+        k: (ora.materialized(v) if k in _MATERIALIZED_TWINS else v)
+        for k, v in out.items()
+    }
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "q1_pricing_summary": ora.q1_pricing_summary(),
         "q3_top_unshipped": ora.q3_top_unshipped(),

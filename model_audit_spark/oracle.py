@@ -4850,3 +4850,21 @@ WHERE c >= {min_history} AND ({var}) > 0
   AND abs({z}) >= {z_threshold!r}
 ORDER BY key, hour
 """
+
+
+def materialized(sql: str) -> str:
+    """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
+    the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE
+    inlining re-evaluates a CTE at every reference, which turns
+    unrolled iterative twins (pagerank rounds, the dup-chain reused by
+    cluster/graph queries) EXPONENTIAL in round count — measured
+    pagerank_dupgraph 21.3 s -> 0.17 s at sf0.01 with identical rows.
+    Skips recursive CTEs and WINDOW clauses (both also match the
+    `name AS (` shape but must not be materialized)."""
+    import re
+
+    return re.sub(
+        r"(?<!RECURSIVE )(?<!WINDOW )(\b[A-Za-z_]\w*) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
