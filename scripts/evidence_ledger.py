@@ -275,17 +275,37 @@ def query_roots() -> dict[str, list[tuple[str, str]]]:
                         if isinstance(k, ast.Constant) and isinstance(
                                 v, ast.Name):
                             qfn[k.value] = v.id
+    # the oracle dict may live in oracle_sql() or a helper it delegates
+    # to (_oracle_sql_raw since r5) — scan EVERY module function for the
+    # `"name": ora.fn(` shape (it appears nowhere else)
     ofn: dict[str, str] = {}
     for node in tree.body:
-        if isinstance(node, ast.FunctionDef) and node.name == "oracle_sql":
+        if isinstance(node, ast.FunctionDef):
             src = ast.get_source_segment(entry.text, node)
             for m in re.finditer(r'"(\w+)":\s*ora\.(\w+)\(', src):
                 ofn[m.group(1)] = m.group(2)
+    # queries whose twin is post-processed by ora.materialized (the
+    # _MATERIALIZED_TWINS set, r5): the wrapper function AND the set
+    # membership are part of those queries' dependency closure — adding
+    # or removing a member changes its generated SQL
+    mat: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "_MATERIALIZED_TWINS"
+            for t in node.targets
+        ):
+            for c in ast.walk(node.value):
+                if isinstance(c, ast.Constant) and isinstance(
+                        c.value, str):
+                    mat.add(c.value)
     roots = {}
     for q, fn in qfn.items():
         r = [(ENTRY, fn)]
         if q in ofn:
             r.append((ORACLE, ofn[q]))
+        if q in mat:
+            r.append((ORACLE, "materialized"))
+            r.append((ENTRY, "_MATERIALIZED_TWINS"))
         roots[q] = r
     return roots
 
