@@ -327,6 +327,22 @@ def _q_events_sessionize(spark, sf, gap_seconds: int = 1800):
     )
 
 
+def _events_scd2(spark, sf):
+    """CDC compaction: the events log as a type-2 slowly-changing
+    dimension of each user's event_type — consecutive runs become
+    validity intervals, the open run is current (operators/cdc.py;
+    one key-hash shuffle, both windows share the sort)."""
+    from model_audit_spark.operators.cdc import scd2_history
+
+    return scd2_history(
+        _t(spark, sf, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        order_col="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-surface queries (documents as corpus)
 # ---------------------------------------------------------------------------
@@ -2639,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (scripts/check_oracle.py) every session."""
     return {
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
+        "events_scd2": _events_scd2,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -2835,6 +2852,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_window_orders": ora.q_window_orders(),
         "q_events_hourly": ora.q_events_hourly(),
         "q_events_sessionize": ora.q_events_sessionize(),
+        "events_scd2": ora.events_scd2(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

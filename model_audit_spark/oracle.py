@@ -4852,6 +4852,47 @@ ORDER BY key, hour
 """
 
 
+def events_scd2() -> str:
+    """Twin of cdc.scd2_history over events (user_id / event_type).
+
+    Same lag-change-flag -> running-sum run id -> run aggregation ->
+    lead(valid_from) chain; window sums CAST to BIGINT (DuckDB widens
+    to HUGEINT, which the comparator's pandas path floats)."""
+    return """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+    coalesce(event_type, '') AS attr,
+    lag(coalesce(event_type, ''))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_attr IS NULL OR prev_attr <> attr
+             THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS version
+  FROM flagged
+),
+compact AS (
+  SELECT user_id, version, min(attr) AS event_type, min(ts) AS vfrom,
+         count(*) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, event_type,
+  strftime(vfrom, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(lead(vfrom) OVER (PARTITION BY user_id ORDER BY version),
+           '%Y-%m-%d %H:%M:%S') AS valid_to,
+  n_events,
+  (lead(vfrom) OVER (PARTITION BY user_id ORDER BY version)) IS NULL
+    AS is_current
+FROM compact
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE
