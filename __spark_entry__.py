@@ -327,6 +327,26 @@ def _q_events_sessionize(spark, sf, gap_seconds: int = 1800):
     )
 
 
+def _epoch_shuffle(spark, sf):
+    """Deterministic 3-epoch × 8-shard training-order shuffle audit:
+    per (epoch, shard) the doc count, the first doc in shuffle order
+    and a position-weighted checksum — the gate-sized fingerprint of
+    the full materialized order (sampling.epoch_shuffle)."""
+    from model_audit_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf, "documents")
+    order = epoch_shuffle(docs, "doc_id", n_epochs=3, n_shards=8)
+    return order.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.max(
+            F.when(F.col("position") == 1, F.col("doc_id"))
+        ).alias("first_doc"),
+        F.sum(
+            (F.col("position") * F.col("doc_id")) % F.lit(1000000007)
+        ).cast("bigint").alias("checksum"),
+    )
+
+
 def _events_scd2(spark, sf):
     """CDC compaction: the events log as a type-2 slowly-changing
     dimension of each user's event_type — consecutive runs become
@@ -2656,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
         "events_scd2": _events_scd2,
+        "epoch_shuffle": _epoch_shuffle,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -2853,6 +2874,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_events_hourly": ora.q_events_hourly(),
         "q_events_sessionize": ora.q_events_sessionize(),
         "events_scd2": ora.events_scd2(),
+        "epoch_shuffle": ora.epoch_shuffle(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -455,6 +455,58 @@ def contrastive_triplets(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 3,
+    n_shards: int = 8,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic multi-epoch training-order shuffle with sharding.
+
+    For every (row, epoch) pair: draw = md5(id:epoch:salt) (the same
+    hash family as sample_bucket — engine-portable, seeded, stable
+    under repartitioning), shard = draw % n_shards, position = rank of
+    the draw within (epoch, shard). A data loader reading shard files
+    in position order sees an independent pseudo-random permutation per
+    epoch — reproducible on resume, no driver-side RNG state.
+
+    Scale shape: the epoch relation is a broadcast cross join (n_epochs
+    rows); the only shuffle is the (epoch, shard)-keyed window sort,
+    which IS the physical work an epoch shuffle must do — each shard's
+    sort is one task's partition-local sort, so parallelism = n_epochs
+    × n_shards and no task ever sees more than one shard. Returns one
+    row per (epoch, shard, position): the materialized training order.
+    """
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(n_epochs)])
+    ).alias("epoch")
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.col("epoch").cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("draw", id_col)
+    return (
+        df.select(id_col, epochs)
+        .withColumn("draw", draw)
+        .withColumn("shard", (F.col("draw") % n_shards).cast("int"))
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "shard", "position", id_col, "draw")
+    )
+
+
 def bucket_for(col: str, salt: str, n_buckets: int) -> Column:
     """Deterministic md5 bucket in [0, n_buckets) — the negative-sampling
     hash family (same construction as sample_bucket, parameterized

@@ -4893,6 +4893,39 @@ FROM compact
 """
 
 
+def epoch_shuffle(
+    n_epochs: int = 3, n_shards: int = 8, salt: str = "epoch"
+) -> str:
+    """Twin of sampling.epoch_shuffle + the gate audit aggregate: same
+    md5(id:epoch:salt) draw (_hex32), shard mod, per-(epoch,shard)
+    row_number, then count / first-doc / mod-checksum."""
+    h = _hex32(
+        "md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(epoch AS VARCHAR) || ':{salt}')"
+    )
+    return f"""
+WITH ep AS (SELECT unnest(range(0, {n_epochs})) AS epoch),
+assigned AS (
+  SELECT d.doc_id, ep.epoch, CAST({h} AS BIGINT) AS draw
+  FROM documents d CROSS JOIN ep
+),
+sharded AS (
+  SELECT *, CAST(draw % {n_shards} AS INTEGER) AS shard FROM assigned
+),
+positioned AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY epoch, shard
+                                    ORDER BY draw, doc_id) AS BIGINT)
+            AS position
+  FROM sharded
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, shard,
+  count(*) AS n_docs,
+  max(CASE WHEN position = 1 THEN doc_id END) AS first_doc,
+  CAST(sum((position * doc_id) % 1000000007) AS BIGINT) AS checksum
+FROM positioned GROUP BY epoch, shard
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

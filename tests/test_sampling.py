@@ -350,3 +350,33 @@ def test_weighted_sample_es_fractional_weights(spark):
     )[:8]
     assert got == [i for i, _ in brute]
     assert sum(1 for i in got if i < 10) >= 5
+
+
+def test_epoch_shuffle_is_a_partition_per_epoch(spark):
+    """Every doc appears exactly once per epoch; positions within an
+    (epoch, shard) are contiguous 1..n; epochs permute differently;
+    the order is stable under repartitioning (no RNG state)."""
+    from model_audit_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(docs, "doc_id", n_epochs=2, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 2 * 97
+    for e in (0, 1):
+        ids = sorted(r.doc_id for r in rows if r.epoch == e)
+        assert ids == list(range(97))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.epoch, r.shard), []).append(r.position)
+    for pos in by_shard.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    # epochs are independent permutations: shard assignment must differ
+    # for at least one doc between epoch 0 and epoch 1
+    sh = {(r.epoch, r.doc_id): r.shard for r in rows}
+    assert any(sh[(0, d)] != sh[(1, d)] for d in range(97))
+    # repartition-stable
+    again = epoch_shuffle(
+        docs.repartition(7), "doc_id", n_epochs=2, n_shards=4
+    ).collect()
+    key = lambda r: (r.epoch, r.shard, r.position, r.doc_id)
+    assert sorted(map(key, again)) == sorted(map(key, rows))
