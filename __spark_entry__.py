@@ -327,6 +327,16 @@ def _q_events_sessionize(spark, sf, gap_seconds: int = 1800):
     )
 
 
+def _length_outliers(spark, sf):
+    """Per-source robust length QA: exact median/MAD of n_chars from
+    the value histogram (integer arithmetic end to end), docs beyond
+    3×MAD tallied low/high (stats.robust_outlier_profile)."""
+    from model_audit_spark.operators.stats import robust_outlier_profile
+
+    docs = _t(spark, sf, "documents")
+    return robust_outlier_profile(docs, "n_chars", "source", k_num=3)
+
+
 def _epoch_shuffle(spark, sf):
     """Deterministic 3-epoch × 8-shard training-order shuffle audit:
     per (epoch, shard) the doc count, the first doc in shuffle order
@@ -2677,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
         "events_scd2": _events_scd2,
         "epoch_shuffle": _epoch_shuffle,
+        "length_outliers": _length_outliers,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -2875,6 +2886,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q_events_sessionize": ora.q_events_sessionize(),
         "events_scd2": ora.events_scd2(),
         "epoch_shuffle": ora.epoch_shuffle(),
+        "length_outliers": ora.length_outliers(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -20,7 +20,7 @@ buffer (array form), not one buffer per quantile.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -168,3 +168,117 @@ def quantiles_from_sketches(
         for p in probs
     ]
     return with_m.select(*keys, *qcols)
+
+
+def robust_outlier_profile(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median/MAD robust-outlier profile of an integer column per group
+    — the standard "drop absurdly short/long documents" QA gate, with
+    EXACT medians computed from the value HISTOGRAM, not the rows.
+
+    Scale shape: ONE corpus scan builds the (group, value) histogram
+    (map-side combine; |histogram| is bounded by the value domain, not
+    the row count — document lengths, token counts and similar QA
+    columns have at most ~1e6 distinct values no matter how many rows).
+    Everything after — both medians, the outlier tally — runs on the
+    compact histogram with window cumulative sums, so the 100 TB cost
+    is the one aggregate. Spark's `percentile` would instead buffer
+    every group's raw values in executor memory.
+
+    Integer-exact arithmetic end to end (DETERMINISM.md rule 5):
+    med2 = lower+upper median values (2× the interpolated median),
+    dev2 = |2v - med2|, mad4 = sum of dev2's two medians (4× MAD).
+    A row is an outlier iff dev > (k_num/k_den)·MAD, evaluated as
+    2·dev2·k_den > k_num·mad4 — no floats until the final projection,
+    which emits median = med2/2 and mad = mad4/4 as exact doubles.
+    MAD = 0 (over half the group shares one value) keeps the standard
+    caveat: any deviation counts as an outlier.
+
+    Returns per group: n rows, median, mad, n_low / n_high outliers.
+    """
+    v = F.col(value_col).cast("bigint")
+    hist = df.groupBy(F.col(by).alias(by), v.alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+
+    def _med2(h: DataFrame, key: str) -> DataFrame:
+        wo = (
+            Window.partitionBy(key)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy(key)
+        cum = F.sum("cnt").over(wo)
+        n = F.sum("cnt").over(wall)
+        ranked = h.select(
+            key,
+            "v",
+            "cnt",
+            cum.alias("cum"),
+            n.alias("n"),
+        ).select(
+            key,
+            "v",
+            "cnt",
+            "cum",
+            "n",
+            F.expr("(n - 1) DIV 2").alias("lo"),
+            F.expr("n DIV 2").alias("hi"),
+        )
+        return ranked.groupBy(key).agg(
+            (
+                F.min(F.when(F.col("cum") >= F.col("lo") + 1, F.col("v")))
+                + F.min(F.when(F.col("cum") >= F.col("hi") + 1, F.col("v")))
+            ).alias("med2"),
+            F.max("n").alias("n_rows"),
+        )
+
+    med = _med2(hist, by)
+    dev_hist = (
+        hist.join(F.broadcast(med.select(by, "med2")), by)
+        .select(
+            by,
+            F.abs(2 * F.col("v") - F.col("med2")).alias("v"),
+            "cnt",
+        )
+        .groupBy(by, "v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _med2(dev_hist, by).select(
+        by, F.col("med2").alias("mad4")
+    )
+    stats = med.join(F.broadcast(mad), by)
+    flagged = hist.join(F.broadcast(stats), by).select(
+        by,
+        "cnt",
+        (2 * F.col("v") < F.col("med2")).alias("is_low"),
+        (
+            2 * F.abs(2 * F.col("v") - F.col("med2")) * k_den
+            > k_num * F.col("mad4")
+        ).alias("is_out"),
+    )
+    tallies = flagged.groupBy(by).agg(
+        F.sum(
+            F.when(F.col("is_out") & F.col("is_low"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_low_outliers"),
+        F.sum(
+            F.when(
+                F.col("is_out") & ~F.col("is_low"), F.col("cnt")
+            ).otherwise(F.lit(0))
+        ).alias("n_high_outliers"),
+    )
+    return stats.join(tallies, by).select(
+        by,
+        F.col("n_rows"),
+        (F.col("med2") / 2.0).alias("median"),
+        (F.col("mad4") / 4.0).alias("mad"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )

@@ -4926,6 +4926,73 @@ FROM positioned GROUP BY epoch, shard
 """
 
 
+def length_outliers(k_num: int = 3, k_den: int = 1) -> str:
+    """Twin of stats.robust_outlier_profile(documents, n_chars, source):
+    histogram -> window-cumsum exact medians (med2/mad4 integer
+    doubling trick) -> outlier tally. Window/aggregate sums CAST to
+    BIGINT (DuckDB HUGEINT widening)."""
+    return f"""
+WITH hist AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, v, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM hist
+),
+med AS (
+  SELECT source,
+    min(CASE WHEN cum >= ((n - 1) // 2) + 1 THEN v END)
+      + min(CASE WHEN cum >= (n // 2) + 1 THEN v END) AS med2,
+    max(n) AS n_rows
+  FROM ranked GROUP BY source
+),
+devhist AS (
+  SELECT h.source, abs(2 * h.v - m.med2) AS v,
+         CAST(sum(h.cnt) AS BIGINT) AS cnt
+  FROM hist h JOIN med m ON h.source = m.source
+  GROUP BY 1, 2
+),
+dranked AS (
+  SELECT source, v, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM devhist
+),
+mad AS (
+  SELECT source,
+    min(CASE WHEN cum >= ((n - 1) // 2) + 1 THEN v END)
+      + min(CASE WHEN cum >= (n // 2) + 1 THEN v END) AS mad4
+  FROM dranked GROUP BY source
+),
+flagged AS (
+  SELECT h.source, h.cnt,
+    (2 * h.v < m.med2) AS is_low,
+    (2 * abs(2 * h.v - m.med2) * {k_den} > {k_num} * d.mad4) AS is_out
+  FROM hist h
+  JOIN med m ON h.source = m.source
+  JOIN mad d ON h.source = d.source
+),
+tallies AS (
+  SELECT source,
+    CAST(sum(CASE WHEN is_out AND is_low THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_low_outliers,
+    CAST(sum(CASE WHEN is_out AND NOT is_low THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_high_outliers
+  FROM flagged GROUP BY source
+)
+SELECT m.source, m.n_rows, m.med2 / 2.0 AS median, d.mad4 / 4.0 AS mad,
+  t.n_low_outliers, t.n_high_outliers
+FROM med m
+JOIN mad d ON m.source = d.source
+JOIN tallies t ON m.source = t.source
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

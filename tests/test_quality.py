@@ -154,3 +154,34 @@ def test_source_data_card_signals(spark):
     b = out["b"]
     assert b["n_docs"] == 1 and b["exact_dup_frac"] == 0.0
     assert 0.0 <= b["mean_quality"] <= 1.0
+
+
+def test_robust_outlier_profile_hand_computed(spark):
+    """Median/MAD by hand on three tiny groups: odd count, even count
+    (fractional median and MAD), and the MAD=0 degenerate case."""
+    from model_audit_spark.operators.stats import robust_outlier_profile
+
+    rows = (
+        # g1 odd: [1,2,3,4,100] -> med 3, devs [2,1,0,1,97], MAD 1
+        [("g1", v) for v in (1, 2, 3, 4, 100)]
+        # g2 even: [1,2,3,10] -> med 2.5, devs [1.5,.5,.5,7.5], MAD 1.0
+        + [("g2", v) for v in (1, 2, 3, 10)]
+        # g3 MAD=0: [5,5,5,9] -> med 5, MAD 0 -> any deviation flags
+        + [("g3", v) for v in (5, 5, 5, 9)]
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {
+        r.source: r
+        for r in robust_outlier_profile(
+            df, "n_chars", "source", k_num=3
+        ).collect()
+    }
+    g1 = out["g1"]
+    assert (g1.n_rows, g1.median, g1.mad) == (5, 3.0, 1.0)
+    assert (g1.n_low_outliers, g1.n_high_outliers) == (0, 1)  # only 100
+    g2 = out["g2"]
+    assert (g2.n_rows, g2.median, g2.mad) == (4, 2.5, 1.0)
+    assert (g2.n_low_outliers, g2.n_high_outliers) == (0, 1)  # only 10
+    g3 = out["g3"]
+    assert (g3.median, g3.mad) == (5.0, 0.0)
+    assert (g3.n_low_outliers, g3.n_high_outliers) == (0, 1)  # only 9
