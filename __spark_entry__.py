@@ -327,6 +327,24 @@ def _q_events_sessionize(spark, sf, gap_seconds: int = 1800):
     )
 
 
+def _domain_classify(spark, sf):
+    """Dictionary-routed domain mix per source: token-hit argmax over
+    the DOMAIN_TAXONOMY vocabularies, tie-broken lexicographically —
+    a pure whole-stage-codegen projection, no join at any scale
+    (text_analysis.classify_domains)."""
+    from model_audit_spark.operators.text_analysis import classify_domains
+
+    docs = _t(spark, sf, "documents")
+    routed = classify_domains(docs)
+    return routed.groupBy("source", "domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("best_hits").cast("bigint").alias("total_hits"),
+        (F.sum("best_hits").cast("bigint") / F.count("*")).alias(
+            "avg_hits"
+        ),
+    )
+
+
 def _length_outliers(spark, sf):
     """Per-source robust length QA: exact median/MAD of n_chars from
     the value histogram (integer arithmetic end to end), docs beyond
@@ -2688,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": _events_scd2,
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
+        "domain_classify": _domain_classify,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -2887,6 +2906,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "events_scd2": ora.events_scd2(),
         "epoch_shuffle": ora.epoch_shuffle(),
         "length_outliers": ora.length_outliers(),
+        "domain_classify": ora.domain_classify(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -405,3 +405,72 @@ def quality_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+# Keyword taxonomy for coarse domain routing. Keys MUST stay in the
+# lexicographic order the argmax cascade uses for tie-breaking (earlier
+# domain wins a tie); the lists are token-exact matches against
+# word_tokens (lowercased \\w+ runs).
+DOMAIN_TAXONOMY: dict[str, list[str]] = {
+    "ml": ["vector", "value", "data", "fast", "slow", "big", "small"],
+    "query": ["query", "filter", "scan", "join", "sort", "group", "agg"],
+    "storage": ["table", "column", "row", "part", "line", "key", "hash"],
+    "streaming": ["stream", "batch", "window", "merge"],
+}
+
+
+def classify_domains(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    taxonomy: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Dictionary-routed domain classification — the cheap first-pass
+    router every corpus mixer runs before anything model-based: count
+    token hits per domain vocabulary, argmax with a deterministic
+    lexicographic tie-break, 'none' when nothing matches.
+
+    Scale shape: a pure per-row projection. One tokenize pass; each
+    domain's hit count is an in-row array filter against a literal
+    vocabulary (the dictionaries are part of the plan — no join, no
+    shuffle, no broadcast needed at ANY corpus size). The argmax is a
+    static CASE cascade over the per-domain counts, so the whole
+    classifier fuses into whole-stage codegen with the scan.
+    """
+    tax = taxonomy if taxonomy is not None else DOMAIN_TAXONOMY
+    names = sorted(tax)
+    # repo-wide convention: NULL text behaves as empty
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    out = df.select(
+        id_col,
+        "source",
+        toks.alias("__toks"),
+    )
+    def _in_vocab(vocab):
+        # single-param closure: a two-param lambda would be read by
+        # F.filter as the (element, index) form
+        return lambda t: F.array_contains(vocab, t)
+
+    for d in names:
+        vocab = F.array(*[F.lit(t) for t in tax[d]])
+        out = out.withColumn(
+            f"hits_{d}",
+            F.size(F.filter("__toks", _in_vocab(vocab))),
+        )
+    hit_cols = [F.col(f"hits_{d}") for d in names]
+    best = F.when(
+        sum(hit_cols[1:], hit_cols[0]) == 0, F.lit("none")
+    )
+    for i, d in enumerate(names[:-1]):
+        cond = F.lit(True)
+        for later in names[i + 1:]:
+            cond = cond & (F.col(f"hits_{d}") >= F.col(f"hits_{later}"))
+        best = best.when(cond, F.lit(d))
+    best = best.otherwise(F.lit(names[-1]))
+    return out.select(
+        id_col,
+        "source",
+        best.alias("domain"),
+        F.greatest(*hit_cols).alias("best_hits"),
+        F.size("__toks").alias("n_tokens"),
+    )

@@ -4993,6 +4993,50 @@ JOIN tallies t ON m.source = t.source
 """
 
 
+def domain_classify() -> str:
+    """Twin of text_analysis.classify_domains + the gate aggregate:
+    same single source of truth for the vocabularies (DOMAIN_TAXONOMY
+    import), same lexicographic-priority CASE cascade."""
+    from model_audit_spark.operators.text_analysis import DOMAIN_TAXONOMY
+
+    names = sorted(DOMAIN_TAXONOMY)
+    hit_exprs = []
+    for d in names:
+        vocab = ", ".join(sql_quote(t) for t in DOMAIN_TAXONOMY[d])
+        hit_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{vocab}], t)))"
+            f" AS hits_{d}"
+        )
+    cascade = [f"WHEN {' + '.join('hits_' + d for d in names)} = 0 "
+               "THEN 'none'"]
+    for i, d in enumerate(names[:-1]):
+        cond = " AND ".join(
+            f"hits_{d} >= hits_{later}" for later in names[i + 1:]
+        )
+        cascade.append(f"WHEN {cond} THEN '{d}'")
+    case = ("CASE " + " ".join(cascade)
+            + f" ELSE '{names[-1]}' END")
+    greatest = "greatest(" + ", ".join(f"hits_{d}" for d in names) + ")"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {_tokens("coalesce(text, '')")} AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, source, {', '.join(hit_exprs)} FROM tok
+),
+routed AS (
+  SELECT source, {case} AS domain,
+         CAST({greatest} AS BIGINT) AS best_hits
+  FROM hits
+)
+SELECT source, domain, count(*) AS n_docs,
+  CAST(sum(best_hits) AS BIGINT) AS total_hits,
+  CAST(sum(best_hits) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_hits
+FROM routed GROUP BY source, domain
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -357,3 +357,26 @@ def test_quality_threshold_sweep_monotone_and_exact(spark):
     at_05 = {r["threshold"]: r["n_kept"] for r in rows}[0.5]
     assert at_05 == q
     assert all(0 <= r["frac_kept"] <= 1 for r in rows)
+
+
+def test_classify_domains_argmax_and_ties(spark):
+    """Hand-routed docs: clear winner, lexicographic tie-break, no-hit
+    -> 'none', and hit counting includes repeated tokens."""
+    from model_audit_spark.operators.text_analysis import classify_domains
+
+    rows = [
+        (1, "query filter join scan", "s"),        # query 4
+        (2, "table row stream batch", "s"),        # storage 2 = streaming 2 -> storage (lex)
+        (3, "hello world nothing here", "s"),      # none
+        (4, "vector vector vector table", "s"),    # ml 3 > storage 1
+        (5, None, "s"),                            # NULL text -> none
+        (6, "stream stream merge", "s"),           # streaming 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: (r.domain, r.best_hits) for r in classify_domains(df).collect()}
+    assert got[1] == ("query", 4)
+    assert got[2] == ("storage", 2)
+    assert got[3] == ("none", 0)
+    assert got[4] == ("ml", 3)
+    assert got[5] == ("none", 0)
+    assert got[6] == ("streaming", 3)
