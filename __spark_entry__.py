@@ -327,6 +327,56 @@ def _q_events_sessionize(spark, sf, gap_seconds: int = 1800):
     )
 
 
+def _streaming_sessionize(spark, sf):
+    """§2.10 stateful streaming: native session_window gap
+    sessionization run as a STREAM (availableNow, memory sink) over the
+    events fixture — per-key state is one open session, closed when
+    the watermark passes its end. The oracle is the exact batch twin
+    of session_window's overlap semantics: a new session starts iff
+    the microsecond gap to the previous event is >= the gap
+    (strictly-less merges), mirrored with unix_micros / epoch_us."""
+    import tempfile
+    import uuid
+
+    from model_audit_spark.streaming import streaming_sessionize
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="ma_sess_")
+    os.symlink(path, os.path.join(stage, "part-0.parquet"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_schema).parquet(stage)
+    )
+    name = "sess_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # state keys are (user, open-session) — 150 users at sf0.01;
+        # 8 state shards beat 32 (same rationale as streaming_drift)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            streaming_sessionize(stream, gap="30 minutes", within="1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming query did not terminate within 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def _domain_classify(spark, sf):
     """Dictionary-routed domain mix per source: token-hit argmax over
     the DOMAIN_TAXONOMY vocabularies, tie-broken lexicographically —
@@ -2707,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
         "domain_classify": _domain_classify,
+        "streaming_sessionize": _streaming_sessionize,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -2907,6 +2958,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "epoch_shuffle": ora.epoch_shuffle(),
         "length_outliers": ora.length_outliers(),
         "domain_classify": ora.domain_classify(),
+        "streaming_sessionize": ora.streaming_sessionize(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

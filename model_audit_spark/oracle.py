@@ -5037,6 +5037,46 @@ FROM routed GROUP BY source, domain
 """
 
 
+def streaming_sessionize(
+    gap_minutes: int = 30,
+) -> str:
+    """Batch twin of streaming.streaming_sessionize (native
+    F.session_window): windows [ts, ts+gap) merge on OVERLAP, so a new
+    session starts iff the microsecond gap to the previous event is
+    >= gap — strictly-less merges, evaluated at full precision via
+    epoch_us (Spark: unix_micros). session_end = max(ts) + gap.
+    Value sums in DECIMAL(18,6), DOUBLE at emit."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) >= {gap_us}
+             THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL {gap_minutes} MINUTE,
+           '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

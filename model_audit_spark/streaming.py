@@ -341,7 +341,12 @@ def streaming_sessionize(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("sum_value"),
+            # exact-domain sum (DETERMINISM.md failure mode 1): decimal
+            # internally, DOUBLE at emit — hash-stable across partition
+            # orders and engines
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             user_col,
