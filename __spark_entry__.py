@@ -377,6 +377,72 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _streaming_attribution(spark, sf):
+    """§2.10 stream-stream interval join: view→click attribution with
+    BOTH sides live (streaming.streaming_interval_join — watermark +
+    time-range bound give each side O(rate × horizon) state). The
+    memory sink materializes the pair stream; the returned relation is
+    the per-user attribution rollup (pair count, distinct matched
+    views, exact integer lag sum). Oracle: the identical interval join
+    as plain batch SQL."""
+    import tempfile
+    import uuid
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="ma_attr_")
+    os.symlink(path, os.path.join(stage, "part-0.parquet"))
+
+    def _side(event_type, alias):
+        return (
+            normalize_event_ts(
+                spark.readStream.schema(batch_schema).parquet(stage)
+            )
+            .filter(F.col("event_type") == event_type)
+            .select("user_id", F.col("ts").alias(alias))
+        )
+
+    from model_audit_spark.streaming import streaming_interval_join
+
+    name = "attr_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = streaming_interval_join(
+            _side("view", "l_ts"),
+            _side("click", "r_ts"),
+            max_delay="10 minutes",
+            watermark="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming query did not terminate within 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pairs = spark.table(name)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("l_ts").alias("n_views_matched"),
+        F.sum(
+            F.unix_micros("r_ts") - F.unix_micros("l_ts")
+        ).cast("bigint").alias("sum_lag_us"),
+    )
+
+
 def _domain_classify(spark, sf):
     """Dictionary-routed domain mix per source: token-hit argmax over
     the DOMAIN_TAXONOMY vocabularies, tie-broken lexicographically —
@@ -2758,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": _length_outliers,
         "domain_classify": _domain_classify,
         "streaming_sessionize": _streaming_sessionize,
+        "streaming_attribution": _streaming_attribution,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -2959,6 +3026,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "length_outliers": ora.length_outliers(),
         "domain_classify": ora.domain_classify(),
         "streaming_sessionize": ora.streaming_sessionize(),
+        "streaming_attribution": ora.streaming_attribution(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

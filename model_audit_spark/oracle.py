@@ -5077,6 +5077,30 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_attribution(max_delay_minutes: int = 10) -> str:
+    """Batch twin of the stream-stream attribution rollup: the same
+    interval join (r_ts strictly after l_ts, within max_delay) as
+    plain SQL, aggregated per user with exact integer lag sums."""
+    return f"""
+WITH l AS (
+  SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT l.user_id, l_ts, r_ts
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r_ts > l_ts
+   AND r_ts <= l_ts + INTERVAL {max_delay_minutes} MINUTE
+)
+SELECT user_id, count(*) AS n_pairs,
+  CAST(count(DISTINCT l_ts) AS BIGINT) AS n_views_matched,
+  CAST(sum(epoch_us(r_ts) - epoch_us(l_ts)) AS BIGINT) AS sum_lag_us
+FROM pairs GROUP BY user_id
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE
