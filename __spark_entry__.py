@@ -377,6 +377,27 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _ngram_novelty(spark, sf):
+    """Marginal-contribution report: per source, the fraction of its
+    docs' distinct 3-shingles whose global first occurrence (min
+    doc_id) lands in that doc — what a curator reads before paying to
+    keep a source (text_analysis.ngram_novelty)."""
+    from model_audit_spark.operators.text_analysis import ngram_novelty
+
+    docs = _t(spark, sf, "documents")
+    nov = ngram_novelty(docs, "text", "doc_id", shingle_n=3)
+    joined = nov.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+        F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+        (
+            F.sum("n_novel").cast("bigint")
+            / F.sum("n_shingles").cast("bigint")
+        ).alias("novelty_rate"),
+    )
+
+
 def _streaming_attribution(spark, sf):
     """§2.10 stream-stream interval join: view→click attribution with
     BOTH sides live (streaming.streaming_interval_join — watermark +
@@ -2825,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_classify": _domain_classify,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_attribution": _streaming_attribution,
+        "ngram_novelty": _ngram_novelty,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3027,6 +3049,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "domain_classify": ora.domain_classify(),
         "streaming_sessionize": ora.streaming_sessionize(),
         "streaming_attribution": ora.streaming_attribution(),
+        "ngram_novelty": ora.ngram_novelty(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

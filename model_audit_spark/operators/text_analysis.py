@@ -474,3 +474,43 @@ def classify_domains(
         F.greatest(*hit_cols).alias("best_hits"),
         F.size("__toks").alias("n_tokens"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word shingles whose GLOBAL first occurrence (min doc id) is this
+    doc — "how much genuinely new text does each doc contribute", the
+    marginal-value signal corpus curators read before paying to keep a
+    source (the same first-occurrence attribution RETSim/dedup papers
+    use to size the unique core of a crawl).
+
+    Scale shape: one tokenize+shingle pass, one explode, one
+    groupBy(shingle) with a map-side-combining min — the canonical
+    first-occurrence shuffle, keyed by the shingle so skew follows
+    shingle frequency (boilerplate shingles collapse into single
+    combiner rows, they do not fan out). Novel counts come back keyed
+    by doc id; no row ever carries more than (shingle, id).
+
+    Returns (id, n_shingles, n_novel) — novelty = n_novel/n_shingles.
+    """
+    from model_audit_spark.operators.dedup import shingles_df
+
+    sh = track(
+        shingles_df(df, text_col, id_col, shingle_n=shingle_n)
+    )
+    expl = sh.select(id_col, F.explode("sh").alias("g"))
+    firsts = expl.groupBy("g").agg(F.min(id_col).alias("first_id"))
+    novel = firsts.groupBy(F.col("first_id").alias(id_col)).agg(
+        F.count("*").alias("n_novel")
+    )
+    totals = sh.select(id_col, F.size("sh").alias("n_shingles"))
+    return totals.join(novel, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+    )

@@ -5101,6 +5101,37 @@ FROM pairs GROUP BY user_id
 """
 
 
+def ngram_novelty() -> str:
+    """Twin of text_analysis.ngram_novelty + the per-source rollup:
+    same shingle relation (_shingle_ctes), first occurrence = min
+    doc_id per shingle, novel counts keyed back to the owning doc."""
+    return f"""
+WITH {_shingle_ctes()},
+expl AS (
+  SELECT doc_id, unnest(sh) AS g FROM shing
+),
+firsts AS (
+  SELECT g, min(doc_id) AS first_id FROM expl GROUP BY g
+),
+novel AS (
+  SELECT first_id AS doc_id, count(*) AS n_novel
+  FROM firsts GROUP BY first_id
+),
+docnov AS (
+  SELECT s.doc_id, len(s.sh) AS n_shingles,
+         coalesce(n.n_novel, 0) AS n_novel
+  FROM shing s LEFT JOIN novel n ON s.doc_id = n.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+  CAST(sum(dn.n_shingles) AS BIGINT) AS total_shingles,
+  CAST(sum(dn.n_novel) AS BIGINT) AS novel_shingles,
+  CAST(sum(dn.n_novel) AS BIGINT) / CAST(sum(dn.n_shingles) AS BIGINT)
+    AS novelty_rate
+FROM docnov dn JOIN documents d ON dn.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

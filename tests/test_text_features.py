@@ -380,3 +380,23 @@ def test_classify_domains_argmax_and_ties(spark):
     assert got[4] == ("ml", 3)
     assert got[5] == ("none", 0)
     assert got[6] == ("streaming", 3)
+
+
+def test_ngram_novelty_first_occurrence_attribution(spark):
+    """Hand-computed: doc 1 owns all its shingles; doc 2 repeats doc 1
+    verbatim (0 novel); doc 3 shares a prefix but adds new material."""
+    from model_audit_spark.operators.text_analysis import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # shingles: ab g, b g d -> 2
+        (2, "alpha beta gamma delta"),          # same 2, first owner is 1
+        (3, "alpha beta gamma epsilon zeta"),   # a b g (seen), b g e, g e z
+        (4, "too short"),                       # < 3 tokens -> 0 shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_novel)
+           for r in ngram_novelty(df).collect()}
+    assert got[1] == (2, 2)
+    assert got[2] == (2, 0)
+    assert got[3] == (3, 2)
+    assert got[4] == (0, 0)
