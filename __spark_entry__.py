@@ -2821,23 +2821,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
     (unit-level dependency fingerprints vs each query's newest green driver
-    round — the ledger replaces the hand-argued rotation of r1-r4), in
-    priority order: (1) the three new r5 queries (ann_recall_report,
-    bpe_merges64, bpe_fertility64 — never driver-certified); (2) every
-    STALE query, oldest driver evidence first — r1: the 16 queries whose
-    shared operator modules (skew/readers/similarity/text) drifted since
-    round 1; r2: media_decode (multimodal decode guards changed r3+r5);
-    r3: the prefix-filter pair the r4 verdict flagged plus
-    dedup_simhash_pairs (r5 cache-registry wiring); r4: the 21 queries
-    touched by this round's persistence.track()/memo refactor, the
-    decayed_counts bound-column rewrite, the sq8 oracle len() fix, the
-    min_by BPE argmax, and the ES-key comment pin; (3) six FRESH queries
-    with the oldest (r1/r2) driver rows, refreshed opportunistically.
-    After the r5 driver run the ledger invariant is zero stale queries.
-    Entries 51+ keep their newest green rows (their closures are
-    byte-identical to the code those rows certified — ledger-verified,
-    not argued) and are re-checked by the local mirror
-    (scripts/check_oracle.py) every session."""
+    round), in priority order: (1) every never-driver-certified query —
+    the 10 new r5 queries (SCD2, epoch shuffle, MAD outliers, domain
+    router, streaming sessionize + attribution, n-gram novelty, ANN
+    recall + param sweep, BPE-64 pair); (2) stale queries oldest driver
+    evidence first (r1 module drift, r2 media_decode, r3 prefix-filter
+    pair, then the r4 queries touched by the r5 persistence/oracle
+    refactors). 56 stale > 50 slots this round, so the ledger's
+    invariant is priority-shaped, not zero-stale: the window must BE
+    the 50 highest-priority stale queries; the 6 overflowed (newest-r4
+    evidence, alphabetically last) keep their green rows + local mirror
+    evidence and rotate in r6. Entries 51+ are re-checked by the local
+    mirror (scripts/check_oracle.py) every session."""
     return {
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
         "events_scd2": _events_scd2,

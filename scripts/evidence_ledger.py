@@ -350,15 +350,50 @@ def main() -> int:
     (REPO / "EVIDENCE_LEDGER.json").write_text(
         json.dumps(ledger, indent=1, sort_keys=True) + "\n"
     )
-    uncovered = [q for q in stale if q not in window]
+
+    # Priority-aware window invariant. The driver checks exactly 50
+    # slots, and a round that ADDS queries can leave more than 50 stale
+    # (every new query is stale by definition — it has no driver row).
+    # The invariant is therefore not "zero stale outside the window"
+    # (impossible at overflow) but "the window IS the 50 highest-
+    # priority stale queries": never-driver-certified first, then
+    # oldest driver evidence; any spare slots go to the fresh queries
+    # with the oldest rows (opportunistic refresh). Overflowed stale
+    # queries keep their mirror evidence and rotate next round.
+    def prio(q: str):
+        n = ledger[q]["newest_green_round"]
+        return (0 if n is None else n, q)
+
+    expected = sorted(stale, key=prio)[:50]
+    if len(expected) < 50:
+        fresh_pool = sorted(
+            (q for q in order if q not in stale),
+            key=prio,
+        )
+        expected += fresh_pool[: 50 - len(expected)]
+    violation = set(order[:50]) != set(expected)
+    overflow = [q for q in sorted(stale, key=prio)[50:]]
+    if "--emit-window" in sys.argv:
+        print("_CHECK_WINDOW = [")
+        for q in expected:
+            print(f'    "{q}",')
+        print("]")
     if not json_only:
         print(f"queries: {len(order)}  stale: {len(stale)}  "
-              f"stale-outside-window: {len(uncovered)}")
+              f"window-matches-priority: {not violation}  "
+              f"stale-overflow (rotate next round): {len(overflow)}")
         for q in stale:
-            mark = "windowed" if q in window else "** UNCOVERED **"
+            mark = "windowed" if q in window else (
+                "overflow" if q in overflow else "** MISPLACED **"
+            )
             print(f"  stale  {q:<34} newest_green="
                   f"r{ledger[q]['newest_green_round']}  {mark}")
-    return 1 if uncovered else 0
+        if violation:
+            missing = [q for q in expected if q not in set(order[:50])]
+            extra = [q for q in order[:50] if q not in set(expected)]
+            print(f"window should add: {missing}")
+            print(f"window should drop: {extra}")
+    return 1 if violation else 0
 
 
 if __name__ == "__main__":
