@@ -377,6 +377,15 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _k_anonymity(spark, sf):
+    """Release-readiness privacy check: k-anonymity histogram over the
+    (source, lang) quasi-identifier pair (pii.k_anonymity_profile)."""
+    from model_audit_spark.operators.pii import k_anonymity_profile
+
+    docs = _t(spark, sf, "documents")
+    return k_anonymity_profile(docs, ["source", "lang"], k=5)
+
+
 def _ngram_novelty(spark, sf):
     """Marginal-contribution report: per source, the fraction of its
     docs' distinct 3-shingles whose global first occurrence (min
@@ -2842,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,
         "streaming_attribution": _streaming_attribution,
         "ngram_novelty": _ngram_novelty,
+        "k_anonymity": _k_anonymity,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3045,6 +3055,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "streaming_sessionize": ora.streaming_sessionize(),
         "streaming_attribution": ora.streaming_attribution(),
         "ngram_novelty": ora.ngram_novelty(),
+        "k_anonymity": ora.k_anonymity(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

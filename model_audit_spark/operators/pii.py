@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "pii_scan"]
+__all__ = ["PII_PATTERNS", "k_anonymity_profile", "pii_scan"]
 
 # Order matters for redaction: emails first (their local part can contain
 # digits), then IPv4 (dotted digit runs), then phones (bare digit runs).
@@ -60,4 +60,32 @@ def pii_scan(
             (counts["email"] + counts["phone"] + counts["ipv4"]) > 0
         ).alias("has_pii"),
         redacted.alias("redacted"),
+    )
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity histogram over a quasi-identifier combination: how
+    many equivalence classes (distinct quasi-id tuples) exist at each
+    group size, and which sit below the k threshold — the release-
+    readiness check run before publishing per-group statistics or
+    sharing a corpus slice keyed by demographic-ish columns.
+
+    Two stacked aggregations (quasi-tuple counts, then the size
+    histogram); the second input is |distinct tuples| rows, so the
+    100 TB cost is the first map-side-combining groupBy. Returns
+    (group_size, n_groups, n_rows, below_k) — rows in below_k groups
+    are the re-identification exposure.
+    """
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("group_size"))
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_rows"),
+            (F.col("group_size") < k).alias("below_k"),
+        )
     )

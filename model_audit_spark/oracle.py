@@ -5132,6 +5132,20 @@ GROUP BY d.source
 """
 
 
+def k_anonymity(k: int = 5) -> str:
+    """Twin of pii.k_anonymity_profile over (source, lang)."""
+    return f"""
+WITH groups AS (
+  SELECT source, lang, count(*) AS group_size
+  FROM documents GROUP BY source, lang
+)
+SELECT group_size, count(*) AS n_groups,
+  CAST(group_size * count(*) AS BIGINT) AS n_rows,
+  group_size < {k} AS below_k
+FROM groups GROUP BY group_size
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

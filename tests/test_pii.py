@@ -38,3 +38,17 @@ def test_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = pii_scan(df).collect()[0]
     assert not r["has_pii"] and r["redacted"] == ""
+
+
+def test_k_anonymity_profile_hand_computed(spark):
+    """Groups: (a,x)×3, (a,y)×1, (b,x)×1 -> sizes {3:1 group, 1:2
+    groups}; with k=2 the size-1 bucket is the exposure."""
+    from model_audit_spark.operators.pii import k_anonymity_profile
+
+    rows = [("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {
+        r.group_size: (r.n_groups, r.n_rows, r.below_k)
+        for r in k_anonymity_profile(df, ["source", "lang"], k=2).collect()
+    }
+    assert got == {3: (1, 3, False), 1: (2, 2, True)}
