@@ -377,6 +377,28 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _channel_attribution(spark, sf):
+    """U-shaped multi-touch attribution: every purchase distributes
+    exactly 1,000,000 ppm of credit over the user's views in a 7-day
+    lookback (40/20/40 first/middles/last, integer-deterministic
+    remainders), rolled up per channel — the channel id is JSON-
+    extracted from the touch's props (operators/attribution.py)."""
+    from model_audit_spark.operators.attribution import (
+        channel_attribution_report,
+        utouch_attribution,
+    )
+
+    ev = _t(spark, sf, "events")
+    ch = F.concat(
+        F.lit("ch"),
+        (
+            F.get_json_object(F.col("props"), "$.k").cast("bigint") % 5
+        ).cast("string"),
+    )
+    per_touch = utouch_attribution(ev, channel_col=ch)
+    return channel_attribution_report(per_touch)
+
+
 def _k_anonymity(spark, sf):
     """Release-readiness privacy check: k-anonymity histogram over the
     (source, lang) quasi-identifier pair (pii.k_anonymity_profile)."""
@@ -2852,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": _streaming_attribution,
         "ngram_novelty": _ngram_novelty,
         "k_anonymity": _k_anonymity,
+        "channel_attribution": _channel_attribution,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3056,6 +3079,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "streaming_attribution": ora.streaming_attribution(),
         "ngram_novelty": ora.ngram_novelty(),
         "k_anonymity": ora.k_anonymity(),
+        "channel_attribution": ora.channel_attribution(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -5146,6 +5146,53 @@ FROM groups GROUP BY group_size
 """
 
 
+def channel_attribution(lookback_minutes: int = 7 * 24 * 60) -> str:
+    """Twin of attribution.utouch_attribution +
+    channel_attribution_report: same interval join, same window ranks,
+    same integer ppm credit split (remainder to the last touch)."""
+    return f"""
+WITH t AS (
+  SELECT user_id, ts AS t_ts, event_id AS touch_id,
+    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                 AS VARCHAR) AS channel
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, ts AS c_ts, event_id AS conv_id
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT t.user_id, conv_id, c_ts, touch_id, t_ts, channel
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND t_ts < c_ts
+   AND t_ts >= c_ts - INTERVAL {lookback_minutes} MINUTE
+),
+ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts, touch_id) AS BIGINT) AS pos,
+    CAST(row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts DESC, touch_id DESC) AS BIGINT)
+      AS rpos,
+    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches
+  FROM joined
+),
+credited AS (
+  SELECT channel, conv_id,
+    CASE WHEN n_touches = 1 THEN 1000000
+         WHEN pos = 1 THEN 400000
+         WHEN rpos = 1 THEN
+           CASE WHEN n_touches = 2 THEN 600000
+                ELSE 400000 + (200000 % (n_touches - 2)) END
+         ELSE 200000 // (n_touches - 2) END AS credit_ppm
+  FROM ranked
+)
+SELECT channel, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+  count(*) AS n_touches, CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+FROM credited GROUP BY channel
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE
