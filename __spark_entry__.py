@@ -377,6 +377,15 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _heavy_hitters(spark, sf):
+    """Exact top-20 hot keys of events.user_id with integer-exact
+    corpus share — the skew diagnosis behind salt-list choices
+    (skew.heavy_hitters_exact; TakeOrdered, no global sort)."""
+    from model_audit_spark.operators.skew import heavy_hitters_exact
+
+    return heavy_hitters_exact(_t(spark, sf, "events"), "user_id", k=20)
+
+
 def _channel_attribution(spark, sf):
     """U-shaped multi-touch attribution: every purchase distributes
     exactly 1,000,000 ppm of credit over the user's views in a 7-day
@@ -2875,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _ngram_novelty,
         "k_anonymity": _k_anonymity,
         "channel_attribution": _channel_attribution,
+        "heavy_hitters": _heavy_hitters,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3080,6 +3090,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "ngram_novelty": ora.ngram_novelty(),
         "k_anonymity": ora.k_anonymity(),
         "channel_attribution": ora.channel_attribution(),
+        "heavy_hitters": ora.heavy_hitters(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -23,7 +23,7 @@ AQE does not fix:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -249,3 +249,35 @@ def frequency_capped_explode_cms(
         exploded, "el", min_share=max_share, eps=eps
     ).select(F.col("value").alias("el"))
     return exploded.join(F.broadcast(hot), "el", "left_anti")
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Exact top-k heavy hitters with integer-exact corpus share — the
+    skew diagnosis read before choosing salt lists for salted_join /
+    salted_count (and the exactness oracle for heavy_hitters_cms,
+    whose sketch estimates are error-banded in test_plan_invariants).
+
+    One map-side-combining count aggregate; the top-k is TakeOrdered
+    (never a global sort of all keys), the total rides in as a
+    broadcast single-row relation so nothing leaves the DAG. share_ppm
+    = cnt·1e6 DIV total (BIGINT floor — engine-portable). The final
+    rank window runs over k rows.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        F.expr("cnt * 1000000 DIV total").alias("share_ppm"),
+    )

@@ -5193,6 +5193,27 @@ FROM credited GROUP BY channel
 """
 
 
+def heavy_hitters(k: int = 20) -> str:
+    """Twin of skew.heavy_hitters_exact over events.user_id."""
+    return f"""
+WITH counts AS (
+  -- order on the NATIVE key type: Spark's tie-break sorts bigints,
+  -- a VARCHAR cast here would sort "100" before "99"
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+top AS (
+  SELECT user_id, cnt, total FROM counts CROSS JOIN total
+  ORDER BY cnt DESC, user_id ASC LIMIT {k}
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT)
+         AS rank,
+  CAST(user_id AS VARCHAR) AS key, cnt,
+  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+FROM top
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -116,3 +116,23 @@ def test_degree_ordered_wedges_bounded_on_skewed_graph(spark):
     assert w_id > 300_000, w_id
     assert w_deg * 50 < w_id, (w_deg, w_id)
     assert w_deg < 2 * m ** 1.5, (w_deg, m)
+
+
+def test_heavy_hitters_exact_hand_computed(spark):
+    """a×5, b×3, c×1, d×1 (10 rows... 5+3+1+1=10): ranks, counts and
+    floor ppm shares by hand; tie between c and d breaks on key asc."""
+    from model_audit_spark.operators.skew import heavy_hitters_exact
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r.rank, r.key, r.cnt, r.share_ppm)
+        for r in heavy_hitters_exact(df, "k", k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "a", 5, 500_000),
+        (2, "b", 3, 300_000),
+        (3, "c", 1, 100_000),
+    ]
