@@ -377,6 +377,60 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _streaming_scd2(spark, sf):
+    """§2.10 custom stateful operator #2: SCD2 run compaction as a
+    stream (streaming.streaming_scd2, applyInPandasWithState, state =
+    ONE open run per key). The reconstructed history — closed rows win
+    over open snapshots, then the latest snapshot by n_events — must
+    hash-match the SAME DuckDB twin as the batch events_scd2."""
+    import tempfile
+    import uuid
+
+    from model_audit_spark.streaming import streaming_scd2
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="ma_sscd2_")
+    os.symlink(path, os.path.join(stage, "part-0.parquet"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_schema).parquet(stage)
+    )
+    name = "sscd2_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            streaming_scd2(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming query did not terminate within 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id", "version").orderBy(
+        F.col("valid_to").isNull().cast("int"), F.desc("n_events")
+    )
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _heavy_hitters(spark, sf):
     """Exact top-20 hot keys of events.user_id with integer-exact
     corpus share — the skew diagnosis behind salt-list choices
@@ -2885,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _k_anonymity,
         "channel_attribution": _channel_attribution,
         "heavy_hitters": _heavy_hitters,
+        "streaming_scd2": _streaming_scd2,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3091,6 +3146,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "k_anonymity": ora.k_anonymity(),
         "channel_attribution": ora.channel_attribution(),
         "heavy_hitters": ora.heavy_hitters(),
+        "streaming_scd2": ora.events_scd2(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -13,7 +13,8 @@ detect is the SAME projection applied to a readStream relation:
   same downstream plan.
 - running_source_verdict: CUSTOM STATEFUL operator (applyInPandasWithState,
   §2.11 row 1's stateful sibling) — per-source running audit verdict
-  maintained across micro-batches. The 12-family scoring argmax stays
+  maintained across micro-batches. streaming_scd2 is the second custom
+  stateful operator: SCD2 run compaction with one open run per key. The 12-family scoring argmax stays
   JVM-side (the same detection_columns projection as batch detect); the
   Python state function folds only three small numbers per row, so state
   is O(#sources × #families) regardless of stream volume.
@@ -530,4 +531,103 @@ def streaming_ann_probe(
         .option("checkpointLocation", checkpoint)
         .trigger(**(trigger_kwargs or {"availableNow": True}))
         .start()
+    )
+
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id BIGINT, version BIGINT, event_type STRING, "
+    "valid_from STRING, valid_to STRING, n_events BIGINT, "
+    "is_current BOOLEAN"
+)
+_SCD2_STATE_SCHEMA = (
+    "cur_attr STRING, run_start_us BIGINT, last_ts_us BIGINT, "
+    "run_n BIGINT, version BIGINT"
+)
+
+
+def streaming_scd2(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming form of cdc.scd2_history: type-2 run compaction as a
+    CUSTOM STATEFUL operator (applyInPandasWithState, update mode).
+
+    State per key is ONE open run — (attr, run_start_us, last_ts_us,
+    n, version), constant-size regardless of stream length. Each
+    micro-batch folds its rows in (ts, order) order: an attribute
+    change CLOSES the open run (emitted once, with valid_to) and opens
+    the next; the open run is re-emitted every batch with is_current
+    (update semantics — the sink's last row per (key, version) wins,
+    so a later batch closing the run supersedes the open snapshot).
+
+    Ordering contract: rows are sorted within each batch, so the
+    operator equals the batch scd2_history whenever arrivals are
+    in-order per key across batches (pinned for the single-batch
+    availableNow case in test_streaming); cross-batch late data would
+    need a watermark-buffered variant.
+    """
+    from datetime import datetime, timezone
+
+    def _fmt(us: int) -> str:
+        return datetime.fromtimestamp(
+            us / 1_000_000, tz=timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    def _fold(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, start_us, last_us, n, ver = state.get
+        else:
+            cur, start_us, last_us, n, ver = None, 0, 0, 0, 0
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            ts_us = (
+                pdf[ts_col].astype("int64") // 1000
+                if pdf[ts_col].dtype.kind == "M"
+                else pdf[ts_col].astype("int64")
+            )
+            for attr, us in zip(pdf[attr_col].fillna(""), ts_us):
+                attr = str(attr)
+                if cur is None:
+                    cur, start_us, n, ver = attr, int(us), 0, ver + 1
+                elif attr != cur:
+                    out.append(
+                        (key[0], ver, cur, _fmt(start_us), _fmt(int(us)),
+                         n, False)
+                    )
+                    cur, start_us, n = attr, int(us), 0
+                    ver += 1
+                n += 1
+                last_us = int(us)
+        if cur is not None:
+            state.update((cur, start_us, last_us, n, ver))
+            out.append(
+                (key[0], ver, cur, _fmt(start_us), None, n, True)
+            )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "version", "event_type", "valid_from",
+                    "valid_to", "n_events", "is_current",
+                ],
+            )
+
+    return stream.select(key_col, ts_col, order_col, attr_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        _fold,
+        SCD2_OUTPUT_SCHEMA,
+        _SCD2_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

@@ -551,3 +551,53 @@ def test_streaming_ann_probe_equals_batch(spark, tmp_path):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) == 4 * 5
+
+
+def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+    """Custom stateful SCD2 (applyInPandasWithState): the reconstructed
+    history — last emitted row per (user, version), update semantics —
+    must equal cdc.scd2_history run in batch on the same fixture."""
+    import shutil
+
+    from model_audit_spark.operators.cdc import scd2_history
+    from model_audit_spark.sources.readers import normalize_event_ts
+    from model_audit_spark.streaming import streaming_scd2
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tmp_path / "events_scd2"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet"
+    )
+    src = str(src_dir)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    q = (
+        streaming_scd2(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    # update semantics: the LAST emitted row per (user, version) wins
+    emitted = spark.sql("select * from scd2_stream").collect()
+    recon = {}
+    for r in emitted:
+        recon[(r.user_id, r.version)] = (
+            r.event_type, r.valid_from, r.valid_to, r.n_events, r.is_current
+        )
+    batch = normalize_event_ts(spark.read.parquet(src))
+    expected = {
+        (r.user_id, r.version): (
+            r.event_type, r.valid_from, r.valid_to, r.n_events, r.is_current
+        )
+        for r in scd2_history(batch).collect()
+    }
+    assert recon == expected and len(expected) > 100
