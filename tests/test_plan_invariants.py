@@ -361,3 +361,40 @@ def test_pq_plan_stays_small_for_codegen(spark):
     n_element_at = plan.count("element_at(")
     assert n_element_at < 50, f"{n_element_at} element_at nodes — unrolled?"
     assert "transform(" in plan and "aggregate(" in plan
+
+
+def test_scd2_single_exchange_shared_sort(spark):
+    """events_scd2: the change flag, run id and run aggregation all run
+    inside ONE key-hash exchange; the valid_to window adds no exchange
+    (same user_id partitioning)."""
+    plan = final_plan(spark, "events_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_classify_preagg_is_projection(spark):
+    """The classifier itself is a pure projection: exactly the final
+    (source, domain) rollup's exchange, nothing for the routing."""
+    plan = final_plan(spark, "domain_classify")
+    assert plan.count("Exchange hashpartitioning") == 1  # rollup only
+    assert "Join" not in plan  # dictionaries live in the plan, no join
+
+
+def test_heavy_hitters_no_global_sort(spark):
+    """Top-k is TakeOrdered, never a global Sort of all keys."""
+    plan = final_plan(spark, "heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # single-row total rides broadcast
+
+
+def test_epoch_shuffle_no_vector_or_text_in_shuffle(spark):
+    """The only exchange carries (doc_id, epoch, draw, shard) — the
+    window sort IS the epoch shuffle's physical work; no text column
+    ever reaches an exchange."""
+    plan = final_plan(spark, "epoch_shuffle")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m.group(1).split(":")[0] == "doc_id"  # column-pruned scan
