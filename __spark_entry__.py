@@ -377,6 +377,16 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _session_paths(spark, sf):
+    """Top-20 behavioral paths: gap sessionization, each session's
+    first 5 event types as an ordered path string, counted and ranked
+    (threads.session_paths; order-deterministic via the unique
+    (ts, event_id) concat key)."""
+    from model_audit_spark.operators.threads import session_paths
+
+    return session_paths(_t(spark, sf, "events"))
+
+
 def _streaming_scd2(spark, sf):
     """§2.10 custom stateful operator #2: SCD2 run compaction as a
     stream (streaming.streaming_scd2, applyInPandasWithState, state =
@@ -2940,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_attribution": _channel_attribution,
         "heavy_hitters": _heavy_hitters,
         "streaming_scd2": _streaming_scd2,
+        "session_paths": _session_paths,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3147,6 +3158,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "channel_attribution": ora.channel_attribution(),
         "heavy_hitters": ora.heavy_hitters(),
         "streaming_scd2": ora.events_scd2(),
+        "session_paths": ora.session_paths(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

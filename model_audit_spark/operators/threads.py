@@ -14,10 +14,10 @@ the head deterministically when they are not).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assemble_threads"]
+__all__ = ["assemble_threads", "session_paths"]
 
 
 def assemble_threads(
@@ -97,3 +97,71 @@ def assemble_threads(
         F.date_format("_last", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         transcript.alias("transcript"),
     ).withColumn("transcript_md5", F.md5("transcript"))
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top behavioral paths: sessionize the event log (gap rule), render
+    each session's first `max_steps` event types as an ordered path
+    string, count paths, keep the top_k — the "what do users actually
+    do" funnel-discovery report.
+
+    Determinism: the path is built from
+    array_sort(collect_list(struct(ts, order, type))) — the sort key is
+    unique per row (assemble_threads' convention), so the concatenation
+    is partitioning-independent; top-k ties break on the path string.
+    Scale: one user-hash window pass for session ids (shared sort),
+    one groupBy(session) carrying (ts, order, type) structs, one
+    count aggregate over |distinct paths| rows, TakeOrdered for the
+    top-k — no global sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    flagged = events.select(
+        user_col,
+        ts_col,
+        order_col,
+        F.coalesce(F.col(type_col), F.lit("")).alias("__type"),
+    ).withColumn(
+        "__new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                (F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w)))
+                > gap_seconds
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "__sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy(user_col, "__sid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(ts_col, order_col, "__type"))
+        ).alias("__turns")
+    )
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform("__turns", lambda t: t["__type"]), 1, max_steps
+        ),
+    )
+    counts = per_session.select(path.alias("path")).groupBy("path").agg(
+        F.count("*").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_k)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.select(
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+        "path",
+        "n_sessions",
+    )

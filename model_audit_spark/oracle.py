@@ -5214,6 +5214,52 @@ FROM top
 """
 
 
+def session_paths(
+    gap_seconds: int = 1800, max_steps: int = 5, top_k: int = 20
+) -> str:
+    """Twin of threads.session_paths: same gap sessionization as the
+    q_events_sessionize twin, ordered list agg on the unique (ts,
+    event_id) key, first max_steps types joined with '>'."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, coalesce(event_type, '') AS etype,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR date_diff('second', prev_ts, ts) > {gap_seconds}
+             THEN 1 ELSE 0 END AS newf
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS sid
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, sid,
+    array_to_string(
+      list_slice(list(etype ORDER BY ts, event_id), 1, {max_steps}),
+      '>') AS path
+  FROM sess GROUP BY user_id, sid
+),
+counts AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+),
+top AS (
+  SELECT path, n_sessions FROM counts
+  ORDER BY n_sessions DESC, path ASC LIMIT {top_k}
+)
+SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+            AS BIGINT) AS rank,
+  path, n_sessions
+FROM top
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

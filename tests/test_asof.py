@@ -84,3 +84,37 @@ def test_funnel_greedy_subsequence(spark):
         for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
     }
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_session_paths_hand_computed(spark):
+    """One user, two sessions split by a >30min gap; path strings and
+    counts by hand; a 6-event session truncates to 5 steps."""
+    from datetime import datetime, timedelta
+
+    from model_audit_spark.operators.threads import session_paths
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    # session 1: view > click (1-min spacing)
+    rows.append((1, t0, 7, "view"))
+    rows.append((2, t0 + timedelta(minutes=1), 7, "click"))
+    # session 2 (2h later): six events -> truncated to first 5
+    t1 = t0 + timedelta(hours=2)
+    for i, et in enumerate(
+        ["view", "view", "click", "purchase", "view", "error"]
+    ):
+        rows.append((10 + i, t1 + timedelta(minutes=i), 7, et))
+    # second user: view > click too (path count becomes 2)
+    rows.append((30, t0, 8, "view"))
+    rows.append((31, t0 + timedelta(minutes=1), 8, "click"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = [
+        (r.rank, r.path, r.n_sessions)
+        for r in session_paths(df).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "view>click", 2),
+        (2, "view>view>click>purchase>view", 1),
+    ]
