@@ -377,6 +377,15 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _collocations(spark, sf):
+    """Top-20 corpus collocations by integer-exact lift — the PMI
+    association report without the ln(): c_xy*N*1e6 DIV (c_x*c_y)
+    (text_analysis.collocations)."""
+    from model_audit_spark.operators.text_analysis import collocations
+
+    return collocations(_t(spark, sf, "documents"))
+
+
 def _session_paths(spark, sf):
     """Top-20 behavioral paths: gap sessionization, each session's
     first 5 event types as an ordered path string, counted and ranked
@@ -2951,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _heavy_hitters,
         "streaming_scd2": _streaming_scd2,
         "session_paths": _session_paths,
+        "collocations": _collocations,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3159,6 +3169,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "heavy_hitters": ora.heavy_hitters(),
         "streaming_scd2": ora.events_scd2(),
         "session_paths": ora.session_paths(),
+        "collocations": ora.collocations(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

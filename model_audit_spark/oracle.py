@@ -5260,6 +5260,52 @@ FROM top
 """
 
 
+def collocations(min_count: int = 5, top_k: int = 20) -> str:
+    """Twin of text_analysis.collocations: same tokenize/bigram
+    relations, integer lift c_xy*N*1e6 // (c_x*c_y), top-k on
+    (lift DESC, bigram ASC)."""
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {_tokens("coalesce(text, '')")} AS toks FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM toksrc) GROUP BY w
+),
+ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+bi AS (
+  SELECT bigram, count(*) AS c_xy
+  FROM (SELECT unnest({_bigrams('toks')}) AS bigram FROM toksrc)
+  GROUP BY bigram HAVING count(*) >= {min_count}
+),
+parts AS (
+  SELECT bigram, c_xy,
+    string_split(bigram, ' ')[1] AS w1,
+    string_split(bigram, ' ')[2] AS w2
+  FROM bi
+),
+joined AS (
+  SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y, n_tokens
+  FROM parts
+  JOIN uni ux ON w1 = ux.w
+  JOIN uni uy ON w2 = uy.w
+  CROSS JOIN ntot
+),
+scored AS (
+  SELECT bigram, c_xy, c_x, c_y,
+    CAST(c_xy * n_tokens * 1000000 // (c_x * c_y) AS BIGINT) AS lift_ppm
+  FROM joined
+),
+top AS (
+  SELECT * FROM scored ORDER BY lift_ppm DESC, bigram ASC LIMIT {top_k}
+)
+SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, bigram ASC)
+            AS BIGINT) AS rank,
+  bigram, c_xy, c_x, c_y, lift_ppm
+FROM top
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -400,3 +400,22 @@ def test_ngram_novelty_first_occurrence_attribution(spark):
     assert got[2] == (2, 0)
     assert got[3] == (3, 2)
     assert got[4] == (0, 0)
+
+
+def test_collocations_integer_lift_hand_computed(spark):
+    """'big data' always adjacent vs independent fillers: N=12 tokens,
+    c_big=3, c_data=3, c_'big data'=3 -> lift = 3*12/(3*3) = 4.0
+    (4_000_000 ppm exactly)."""
+    from model_audit_spark.operators.text_analysis import collocations
+
+    rows = [
+        (1, "big data big data big data"),
+        (2, "x y z q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(df, min_count=3, top_k=5).collect()
+    by = {r.bigram: r for r in got}
+    r = by["big data"]
+    assert (r.c_xy, r.c_x, r.c_y, r.lift_ppm) == (3, 3, 3, 4_000_000)
+    # 'data big' occurs twice -> pruned by min_count=3
+    assert "data big" not in by
