@@ -377,6 +377,20 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _kmeans_clusters(spark, sf):
+    """Iterative algorithm #3 (after PageRank and BPE): 4 Lloyd
+    k-means rounds entirely in integer arithmetic over micro-quantized
+    embeddings — argmin distances and DIV centroid means are BIGINT-
+    exact, so the full clustering hash-matches a 4-round unrolled
+    MATERIALIZED-CTE SQL twin (similarity.lloyd_kmeans)."""
+    from model_audit_spark.operators.similarity import (
+        kmeans_cluster_profile,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_cluster_profile(emb, k=8, iterations=4)
+
+
 def _collocations(spark, sf):
     """Top-20 corpus collocations by integer-exact lift — the PMI
     association report without the ln(): c_xy*N*1e6 DIV (c_x*c_y)
@@ -2961,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2": _streaming_scd2,
         "session_paths": _session_paths,
         "collocations": _collocations,
+        "kmeans_clusters": _kmeans_clusters,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3127,7 +3142,7 @@ _MATERIALIZED_TWINS = {
     "curate_corpus", "dedup_threshold_sweep", "pagerank_dupgraph",
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
-    "paragraph_near_dups",
+    "paragraph_near_dups", "kmeans_clusters",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3170,6 +3185,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "streaming_scd2": ora.events_scd2(),
         "session_paths": ora.session_paths(),
         "collocations": ora.collocations(),
+        "kmeans_clusters": ora.kmeans_clusters(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -1401,3 +1401,166 @@ def ivf_sq8_index_probe_many(
         .drop("_rk")
         .orderBy(qid_col, F.desc("approx_dot"), F.asc(id_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact Lloyd k-means (iterative algorithm #3 after PageRank and
+# BPE: every round is plain relational algebra on BIGINTs, so the whole
+# chain unrolls as a SQL twin and the final clustering is hash-checked)
+
+KMEANS_SHIFT = 1_000_000  # lifts micro-quantized components >= 0 so
+#                           floor division == truncating division
+#                           (DETERMINISM.md rule 5)
+
+
+def quantize_micro(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, x6): components as micro-unit BIGINTs, shifted non-negative.
+
+    floor(x·1e6 + 0.5) instead of round(): float→double widening and
+    the ·1e6 product are IEEE-exact in both engines and floor has no
+    half-way rule to disagree on (failure mode 2 avoided by
+    construction). The common +SHIFT cancels in every distance."""
+    x6 = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long")
+        + KMEANS_SHIFT,
+    )
+    return df.select(F.col(id_col), x6.alias("x6"))
+
+
+def lloyd_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "km",
+) -> DataFrame:
+    """Deterministic Lloyd iterations entirely in integer arithmetic:
+    (id, cluster) after `iterations` rounds over micro-quantized
+    vectors.
+
+    - init: the k ids with the smallest (md5(id:salt), id) draws, in
+      draw order — the same engine-portable seeded pick as
+      ivf_centroids_seeded, but reproducible in SQL.
+    - assignment: argmin of the exact squared distance
+      Σ(x6−c6)² (BIGINT; ≤ ~5e12 per dim at |x|≤1.5e6 — 64 dims sum
+      < 9.2e18), ties on the cluster index — quantization-free, so no
+      last-ulp flip can move a vector (the PQ-encode hazard).
+    - update: per-dim integer mean (Σx6 DIV n; operands non-negative
+      by the SHIFT). A cluster that loses every vector disappears —
+      identically in both engines.
+
+    Each round is one broadcast cross join (k centroid rows), one
+    per-id argmin aggregate, one (cluster, dim)-keyed sum over the
+    posexploded assignment (the only real shuffle, carrying
+    (cluster, dim, partial sum)), and a k·dim → k-row re-pack;
+    centroids are localCheckpoint'ed per round (the PageRank lesson:
+    unrolled lineage re-optimizes a growing tree). The SQL twin
+    unrolls the same rounds as MATERIALIZED CTEs.
+    """
+    q = quantize_micro(vectors, vec_col, id_col).persist()
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wi = Window.orderBy("_draw", id_col)
+    cent = (
+        q.withColumn("_draw", draw)
+        .orderBy("_draw", id_col)
+        .limit(k)
+        .withColumn(
+            "cluster", F.row_number().over(wi).cast("long") - 1
+        )
+        .select("cluster", F.col("x6").alias("c6"))
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(iterations):
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    "x6", "c6", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+        )
+        assign = (
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
+            .select(id_col, F.col("_m.cluster").alias("cluster"))
+        )
+        sums = (
+            assign.join(q, id_col)
+            .select("cluster", F.posexplode("x6").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        cent = (
+            sums.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("dim", F.expr("s DIV n").alias("m"))
+                        )
+                    ),
+                    lambda t: t["m"],
+                ).alias("c6")
+            )
+            .localCheckpoint()
+        )
+    out = assign.localCheckpoint()
+    q.unpersist()
+    return out
+
+
+def kmeans_cluster_profile(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Gate-sized fingerprint of the full clustering: per final cluster
+    the member count, the exact id sum, and the centroid checksum
+    (Σ over dims of the integer mean)."""
+    assign = lloyd_kmeans(vectors, k, iterations, vec_col, id_col)
+    q = quantize_micro(vectors, vec_col, id_col)
+    sums = (
+        assign.join(q, id_col)
+        .select(
+            "cluster",
+            F.col(id_col),
+            F.posexplode("x6").alias("dim", "val"),
+        )
+        .groupBy("cluster", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    cent_sum = sums.groupBy("cluster").agg(
+        F.sum(F.expr("s DIV n")).cast("bigint").alias("centroid_checksum")
+    )
+    members = assign.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(id_col).cast("bigint").alias("id_sum"),
+    )
+    return members.join(cent_sum, "cluster").select(
+        "cluster", "n_vectors", "id_sum", "centroid_checksum"
+    )

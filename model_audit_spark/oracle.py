@@ -5306,6 +5306,78 @@ FROM top
 """
 
 
+def kmeans_clusters(
+    k: int = 8, iterations: int = 4, salt: str = "km"
+) -> str:
+    """Twin of similarity.kmeans_cluster_profile: the same integer
+    Lloyd rounds unrolled as CTEs (register in _MATERIALIZED_TWINS —
+    each round references the previous one several times, failure
+    mode 9). Quantization, seeded init, argmin tie rule and DIV means
+    mirror the Spark kernel exactly; len(x6) replaces any hardcoded
+    dim."""
+    h = _hex32(f"md5(CAST(vec_id AS VARCHAR) || ':{salt}')")
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           + 1000000) AS x6
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id, x6, CAST({h} AS BIGINT) AS draw
+  FROM q ORDER BY draw, vec_id LIMIT {k}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) AS BIGINT) - 1
+           AS cluster,
+         x6 AS c6
+  FROM init
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, iterations + 1):
+        parts.append(f"""sc{t} AS (
+  SELECT q.vec_id, c.cluster,
+    list_sum(list_transform(range(1, len(q.x6) + 1),
+      j -> (q.x6[j] - c.c6[j]) * (q.x6[j] - c.c6[j]))) AS dist
+  FROM q CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cluster) AS rn
+    FROM sc{t}) WHERE rn = 1
+),
+s{t} AS (
+  SELECT cluster, j, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+  FROM (
+    SELECT a.cluster,
+      unnest(range(1, len(q.x6) + 1)) AS j,
+      unnest(q.x6) AS v
+    FROM a{t} a JOIN q ON a.vec_id = q.vec_id)
+  GROUP BY cluster, j
+),
+c{t} AS (
+  SELECT cluster, list(s // n ORDER BY j) AS c6
+  FROM s{t} GROUP BY cluster
+)""")
+        prev = f"c{t}"
+    final = f"""members AS (
+  SELECT cluster, count(*) AS n_vectors,
+         CAST(sum(vec_id) AS BIGINT) AS id_sum
+  FROM a{iterations} GROUP BY cluster
+),
+cents AS (
+  SELECT cluster, CAST(sum(s // n) AS BIGINT) AS centroid_checksum
+  FROM s{iterations} GROUP BY cluster
+)
+SELECT m.cluster, m.n_vectors, m.id_sum, c.centroid_checksum
+FROM members m JOIN cents c ON m.cluster = c.cluster"""
+    return "WITH " + ",\n".join(parts) + ",\n" + final
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

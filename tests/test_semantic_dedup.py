@@ -110,3 +110,28 @@ def test_max_cluster_size_bounds_hot_cluster_pairs(spark):
     # uncapped: the whole cluster collapses to the single min id
     un = semantic_dedup(emb, threshold=0.9, n_clusters=1).collect()
     assert [r["vec_id"] for r in un if r["keep"]] == [0]
+
+
+def test_lloyd_kmeans_separates_two_blobs(spark):
+    """Two well-separated 4-d blobs: k=2 Lloyd must put each blob in
+    one cluster regardless of the seeded init, and the result must be
+    identical under repartitioning (pure integer arithmetic)."""
+    from model_audit_spark.operators.similarity import lloyd_kmeans
+
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(100 + i, [-1.0, -1.0, 0.0, 0.0]) for i in range(10)]
+    # small jitter that cannot bridge the blobs
+    rows = [
+        (i, [x + (i % 3) * 0.01 for x in v]) for i, v in rows
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lloyd_kmeans(df, k=2, iterations=3).collect()
+    lo = {r.cluster for r in out if r.vec_id < 100}
+    hi = {r.cluster for r in out if r.vec_id >= 100}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    again = lloyd_kmeans(
+        df.repartition(5), k=2, iterations=3
+    ).collect()
+    assert sorted((r.vec_id, r.cluster) for r in again) == sorted(
+        (r.vec_id, r.cluster) for r in out
+    )
