@@ -377,6 +377,19 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _vocab_drift(spark, sf):
+    """Term-level df-share drift between corpus halves (doc_id parity
+    as old/new snapshots) — the what-changed-in-this-crawl report at
+    term granularity (text_analysis.vocab_drift)."""
+    from model_audit_spark.operators.text_analysis import vocab_drift
+
+    docs = _t(spark, sf, "documents")
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _kmeans_clusters(spark, sf):
     """Iterative algorithm #3 (after PageRank and BPE): 4 Lloyd
     k-means rounds entirely in integer arithmetic over micro-quantized
@@ -2976,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _session_paths,
         "collocations": _collocations,
         "kmeans_clusters": _kmeans_clusters,
+        "vocab_drift": _vocab_drift,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3186,6 +3200,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "session_paths": ora.session_paths(),
         "collocations": ora.collocations(),
         "kmeans_clusters": ora.kmeans_clusters(),
+        "vocab_drift": ora.vocab_drift(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -586,3 +586,79 @@ def collocations(
         "c_y",
         "lift_ppm",
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Term-level vocabulary drift between two corpus snapshots: for
+    each term, the document-frequency SHARE in each snapshot (ppm,
+    integer-exact) and the shift |new − old| — the "what changed in
+    this crawl" report that PSI-style feature drift (corpus_drift)
+    cannot answer at the term granularity.
+
+    Shares are df·1e6 DIV n_docs per side, computed from one distinct-
+    (doc, term) explode per snapshot (map-side combine on the term);
+    terms below min_docs total df are pruned before the full-outer
+    term join. Top-k by (|delta| DESC, term ASC) via TakeOrdered.
+    """
+
+    def _df_counts(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toks = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_w"),
+        )
+        counts = (
+            toks.select(F.explode("_w").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        n = df.select(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+        return counts, n
+
+    oc, on_ = _df_counts(old)
+    nc, nn = _df_counts(new)
+    joined = (
+        oc.withColumnRenamed("df", "df_old")
+        .join(nc.withColumnRenamed("df", "df_new"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_old", F.lit(0)).alias("df_old"),
+            F.coalesce("df_new", F.lit(0)).alias("df_new"),
+        )
+        .filter(F.col("df_old") + F.col("df_new") >= min_docs)
+        .crossJoin(F.broadcast(on_.withColumnRenamed("n_docs", "n_old")))
+        .crossJoin(F.broadcast(nn.withColumnRenamed("n_docs", "n_new")))
+    )
+    scored = joined.select(
+        "term",
+        "df_old",
+        "df_new",
+        F.expr("df_old * 1000000 DIV n_old").alias("share_old_ppm"),
+        F.expr("df_new * 1000000 DIV n_new").alias("share_new_ppm"),
+    ).withColumn(
+        "delta_ppm",
+        F.col("share_new_ppm") - F.col("share_old_ppm"),
+    )
+    top = scored.orderBy(
+        F.abs(F.col("delta_ppm")).desc(), F.asc("term")
+    ).limit(top_k)
+    w = Window.orderBy(F.abs(F.col("delta_ppm")).desc(), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "term",
+        "df_old",
+        "df_new",
+        "share_old_ppm",
+        "share_new_ppm",
+        "delta_ppm",
+    )

@@ -5378,6 +5378,54 @@ FROM members m JOIN cents c ON m.cluster = c.cluster"""
     return "WITH " + ",\n".join(parts) + ",\n" + final
 
 
+def vocab_drift(top_k: int = 20, min_docs: int = 3) -> str:
+    """Twin of text_analysis.vocab_drift with the driver split
+    (doc_id % 2): distinct-term df per side, ppm shares via //,
+    top-k on (|delta| DESC, term ASC)."""
+    return f"""
+WITH olds AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+news AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+oc AS (
+  SELECT term, count(*) AS df_old FROM (
+    SELECT doc_id, unnest(list_distinct({_tokens("coalesce(text, '')")}))
+             AS term
+    FROM olds) GROUP BY term
+),
+nc AS (
+  SELECT term, count(*) AS df_new FROM (
+    SELECT doc_id, unnest(list_distinct({_tokens("coalesce(text, '')")}))
+             AS term
+    FROM news) GROUP BY term
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_old,
+         (SELECT CAST(count(*) AS BIGINT) FROM news) AS n_new
+  FROM olds
+),
+joined AS (
+  SELECT coalesce(oc.term, nc.term) AS term,
+    coalesce(df_old, 0) AS df_old, coalesce(df_new, 0) AS df_new
+  FROM oc FULL OUTER JOIN nc ON oc.term = nc.term
+),
+scored AS (
+  SELECT term, df_old, df_new,
+    CAST(df_old * 1000000 // n_old AS BIGINT) AS share_old_ppm,
+    CAST(df_new * 1000000 // n_new AS BIGINT) AS share_new_ppm
+  FROM joined CROSS JOIN counts
+  WHERE df_old + df_new >= {min_docs}
+),
+top AS (
+  SELECT *, share_new_ppm - share_old_ppm AS delta_ppm FROM scored
+  ORDER BY abs(share_new_ppm - share_old_ppm) DESC, term ASC
+  LIMIT {top_k}
+)
+SELECT CAST(row_number() OVER (ORDER BY abs(delta_ppm) DESC, term ASC)
+            AS BIGINT) AS rank,
+  term, df_old, df_new, share_old_ppm, share_new_ppm, delta_ppm
+FROM top
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

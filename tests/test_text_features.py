@@ -419,3 +419,26 @@ def test_collocations_integer_lift_hand_computed(spark):
     assert (r.c_xy, r.c_x, r.c_y, r.lift_ppm) == (3, 3, 3, 4_000_000)
     # 'data big' occurs twice -> pruned by min_count=3
     assert "data big" not in by
+
+
+def test_vocab_drift_shares_and_pruning(spark):
+    """old: 'alpha' in 2/2 docs; new: 'alpha' in 1/4, 'nova' in 3/4.
+    Shares and deltas by hand; rare terms pruned by min_docs."""
+    from model_audit_spark.operators.text_analysis import vocab_drift
+
+    old = spark.createDataFrame(
+        [(0, "alpha beta"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha nova"), (3, "nova x"), (5, "nova y"), (7, "z")],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in vocab_drift(old, new, min_docs=3).collect()}
+    a = got["alpha"]
+    assert (a.df_old, a.df_new) == (2, 1)
+    assert (a.share_old_ppm, a.share_new_ppm) == (1_000_000, 250_000)
+    assert a.delta_ppm == -750_000
+    n = got["nova"]
+    assert (n.df_old, n.df_new, n.delta_ppm) == (0, 3, 750_000)
+    assert "beta" not in got  # df total 1 < min_docs
