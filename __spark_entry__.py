@@ -377,6 +377,23 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _dedup_decisions(spark, sf):
+    """Dedup audit trail: every removed doc with the member its
+    cluster kept, both qualities, and the direct verified Jaccard
+    when the pair was observed (NULL = transitive-only)
+    (cluster.dedup_decisions)."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.cluster import dedup_decisions
+    from model_audit_spark.operators.text_analysis import doc_stats
+
+    docs = _t(spark, sf, "documents")
+    q = doc_stats(docs).select("doc_id", "quality_score")
+    verified = persistence.track(
+        _dup_verified(docs).select("id_a", "id_b", "jaccard")
+    )
+    return dedup_decisions(q, verified)
+
+
 def _vocab_drift(spark, sf):
     """Term-level df-share drift between corpus halves (doc_id parity
     as old/new snapshots) — the what-changed-in-this-crawl report at
@@ -2990,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _collocations,
         "kmeans_clusters": _kmeans_clusters,
         "vocab_drift": _vocab_drift,
+        "dedup_decisions": _dedup_decisions,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3156,7 +3174,7 @@ _MATERIALIZED_TWINS = {
     "curate_corpus", "dedup_threshold_sweep", "pagerank_dupgraph",
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
-    "paragraph_near_dups", "kmeans_clusters",
+    "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3201,6 +3219,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "collocations": ora.collocations(),
         "kmeans_clusters": ora.kmeans_clusters(),
         "vocab_drift": ora.vocab_drift(),
+        "dedup_decisions": ora.dedup_decisions(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -522,3 +522,64 @@ def pagerank(
         )
     e.unpersist()
     return pr.select(F.col("_n").alias(id_col), "pr")
+
+
+def dedup_decisions(
+    docs_quality: DataFrame,
+    verified_pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Dedup audit trail: one row per REMOVED document, naming the
+    member its cluster kept, both quality scores, and the direct
+    verified Jaccard to the keeper when the pair was observed (NULL →
+    the two docs are only transitively connected). The provenance a
+    data steward reads before signing off a destructive dedup pass.
+
+    Reuses the retention relation (components + one cluster-keyed
+    window pass); the only additions are a cluster-keyed join of
+    removed rows to their keeper and a left join back to the verified
+    pair relation (both orientations).
+    """
+    ret = cluster_retention_by_quality(
+        docs_quality,
+        verified_pairs.select("id_a", "id_b"),
+        quality_col=quality_col,
+        id_col=id_col,
+    )
+    kept = ret.filter(F.col("keep")).select(
+        "cluster_id",
+        F.col(id_col).alias("kept_id"),
+        F.col("quality").alias("kept_quality"),
+    )
+    removed = ret.filter(~F.col("keep")).select(
+        "cluster_id",
+        F.col(id_col).alias("removed_id"),
+        F.col("quality").alias("removed_quality"),
+        "cluster_size",
+    )
+    sym = verified_pairs.select(
+        F.col("id_a").alias("_r"), F.col("id_b").alias("_k"), "jaccard"
+    ).unionByName(
+        verified_pairs.select(
+            F.col("id_b").alias("_r"), F.col("id_a").alias("_k"), "jaccard"
+        )
+    )
+    return (
+        removed.join(kept, "cluster_id")
+        .join(
+            sym,
+            (F.col("removed_id") == F.col("_r"))
+            & (F.col("kept_id") == F.col("_k")),
+            "left",
+        )
+        .select(
+            "removed_id",
+            "kept_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "removed_quality",
+            "kept_quality",
+            F.col("jaccard").alias("direct_jaccard"),
+            F.col("jaccard").isNotNull().alias("direct"),
+        )
+    )

@@ -1966,6 +1966,70 @@ FROM ranked
 """
 
 
+def dedup_decisions(min_jaccard: float = 0.5) -> str:
+    """Twin of cluster.dedup_decisions: the cluster_retention CTE
+    chain, split into kept/removed, left-joined back to the verified
+    pair relation in both orientations. Register in
+    _MATERIALIZED_TWINS — `pairs` is referenced three times."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b, jaccard FROM ({dedup_minhash_pairs(min_jaccard)})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (
+  SELECT node, min(m) AS mn FROM reach GROUP BY node
+),
+ts AS ({text_stats()}),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(coalesce(least(c.mn, d.doc_id), d.doc_id) AS BIGINT)
+           AS cluster_id,
+         ts.quality_score AS quality
+  FROM documents d
+  JOIN ts ON ts.doc_id = d.doc_id
+  LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, quality,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+    row_number() OVER (
+      PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+    ) AS rn
+  FROM assigned
+),
+kept AS (
+  SELECT cluster_id, doc_id AS kept_id, quality AS kept_quality
+  FROM ranked WHERE rn = 1
+),
+removed AS (
+  SELECT cluster_id, doc_id AS removed_id, quality AS removed_quality,
+         cluster_size
+  FROM ranked WHERE rn > 1
+),
+sym AS (
+  SELECT id_a AS r, id_b AS kp, jaccard FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, jaccard FROM pairs
+)
+SELECT removed_id, kept_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+  removed_quality, kept_quality,
+  s.jaccard AS direct_jaccard, s.jaccard IS NOT NULL AS direct
+FROM removed
+JOIN kept USING (cluster_id)
+LEFT JOIN sym s ON s.r = removed_id AND s.kp = kept_id
+"""
+
+
 def quality_repetition() -> str:
     """Twin of quality.repetition_stats: Gopher-style repetition signals +
     composite verdict. Line/paragraph/symbol signals are list expressions;

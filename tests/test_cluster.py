@@ -249,3 +249,41 @@ def test_degree_orientation_kills_hub_wedges(spark):
     assert n_wedges <= 3  # vs C(20, 2) = 190 at an id-oriented hub
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {0: 1, 1: 2, 2: 2, 21: 1}
+
+
+def test_dedup_decisions_names_keeper_and_direct_pairs(spark):
+    """Cluster {1,2,3} chained 1-2, 2-3 (no 1-3 pair): keeper is the
+    highest quality (doc 2); removed docs point at it, with a direct
+    jaccard for observed pairs and NULL for the transitive one."""
+    from model_audit_spark.operators.cluster import dedup_decisions
+
+    q = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.6), (9, 0.5)],
+        "doc_id long, quality_score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.8), (2, 3, 0.7)], "id_a long, id_b long, jaccard double"
+    )
+    got = {r.removed_id: r for r in dedup_decisions(q, pairs).collect()}
+    assert set(got) == {1, 3}  # doc 9 is a singleton, doc 2 kept
+    assert got[1].kept_id == 2 and got[1].direct_jaccard == 0.8
+    assert got[3].kept_id == 2 and got[3].direct_jaccard == 0.7
+    assert got[1].cluster_size == 3
+    assert got[1].removed_quality == 0.4 and got[1].kept_quality == 0.9
+
+
+def test_dedup_decisions_transitive_pair_has_null_jaccard(spark):
+    from model_audit_spark.operators.cluster import dedup_decisions
+
+    q = spark.createDataFrame(
+        [(1, 0.9), (2, 0.1), (3, 0.2)],
+        "doc_id long, quality_score double",
+    )
+    # 1-2 and 2-3 observed; keeper is 1, so removed 3 is transitive
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.6), (2, 3, 0.55)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r.removed_id: r for r in dedup_decisions(q, pairs).collect()}
+    assert got[2].direct and got[2].direct_jaccard == 0.6
+    assert not got[3].direct and got[3].direct_jaccard is None
