@@ -2979,17 +2979,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
     (unit-level dependency fingerprints vs each query's newest green driver
     round), in priority order: (1) every never-driver-certified query —
-    the 10 new r5 queries (SCD2, epoch shuffle, MAD outliers, domain
-    router, streaming sessionize + attribution, n-gram novelty, ANN
-    recall + param sweep, BPE-64 pair); (2) stale queries oldest driver
-    evidence first (r1 module drift, r2 media_decode, r3 prefix-filter
-    pair, then the r4 queries touched by the r5 persistence/oracle
-    refactors). 56 stale > 50 slots this round, so the ledger's
-    invariant is priority-shaped, not zero-stale: the window must BE
-    the 50 highest-priority stale queries; the 6 overflowed (newest-r4
-    evidence, alphabetically last) keep their green rows + local mirror
-    evidence and rotate in r6. Entries 51+ are re-checked by the local
-    mirror (scripts/check_oracle.py) every session."""
+    the round-5 additions (SCD2 batch + streaming, epoch shuffle, MAD
+    outliers, domain router, streaming sessionize/attribution, n-gram
+    novelty, k-anonymity, channel attribution, heavy hitters, session
+    paths, collocations, Lloyd k-means, vocab drift, dedup decisions,
+    ANN recall + param sweep, BPE-64 pair, KS drift, hourly anomalies,
+    paragraph near-dups, quality sweep); (2) stale queries, oldest
+    driver evidence first. More stale than 50 slots this round, so the
+    ledger's invariant is priority-shaped, not zero-stale: the window
+    must BE the 50 highest-priority stale queries (never-certified
+    first, then oldest round, name-tiebreak); the overflow keeps its
+    green rows + local mirror evidence and rotates in r6 — the ledger
+    prints the exact overflow set. Entries 51+ are re-checked by the
+    local mirror (scripts/check_oracle.py) every session."""
     return {
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
         "events_scd2": _events_scd2,
