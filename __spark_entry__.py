@@ -377,6 +377,24 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _cluster_topics(spark, sf):
+    """What characterizes each embedding cluster: top-5 topic words by
+    integer-exact class lift over the Lloyd k-means assignment — the
+    c-TF-IDF exploration step, composed on iterative algorithm #3
+    (similarity.cluster_topics)."""
+    from model_audit_spark.operators.similarity import (
+        cluster_topics,
+        lloyd_kmeans,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    docs = _t(spark, sf, "documents")
+    assign = lloyd_kmeans(emb, k=8, iterations=4).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return cluster_topics(assign, docs)
+
+
 def _dedup_decisions(spark, sf):
     """Dedup audit trail: every removed doc with the member its
     cluster kept, both qualities, and the direct verified Jaccard
@@ -3010,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "vocab_drift": _vocab_drift,
         "dedup_decisions": _dedup_decisions,
+        "cluster_topics": _cluster_topics,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3177,6 +3196,7 @@ _MATERIALIZED_TWINS = {
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
+    "cluster_topics",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3222,6 +3242,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "kmeans_clusters": ora.kmeans_clusters(),
         "vocab_drift": ora.vocab_drift(),
         "dedup_decisions": ora.dedup_decisions(),
+        "cluster_topics": ora.cluster_topics(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

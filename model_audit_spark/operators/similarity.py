@@ -1564,3 +1564,80 @@ def kmeans_cluster_profile(
     return members.join(cent_sum, "cluster").select(
         "cluster", "n_vectors", "id_sum", "centroid_checksum"
     )
+
+
+def cluster_topics(
+    assign: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    min_tf: int = 5,
+) -> DataFrame:
+    """Topic words per cluster by integer-exact class lift — the
+    c-TF-IDF idea (what characterizes this cluster vs the corpus)
+    without the log: lift = P(term|cluster)/P(term) evaluated as
+    tf_tc·N·1e6 DIV (tf_t·T_c) in BIGINTs (collocations' machinery,
+    lifted from pairs to classes). `assign` is any (id, cluster)
+    relation — lloyd_kmeans output, dedup clusters, a label column.
+
+    One tokenize+explode pass → (cluster, term) counts; term totals,
+    class totals and the grand total are aggregates over that SAME
+    (min_tf-pruned) relation — probabilities are defined over the
+    qualifying-term universe, a documented choice that keeps every
+    later number derivable from one persisted aggregate;
+    broadcast-joined back, per-cluster top-k window. Labels every
+    cluster the moment the clustering exists — the standard corpus
+    exploration step after embedding k-means.
+    """
+    from model_audit_spark.functions.text import word_tokens
+    from model_audit_spark.persistence import track
+
+    toks = (
+        assign.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
+            "cluster",
+            F.explode(
+                word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("term"),
+        )
+    )
+    tc = track(
+        toks.groupBy("cluster", "term")
+        .agg(F.count("*").alias("tf_class"))
+        .filter(F.col("tf_class") >= min_tf)
+    )
+    term_tot = tc.groupBy("term").agg(
+        F.sum("tf_class").cast("bigint").alias("tf_global")
+    )
+    class_tot = tc.groupBy("cluster").agg(
+        F.sum("tf_class").cast("bigint").alias("t_class")
+    )
+    n_total = term_tot.agg(
+        F.sum("tf_global").cast("bigint").alias("n_total")
+    )
+    scored = (
+        tc.join(F.broadcast(term_tot), "term")
+        .join(F.broadcast(class_tot), "cluster")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "cluster",
+            "term",
+            "tf_class",
+            "tf_global",
+            F.expr(
+                "tf_class * n_total * 1000000 DIV (tf_global * t_class)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("lift_ppm"), F.asc("term")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= top_k)
+        .select("cluster", "rank", "term", "tf_class", "tf_global",
+                "lift_ppm")
+    )

@@ -5370,15 +5370,15 @@ FROM top
 """
 
 
-def kmeans_clusters(
+def _kmeans_ctes(
     k: int = 8, iterations: int = 4, salt: str = "km"
-) -> str:
-    """Twin of similarity.kmeans_cluster_profile: the same integer
-    Lloyd rounds unrolled as CTEs (register in _MATERIALIZED_TWINS —
-    each round references the previous one several times, failure
-    mode 9). Quantization, seeded init, argmin tie rule and DIV means
-    mirror the Spark kernel exactly; len(x6) replaces any hardcoded
-    dim."""
+) -> list:
+    """The integer Lloyd rounds as a CTE list (shared by
+    kmeans_clusters and cluster_topics; every consumer must go through
+    materialized() — each round references the previous one several
+    times, failure mode 9). Quantization, seeded init, argmin tie rule
+    and DIV means mirror the Spark kernel exactly; len(x6) replaces
+    any hardcoded dim. Final assignment relation: a{iterations}."""
     h = _hex32(f"md5(CAST(vec_id AS VARCHAR) || ':{salt}')")
     parts = [
         f"""q AS (
@@ -5428,6 +5428,15 @@ c{t} AS (
   FROM s{t} GROUP BY cluster
 )""")
         prev = f"c{t}"
+    return parts
+
+
+def kmeans_clusters(
+    k: int = 8, iterations: int = 4, salt: str = "km"
+) -> str:
+    """Twin of similarity.kmeans_cluster_profile over the shared Lloyd
+    CTE chain (register in _MATERIALIZED_TWINS)."""
+    parts = _kmeans_ctes(k, iterations, salt)
     final = f"""members AS (
   SELECT cluster, count(*) AS n_vectors,
          CAST(sum(vec_id) AS BIGINT) AS id_sum
@@ -5439,6 +5448,53 @@ cents AS (
 )
 SELECT m.cluster, m.n_vectors, m.id_sum, c.centroid_checksum
 FROM members m JOIN cents c ON m.cluster = c.cluster"""
+    return "WITH " + ",\n".join(parts) + ",\n" + final
+
+
+def cluster_topics(
+    k: int = 8,
+    iterations: int = 4,
+    salt: str = "km",
+    top_k: int = 5,
+    min_tf: int = 5,
+) -> str:
+    """Twin of similarity.cluster_topics over lloyd_kmeans assignments:
+    (cluster, term) counts pruned at min_tf; term/class/grand totals
+    over that SAME pruned relation; lift = tf_tc*N*1e6 // (tf_t*T_c);
+    per-cluster top-k on (lift DESC, term ASC). Register in
+    _MATERIALIZED_TWINS."""
+    parts = _kmeans_ctes(k, iterations, salt)
+    final = f"""toks AS (
+  SELECT a.cluster, unnest({_tokens("coalesce(d.text, '')")}) AS term
+  FROM a{iterations} a JOIN documents d ON a.vec_id = d.doc_id
+),
+tc AS (
+  SELECT cluster, term, count(*) AS tf_class
+  FROM toks GROUP BY cluster, term HAVING count(*) >= {min_tf}
+),
+term_tot AS (
+  SELECT term, CAST(sum(tf_class) AS BIGINT) AS tf_global
+  FROM tc GROUP BY term
+),
+class_tot AS (
+  SELECT cluster, CAST(sum(tf_class) AS BIGINT) AS t_class
+  FROM tc GROUP BY cluster
+),
+ntot AS (SELECT CAST(sum(tf_global) AS BIGINT) AS n_total FROM term_tot),
+scored AS (
+  SELECT tc.cluster, tc.term, tc.tf_class, tt.tf_global,
+    CAST(tc.tf_class * n_total * 1000000 // (tt.tf_global * ct.t_class)
+         AS BIGINT) AS lift_ppm
+  FROM tc
+  JOIN term_tot tt ON tc.term = tt.term
+  JOIN class_tot ct ON tc.cluster = ct.cluster
+  CROSS JOIN ntot
+)
+SELECT cluster, rank, term, tf_class, tf_global, lift_ppm FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+                                    ORDER BY lift_ppm DESC, term ASC)
+                 AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {top_k}"""
     return "WITH " + ",\n".join(parts) + ",\n" + final
 
 

@@ -135,3 +135,34 @@ def test_lloyd_kmeans_separates_two_blobs(spark):
     assert sorted((r.vec_id, r.cluster) for r in again) == sorted(
         (r.vec_id, r.cluster) for r in out
     )
+
+
+def test_cluster_topics_lift_hand_computed(spark):
+    """Two clusters with disjoint signature words sharing one common
+    word: the signature word tops its cluster; shared filler scores
+    lift ~1x and never outranks it."""
+    from model_audit_spark.operators.similarity import cluster_topics
+
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "doc_id long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple common common"),
+            (2, "apple apple common common common"),
+            (3, "zebra zebra zebra common common"),
+            (4, "zebra zebra common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = cluster_topics(assign, docs, top_k=2, min_tf=2).collect()
+    top = {
+        r.cluster: r.term for r in got if r.rank == 1
+    }
+    assert top == {0: "apple", 1: "zebra"}
+    # hand numbers for apple: tf_class=5, tf_global=5, T_c=10, N=20
+    # lift = 5*20*1e6 // (5*10) = 2_000_000 (2x)
+    a = next(r for r in got if r.cluster == 0 and r.term == "apple")
+    assert (a.tf_class, a.tf_global, a.lift_ppm) == (5, 5, 2_000_000)
+    c = next(r for r in got if r.cluster == 0 and r.term == "common")
+    assert c.lift_ppm == 1_000_000  # 5*20*1e6 // (10*10)
