@@ -377,6 +377,15 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _lateness_profile(spark, sf):
+    """Watermark-sizing audit: per event type the exact p50/p95/max
+    out-of-orderness when the log replays in arrival order — what
+    withWatermark(delay) must cover (rollup.lateness_profile)."""
+    from model_audit_spark.operators.rollup import lateness_profile
+
+    return lateness_profile(_t(spark, sf, "events"))
+
+
 def _cluster_topics(spark, sf):
     """What characterizes each embedding cluster: top-5 topic words by
     integer-exact class lift over the Lloyd k-means assignment — the
@@ -3029,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": _vocab_drift,
         "dedup_decisions": _dedup_decisions,
         "cluster_topics": _cluster_topics,
+        "lateness_profile": _lateness_profile,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3243,6 +3253,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "vocab_drift": ora.vocab_drift(),
         "dedup_decisions": ora.dedup_decisions(),
         "cluster_topics": ora.cluster_topics(),
+        "lateness_profile": ora.lateness_profile(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

@@ -17,7 +17,7 @@ grains in one job (rollup_cascade does).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["rollup_cascade", "LEVELS"]
@@ -145,4 +145,46 @@ def decayed_counts(
             (F.sum(F.col("_n") * w9) / F.lit(1e9)).alias("decayed_count"),
         )
         .orderBy(*key_cols)
+    )
+
+
+def lateness_profile(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-orderness audit — the measurement behind every watermark
+    choice: replaying the log in ARRIVAL order (arrival_col) per key,
+    an event's lateness is how far its event time sits behind the
+    latest event time already seen on that key. The p50/p95/max of
+    that distribution is what `withWatermark(delay)` must cover;
+    events later than the chosen delay are the ones streaming will
+    drop (DETERMINISM: integer epoch-second arithmetic end to end,
+    exact percentiles).
+
+    One key-hash window pass (running max over arrival order) then a
+    per-type exact-percentile aggregate. Returns per event type:
+    n_events, n_late (lateness > 0), max and exact p50/p95 lateness
+    in seconds.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sec = F.unix_timestamp(F.col(ts_col))
+    late = events.select(
+        F.col(type_col).alias("event_type"),
+        (F.max(sec).over(w) - sec).cast("bigint").alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("late_s").alias("max_late_s"),
+        F.expr("percentile(late_s, 0.5)").alias("p50_late_s"),
+        F.expr("percentile(late_s, 0.95)").alias("p95_late_s"),
     )

@@ -5546,6 +5546,29 @@ FROM top
 """
 
 
+def lateness_profile() -> str:
+    """Twin of rollup.lateness_profile: running event-time max in
+    arrival order per key, floored epoch seconds (unix_timestamp
+    mirror), exact interpolated percentiles (quantile_cont ==
+    Spark percentile on integer inputs)."""
+    return """
+WITH lat AS (
+  SELECT event_type,
+    CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS BIGINT) AS late_s
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(max(late_s) AS BIGINT) AS max_late_s,
+  quantile_cont(late_s, 0.5) AS p50_late_s,
+  quantile_cont(late_s, 0.95) AS p95_late_s
+FROM lat GROUP BY event_type
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

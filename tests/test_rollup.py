@@ -149,3 +149,27 @@ def test_decayed_counts_hand_computed(spark):
     assert got["a"][0] == 3
     assert abs(got["a"][1] - 1.75) < 1e-9
     assert got["b"] == (1, 1.0)
+
+
+def test_lateness_profile_hand_computed(spark):
+    """Arrival order 1..4 with event times 10:00, 10:05, 10:01, 10:06:
+    the third event arrives 240s behind the running max; all others on
+    time."""
+    from datetime import datetime
+
+    from model_audit_spark.operators.rollup import lateness_profile
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 7, "view"),
+        (2, datetime(2024, 1, 1, 10, 5, 0), 7, "view"),
+        (3, datetime(2024, 1, 1, 10, 1, 0), 7, "view"),   # 240s late
+        (4, datetime(2024, 1, 1, 10, 6, 0), 7, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = lateness_profile(df).collect()[0]
+    assert (r.n_events, r.n_late, r.max_late_s) == (4, 1, 240)
+    # lateness values: [0, 0, 240, 0] -> p50 = 0, p95 = 204.0
+    assert r.p50_late_s == 0.0
+    assert abs(r.p95_late_s - 204.0) < 1e-9
