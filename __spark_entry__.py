@@ -377,6 +377,16 @@ def _streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def _embedding_coverage(spark, sf):
+    """Release gate: per-source embedding coverage + orphan-vector
+    count (embstats.embedding_coverage)."""
+    from model_audit_spark.operators.embstats import embedding_coverage
+
+    return embedding_coverage(
+        _t(spark, sf, "documents"), _t(spark, sf, "embeddings")
+    )
+
+
 def _lateness_profile(spark, sf):
     """Watermark-sizing audit: per event type the exact p50/p95/max
     out-of-orderness when the log replays in arrival order — what
@@ -3039,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decisions": _dedup_decisions,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
+        "embedding_coverage": _embedding_coverage,
         "ann_recall_report": _ann_recall_report,
         "bpe_merges64": _bpe_merges64,
         "bpe_fertility64": _bpe_fertility64,
@@ -3254,6 +3265,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dedup_decisions": ora.dedup_decisions(),
         "cluster_topics": ora.cluster_topics(),
         "lateness_profile": ora.lateness_profile(),
+        "embedding_coverage": ora.embedding_coverage(),
         "detect_documents": ora.detect_documents(),
         "style_scores_long": ora.style_scores_long(),
         "style_fingerprint": ora.style_fingerprint(),

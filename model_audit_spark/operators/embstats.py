@@ -249,3 +249,49 @@ def principal_direction(
         )
         .orderBy("dim")
     )
+
+
+def embedding_coverage(
+    docs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    by: str = "source",
+) -> DataFrame:
+    """Release-gate coverage audit: per group, how many docs have an
+    embedding, how many are missing (left anti shape), and whether
+    orphan vectors exist (vectors whose id matches no doc — a stale
+    index signal). Shares computed as ppm integer floor division.
+
+    One left join from docs to the vector-id projection (broadcast
+    when the id set is small; at scale both sides hash on the id) plus
+    one global anti count for orphans, repeated per row of the
+    per-group relation (|groups| rows)."""
+    vid = vectors.select(F.col(vec_id_col).alias(id_col)).distinct()
+    marked = docs.select(F.col(by), F.col(id_col)).join(
+        vid.withColumn("__has", F.lit(1)), id_col, "left"
+    )
+    per_group = marked.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("__has", F.lit(0))).cast("bigint").alias(
+            "n_with_embedding"
+        ),
+    )
+    orphans = vid.join(
+        docs.select(id_col).distinct(), id_col, "left_anti"
+    ).agg(F.count("*").cast("bigint").alias("n_orphan_vectors"))
+    return (
+        per_group.crossJoin(F.broadcast(orphans))
+        .select(
+            by,
+            "n_docs",
+            "n_with_embedding",
+            (F.col("n_docs") - F.col("n_with_embedding")).alias(
+                "n_missing"
+            ),
+            F.expr(
+                "n_with_embedding * 1000000 DIV n_docs"
+            ).alias("coverage_ppm"),
+            "n_orphan_vectors",
+        )
+    )

@@ -5569,6 +5569,35 @@ FROM lat GROUP BY event_type
 """
 
 
+def embedding_coverage() -> str:
+    """Twin of embstats.embedding_coverage over (documents,
+    embeddings, source)."""
+    return """
+WITH vid AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+marked AS (
+  SELECT d.source, d.doc_id,
+    CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS has_v
+  FROM documents d LEFT JOIN vid v ON d.doc_id = v.doc_id
+),
+per_group AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(has_v) AS BIGINT) AS n_with_embedding
+  FROM marked GROUP BY source
+),
+orphans AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphan_vectors
+  FROM vid v LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
+    ON v.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+)
+SELECT source, n_docs, n_with_embedding,
+  n_docs - n_with_embedding AS n_missing,
+  CAST(n_with_embedding * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
+  n_orphan_vectors
+FROM per_group CROSS JOIN orphans
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -146,3 +146,23 @@ def test_principal_direction_zero_variance_safe(spark):
             for i in range(4)]
     out = principal_direction(spark.createDataFrame(rows)).collect()
     assert [r["loading"] for r in out] == [0.0, 0.0]
+
+
+def test_embedding_coverage_missing_and_orphans(spark):
+    """3 docs in source a (2 covered), 1 doc in b (0 covered); one
+    orphan vector id 99."""
+    from model_audit_spark.operators.embstats import embedding_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")],
+        "doc_id long, source string",
+    )
+    vecs = spark.createDataFrame(
+        [(1,), (2,), (99,)], "vec_id long"
+    )
+    got = {r.source: r for r in embedding_coverage(docs, vecs).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_docs, a.n_with_embedding, a.n_missing) == (3, 2, 1)
+    assert a.coverage_ppm == 666_666
+    assert (b.n_with_embedding, b.coverage_ppm) == (0, 0)
+    assert a.n_orphan_vectors == 1 and b.n_orphan_vectors == 1
