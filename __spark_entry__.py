@@ -1654,6 +1654,19 @@ def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _dedup_recall_report(spark, sf):
+    """Candidate recall of every near-dup generator (minhash-LSH bands,
+    simhash banded-hamming, PPJoin prefix) against the exact all-pairs
+    Jaccard >= 0.5 truth — the dedup counterpart of ann_recall_report:
+    candidate QUALITY as an oracle-checked output, with the prefix row
+    re-certifying PPJoin losslessness (recall exactly 1.0) every round
+    (dedup.dedup_recall_report)."""
+    from model_audit_spark.operators.dedup import dedup_recall_report
+
+    docs = _t(spark, sf, "documents")
+    return dedup_recall_report(docs, "text", "doc_id", min_jaccard=0.5)
+
+
 def _contamination_check(spark, sf):
     """Decontamination report: training docs (doc_id % 5 != 0) sharing any
     word 5-gram with the eval split (doc_id % 5 == 0)."""
@@ -3047,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "vocab_drift": _vocab_drift,
         "dedup_decisions": _dedup_decisions,
+        "dedup_recall_report": _dedup_recall_report,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
         "embedding_coverage": _embedding_coverage,
@@ -3217,7 +3231,7 @@ _MATERIALIZED_TWINS = {
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
-    "cluster_topics",
+    "cluster_topics", "dedup_recall_report",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3330,6 +3344,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pack_chunks": ora.pack_chunks(context_len=256),
         "semantic_dedup": ora.semantic_dedup(threshold=0.4),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
+        "dedup_recall_report": ora.dedup_recall_report(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),
         "length_percentiles": ora.length_percentiles(),

@@ -1120,3 +1120,114 @@ def paragraph_near_dup_pairs(
         paras, pairs, "para", "pid", shingle_n,
         min_jaccard=min_jaccard, shingles=shing,
     )
+
+
+def dedup_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    simhash_bits: int = 32,
+    simhash_bands: int = 4,
+    simhash_max_distance: int = 3,
+) -> DataFrame:
+    """(method, n_truth, n_candidates, n_hits, recall_at_t): measured
+    candidate recall of each near-dup candidate generator against the
+    EXACT all-pairs Jaccard >= t ground truth — the dedup counterpart of
+    similarity.ann_recall_report (r5 closed the ANN side; this closes the
+    dedup side). The r1-r5 gates certify each pair generator as
+    internally consistent with its SQL twin; this query makes candidate
+    QUALITY itself an oracle-checked output: the number an operator
+    reads when choosing bands x rows, simhash bit budget, or whether the
+    prefix filter's exactness is worth its posting cost.
+
+    Methods, mirroring the standing gate queries' parameters exactly:
+    - minhash_lsh: raw LSH band-collision candidates (16 hashes x 4
+      bands; dedup_minhash_pairs BEFORE its verify stage) — recall < 1
+      is the banding's miss rate at threshold t.
+    - simhash: banded-hamming pairs (32 bits, 4 bands, distance <= 3) —
+      recall vs a JACCARD truth calibrates the cheap bitwise family
+      against the set-overlap definition the pipeline actually enforces.
+    - prefix: ngram_jaccard_prefix_pairs — PPJoin prefix filtering is
+      provably lossless, so its row pins recall EXACTLY 1.0 and
+      n_candidates == n_truth; a driver hash match re-certifies the
+      losslessness claim every round from inside the report itself.
+
+    Shape: the shingle relation builds ONCE and feeds truth, signatures
+    and the prefix chain; each generator is the same candidate-bounded
+    plan the standalone queries run; the union carries only (method,
+    id_a, id_b); truth joins unhinted (AQE broadcasts when small). The
+    all-pairs truth is the one quadratic-leaning member — at 100 TB this
+    report runs on a bounded calibration sample (the inverted-index
+    truth join is still shared-shingle-bounded, never a cross join),
+    exactly how ann_recall_report treats its exact top-k.
+    """
+    sh_rel = shingles_df(df, text_col, id_col, shingle_n)
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, min_jaccard
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, shingles=sh_rel
+    )
+    cand_sets = {
+        "minhash_lsh": minhash_band_pairs(sigs, id_col, num_hashes, bands),
+        "prefix": ngram_jaccard_prefix_pairs(
+            df, text_col, id_col, shingle_n, min_jaccard
+        ).select("id_a", "id_b"),
+        "simhash": simhash_near_dup_pairs(
+            df, text_col, id_col, simhash_bits, simhash_bands,
+            simhash_max_distance,
+        ).select("id_a", "id_b"),
+    }
+    cands = None
+    for name in sorted(cand_sets):
+        p = cand_sets[name].select(
+            F.lit(name).alias("method"), "id_a", "id_b"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    per = (
+        cands.join(
+            truth.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    # n_truth attaches in-DAG (1-row agg cross join — no driver .first());
+    # the method spine comes from a literal explode so a generator with
+    # zero candidates still emits its row (recall 0, not a missing row).
+    spine = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .select(
+            F.explode(
+                F.array(*[F.lit(m) for m in sorted(cand_sets)])
+            ).alias("method"),
+            "n_truth",
+        )
+    )
+    return (
+        spine.join(per, "method", "left")
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.greatest(F.col("n_truth"), F.lit(1)),
+                6,
+            ).alias("recall_at_t"),
+        )
+        .orderBy("method")
+    )

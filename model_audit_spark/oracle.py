@@ -5598,6 +5598,97 @@ FROM per_group CROSS JOIN orphans
 """
 
 
+def dedup_recall_report(
+    min_jaccard: float = 0.5,
+    bits: int = 32,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> str:
+    """Twin of dedup.dedup_recall_report: candidate recall of each
+    near-dup generator vs the exact all-pairs Jaccard >= t truth. The
+    minhash/simhash candidate CTEs are the SAME certified shapes as
+    dedup_minhash_pairs / dedup_simhash_pairs; the prefix generator's
+    certified twin is the all-pairs truth itself (losslessness), so its
+    row is the truth relation verbatim — a hash match re-proves the
+    PPJoin claim from inside the report."""
+    band_sqls = []
+    for b in range(4):
+        parts = " || '|' || ".join(
+            f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_sqls.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_sqls)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_values = ", ".join(f"({i})" for i in range(bands))
+    jac = "i.n_inter / greatest(sa.n_sh + sb.n_sh - i.n_inter, 1)"
+    return f"""
+WITH {_minhash_ctes()},
+bandhash AS ({bands_sql}),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandhash a JOIN bandhash b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+expl AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+),
+sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM shing
+),
+inter AS (
+  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS n_inter
+  FROM expl ea JOIN expl eb ON eb.s = ea.s AND ea.doc_id < eb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round({jac}, 6) >= {min_jaccard!r}
+),
+sims AS ({dedup_simhash(bits)}),
+simbands AS (
+  SELECT doc_id, simhash,
+         t.band, (simhash >> (t.band * {band_bits})) & {mask} AS bv
+  FROM sims CROSS JOIN (VALUES {band_values}) AS t(band)
+),
+sh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM simbands a
+  JOIN simbands b ON a.band = b.band AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+),
+cands AS (
+  SELECT 'minhash_lsh' AS method, id_a, id_b FROM mh_cand
+  UNION ALL SELECT 'prefix' AS method, id_a, id_b FROM truth
+  UNION ALL SELECT 'simhash' AS method, id_a, id_b FROM sh_cand
+),
+tc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+),
+per AS (
+  SELECT c.method, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM cands c
+  LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+  GROUP BY c.method
+),
+m(method) AS (VALUES ('minhash_lsh'), ('prefix'), ('simhash'))
+SELECT m.method, tc.n_truth,
+       coalesce(per.n_candidates, 0) AS n_candidates,
+       coalesce(per.n_hits, 0) AS n_hits,
+       round(coalesce(per.n_hits, 0) / greatest(tc.n_truth, 1), 6)
+         AS recall_at_t
+FROM m CROSS JOIN tc LEFT JOIN per ON per.method = m.method
+ORDER BY m.method
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -646,3 +646,57 @@ def test_paragraph_near_dups_catch_edited_passages(spark):
     # the docs as wholes do NOT reach the same threshold
     doc_pairs = ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
     assert doc_pairs == []
+
+
+def test_dedup_recall_report_pins(spark, docs):
+    from model_audit_spark.operators.dedup import (
+        dedup_recall_report,
+        minhash_band_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    rows = {r.method: r for r in dedup_recall_report(docs).collect()}
+    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash"]
+    n_truth = ngram_jaccard_pairs(docs, min_jaccard=0.5).count()
+    assert all(r.n_truth == n_truth for r in rows.values())
+    # PPJoin prefix filtering is lossless by theorem: its row must pin
+    # recall EXACTLY 1.0 with candidates == truth.
+    p = rows["prefix"]
+    assert p.n_candidates == n_truth and p.n_hits == n_truth
+    assert p.recall_at_t == 1.0
+    # recall is a probability; hits never exceed candidates or truth
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_t <= 1.0
+        assert r.n_hits <= r.n_candidates and r.n_hits <= r.n_truth
+    # the minhash hit count is exactly |band-candidates ∩ truth|
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_band_pairs(minhash_signatures(docs)).collect()
+    }
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert rows["minhash_lsh"].n_hits == len(cand & truth)
+    assert rows["minhash_lsh"].n_candidates == len(cand)
+
+
+def test_dedup_recall_report_zero_candidate_method_emits_row(spark):
+    # disjoint docs: no near-dups at 0.5, no band collisions — every
+    # method must still emit a row (zero counts, recall 0 via the
+    # greatest(n_truth,1) guard), not vanish from the report.
+    from model_audit_spark.operators.dedup import dedup_recall_report
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(9))),
+            (2, " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(9))),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.method: r for r in dedup_recall_report(df).collect()}
+    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash"]
+    for r in rows.values():
+        assert r.n_truth == 0 and r.n_hits == 0
+        assert r.recall_at_t == 0.0
