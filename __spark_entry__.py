@@ -1667,6 +1667,30 @@ def _dedup_recall_report(spark, sf):
     return dedup_recall_report(docs, "text", "doc_id", min_jaccard=0.5)
 
 
+def _winnow_fingerprints(spark, sf):
+    """Per-doc winnowing (MOSS) fingerprint summary: count + selected
+    density of window-min token-gram hashes — the position-aware
+    fingerprint family between stride-1 span hashing and bottom-k
+    sketches, computed as ONE zero-shuffle array projection
+    (text_analysis.winnow_fingerprints)."""
+    from model_audit_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id")
+
+
+def _winnow_pairs(spark, sf):
+    """MOSS-style containment candidates: doc pairs sharing >= 2
+    distinct winnowing fingerprints, boilerplate minima dropped by the
+    max_df cap BEFORE bucket expansion (text_analysis.winnow_pairs)."""
+    from model_audit_spark.operators.text_analysis import winnow_pairs
+
+    docs = _t(spark, sf, "documents")
+    return winnow_pairs(docs, "text", "doc_id", min_shared=2, max_df=50)
+
+
 def _contamination_check(spark, sf):
     """Decontamination report: training docs (doc_id % 5 != 0) sharing any
     word 5-gram with the eval split (doc_id % 5 == 0)."""
@@ -3061,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": _vocab_drift,
         "dedup_decisions": _dedup_decisions,
         "dedup_recall_report": _dedup_recall_report,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_pairs": _winnow_pairs,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
         "embedding_coverage": _embedding_coverage,
@@ -3231,7 +3257,8 @@ _MATERIALIZED_TWINS = {
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
-    "cluster_topics", "dedup_recall_report",
+    "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
+    "winnow_pairs",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3345,6 +3372,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "semantic_dedup": ora.semantic_dedup(threshold=0.4),
         "dedup_ngram_jaccard": ora.dedup_ngram_jaccard(),
         "dedup_recall_report": ora.dedup_recall_report(),
+        "winnow_fingerprints": ora.winnow_fingerprints(),
+        "winnow_pairs": ora.winnow_pairs(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),
         "length_percentiles": ora.length_percentiles(),

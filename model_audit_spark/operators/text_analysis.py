@@ -662,3 +662,153 @@ def vocab_drift(
         "share_new_ppm",
         "delta_ppm",
     )
+
+
+def winnow_selected(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, pos, h): winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm) at token granularity — from every window
+    of `window` consecutive `gram_k`-gram hashes, select the MINIMUM
+    hash, rightmost position on ties; distinct selected (pos, h) are the
+    document's fingerprints. Winnowing's guarantee: any shared run of
+    window + gram_k - 1 tokens yields at least one shared fingerprint,
+    while expected density is only 2/(window+1) of positions — a
+    position-aware near-dup family between stride-1 span hashing (every
+    position; span_dedup_stats) and bottom-k sketches (no positions;
+    doc_fingerprints).
+
+    ZERO-shuffle: the whole per-document selection is one array
+    projection — gram hashes zip with 1-based positions into structs
+    ordered (h, -pos), and each window start takes array_min of its
+    slice (struct ordering makes min-with-rightmost-tie a single
+    built-in); array_distinct collapses overlapping windows that picked
+    the same position. No explode, no per-doc window shuffle — legal
+    under Structured Streaming and free at 100 TB where a
+    partitionBy(doc) window would re-shuffle the corpus. Docs with
+    fewer than window + gram_k - 1 tokens emit no rows (no full
+    window exists), matching the classic definition."""
+    w = window
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+    grams = toks.select(
+        id_col, F.transform(ngrams("_w", gram_k), F.md5).alias("_h")
+    )
+    n = F.size("_h")
+    hp = F.zip_with(
+        F.col("_h"),
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda h, p: F.struct(h.alias("h"), (-p).alias("negpos")),
+    )
+    staged = grams.filter(n >= w).select(id_col, hp.alias("_hp"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_hp") - (w - 1)),
+            lambda s: F.array_min(F.slice("_hp", s, w)),
+        )
+    )
+    return staged.select(
+        id_col, F.explode(sel).alias("_s")
+    ).select(
+        id_col,
+        (-F.col("_s.negpos")).cast("long").alias("pos"),
+        F.col("_s.h").alias("h"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, n_grams, n_fp, density): per-document winnowing summary —
+    fingerprint count and selected density. Winnowing theory pins
+    expected density near 2/(window+1) for random text; a corpus whose
+    density is far above it is repetitive (many local minima re-selected
+    at window edges), far below means long boilerplate runs — the cheap
+    per-doc signal for tuning `window` before running winnow_pairs.
+    Every input doc keeps a row (short docs: n_fp = 0). Shape: the
+    winnow projection + one hash aggregate."""
+    sel = winnow_selected(df, text_col, id_col, gram_k, window)
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+    base = toks.select(
+        id_col,
+        F.greatest(
+            F.size("_w") - (gram_k - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    per = sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    return (
+        base.join(per, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_fp"), F.lit(0))
+            .cast("long")
+            .alias("n_fp"),
+            F.round(
+                F.coalesce(F.col("n_fp"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("density"),
+        )
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= min_shared
+    distinct winnowing fingerprint HASHES — MOSS-style containment
+    candidates: position-aware (a long verbatim run guarantees shared
+    fingerprints) yet ~2/(window+1) the index size of stride-1 span
+    hashing.
+
+    Bucket-first, the same discipline as every candidate generator in
+    this repo: distinct (doc, h) postings group by h, docs expand to
+    in-bucket pairs (sorted list slice — the minhash_band_pairs shape),
+    then one pair-count aggregate applies min_shared. `max_df` drops
+    fingerprints present in more than max_df docs BEFORE expansion —
+    boilerplate minima are exactly the hashes whose buckets would
+    otherwise explode quadratically at 100 TB (None disables; the MOSS
+    paper's "ignore overly common fingerprints" step)."""
+    posts = (
+        winnow_selected(df, text_col, id_col, gram_k, window)
+        .select(id_col, "h")
+        .distinct()
+    )
+    buckets = posts.groupBy("h").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    if max_df is not None:
+        buckets = buckets.filter(F.size("ids") <= max_df)
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -5689,6 +5689,106 @@ ORDER BY m.method
 """
 
 
+def _winnow_ctes(gram_k: int = 3, window: int = 4) -> str:
+    """toksrc..fps CTE chain: winnowing fingerprint selection (twin of
+    text_analysis.winnow_selected). POSITIONAL grams (no list_distinct —
+    stride 1), md5 per gram, per-window min with rightmost tie: the
+    frame min(h) finds the minimum, the join-back + max(pos) resolves
+    ties to the rightmost occurrence — the same (h, -pos) order the
+    Spark struct array_min applies."""
+    k, w = gram_k, window
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    grams = (
+        f"CASE WHEN len(toks) < {k} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(toks) - {k - 2}), "
+        f"i -> md5({concat})) END"
+    )
+    return f"""
+toksrc AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, {grams} AS hs FROM toksrc
+),
+posu AS (
+  SELECT doc_id, unnest(range(1, len(hs) + 1)) AS p, hs
+  FROM g WHERE len(hs) >= {w}
+),
+ph AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, hs[p] AS h,
+         CAST(len(hs) AS BIGINT) AS n
+  FROM posu
+),
+wmin AS (
+  SELECT doc_id, p, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS mh
+  FROM ph
+),
+starts AS (
+  SELECT doc_id, p AS s, mh FROM wmin WHERE p <= n - {w} + 1
+),
+sel AS (
+  SELECT st.doc_id, st.s, st.mh AS h, max(g2.p) AS pos
+  FROM starts st
+  JOIN ph g2 ON g2.doc_id = st.doc_id
+            AND g2.p >= st.s AND g2.p < st.s + {w}
+            AND g2.h = st.mh
+  GROUP BY 1, 2, 3
+),
+fps AS (
+  SELECT DISTINCT doc_id, pos, h FROM sel
+)"""
+
+
+def winnow_fingerprints(gram_k: int = 3, window: int = 4) -> str:
+    """Twin of text_analysis.winnow_fingerprints: per-doc fingerprint
+    count + selected density over the winnowing chain."""
+    return f"""
+WITH {_winnow_ctes(gram_k, window)},
+base AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - {gram_k - 1}, 0) AS BIGINT) AS n_grams
+  FROM toksrc
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_grams,
+       CAST(coalesce(p.n_fp, 0) AS BIGINT) AS n_fp,
+       round(coalesce(p.n_fp, 0) / greatest(b.n_grams, 1), 6) AS density
+FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
+"""
+
+
+def winnow_pairs(
+    gram_k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    """Twin of text_analysis.winnow_pairs: pairs sharing >= min_shared
+    distinct fingerprint hashes, max_df cap applied before expansion."""
+    return f"""
+WITH {_winnow_ctes(gram_k, window)},
+posts AS (
+  SELECT DISTINCT doc_id, h FROM fps
+),
+df_cap AS (
+  SELECT h FROM posts GROUP BY h HAVING count(*) <= {max_df}
+),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM posts a
+  JOIN df_cap c ON c.h = a.h
+  JOIN posts b ON b.h = a.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -398,3 +398,21 @@ def test_epoch_shuffle_no_vector_or_text_in_shuffle(spark):
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
     assert m.group(1).split(":")[0] == "doc_id"  # column-pruned scan
+
+
+def test_winnow_selection_is_pure_projection(spark):
+    """The winnowing window-min selection must stay an in-row array
+    projection — no per-doc Window (would shuffle the corpus on doc_id)
+    and no join; the only shuffles in the gate queries are the final
+    summary aggregate / bucket expansion."""
+    from model_audit_spark.operators.text_analysis import winnow_selected
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = winnow_selected(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1

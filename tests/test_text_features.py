@@ -442,3 +442,79 @@ def test_vocab_drift_shares_and_pruning(spark):
     n = got["nova"]
     assert (n.df_old, n.df_new, n.delta_ppm) == (0, 3, 750_000)
     assert "beta" not in got  # df total 1 < min_docs
+
+
+def test_winnow_selected_matches_reference(spark):
+    # hand-checkable corpus incl. a repeated block (tie-rule coverage:
+    # identical gram hashes inside one window must pick the RIGHTMOST)
+    import hashlib
+
+    from model_audit_spark.operators.text_analysis import winnow_selected
+
+    text = "a b c d e a b c d e x y z"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted((r.pos, r.h) for r in winnow_selected(df).collect())
+    toks = text.split()
+    grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    w = 4
+    exp = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        j = max(i for i, h in enumerate(win) if h == m)
+        exp.add((s + j + 1, m))
+    assert got == sorted(exp)
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    # winnowing theorem: two docs sharing a verbatim run of
+    # window + gram_k - 1 = 6 tokens share at least one fingerprint
+    # HASH; docs shorter than a full window emit no fingerprints.
+    from model_audit_spark.operators.text_analysis import (
+        winnow_fingerprints,
+        winnow_pairs,
+        winnow_selected,
+    )
+
+    shared = "the quick brown fox jumps high"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha0 beta0 {shared} gamma0 delta0"),
+            (2, f"zeta9 eta9 theta9 {shared} iota9"),
+            (3, "one two three four five six seven"),
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    sel = winnow_selected(df).collect()
+    h1 = {r.h for r in sel if r.doc_id == 1}
+    h2 = {r.h for r in sel if r.doc_id == 2}
+    assert h1 & h2, "shared 6-token run must yield a shared fingerprint"
+    assert not any(r.doc_id == 4 for r in sel)
+    fps = {r.doc_id: r for r in winnow_fingerprints(df).collect()}
+    assert set(fps) == {1, 2, 3, 4}  # every doc keeps a summary row
+    assert fps[4].n_fp == 0 and fps[4].density == 0.0
+    assert fps[1].n_grams == len(f"alpha0 beta0 {shared} gamma0 delta0".split()) - 2
+    # density never exceeds 1 and is > 0 for docs with a full window
+    for d in (1, 2, 3):
+        assert 0.0 < fps[d].density <= 1.0
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(spark, zipf_docs):
+    # the max_df cap must bound candidate growth on the Zipf corpus:
+    # uncapped boilerplate buckets expand ~(0.8*400 choose 2) pairs
+    from model_audit_spark.operators.text_analysis import winnow_pairs
+
+    capped = winnow_pairs(zipf_docs, min_shared=1, max_df=50).count()
+    uncapped = winnow_pairs(zipf_docs, min_shared=1, max_df=None).count()
+    assert uncapped > 10_000  # boilerplate really does explode
+    # the cap strips the boilerplate buckets (~80% of docs share them);
+    # remaining pairs come from genuinely shared Pareto-tail content
+    assert capped < uncapped / 4
