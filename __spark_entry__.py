@@ -1298,6 +1298,28 @@ def _dup_verified(docs, min_jaccard: float = 0.5):
     )
 
 
+def _dedup_communities(spark, sf):
+    """Label-propagation communities over the symmetric near-dup graph
+    (4 synchronous rounds, least-label ties) — the modal-support
+    alternative to connected components: thin spurious bridges don't
+    fuse dense clusters. Iterative, hash-certified against an unrolled
+    SQL twin (cluster.label_propagation)."""
+    from model_audit_spark.operators.cluster import label_propagation
+
+    docs = _t(spark, sf, "documents")
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    edges = verified.unionByName(
+        verified.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    nodes = docs.select(F.col("doc_id"))
+    return label_propagation(
+        nodes, edges, rounds=4, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+
+
 def _pagerank_dupgraph(spark, sf):
     """Integer-arithmetic PageRank over the symmetric minhash near-dup
     graph — duplication hubs get high rank. Iterative algorithm with a
@@ -3087,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_report": _dedup_recall_report,
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_pairs": _winnow_pairs,
+        "dedup_communities": _dedup_communities,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
         "embedding_coverage": _embedding_coverage,
@@ -3258,7 +3281,7 @@ _MATERIALIZED_TWINS = {
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
-    "winnow_pairs",
+    "winnow_pairs", "dedup_communities",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3374,6 +3397,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dedup_recall_report": ora.dedup_recall_report(),
         "winnow_fingerprints": ora.winnow_fingerprints(),
         "winnow_pairs": ora.winnow_pairs(),
+        "dedup_communities": ora.dedup_communities(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),
         "length_percentiles": ora.length_percentiles(),

@@ -583,3 +583,81 @@ def dedup_decisions(
             F.col("jaccard").isNotNull().alias("direct"),
         )
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, community) after `rounds` SYNCHRONOUS label-propagation
+    updates (Raghavan 2007) — the shuffle-per-round community detector
+    that scales where modularity methods don't: each round is one
+    edge⋈label join + one (node, label) count aggregate + one per-node
+    argmax, all hash-partitioned on node id.
+
+    Deterministic by construction, so the iterative loop hash-certifies
+    against an unrolled SQL twin (the pagerank/kmeans discipline):
+    synchronous updates (no update-order dependence), tie-break = least
+    label id (argmax over (count DESC, label ASC) — computed as
+    min(struct(-count, label)), one aggregate, no window), fixed round
+    count (no float-threshold convergence test). Labels init to own id;
+    nodes with neighbors take the modal neighbor label each round,
+    isolated nodes keep their own. Synchronous LPA can 2-cycle on
+    bipartite-ish regions — with a FIXED round budget that is still a
+    deterministic, certified output; production use picks rounds ~4-5
+    (communities stabilize in a few sweeps on near-dup graphs, whose
+    clusters are clique-like per dup_graph_stats).
+
+    vs dedup_clusters (connected components): CC merges everything
+    reachable — one spurious cross-cluster pair fuses two clusters; LPA
+    requires modal support, so thin bridges don't merge dense groups.
+    The pair an operator reads side by side before a destructive dedup.
+
+    Scale shape: `edges` (caller-symmetrized, both directions) persists
+    once; per round the label relation is localCheckpoint'ed LAZILY so
+    Catalyst sees a one-round-deep plan (eager on the final round so
+    `edges` can be unpersisted before returning — the pagerank
+    lifecycle, persistence release via the same discipline)."""
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).persist()
+    base = nodes.select(F.col(id_col).alias("_n")).localCheckpoint()
+    lab = base.select("_n", F.col("_n").alias("lbl")).localCheckpoint(
+        eager=False
+    )
+    for it in range(rounds):
+        counts = (
+            e.join(
+                lab.select(F.col("_n").alias("_v2"), "lbl"),
+                F.col("_v") == F.col("_v2"),
+            )
+            .groupBy(F.col("_u"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            counts.groupBy("_u")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("lbl").alias("l"),
+                    )
+                ).alias("w")
+            )
+            .select(F.col("_u").alias("_wn"), F.col("w.l").alias("wl"))
+        )
+        lab = (
+            base.join(winner, F.col("_n") == F.col("_wn"), "left")
+            .select(
+                "_n", F.coalesce(F.col("wl"), F.col("_n")).alias("lbl")
+            )
+            .localCheckpoint(eager=(it == rounds - 1))
+        )
+    e.unpersist()
+    return lab.select(
+        F.col("_n").alias(id_col), F.col("lbl").alias("community")
+    )

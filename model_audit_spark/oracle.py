@@ -3726,6 +3726,41 @@ def pagerank_dupgraph(
     )
 
 
+def dedup_communities(rounds: int = 4, min_jaccard: float = 0.5) -> str:
+    """Twin of cluster.label_propagation over the symmetric minhash
+    near-dup graph: synchronous rounds unroll as CTEs, argmax =
+    row_number over (count DESC, label ASC) — the same least-label tie
+    rule the Spark min(struct(-count, label)) aggregate applies."""
+    ctes = [
+        f"pairs AS ({dedup_minhash_pairs(min_jaccard=min_jaccard)})",
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION ALL SELECT id_b AS u, id_a AS v FROM pairs)",
+        "nodes AS (SELECT doc_id AS n FROM documents)",
+        "l0 AS (SELECT n, n AS lbl FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        ctes.append(
+            f"m{k} AS (SELECT e.u AS n, p.lbl, count(*) AS cnt "
+            f"FROM edges e JOIN {prev} p ON p.n = e.v GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT n, lbl FROM ("
+            f"SELECT n, lbl, row_number() OVER ("
+            f"PARTITION BY n ORDER BY cnt DESC, lbl ASC) AS rn "
+            f"FROM m{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT nodes.n, coalesce(w{k}.lbl, nodes.n) AS lbl "
+            f"FROM nodes LEFT JOIN w{k} ON w{k}.n = nodes.n)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT n AS doc_id, lbl AS community FROM l{rounds}"
+    )
+
+
 def embedding_dim_stats() -> str:
     """Mirror of embstats.embedding_dim_stats: per-dimension moments via
     the explicit (Σv, Σv², n) formulation — NOT engine-native stddev,

@@ -287,3 +287,45 @@ def test_dedup_decisions_transitive_pair_has_null_jaccard(spark):
     got = {r.removed_id: r for r in dedup_decisions(q, pairs).collect()}
     assert got[2].direct and got[2].direct_jaccard == 0.6
     assert not got[3].direct and got[3].direct_jaccard is None
+
+
+def test_label_propagation_bridge_vs_cc(spark):
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # connected components fuses them; LPA's modal support must not.
+    from model_audit_spark.operators.cluster import label_propagation
+
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 99]], ["node"]
+    )
+    out = {
+        r.node: r.community
+        for r in label_propagation(nodes, edges, rounds=4).collect()
+    }
+    assert len(out) == 7
+    assert out[99] == 99  # isolated keeps own label
+    left = {out[1], out[2], out[3]}
+    right = {out[10], out[11], out[12]}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge must NOT fuse the triangles
+
+
+def test_label_propagation_tie_breaks_to_least_label(spark):
+    # node 5 sees neighbors {1, 2} once each after round 1 — the tie
+    # must resolve to the LEAST label, deterministically.
+    from model_audit_spark.operators.cluster import label_propagation
+
+    und = [(1, 5), (2, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 5]], ["node"])
+    out = {
+        r.node: r.community
+        for r in label_propagation(nodes, edges, rounds=1).collect()
+    }
+    assert out[5] == 1  # tie {1,2} -> least
+    assert out[1] == 5 and out[2] == 5  # their only neighbor is 5
