@@ -1713,6 +1713,21 @@ def _winnow_pairs(spark, sf):
     return winnow_pairs(docs, "text", "doc_id", min_shared=2, max_df=50)
 
 
+def _winnow_span_report(spark, sf):
+    """MOSS match localization: winnow_pairs plus the positional extent
+    of the shared fingerprints inside each document — boilerplate-at-
+    the-head vs wholesale duplication at a glance
+    (text_analysis.winnow_span_report)."""
+    from model_audit_spark.operators.text_analysis import (
+        winnow_span_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return winnow_span_report(
+        docs, "text", "doc_id", min_shared=2, max_df=50
+    )
+
+
 def _contamination_check(spark, sf):
     """Decontamination report: training docs (doc_id % 5 != 0) sharing any
     word 5-gram with the eval split (doc_id % 5 == 0)."""
@@ -3110,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_pairs": _winnow_pairs,
         "dedup_communities": _dedup_communities,
+        "winnow_span_report": _winnow_span_report,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
         "embedding_coverage": _embedding_coverage,
@@ -3281,7 +3297,7 @@ _MATERIALIZED_TWINS = {
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
-    "winnow_pairs", "dedup_communities",
+    "winnow_pairs", "dedup_communities", "winnow_span_report",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3398,6 +3414,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "winnow_fingerprints": ora.winnow_fingerprints(),
         "winnow_pairs": ora.winnow_pairs(),
         "dedup_communities": ora.dedup_communities(),
+        "winnow_span_report": ora.winnow_span_report(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),
         "length_percentiles": ora.length_percentiles(),

@@ -812,3 +812,72 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_span_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, a_pos_min, a_pos_max, b_pos_min,
+    b_pos_max): winnow_pairs plus WHERE the overlap sits — the extent
+    (1-based gram positions) of the shared fingerprints inside each
+    document. The triage view for MOSS-style matches: a tight span at
+    the head of both docs reads as shared boilerplate; full-width spans
+    read as wholesale duplication; disjoint extents with equal n_shared
+    expose template reuse. Positions come free: the selected relation
+    already carries them, so localization costs one extra min/max in
+    the pair aggregate, not a re-scan.
+
+    Shape: same bucket-first expansion as winnow_pairs, but the pair
+    aggregate keys on the JOINED (a_pos, b_pos) posting pairs — shared
+    hashes appearing at several positions contribute each position to
+    the extent while n_shared still counts DISTINCT hashes (matching
+    winnow_pairs exactly; pinned)."""
+    sel = winnow_selected(df, text_col, id_col, gram_k, window)
+    posts = sel.groupBy("h").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col(id_col).alias("d"), "pos"))
+        ).alias("dp"),
+        F.size(F.collect_set(id_col)).alias("ndocs"),
+    )
+    if max_df is not None:
+        posts = posts.filter(F.col("ndocs") <= max_df)
+    dp = F.col("dp")
+    pair_structs = F.flatten(
+        F.transform(
+            dp,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(dp, i + F.lit(2), F.size(dp)),
+                    lambda y: y["d"] != x["d"],
+                ),
+                lambda y: F.struct(
+                    x["d"].alias("id_a"),
+                    y["d"].alias("id_b"),
+                    x["pos"].alias("a_pos"),
+                    y["pos"].alias("b_pos"),
+                ),
+            ),
+        )
+    )
+    expanded = (
+        posts.filter(F.col("ndocs") > 1)
+        .select(F.col("h"), F.explode(pair_structs).alias("p"))
+        .select("h", "p.id_a", "p.id_b", "p.a_pos", "p.b_pos")
+    )
+    return (
+        expanded.groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("h").cast("long").alias("n_shared"),
+            F.min("a_pos").cast("long").alias("a_pos_min"),
+            F.max("a_pos").cast("long").alias("a_pos_max"),
+            F.min("b_pos").cast("long").alias("b_pos_min"),
+            F.max("b_pos").cast("long").alias("b_pos_max"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )

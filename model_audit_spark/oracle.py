@@ -5824,6 +5824,40 @@ FROM pr GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
 
 
+def winnow_span_report(
+    gram_k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    """Twin of text_analysis.winnow_span_report: winnow_pairs plus the
+    per-document extent of the shared fingerprints (n_shared counts
+    DISTINCT hashes; extents range over every matched position pair)."""
+    return f"""
+WITH {_winnow_ctes(gram_k, window)},
+posts AS (
+  SELECT DISTINCT doc_id, h FROM fps
+),
+df_cap AS (
+  SELECT h FROM posts GROUP BY h HAVING count(*) <= {max_df}
+),
+pr AS (
+  SELECT a.h, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS a_pos, b.pos AS b_pos
+  FROM fps a
+  JOIN df_cap c ON c.h = a.h
+  JOIN fps b ON b.h = a.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  CAST(count(DISTINCT h) AS BIGINT) AS n_shared,
+  CAST(min(a_pos) AS BIGINT) AS a_pos_min,
+  CAST(max(a_pos) AS BIGINT) AS a_pos_max,
+  CAST(min(b_pos) AS BIGINT) AS b_pos_min,
+  CAST(max(b_pos) AS BIGINT) AS b_pos_max
+FROM pr GROUP BY 1, 2 HAVING count(DISTINCT h) >= {min_shared}
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

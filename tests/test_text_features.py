@@ -518,3 +518,35 @@ def test_winnow_pairs_max_df_drops_boilerplate(spark, zipf_docs):
     # the cap strips the boilerplate buckets (~80% of docs share them);
     # remaining pairs come from genuinely shared Pareto-tail content
     assert capped < uncapped / 4
+
+
+def test_winnow_span_report_localizes_and_matches_pairs(spark):
+    from model_audit_spark.operators.text_analysis import (
+        winnow_pairs,
+        winnow_span_report,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha0 beta0 gamma0 delta0 epsilon0"),
+            (2, f"zeta9 eta9 theta9 iota9 kappa9 lambda9 {shared}"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r.id_a, r.id_b): r
+        for r in winnow_span_report(df, min_shared=1).collect()
+    }
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_pairs(df, min_shared=1).collect()
+    }
+    # n_shared agrees exactly with winnow_pairs for every pair
+    assert set(spans) == set(pairs)
+    for p, r in spans.items():
+        assert r.n_shared == pairs[p]
+    r = spans[(1, 2)]
+    # the shared run sits at the HEAD of doc 1 and the TAIL of doc 2
+    assert r.a_pos_min < 8 and r.b_pos_min > 5
+    assert r.a_pos_min <= r.a_pos_max and r.b_pos_min <= r.b_pos_max
