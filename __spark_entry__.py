@@ -1320,6 +1320,28 @@ def _dedup_communities(spark, sf):
     )
 
 
+def _dedup_kcore(spark, sf):
+    """k-core (k=2) of the symmetric near-dup graph via 8 synchronous
+    peel rounds — the dense template-farm backbone that pairwise
+    near-dup reports understate; core_deg ranks the densest clusters.
+    Iterative, hash-certified against an unrolled SQL twin
+    (cluster.k_core)."""
+    from model_audit_spark.operators.cluster import k_core
+
+    docs = _t(spark, sf, "documents")
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    edges = verified.unionByName(
+        verified.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    nodes = docs.select(F.col("doc_id"))
+    return k_core(
+        nodes, edges, k=2, rounds=8, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+
+
 def _pagerank_dupgraph(spark, sf):
     """Integer-arithmetic PageRank over the symmetric minhash near-dup
     graph — duplication hubs get high rank. Iterative algorithm with a
@@ -3125,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_pairs": _winnow_pairs,
         "dedup_communities": _dedup_communities,
+        "dedup_kcore": _dedup_kcore,
         "winnow_span_report": _winnow_span_report,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
@@ -3298,6 +3321,7 @@ _MATERIALIZED_TWINS = {
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
     "winnow_pairs", "dedup_communities", "winnow_span_report",
+    "dedup_kcore",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -3414,6 +3438,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "winnow_fingerprints": ora.winnow_fingerprints(),
         "winnow_pairs": ora.winnow_pairs(),
         "dedup_communities": ora.dedup_communities(),
+        "dedup_kcore": ora.dedup_kcore(),
         "winnow_span_report": ora.winnow_span_report(),
         "contamination_check": ora.contamination_check(shingle_n=5, eval_mod=5),
         "corpus_sample": ora.corpus_sample(),

@@ -661,3 +661,95 @@ def label_propagation(
     return lab.select(
         F.col("_n").alias(id_col), F.col("lbl").alias("community")
     )
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, in_core, core_deg) after `rounds` synchronous k-core peel
+    steps (Seidman 1983 cores; the Batagelj-Zaversnik peel, run
+    breadth-synchronously): each step drops every node whose degree in
+    the surviving induced subgraph is < k. What survives is the dense
+    backbone of the near-dup graph — template farms and mirror sets
+    that pairwise near-dup reports understate, and the part of the
+    graph where destructive dedup needs a human look first.
+
+    Certified-iteration discipline (the label_propagation/pagerank
+    rules): FIXED round budget instead of a convergence test, integer
+    degrees only, synchronous updates — so the loop hash-matches an
+    unrolled SQL twin round for round whether or not the peel has
+    reached its fixpoint. Peeling removes at least one node per
+    non-converged round within each finite component chain, and LSH
+    dup graphs are clique-like (dup_graph_stats), so the default 8
+    rounds reaches the true k-core at every tested SF; the gate would
+    surface a budget miss as a hash mismatch, not silent wrongness.
+
+    core_deg is the node's degree inside the FINAL surviving subgraph
+    (0 for peeled nodes) — the report column an operator sorts by to
+    find the densest template cluster.
+
+    Scale shape: `edges` (caller-symmetrized) persists once; each round
+    is one edges⋈survivors semi-join per endpoint + one count
+    aggregate, all hash-partitioned on node id; survivor relations are
+    localCheckpoint'ed lazily (eager on the last round so `edges` can
+    be released — the pagerank lifecycle). Rounds shrink the survivor
+    relation monotonically, so per-round cost falls as the peel bites."""
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).persist()
+    base = nodes.select(F.col(id_col).alias("_n")).localCheckpoint()
+    surv = base.localCheckpoint(eager=False)
+
+    def _induced_deg(s: DataFrame) -> DataFrame:
+        return (
+            e.join(
+                s.select(F.col("_n").alias("_su")),
+                F.col("_u") == F.col("_su"),
+            )
+            .join(
+                s.select(F.col("_n").alias("_sv")),
+                F.col("_v") == F.col("_sv"),
+            )
+            .groupBy("_u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for it in range(rounds):
+        surv = (
+            _induced_deg(surv)
+            .filter(F.col("deg") >= k)
+            .select("_u")
+            .withColumnRenamed("_u", "_n")
+            .localCheckpoint(eager=(it == rounds - 1))
+        )
+    # Materialize the final-degree relation (survivor-sized) BEFORE
+    # releasing `e` — lazily it would re-derive the caller's edge chain
+    # (the full minhash verify at the gate) from source at action time.
+    final_deg = _induced_deg(surv).localCheckpoint()
+    out = (
+        base.join(
+            surv.select(F.col("_n").alias("_in")),
+            F.col("_n") == F.col("_in"),
+            "left",
+        )
+        .join(
+            final_deg.select(F.col("_u").alias("_dn"), "deg"),
+            F.col("_n") == F.col("_dn"),
+            "left",
+        )
+        .select(
+            F.col("_n").alias(id_col),
+            F.col("_in").isNotNull().alias("in_core"),
+            F.coalesce(F.col("deg"), F.lit(0))
+            .cast("long")
+            .alias("core_deg"),
+        )
+    )
+    e.unpersist()
+    return out

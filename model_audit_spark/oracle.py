@@ -3761,6 +3761,45 @@ def dedup_communities(rounds: int = 4, min_jaccard: float = 0.5) -> str:
     )
 
 
+def dedup_kcore(
+    k: int = 2, rounds: int = 8, min_jaccard: float = 0.5
+) -> str:
+    """Twin of cluster.k_core over the symmetric minhash near-dup
+    graph: the synchronous peel unrolls as CTEs — each round keeps the
+    nodes whose degree within the previous round's induced subgraph is
+    >= k; core_deg is the degree inside the final surviving subgraph
+    (0 for peeled nodes). Integer counts only, so the unroll is exact
+    round for round regardless of whether the peel has converged."""
+    ctes = [
+        f"pairs AS ({dedup_minhash_pairs(min_jaccard=min_jaccard)})",
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION ALL SELECT id_b AS u, id_a AS v FROM pairs)",
+        "nodes AS (SELECT doc_id AS n FROM documents)",
+        "s0 AS (SELECT n FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"d{r} AS (SELECT e.u AS n, count(*) AS deg FROM edges e "
+            f"JOIN {prev} a ON a.n = e.u JOIN {prev} b ON b.n = e.v "
+            f"GROUP BY 1)"
+        )
+        ctes.append(f"s{r} AS (SELECT n FROM d{r} WHERE deg >= {k})")
+    ctes.append(
+        f"dfin AS (SELECT e.u AS n, count(*) AS deg FROM edges e "
+        f"JOIN s{rounds} a ON a.n = e.u JOIN s{rounds} b ON b.n = e.v "
+        f"GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT nodes.n AS doc_id, s{rounds}.n IS NOT NULL AS in_core,"
+        f" CAST(coalesce(dfin.deg, 0) AS BIGINT) AS core_deg"
+        f" FROM nodes LEFT JOIN s{rounds} ON s{rounds}.n = nodes.n"
+        f" LEFT JOIN dfin ON dfin.n = nodes.n"
+    )
+
+
 def embedding_dim_stats() -> str:
     """Mirror of embstats.embedding_dim_stats: per-dimension moments via
     the explicit (Σv, Σv², n) formulation — NOT engine-native stddev,

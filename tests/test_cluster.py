@@ -329,3 +329,56 @@ def test_label_propagation_tie_breaks_to_least_label(spark):
     }
     assert out[5] == 1  # tie {1,2} -> least
     assert out[1] == 5 and out[2] == 5  # their only neighbor is 5
+
+
+def test_k_core_peels_path_keeps_triangle(spark):
+    # path 1-2-3-4 (every interior node ends at degree < 2 once the
+    # ends peel) + triangle 10-11-12 (each degree 2, survives k=2) +
+    # isolated 99. 8 rounds is past this graph's fixpoint (2 peels),
+    # so the output IS the true 2-core.
+    from model_audit_spark.operators.cluster import k_core
+
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], ["node"]
+    )
+    out = {
+        r.node: (r.in_core, r.core_deg)
+        for r in k_core(nodes, edges, k=2, rounds=8).collect()
+    }
+    assert len(out) == 8
+    for n in [1, 2, 3, 4, 99]:
+        assert out[n] == (False, 0)
+    for n in [10, 11, 12]:
+        assert out[n] == (True, 2)
+
+
+def test_k_core_fixpoint_within_round_budget(spark):
+    # the certified-iteration contract: extra rounds past the fixpoint
+    # change nothing, so the fixed 8-round budget equals the true core
+    # (two 4-cliques sharing one node; k=3 keeps both cliques whole).
+    from model_audit_spark.operators.cluster import k_core
+
+    c1 = [(a, b) for a in [1, 2, 3, 4] for b in [1, 2, 3, 4] if a < b]
+    c2 = [(a, b) for a in [4, 5, 6, 7] for b in [4, 5, 6, 7] if a < b]
+    und = c1 + c2
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["node"])
+    r8 = sorted(
+        (r.node, r.in_core, r.core_deg)
+        for r in k_core(nodes, edges, k=3, rounds=8).collect()
+    )
+    r2 = sorted(
+        (r.node, r.in_core, r.core_deg)
+        for r in k_core(nodes, edges, k=3, rounds=2).collect()
+    )
+    assert r8 == r2
+    assert all(in_core for _, in_core, _ in r8)
+    # the shared node 4 sees both cliques: degree 6 in the final core
+    deg = dict((n, d) for n, _, d in r8)
+    assert deg[4] == 6 and deg[1] == 3 and deg[7] == 3
