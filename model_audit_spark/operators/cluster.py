@@ -694,17 +694,31 @@ def k_core(
     (0 for peeled nodes) — the report column an operator sorts by to
     find the densest template cluster.
 
-    Scale shape: `edges` (caller-symmetrized) persists once; each round
-    is one edges⋈survivors semi-join per endpoint + one count
+    Scale shape: `edges` (caller-symmetrized) persists once; the peel
+    is SEEDED with the distinct edge endpoints, not the full node set —
+    a node with no edge has induced degree 0 < k and can never enter a
+    core, and a node absent from round-1's degree aggregate is dropped
+    by the same inner join either way, so the survivor sets are
+    IDENTICAL round for round while every loop relation is bounded by
+    the dup GRAPH (tiny at any corpus scale), never the corpus. Each
+    round is one edges⋈survivors semi-join per endpoint + one count
     aggregate, all hash-partitioned on node id; survivor relations are
     localCheckpoint'ed lazily (eager on the last round so `edges` can
     be released — the pagerank lifecycle). Rounds shrink the survivor
-    relation monotonically, so per-round cost falls as the peel bites."""
+    relation monotonically, so per-round cost falls as the peel bites.
+    The corpus-sized `nodes` relation appears only in the final report
+    join (its small side broadcast by AQE), never inside the loop."""
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
-    base = nodes.select(F.col(id_col).alias("_n")).localCheckpoint()
-    surv = base.localCheckpoint(eager=False)
+    base = nodes.select(F.col(id_col).alias("_n"))
+    surv = (
+        e.select("_u")
+        .unionByName(e.select(F.col("_v").alias("_u")))
+        .distinct()
+        .withColumnRenamed("_u", "_n")
+        .localCheckpoint(eager=False)
+    )
 
     def _induced_deg(s: DataFrame) -> DataFrame:
         return (
