@@ -458,6 +458,19 @@ def _kmeans_clusters(spark, sf):
     return kmeans_cluster_profile(emb, k=8, iterations=4)
 
 
+def _cluster_quality(spark, sf):
+    """Davies-Bouldin-style quality report over the certified integer
+    Lloyd clustering: per-cluster BIGINT scatter + worst-neighbor
+    DB component in ppk (similarity.kmeans_cluster_quality; twin
+    composes the same unrolled CTE chain as kmeans_clusters)."""
+    from model_audit_spark.operators.similarity import (
+        kmeans_cluster_quality,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_cluster_quality(emb, k=8, iterations=4)
+
+
 def _collocations(spark, sf):
     """Top-20 corpus collocations by integer-exact lift — the PMI
     association report without the ln(): c_xy*N*1e6 DIV (c_x*c_y)
@@ -1409,6 +1422,19 @@ def _bm25_search(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return bm25_search(docs, "spark join filter", k=20)
+
+
+def _hybrid_search(spark, sf):
+    """Lexical+semantic hybrid retrieval: BM25 top-50 and exact-cosine
+    top-50 fused by reciprocal-rank fusion (rrf_k=60). Twin composes
+    the certified bm25_search and similarity_topk CTEs."""
+    from model_audit_spark.operators.search import hybrid_rrf_search
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    return hybrid_rrf_search(
+        docs, emb, "spark join filter", query_vec_id=0, n_cand=50, k=20
+    )
 
 
 def _events_pivot(spark, sf):
@@ -3127,6 +3153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local mirror (scripts/check_oracle.py) every session."""
     return {
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
+        "hybrid_search": _hybrid_search,
+        "cluster_quality": _cluster_quality,
         "events_scd2": _events_scd2,
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
@@ -3200,10 +3228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dupgraph": _pagerank_dupgraph,
         "source_overlap": _source_overlap,
         "vocab_coverage": _vocab_coverage,
-        "weighted_sample_es": _weighted_sample_es,
-        "claimed_families": _claimed_families,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified fresh, still mirror-checked every session
+        "weighted_sample_es": _weighted_sample_es,
+        "claimed_families": _claimed_families,
         "probe_category_counts": _probe_category_counts,
         "probes_filtered": _probes_filtered,
         "audit_consistency_rate": _audit_consistency_rate,
@@ -3319,6 +3347,7 @@ _MATERIALIZED_TWINS = {
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
+    "cluster_quality",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
     "winnow_pairs", "dedup_communities", "winnow_span_report",
     "dedup_kcore",
@@ -3404,6 +3433,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             n_neg=2, n_buckets=16
         ),
         "bm25_search": ora.bm25_search("spark join filter", k=20),
+        "hybrid_search": ora.hybrid_search(
+            "spark join filter", query_vec_id=0, n_cand=50, k=20
+        ),
+        "cluster_quality": ora.cluster_quality(k=8, iterations=4),
         "embedding_contamination": ora.embedding_contamination(
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
         ),

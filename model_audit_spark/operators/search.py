@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from model_audit_spark.functions.text import ngrams, word_tokens
 
-__all__ = ["bm25_search", "tfidf_keywords", "phrase_search"]
+__all__ = [
+    "bm25_search",
+    "tfidf_keywords",
+    "phrase_search",
+    "hybrid_rrf_search",
+]
 
 K1 = 1.2
 B = 0.75
@@ -128,6 +133,97 @@ def bm25_search(
         scored.orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
         .withColumn("score", F.col("score").cast("double"))
+    )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: str,
+    query_vec_id: int = 0,
+    n_cand: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval by reciprocal-rank fusion:
+    (doc_id, bm25_rank, cos_rank, rrf_score) for the top-k documents of
+    RRF(d) = Σ_lists 1/(rrf_k + rank_list(d))   [Cormack et al., rrf_k=60]
+
+    over two candidate lists: BM25 top-`n_cand` for the text `query`
+    and exact-cosine top-`n_cand` for the embedding of `query_vec_id`
+    (emb's `vec_id` is the corpus doc_id). Missing from a list means no
+    contribution from it (the standard convention) — the rank columns
+    are NULL for the absent side.
+
+    Plan shape at scale: each leg is already a TakeOrdered top-n_cand
+    (never a global sort); fusion then operates on ≤ 2·n_cand rows —
+    the rank windows and the full-outer join are bounded by the
+    candidate budget, not the corpus. Swap the exact-cosine leg for any
+    of the ANN legs (ivf/pq/sq8) at 100 TB; the fusion contract is
+    unchanged.
+
+    Bit-stability (DETERMINISM.md rules 3-4): ranks are exact integers
+    from deterministic orderings (both legs tiebreak on id); each
+    contribution 1/(rrf_k+rank) is one IEEE division rounded 9dp and
+    cast DECIMAL(28,9); the sum, ordering, and top-k cut are exact
+    decimal; the emitted rrf_score is that decimal cast DOUBLE.
+    """
+    from pyspark.sql import Window
+
+    from model_audit_spark.operators.similarity import cosine_topk
+
+    bm = bm25_search(docs, query, k=n_cand, text_col=text_col,
+                     id_col=id_col)
+    cos = cosine_topk(emb, query_vec_id, k=n_cand, id_col=vec_id_col,
+                      vec_col=vec_col)
+
+    # rank windows over the ≤ n_cand candidate rows (bounded state —
+    # the unpartitioned window is a single task over the budget, not
+    # the corpus)
+    bw = Window.orderBy(F.desc("score"), F.asc(id_col))
+    bmr = bm.withColumn("bm25_rank", F.row_number().over(bw)).select(
+        id_col, "bm25_rank"
+    )
+    cr = (
+        cos.select(F.col(vec_id_col).alias(id_col), F.col("cosine_sim"))
+        .withColumn(
+            "cos_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine_sim"), F.asc(id_col))
+            ),
+        )
+        .select(id_col, "cos_rank")
+    )
+
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.round(1.0 / (F.lit(rrf_k) + F.col(rank)), 9)
+        .cast("decimal(28,9)"),
+        F.lit(0).cast("decimal(28,9)"),
+    )
+    fused = (
+        bmr.join(cr, id_col, "full")
+        .select(
+            F.col(id_col),
+            F.col("bm25_rank"),
+            F.col("cos_rank"),
+            (contrib("bm25_rank") + contrib("cos_rank"))
+            .cast("decimal(28,9)")
+            .alias("_rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("_rrf"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "bm25_rank",
+            "cos_rank",
+            F.col("_rrf").cast("double").alias("rrf_score"),
+        )
     )
 
 

@@ -1566,6 +1566,96 @@ def kmeans_cluster_profile(
     )
 
 
+def kmeans_cluster_quality(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Davies-Bouldin-style clustering quality, entirely in BIGINT
+    arithmetic: per final cluster
+      (cluster, n_vectors, scatter, db_ppk)
+    where scatter = (Σ members' squared distance to the integer
+    centroid) DIV n (the within-cluster spread) and
+    db_ppk = max over other clusters j of
+      (scatter_i + scatter_j) · 1000 DIV ‖c_i − c_j‖²
+    — the Davies-Bouldin component in parts-per-thousand (high = this
+    cluster bleeds into a neighbor; the number you read to pick k or
+    to spot a degenerate cluster before sharding a 100 TB corpus by
+    cluster id).
+
+    Integer-exactness bounds (micro-quantized, |x6| ≤ ~3e6 per dim):
+    per-member dist ≤ 64 · 9e12 ≈ 5.8e14; (s_i + s_j)·1000 ≤ ~1.2e18
+    < 2^63 — every product stays in BIGINT, so the whole report
+    hash-matches the unrolled SQL twin bit-for-bit. Pairs with
+    ‖c_i − c_j‖² = 0 (coincident centroids — degenerate k) are
+    excluded from the max; a cluster with no positive-distance peer
+    emits NULL db_ppk.
+
+    Plan shape at scale: centroids live in the (cluster, dim)-keyed
+    relation (k·dim rows) — the member pass is one join + one
+    aggregate over the posexploded assignment (the same shuffle the
+    centroid update already does); the pairwise-centroid stage is
+    k²·dim rows, driver-trivial at any corpus size."""
+    assign = lloyd_kmeans(vectors, k, iterations, vec_col, id_col)
+    q = quantize_micro(vectors, vec_col, id_col)
+    memb = assign.join(q, id_col).select(
+        "cluster", F.col(id_col), F.posexplode("x6").alias("dim", "val")
+    )
+    sums = memb.groupBy("cluster", "dim").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    cent = sums.select("cluster", "dim", F.expr("s DIV n").alias("c"))
+    d2 = (
+        memb.join(cent, ["cluster", "dim"])
+        .groupBy("cluster", id_col)
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+            ).alias("dist")
+        )
+    )
+    scat = d2.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.expr("sum(dist) DIV count(*)").cast("bigint").alias("scatter"),
+    )
+    pair = (
+        cent.alias("a")
+        .join(
+            cent.alias("b"),
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.cluster") != F.col("b.cluster")),
+        )
+        .groupBy(
+            F.col("a.cluster").alias("ci"), F.col("b.cluster").alias("cj")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.c") - F.col("b.c"))
+                * (F.col("a.c") - F.col("b.c"))
+            ).alias("m2")
+        )
+    )
+    si = scat.select(F.col("cluster").alias("ci"), F.col("scatter").alias("s_i"))
+    sj = scat.select(F.col("cluster").alias("cj"), F.col("scatter").alias("s_j"))
+    db = (
+        pair.filter(F.col("m2") > 0)
+        .join(si, "ci")
+        .join(sj, "cj")
+        .groupBy("ci")
+        .agg(
+            F.max(F.expr("(s_i + s_j) * 1000 DIV m2"))
+            .cast("bigint")
+            .alias("db_ppk")
+        )
+        .withColumnRenamed("ci", "cluster")
+    )
+    return scat.join(db, "cluster", "left").select(
+        "cluster", "n_vectors", "scatter", "db_ppk"
+    )
+
+
 def cluster_topics(
     assign: DataFrame,
     docs: DataFrame,

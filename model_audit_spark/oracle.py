@@ -3340,6 +3340,55 @@ FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
 """
 
 
+def hybrid_search(
+    query: str = "spark join filter",
+    query_vec_id: int = 0,
+    n_cand: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> str:
+    """Twin of search.hybrid_rrf_search: the certified bm25_search and
+    similarity_topk CTEs re-ranked by reciprocal-rank fusion. Each
+    1/(rrf_k+rank) contribution is one DOUBLE division (1.0 cast DOUBLE
+    explicitly — DuckDB's bare 1.0 literal is DECIMAL and would divide
+    under different semantics) rounded 9dp and cast DECIMAL(28,9); sum,
+    order, and top-k cut on the exact decimal; emitted score cast
+    DOUBLE (DETERMINISM.md rule 4). Ranks cast INTEGER to match
+    Spark's row_number type."""
+    bm = bm25_search(query=query, k=n_cand)
+    cos = similarity_topk(query_vec_id=query_vec_id, k=n_cand)
+    c = (
+        "coalesce(CAST(round(CAST(1.0 AS DOUBLE) / ({rrf_k} + {rank}), 9)"
+        " AS DECIMAL(28,9)), CAST(0 AS DECIMAL(28,9)))"
+    )
+    return f"""
+WITH bm AS ({bm}),
+cosr AS ({cos}),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INTEGER) AS bm25_rank
+  FROM bm
+),
+cr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC)
+              AS INTEGER) AS cos_rank
+  FROM cosr
+),
+fused AS (
+  SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id,
+         bm25_rank, cos_rank,
+         CAST({c.format(rrf_k=rrf_k, rank='bm25_rank')}
+              + {c.format(rrf_k=rrf_k, rank='cos_rank')}
+              AS DECIMAL(28,9)) AS rrf
+  FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS DOUBLE) AS rrf_score
+FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k})
+"""
+
+
 def events_pivot() -> str:
     """Twin of the explicit-values pivot: conditional aggregation."""
     cols = ", ".join(
@@ -5522,6 +5571,50 @@ cents AS (
 )
 SELECT m.cluster, m.n_vectors, m.id_sum, c.centroid_checksum
 FROM members m JOIN cents c ON m.cluster = c.cluster"""
+    return "WITH " + ",\n".join(parts) + ",\n" + final
+
+
+def cluster_quality(
+    k: int = 8, iterations: int = 4, salt: str = "km"
+) -> str:
+    """Twin of similarity.kmeans_cluster_quality over the shared Lloyd
+    CTE chain: per-cluster integer scatter (Σ dist² // n to the c{it}
+    centroid) and the Davies-Bouldin component
+    max_j (s_i + s_j)*1000 // ‖c_i − c_j‖² in ppk; zero-distance
+    centroid pairs excluded, peerless clusters NULL. Register in
+    _MATERIALIZED_TWINS (the chain re-references every round)."""
+    it = iterations
+    parts = _kmeans_ctes(k, iterations, salt)
+    final = f"""d2 AS (
+  SELECT a.cluster, a.vec_id,
+    list_sum(list_transform(range(1, len(q.x6) + 1),
+      j -> (q.x6[j] - c.c6[j]) * (q.x6[j] - c.c6[j]))) AS dist
+  FROM a{it} a JOIN q ON a.vec_id = q.vec_id
+  JOIN c{it} c ON a.cluster = c.cluster
+),
+scat AS (
+  SELECT cluster, count(*) AS n_vectors,
+         CAST(sum(dist) // count(*) AS BIGINT) AS scatter
+  FROM d2 GROUP BY cluster
+),
+m2 AS (
+  SELECT a.cluster AS ci, b.cluster AS cj,
+    list_sum(list_transform(range(1, len(a.c6) + 1),
+      j -> (a.c6[j] - b.c6[j]) * (a.c6[j] - b.c6[j]))) AS m2
+  FROM c{it} a JOIN c{it} b ON a.cluster <> b.cluster
+),
+db AS (
+  SELECT ci AS cluster,
+         CAST(max((si.scatter + sj.scatter) * 1000 // m2.m2)
+              AS BIGINT) AS db_ppk
+  FROM m2
+  JOIN scat si ON m2.ci = si.cluster
+  JOIN scat sj ON m2.cj = sj.cluster
+  WHERE m2.m2 > 0
+  GROUP BY ci
+)
+SELECT s.cluster, s.n_vectors, s.scatter, db.db_ppk
+FROM scat s LEFT JOIN db ON s.cluster = db.cluster"""
     return "WITH " + ",\n".join(parts) + ",\n" + final
 
 

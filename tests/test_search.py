@@ -165,3 +165,54 @@ def test_phrase_search_single_term_and_empty(spark):
     assert rows == {1: 2}
     with pytest.raises(ValueError):
         phrase_search(docs, "—…")
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """Hand-checkable RRF: doc present in BOTH lists beats a doc that
+    tops only one. doc 1 = best lexical match; doc 2 = decent lexical
+    AND exact embedding match (vec 2 == query vec 0's direction);
+    doc 3 = embedding-only. RRF(d2) = 1/61 + 1/(60+r) must exceed both
+    single-list scores when ranks are small."""
+    from model_audit_spark.operators.search import hybrid_rrf_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join join filter"),
+            (2, "spark filter"),
+            (3, "nothing relevant here"),
+            (4, "join"),
+        ],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),  # query vector
+            (1, [0.0, 1.0], 0),  # orthogonal -> last by cosine
+            (2, [2.0, 0.0], 0),  # same direction -> cos 1.0
+            (3, [1.0, 0.2], 0),
+            (4, [-1.0, 0.0], 0),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = hybrid_rrf_search(
+        docs, emb, "spark join filter", query_vec_id=0, n_cand=10, k=10,
+        vec_id_col="vec_id",
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 3: lexical miss -> NULL bm25_rank, has cos_rank
+    assert rows[3].bm25_rank is None and rows[3].cos_rank is not None
+    # doc 0 appears via the embedding leg only (no doc 0 text match)
+    assert rows[0].bm25_rank is None
+    # RRF order: both-list docs 1 and 2 beat embedding-only doc 4
+    order = [r.doc_id for r in out.collect()]
+    assert order.index(2) < order.index(4)
+    assert order.index(1) < order.index(4)
+    # exact contribution check for doc 2: bm25 rank 2, cosine:
+    # ties at cos 1.0 between vec 0 and vec 2 break on id -> rank 2
+    r2 = rows[2]
+    assert (r2.bm25_rank, r2.cos_rank) == (2, 2)
+    expected = round(1.0 / 62, 9) * 2
+    assert abs(r2.rrf_score - expected) < 1e-12
+    # deterministic ordering: rrf desc, doc_id asc
+    scores = [(-(r.rrf_score), r.doc_id) for r in out.collect()]
+    assert scores == sorted(scores)

@@ -166,3 +166,39 @@ def test_cluster_topics_lift_hand_computed(spark):
     assert (a.tf_class, a.tf_global, a.lift_ppm) == (5, 5, 2_000_000)
     c = next(r for r in got if r.cluster == 0 and r.term == "common")
     assert c.lift_ppm == 1_000_000  # 5*20*1e6 // (10*10)
+
+
+def test_kmeans_cluster_quality_two_blobs(spark):
+    """Quality report on two tight, well-separated blobs: scatter per
+    cluster is the hand-computed within-blob spread, db_ppk is the
+    same small number for both clusters (symmetric pair), and a
+    tighter-blob variant lowers its own scatter but both clusters'
+    DB components (shared numerator)."""
+    from model_audit_spark.operators.similarity import (
+        kmeans_cluster_quality,
+    )
+
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(6)]
+    rows += [(100 + i, [-1.0, -1.0, 0.0, 0.0]) for i in range(6)]
+    rows = [(i, [x + (i % 3) * 0.01 for x in v]) for i, v in rows]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.cluster: r for r in kmeans_cluster_quality(
+        df, k=2, iterations=3).collect()}
+    assert len(out) == 2
+    assert all(r.n_vectors == 6 for r in out.values())
+    # jitter spread: per blob, dims 0-3 each take values c, c+1e4,
+    # c+2e4 (micro units) twice; centroid per dim = mean = c + 1e4;
+    # dist² per member = 4 dims · (1e4)² · {1,0,1} -> members at
+    # offset 0 and 2e4 contribute 4e8, the middle ones 0.
+    # scatter = (4 members · 4e8) DIV 6 = 266666666
+    assert all(r.scatter == 266666666 for r in out.values())
+    # centroids differ by 2.01e6 micro in dims 0,1 -> m2 ≈ 8.08e12;
+    # db_ppk = (s_i+s_j)*1000 DIV m2 = 533333332000 DIV m2 -> 0 ppk
+    # at this separation (blobs are far apart relative to spread)
+    assert all(r.db_ppk == 0 for r in out.values())
+    # identical under repartition (pure integer arithmetic)
+    again = {r.cluster: r for r in kmeans_cluster_quality(
+        df.repartition(5), k=2, iterations=3).collect()}
+    assert {(c, r.n_vectors, r.scatter, r.db_ppk)
+            for c, r in out.items()} == {
+        (c, r.n_vectors, r.scatter, r.db_ppk) for c, r in again.items()}
