@@ -1702,6 +1702,21 @@ def _dedup_clusters(spark, sf):
     return cluster_documents(docs, verified, "doc_id")
 
 
+def _effective_corpus_size(spark, sf):
+    """Dedup-aware per-source size report: 1/cluster_size-weighted
+    token mass in exact ppm BIGINTs over the verified near-dup
+    clusters (cluster.effective_corpus_size)."""
+    from model_audit_spark.operators.cluster import (
+        cluster_documents,
+        effective_corpus_size,
+    )
+
+    docs = _t(spark, sf, "documents")
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    clusters = cluster_documents(docs, verified, "doc_id")
+    return effective_corpus_size(docs, clusters)
+
+
 def _cluster_retention(spark, sf):
     """Quality-aware dedup retention: keep the best-quality member of
     each near-dup cluster (cluster.cluster_retention_by_quality) —
@@ -3155,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1-50: the driver's check window (ledger-derived r5 rotation)
         "hybrid_search": _hybrid_search,
         "cluster_quality": _cluster_quality,
+        "effective_corpus_size": _effective_corpus_size,
         "events_scd2": _events_scd2,
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
@@ -3202,6 +3218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_no_orders": _q_customers_no_orders,
         "q_events_hourly": _q_events_hourly,
         "q_topk_customers": _q_topk_customers,
+        # -- 51+: outside the window; driver-green rows retained and
+        # ledger-verified (stale overflow rotates in r6), still
+        # mirror-checked every session
         "style_count_distribution": _style_count_distribution,
         "style_scores_long": _style_scores_long,
         "media_decode": _media_decode,
@@ -3228,8 +3247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dupgraph": _pagerank_dupgraph,
         "source_overlap": _source_overlap,
         "vocab_coverage": _vocab_coverage,
-        # -- 51+: outside the window; driver-green rows retained and
-        # ledger-verified fresh, still mirror-checked every session
         "weighted_sample_es": _weighted_sample_es,
         "claimed_families": _claimed_families,
         "probe_category_counts": _probe_category_counts,
@@ -3347,7 +3364,7 @@ _MATERIALIZED_TWINS = {
     "dup_graph_stats", "knn_triangles", "dedup_incremental",
     "dedup_containment", "dedup_jaccard_prefix", "dedup_ngram_jaccard",
     "paragraph_near_dups", "kmeans_clusters", "dedup_decisions",
-    "cluster_quality",
+    "cluster_quality", "effective_corpus_size",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
     "winnow_pairs", "dedup_communities", "winnow_span_report",
     "dedup_kcore",
@@ -3437,6 +3454,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "spark join filter", query_vec_id=0, n_cand=50, k=20
         ),
         "cluster_quality": ora.cluster_quality(k=8, iterations=4),
+        "effective_corpus_size": ora.effective_corpus_size(),
         "embedding_contamination": ora.embedding_contamination(
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
         ),

@@ -134,6 +134,57 @@ def cluster_documents(
     )
 
 
+def effective_corpus_size(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Dedup-aware corpus size per source — what deduplication buys:
+    (source, n_docs, dup_docs, raw_tokens, effective_tokens_ppm).
+
+    Each document's effective weight is 1/cluster_size (a doc sitting
+    in a near-dup cluster of 4 contributes a quarter of its tokens —
+    the standard "effective dataset size" accounting for repeated
+    text). Summed integer-exactly as token_count·1e6 DIV cluster_size
+    (ppm-tokens, BIGINT): raw_tokens·1e6 vs effective_tokens_ppm read
+    directly as the duplication discount per source. `clusters` is any
+    (id, cluster_size) relation — cluster_documents output, or a
+    persisted assignment at 100 TB.
+
+    Plan shape: one tokenize projection joined to the (id,
+    cluster_size) relation, one source-keyed aggregate — no new
+    corpus-sized shuffle beyond the join on the already-computed
+    assignment. Per-doc token counts < 1e5 keep the ppm products
+    < 1e11; the per-source BIGINT sum holds to ~1e8 docs/source —
+    beyond that, widen the sum to DECIMAL(38,0) at the aggregate."""
+    from model_audit_spark.functions.text import word_tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(
+            word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("_tok"),
+    )
+    j = toks.join(
+        clusters.select(F.col(id_col), "cluster_size"), id_col
+    )
+    return j.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("cluster_size") > 1).cast("int"))
+        .cast("bigint")
+        .alias("dup_docs"),
+        F.sum("_tok").cast("bigint").alias("raw_tokens"),
+        F.sum(
+            F.expr("CAST(_tok AS BIGINT) * 1000000 DIV cluster_size")
+        )
+        .cast("bigint")
+        .alias("effective_tokens_ppm"),
+    )
+
+
 def incremental_cluster_documents(
     docs: DataFrame,
     assignment: DataFrame,

@@ -1921,6 +1921,58 @@ FROM assigned
 """
 
 
+def effective_corpus_size(min_jaccard: float = 0.5) -> str:
+    """Twin of cluster.effective_corpus_size over the minhash near-dup
+    clusters: per-source doc/dup counts, raw token sum, and the
+    1/cluster_size-weighted token mass in exact ppm BIGINTs
+    (token_count*1e6 // cluster_size). Register in
+    _MATERIALIZED_TWINS."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b FROM ({dedup_minhash_pairs(min_jaccard)})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (
+  SELECT node, min(m) AS mn FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(coalesce(least(c.mn, d.doc_id), d.doc_id) AS BIGINT)
+           AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sized AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM assigned
+),
+toks AS (
+  SELECT doc_id, source,
+         len({_tokens("coalesce(text, '')")}) AS tok
+  FROM documents
+)
+SELECT t.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_docs,
+       CAST(sum(t.tok) AS BIGINT) AS raw_tokens,
+       CAST(sum(CAST(t.tok AS BIGINT) * 1000000 // s.cluster_size)
+            AS BIGINT) AS effective_tokens_ppm
+FROM toks t JOIN sized s ON t.doc_id = s.doc_id
+GROUP BY t.source
+"""
+
+
 def cluster_retention(min_jaccard: float = 0.5) -> str:
     """Twin of cluster.cluster_retention_by_quality over the minhash
     near-dup clusters: keep = row_number over (quality desc, id asc)

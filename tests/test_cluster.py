@@ -382,3 +382,33 @@ def test_k_core_fixpoint_within_round_budget(spark):
     # the shared node 4 sees both cliques: degree 6 in the final core
     deg = dict((n, d) for n, _, d in r8)
     assert deg[4] == 6 and deg[1] == 3 and deg[7] == 3
+
+
+def test_effective_corpus_size_hand_computed(spark):
+    """Three docs in one source: docs 1,2 are a dup pair (cluster size
+    2), doc 3 a singleton. Weighted mass = tok·1e6 DIV size summed
+    exactly; a second source with one doc is untouched."""
+    from model_audit_spark.operators.cluster import (
+        cluster_documents,
+        effective_corpus_size,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),     # 4 tokens, dup
+            (2, "a b c e", "web"),     # 4 tokens, dup
+            (3, "x y z", "web"),       # 3 tokens, singleton
+            (4, "p q", "books"),       # 2 tokens, singleton
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    clusters = cluster_documents(docs, pairs, "doc_id")
+    out = {r.source: r for r in
+           effective_corpus_size(docs, clusters).collect()}
+    web, books = out["web"], out["books"]
+    assert (web.n_docs, web.dup_docs, web.raw_tokens) == (3, 2, 11)
+    # 4·1e6/2 + 4·1e6/2 + 3·1e6/1 = 7_000_000 ppm-tokens (7 effective)
+    assert web.effective_tokens_ppm == 7_000_000
+    assert (books.n_docs, books.dup_docs, books.raw_tokens) == (1, 0, 2)
+    assert books.effective_tokens_ppm == 2_000_000
