@@ -2046,6 +2046,19 @@ def _ann_lsh_multiprobe(spark, sf):
     )
 
 
+def _ivf_append(spark, sf):
+    """Incremental IVF maintenance: even-id vectors are the existing
+    index (they train the frozen quantizer), odd-id vectors the
+    appended batch — per-cell growth + balance report
+    (similarity.ivf_append_report)."""
+    from model_audit_spark.operators.similarity import ivf_append_report
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    return ivf_append_report(base, new, n_clusters=8)
+
+
 def _ann_ivf_topk(spark, sf):
     """IVF ANN with the build step explicit and separable: seeded-sample
     quantizer (deterministic, SQL-reproducible -> oracle-checked) builds
@@ -3171,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _hybrid_search,
         "cluster_quality": _cluster_quality,
         "effective_corpus_size": _effective_corpus_size,
+        "ivf_append": _ivf_append,
         "events_scd2": _events_scd2,
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
@@ -3217,10 +3231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "q_customers_no_orders": _q_customers_no_orders,
         "q_events_hourly": _q_events_hourly,
-        "q_topk_customers": _q_topk_customers,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
         # mirror-checked every session
+        "q_topk_customers": _q_topk_customers,
         "style_count_distribution": _style_count_distribution,
         "style_scores_long": _style_scores_long,
         "media_decode": _media_decode,
@@ -3455,6 +3469,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "cluster_quality": ora.cluster_quality(k=8, iterations=4),
         "effective_corpus_size": ora.effective_corpus_size(),
+        "ivf_append": ora.ivf_append_report(n_clusters=8),
         "embedding_contamination": ora.embedding_contamination(
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
         ),

@@ -370,6 +370,66 @@ def ivf_probe(
     )
 
 
+def ivf_append_report(
+    base: DataFrame,
+    new: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign a NEW embedding batch
+    to the EXISTING index's centroids (trained on `base` only — the
+    quantizer is never retrained on append, exactly how a production
+    IVF index ingests) and report per-cell growth and balance:
+      (cluster, old_size, added, new_size, share_ppm)
+    share_ppm = new_size·1e6 DIV total (BIGINT) — the cell-balance
+    number an operator watches to decide when drift has skewed the
+    cells enough to retrain the quantizer (the 100 TB failure mode of
+    frozen coarse quantizers: one hot cell absorbs the new
+    distribution and probe latency collapses onto it).
+
+    Plan shape: both assignments are zero-shuffle argmax projections
+    (centroids are driver-side literals); the report aggregates to
+    ≤ n_clusters rows before the full-outer join — everything after
+    the two scans is k-row work. The appended batch lands in the same
+    `cluster=<cid>/` layout via ivf_index_write(mode='append')."""
+    cents = ivf_centroids_seeded(base, n_clusters, id_col, vec_col)
+    old_c = (
+        ivf_assign(base, cents, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("old_size"))
+    )
+    new_c = (
+        ivf_assign(new, cents, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("added"))
+    )
+    merged = (
+        old_c.join(new_c, "cluster", "full")
+        .select(
+            "cluster",
+            F.coalesce("old_size", F.lit(0)).alias("old_size"),
+            F.coalesce("added", F.lit(0)).alias("added"),
+        )
+        .withColumn("new_size", F.col("old_size") + F.col("added"))
+    )
+    w = Window.partitionBy()
+    return merged.select(
+        "cluster",
+        "old_size",
+        "added",
+        "new_size",
+        F.expr("new_size * 1000000").cast("bigint").alias("_num"),
+        F.sum("new_size").over(w).cast("bigint").alias("_tot"),
+    ).select(
+        "cluster",
+        "old_size",
+        "added",
+        "new_size",
+        F.expr("_num DIV _tot").cast("bigint").alias("share_ppm"),
+    )
+
+
 def ivf_index_write(
     assigned: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:

@@ -4753,6 +4753,60 @@ ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT {k}
 """
 
 
+def ivf_append_report(n_clusters: int = 8) -> str:
+    """Twin of similarity.ivf_append_report with the driver split
+    (base = even vec_id, new = odd): centroids are the n_clusters
+    lowest-EVEN-id vectors; both batches assigned by the same
+    norm-dropped cosine argmax as ann_ivf_topk (ties to lowest cid);
+    per-cell counts full-outer-merged, share in exact ppm."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+base AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+newb AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_clusters})
+),
+a_old AS (
+  SELECT cid AS cluster, count(*) AS old_size FROM (
+    SELECT vec_id, cid FROM (
+      SELECT b.vec_id, c.cid,
+        row_number() OVER (PARTITION BY b.vec_id ORDER BY
+          list_sum(list_transform(range(1, len(b.v) + 1),
+                   j -> b.v[j] * c.cv[j])) / c.cn DESC, c.cid ASC) AS rn
+      FROM base b CROSS JOIN cents c) WHERE rn = 1)
+  GROUP BY cid
+),
+a_new AS (
+  SELECT cid AS cluster, count(*) AS added FROM (
+    SELECT vec_id, cid FROM (
+      SELECT b.vec_id, c.cid,
+        row_number() OVER (PARTITION BY b.vec_id ORDER BY
+          list_sum(list_transform(range(1, len(b.v) + 1),
+                   j -> b.v[j] * c.cv[j])) / c.cn DESC, c.cid ASC) AS rn
+      FROM newb b CROSS JOIN cents c) WHERE rn = 1)
+  GROUP BY cid
+),
+merged AS (
+  SELECT CAST(coalesce(a_old.cluster, a_new.cluster) AS INTEGER)
+           AS cluster,
+         CAST(coalesce(old_size, 0) AS BIGINT) AS old_size,
+         CAST(coalesce(added, 0) AS BIGINT) AS added
+  FROM a_old FULL OUTER JOIN a_new ON a_old.cluster = a_new.cluster
+)
+SELECT cluster, old_size, added,
+       CAST(old_size + added AS BIGINT) AS new_size,
+       CAST((old_size + added) * 1000000
+            // (SELECT sum(old_size + added) FROM merged)
+            AS BIGINT) AS share_ppm
+FROM merged
+"""
+
+
 def ivf_sq8_topk(
     query_vec_id: int = 0, k: int = 10, n_clusters: int = 8,
     nprobe: int = 3, dim: int = 64,

@@ -533,3 +533,28 @@ def test_ivf_sq8_batched_probe_matches_single(spark, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == single, qid
+
+
+def test_ivf_append_report_counts_and_share(spark):
+    """Two obvious cells (±x axis): base trains the quantizer, the
+    appended batch lands in the right cells without retraining;
+    counts and ppm shares are hand-computed."""
+    from model_audit_spark.operators.similarity import ivf_append_report
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.9, 0.1]),
+         (3, [-0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(10, [0.8, 0.0]), (11, [0.7, 0.1]), (12, [-0.8, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.cluster: r for r in
+           ivf_append_report(base, new, n_clusters=2).collect()}
+    # centroids = vectors 0 (+x) and 1 (−x): cell 0 holds {0,2}+{10,11},
+    # cell 1 holds {1,3}+{12}
+    assert (out[0].old_size, out[0].added, out[0].new_size) == (2, 2, 4)
+    assert (out[1].old_size, out[1].added, out[1].new_size) == (2, 1, 3)
+    assert out[0].share_ppm == 4 * 1000000 // 7
+    assert out[1].share_ppm == 3 * 1000000 // 7
