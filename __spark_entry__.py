@@ -387,6 +387,14 @@ def _embedding_coverage(spark, sf):
     )
 
 
+def _events_gapfill(spark, sf):
+    """Dense hourly grid per event type with LOCF fill
+    (rollup.gapfill_locf — the time_bucket_gapfill + locf pair)."""
+    from model_audit_spark.operators.rollup import gapfill_locf
+
+    return gapfill_locf(_t(spark, sf, "events"), grain_sec=3600)
+
+
 def _lateness_profile(spark, sf):
     """Watermark-sizing audit: per event type the exact p50/p95/max
     out-of-orderness when the log replays in arrival order — what
@@ -3185,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality": _cluster_quality,
         "effective_corpus_size": _effective_corpus_size,
         "ivf_append": _ivf_append,
+        "events_gapfill": _events_gapfill,
         "events_scd2": _events_scd2,
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
@@ -3230,10 +3239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _lang_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "q_customers_no_orders": _q_customers_no_orders,
-        "q_events_hourly": _q_events_hourly,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
         # mirror-checked every session
+        "q_events_hourly": _q_events_hourly,
         "q_topk_customers": _q_topk_customers,
         "style_count_distribution": _style_count_distribution,
         "style_scores_long": _style_scores_long,
@@ -3470,6 +3479,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "cluster_quality": ora.cluster_quality(k=8, iterations=4),
         "effective_corpus_size": ora.effective_corpus_size(),
         "ivf_append": ora.ivf_append_report(n_clusters=8),
+        "events_gapfill": ora.events_gapfill(grain_sec=3600),
         "embedding_contamination": ora.embedding_contamination(
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
         ),

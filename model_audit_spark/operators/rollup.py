@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_cascade", "LEVELS"]
+__all__ = ["rollup_cascade", "LEVELS", "gapfill_locf"]
 
 # coarse ordering of supported date_trunc levels
 LEVELS = ["minute", "hour", "day"]
@@ -145,6 +145,58 @@ def decayed_counts(
             (F.sum(F.col("_n") * w9) / F.lit(1e9)).alias("decayed_count"),
         )
         .orderBy(*key_cols)
+    )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    grain_sec: int = 3600,
+) -> DataFrame:
+    """Dense time-grid gap-fill with last-observation-carried-forward —
+    the time_bucket_gapfill + locf() pair of the hypertable world:
+      (key, bucket, n_obs, filled, is_gap)
+    per key, every `grain_sec` bucket from its first to its last
+    observation; `n_obs` is NULL on buckets with no events, `filled`
+    carries the last observed count forward (LOCF), `is_gap` flags the
+    filled rows. The report a monitoring query reads to distinguish
+    "source went quiet" from "source was never sampled".
+
+    Plan shape at scale: the observed aggregate is the only
+    corpus-sized pass; the grid is sequence(min,max) exploded from the
+    k-row span relation — output is time-span-bound (keys × buckets),
+    not data-bound, so a year of minutes is ~0.5M rows per key
+    regardless of corpus size. LOCF is one per-key ordered window over
+    the grid. Integer epoch arithmetic end to end (bucket =
+    unix_seconds DIV grain — the fractional-second floor cannot move
+    an integer-second boundary, mirrored with epoch() in the twin)."""
+    sec = F.unix_timestamp(F.col(ts_col))
+    obs = (
+        events.select(
+            F.col(key_col),
+            F.floor(sec / grain_sec).cast("bigint").alias("bucket"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        F.col(key_col), F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = grid.join(obs, [key_col, "bucket"], "left")
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    return j.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.col("n_obs"),
+        F.last("n_obs", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("filled"),
+        F.col("n_obs").isNull().alias("is_gap"),
     )
 
 

@@ -5819,6 +5819,41 @@ FROM top
 """
 
 
+def events_gapfill(grain_sec: int = 3600) -> str:
+    """Twin of rollup.gapfill_locf: integer epoch buckets
+    (floor(epoch/grain) == unix_seconds DIV grain — the fractional
+    second cannot cross an integer-second boundary), per-key dense
+    range() grid, LOCF via last_value IGNORE NULLS over bucket
+    order."""
+    return f"""
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {grain_sec}) AS BIGINT) AS bucket,
+         count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+  FROM obs GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket FROM spans
+),
+j AS (
+  SELECT g.event_type, g.bucket, o.n_obs
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.bucket = o.bucket
+)
+SELECT event_type, bucket, n_obs,
+  CAST(last_value(n_obs IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS filled,
+  n_obs IS NULL AS is_gap
+FROM j
+"""
+
+
 def lateness_profile() -> str:
     """Twin of rollup.lateness_profile: running event-time max in
     arrival order per key, floored epoch seconds (unix_timestamp

@@ -173,3 +173,32 @@ def test_lateness_profile_hand_computed(spark):
     # lateness values: [0, 0, 240, 0] -> p50 = 0, p95 = 204.0
     assert r.p50_late_s == 0.0
     assert abs(r.p95_late_s - 204.0) < 1e-9
+
+
+def test_gapfill_locf_dense_grid_and_fill(spark):
+    """Key A observes buckets 0,1,3 (gap at 2); key B only bucket 5.
+    Grid is per-key min..max; the gap row carries bucket 1's count
+    forward and is flagged."""
+    from model_audit_spark.operators.rollup import gapfill_locf
+
+    rows = [
+        # (ts seconds, key): grain 60 -> bucket = sec DIV 60
+        (0, "A"), (30, "A"),          # bucket 0: 2 events
+        (70, "A"),                    # bucket 1: 1 event
+        (190, "A"), (200, "A"),       # bucket 3: 2 events
+        (330, "B"),                   # bucket 5: 1 event
+    ]
+    df = spark.createDataFrame(
+        [(i, s, k) for i, (s, k) in enumerate(rows)],
+        "event_id long, sec long, event_type string",
+    ).selectExpr(
+        "event_id", "timestamp_seconds(sec) AS ts", "event_type"
+    )
+    out = {(r.event_type, r.bucket): r for r in
+           gapfill_locf(df, grain_sec=60).collect()}
+    assert set(out) == {("A", 0), ("A", 1), ("A", 2), ("A", 3), ("B", 5)}
+    a2 = out[("A", 2)]
+    assert a2.n_obs is None and a2.filled == 1 and a2.is_gap
+    assert out[("A", 0)].n_obs == 2 and not out[("A", 0)].is_gap
+    assert out[("A", 3)].filled == 2
+    assert out[("B", 5)].n_obs == 1 and out[("B", 5)].filled == 1
