@@ -3169,6 +3169,270 @@ def _q_salted_revenue(spark, sf):
     )
 
 
+def _q2_min_acctbal_supplier(spark, sf):
+    """TPC-H Q2 shape — correlated-min subquery over a part×supplier
+    candidate relation (reference has no relational layer; shape kept
+    for engine completeness; slim schema has no partsupp, so the
+    candidate set is the DISTINCT (partkey, suppkey) pairs observed in
+    lineitem and the minimized cost is s_acctbal): for every LARGE
+    size-15 part, the EUROPE supplier(s) with the minimum account
+    balance among its shippers. Decorrelated Spark-first: per-part min
+    as an aggregate, equi-rejoin on (partkey, acctbal) — the acctbals
+    compared are STORED doubles passing through both engines untouched,
+    so the equality is exact. Dims broadcast; the only shuffle is the
+    distinct + per-part min on partkey."""
+    pairs = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(
+            (F.col("p_size") % 10 == 5) & (F.col("p_type") == "LARGE")
+        )
+        .select("p_partkey", "p_name")
+    )
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = (
+        _t(spark, sf, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    cand = (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                "n_name", "s_acctbal")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("s_acctbal").alias("_mn")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (cand.p_partkey == mn._pk) & (cand.s_acctbal == mn._mn),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def _q9_product_profit(spark, sf):
+    """TPC-H Q9 shape — profit per (supplier nation, order year) over a
+    5-relation join tree (slim schema: no partsupp, so the cost leg is
+    the proxy 0.5 * p_retailprice * l_quantity). Both terms are cast to
+    DECIMAL(18,4) from bit-identical double products, summed exactly,
+    and emitted as CAST(sum AS DOUBLE) — safe for NEGATIVE profits
+    where the +50 DIV HALF_UP emit would diverge (Spark DIV truncates
+    toward zero, DuckDB // floors). Part filter prunes lineitem before
+    the orders join; nation broadcast."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)") - (
+        F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.5)
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def _q11_important_parts(spark, sf):
+    """TPC-H Q11 shape — per-group value vs a global-total scalar
+    subquery (slim schema: value of a part is the exact decimal revenue
+    its NATION_7 shippers produced, standing in for supplycost ×
+    availqty): keep parts whose value exceeds 1/1000 of the total. The
+    threshold compare runs in the exact decimal domain (value * 1000 >
+    total — no float fraction), so membership is tie-proof; the emitted
+    value is CAST(dec AS DOUBLE). One shuffle (partkey agg); the total
+    is a broadcast scalar."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .alias("_v")
+        )
+    )
+    total = val.agg(F.sum("_v").alias("_tot"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") * 1000 > F.col("_tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_v").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+def _q16_supplier_count(spark, sf):
+    """TPC-H Q16 shape — supplier count per part attribute triple with
+    a NOT-IN supplier exclusion (slim schema: the supplier↔part
+    relation is DISTINCT (l_partkey, l_suppkey) from lineitem; the
+    'complaints' exclusion is the deterministic s_suppkey % 10 == 7
+    band). Pure integer/string relation — exact by construction. The
+    distinct prunes before the part join; part and the exclusion list
+    broadcast."""
+    pairs = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.filter(F.col("l_suppkey") % 10 != 7)
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def _q20_dominant_supplier(spark, sf):
+    """TPC-H Q20 shape — semi-join against a correlated aggregate
+    threshold (slim schema: no availqty, so a supplier 'qualifies' on a
+    part if its 1996 shipped quantity of that 'small%' part exceeds
+    half of ALL suppliers' 1996 quantity of it — the same
+    per-(part,supplier)-sum vs scaled-per-part-sum comparison). Both
+    sums are exact DECIMAL(18,2) (quantities are integral); the compare
+    qty*2 > total is in the decimal domain. Suppliers restricted to
+    AMERICA. Shuffles: one (part,supp) agg; the per-part total derives
+    from it map-side."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .alias("_qty")
+        )
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qty").alias("_tot")
+    )
+    qual = (
+        ps.join(tot, ps.l_partkey == tot._pk)
+        .filter(F.col("_qty") * 2 > F.col("_tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        _t(spark, sf, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _doc_entropy(spark, sf):
+    """Per-document character Shannon entropy in integer-nanonat
+    arithmetic (operators/lm.char_entropy_scores) — the low-entropy
+    junk-detector quality signal; exact across engines by the
+    char_lm_scores bit-stability argument."""
+    from model_audit_spark.operators.lm import char_entropy_scores
+
+    docs = _t(spark, sf, "documents")
+    return char_entropy_scores(docs, "text", "doc_id")
+
+
+def _heaps_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth curve at 10 doc-id checkpoints
+    (text_analysis.heaps_vocab_growth) — pure integer relation."""
+    from model_audit_spark.operators.text_analysis import heaps_vocab_growth
+
+    docs = _t(spark, sf, "documents")
+    return heaps_vocab_growth(docs, n_checkpoints=10)
+
+
+def _zipf_slope(spark, sf):
+    """Rank-frequency log-log OLS slope over the top-100 tokens
+    (text_analysis.zipf_slope) — nanonat-quantized logs, DECIMAL(38,0)
+    OLS sums, one exact-int division at the end."""
+    from model_audit_spark.operators.text_analysis import zipf_slope
+
+    docs = _t(spark, sf, "documents")
+    return zipf_slope(docs, max_rank=100)
+
+
+def _column_profile_lineitem(spark, sf):
+    """Deequ-style per-column profile of lineitem (stats.column_profile):
+    nulls, distincts, typed extremes — one column-pruned pass per column,
+    deliberately NOT a single multi-countDistinct EXPAND plan."""
+    from model_audit_spark.operators.stats import column_profile
+
+    li = _t(spark, sf, "lineitem")
+    return column_profile(li)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3227,9 +3491,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_sweep": _quality_threshold_sweep,
         "events_ks_drift": _events_ks_drift,
         "events_hourly_anomalies": _events_hourly_anomalies,
+        "q2_min_acctbal_supplier": _q2_min_acctbal_supplier,
+        "q9_product_profit": _q9_product_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q16_supplier_count": _q16_supplier_count,
+        "q20_dominant_supplier": _q20_dominant_supplier,
+        "doc_entropy": _doc_entropy,
+        "heaps_vocab_growth": _heaps_vocab_growth,
+        "zipf_slope": _zipf_slope,
+        "column_profile_lineitem": _column_profile_lineitem,
         "ann_lsh_topk": _ann_lsh_topk,
         "cache_keys": _cache_keys,
         "corpus_stats": _corpus_stats,
+        # -- 51+: outside the window; driver-green rows retained and
+        # ledger-verified (stale overflow rotates in r6), still
+        # mirror-checked every session
         "dedup_simhash": _dedup_simhash,
         "detect_distribution": _detect_distribution,
         "dli_bigrams_by_source": _dli_bigrams,
@@ -3239,9 +3515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _lang_distribution,
         "llmmap_fingerprints_by_source": _llmmap_fingerprints,
         "q_customers_no_orders": _q_customers_no_orders,
-        # -- 51+: outside the window; driver-green rows retained and
-        # ledger-verified (stale overflow rotates in r6), still
-        # mirror-checked every session
         "q_events_hourly": _q_events_hourly,
         "q_topk_customers": _q_topk_customers,
         "style_count_distribution": _style_count_distribution,
@@ -3588,6 +3861,15 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q15_top_supplier": ora.q15_top_supplier(),
         "q18_large_volume": ora.q18_large_volume(),
         "q21_waiting_supplier": ora.q21_waiting_supplier(),
+        "q2_min_acctbal_supplier": ora.q2_min_acctbal_supplier(),
+        "q9_product_profit": ora.q9_product_profit(),
+        "q11_important_parts": ora.q11_important_parts(),
+        "q16_supplier_count": ora.q16_supplier_count(),
+        "q20_dominant_supplier": ora.q20_dominant_supplier(),
+        "doc_entropy": ora.doc_entropy(),
+        "heaps_vocab_growth": ora.heaps_vocab_growth(n_checkpoints=10),
+        "zipf_slope": ora.zipf_slope(max_rank=100),
+        "column_profile_lineitem": ora.column_profile_lineitem(),
         "dedup_containment": ora.dedup_containment(min_containment=0.6),
         "quota_sample": ora.quota_sample(),
         "vocab_coverage": ora.vocab_coverage(vocab_size=500),

@@ -6131,6 +6131,268 @@ FROM pr GROUP BY 1, 2 HAVING count(DISTINCT h) >= {min_shared}
 """
 
 
+def q2_min_acctbal_supplier() -> str:
+    """Twin of the Q2 correlated-min shape (slim schema: lineitem
+    distinct pairs as the part↔supplier relation, s_acctbal as the
+    minimized cost). Stored doubles compare exactly."""
+    return """
+WITH cand AS (
+  SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+                  n.n_name, s.s_acctbal
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) lp
+  JOIN part p ON p.p_partkey = lp.l_partkey
+  JOIN supplier s ON s.s_suppkey = lp.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size % 10 = 5 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand c
+WHERE c.s_acctbal = (
+  SELECT min(c2.s_acctbal) FROM cand c2
+  WHERE c2.p_partkey = c.p_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_profit() -> str:
+    """Twin of the Q9 profit shape (cost proxy = 0.5 * retailprice *
+    quantity; exact decimal sums emitted as doubles — safe for
+    negative profits where the DIV/+50 HALF_UP emit would diverge)."""
+    return """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+         - CAST(l.l_quantity * p.p_retailprice * 0.5 AS DECIMAL(18,4))
+       ) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts() -> str:
+    """Twin of the Q11 value-vs-global-total shape; the threshold
+    compare stays in the exact decimal domain (value * 1000 > total)."""
+    return """
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE v * 1000 > (SELECT sum(v) FROM val)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q16_supplier_count() -> str:
+    """Twin of the Q16 supplier-count shape (deterministic suppkey %
+    10 == 7 exclusion band standing in for the complaints NOT IN)."""
+    return """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT lp.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) lp
+JOIN part p ON p.p_partkey = lp.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND lp.l_suppkey % 10 <> 7
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_supplier() -> str:
+    """Twin of the Q20 correlated-aggregate-threshold shape: a
+    supplier qualifies when its 1996 quantity of a 'small%' part
+    exceeds half the part's total (exact decimal compare)."""
+    return """
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, sum(qty) AS total_qty FROM ps GROUP BY 1
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM ps
+JOIN tot t ON t.l_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE ps.qty * 2 > t.total_qty AND r.r_name = 'AMERICA'
+ORDER BY s.s_suppkey
+"""
+
+
+def doc_entropy() -> str:
+    """Twin of lm.char_entropy_scores — per-doc character Shannon
+    entropy in integer nanonats (bit-stability per char_lm_scores)."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) >= 1
+         THEN list_transform(range(1, length(t) + 1), i -> substr(t, i, 1))
+         ELSE []::VARCHAR[] END) AS ch
+  FROM base
+),
+pc AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_chars,
+         CAST(sum(cnt * CAST(round(ln(cnt) * 1000000000.0) AS BIGINT))
+              AS BIGINT) AS s9
+  FROM pc GROUP BY 1
+)
+SELECT b.doc_id,
+  coalesce(sc.n_chars, 0) AS n_chars,
+  CASE WHEN coalesce(sc.n_chars, 0) > 0 THEN
+    CAST(CAST(round(ln(sc.n_chars) * 1000000000.0) AS BIGINT)
+         - ((sc.s9 + sc.n_chars // 2) // sc.n_chars)
+         AS DOUBLE) / 1000000000.0
+  END AS char_entropy
+FROM (SELECT DISTINCT doc_id FROM base) b
+LEFT JOIN sc ON sc.doc_id = b.doc_id
+"""
+
+
+def heaps_vocab_growth(n_checkpoints: int = 10) -> str:
+    """Twin of text_analysis.heaps_vocab_growth — pure integer
+    vocabulary-growth relation at doc-id checkpoints."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS _id, {_tokens("coalesce(text, '')")} AS tokens
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, min(_id) AS first_id
+  FROM (SELECT _id, unnest(tokens) AS tok FROM toks)
+  GROUP BY 1
+),
+doc_tokens AS (
+  SELECT _id, CAST(len(tokens) AS BIGINT) AS n_toks FROM toks
+),
+cps AS (
+  SELECT CAST(k AS INTEGER) AS checkpoint,
+         CAST(mx * k // {int(n_checkpoints)} AS BIGINT) AS id_cutoff
+  FROM range(1, {int(n_checkpoints)} + 1) t(k),
+       (SELECT max(doc_id) AS mx FROM documents)
+),
+docs_at AS (
+  SELECT c.checkpoint, c.id_cutoff,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_toks) AS BIGINT) AS n_tokens
+  FROM doc_tokens d JOIN cps c ON d._id <= c.id_cutoff
+  GROUP BY 1, 2
+),
+vocab_at AS (
+  SELECT c.checkpoint, CAST(count(*) AS BIGINT) AS vocab_size
+  FROM first_seen f JOIN cps c ON f.first_id <= c.id_cutoff
+  GROUP BY 1
+)
+SELECT d.checkpoint, d.id_cutoff, d.n_docs, d.n_tokens,
+       coalesce(v.vocab_size, 0) AS vocab_size
+FROM docs_at d LEFT JOIN vocab_at v ON v.checkpoint = d.checkpoint
+ORDER BY d.checkpoint
+"""
+
+
+def zipf_slope(max_rank: int = 100) -> str:
+    """Twin of text_analysis.zipf_slope — nanonat-quantized log-log OLS
+    over the top-max_rank tokens; all four sums in exact HUGEINT (the
+    Spark side uses DECIMAL(38,0) — both exact integer domains)."""
+    return f"""
+WITH counts AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({_tokens("coalesce(text, '')")}) AS tok
+        FROM documents)
+  GROUP BY 1
+  ORDER BY freq DESC, tok ASC
+  LIMIT {int(max_rank)}
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank, freq
+  FROM counts
+),
+q AS (
+  SELECT
+    CAST(round(ln(rank) * 1000000000.0) AS HUGEINT) AS x9,
+    CAST(round(ln(freq) * 1000000000.0) AS HUGEINT) AS y9
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x9) AS sx, sum(y9) AS sy,
+         sum(x9 * y9) AS sxy, sum(x9 * x9) AS sxx
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+FROM sums
+"""
+
+
+def column_profile_lineitem() -> str:
+    """Twin of stats.column_profile over lineitem: one UNION ALL branch
+    per column, typed extremes (timestamps formatted identically to
+    Spark's date_format; doubles never stringified)."""
+    cols = [
+        ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+        ("l_linenumber", "num"), ("l_quantity", "num"),
+        ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ]
+    parts = []
+    for name, kind in cols:
+        if kind == "ts":
+            mn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
+            min_s, max_s = mn, mx
+            min_n, max_n = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        elif kind == "str":
+            min_s, max_s = f"min({name})", f"max({name})"
+            min_n, max_n = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        else:
+            min_s = "CAST(NULL AS VARCHAR)"
+            max_s = "CAST(NULL AS VARCHAR)"
+            min_n = f"CAST(min({name}) AS DOUBLE)"
+            max_n = f"CAST(max({name}) AS DOUBLE)"
+        parts.append(f"""
+SELECT '{name}' AS column_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nulls,
+  CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+  {min_s} AS min_str, {max_s} AS max_str,
+  {min_n} AS min_num, {max_n} AS max_num
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name\n"
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE
