@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["char_bigrams", "char_lm_table", "char_lm_scores"]
+__all__ = [
+    "char_bigrams",
+    "char_entropy_scores",
+    "char_lm_table",
+    "char_lm_scores",
+]
 
 
 def char_bigrams(col: Column) -> Column:
@@ -116,4 +121,65 @@ def char_lm_scores(
                 F.col("_mean9").cast("double") / F.lit(1000000000.0),
             ).alias("lm_score"),
         )
+    )
+
+
+def char_entropy_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_chars, char_entropy): per-document Shannon entropy of the
+    lowered character distribution, in nats — the classic low-entropy
+    junk detector (aaaaaa..., base64 walls score ~4.1, natural English
+    ~2.9; single-char spam ~0). H = ln(n) - (Σ c·ln c)/n over the doc's
+    character counts c.
+
+    Bit-stability follows char_lm_scores: ln over exact integer counts is
+    quantized to integer nanonats, the per-doc reduction is exact integer
+    arithmetic with one final int → double division — no engine-side
+    float rounding (see module docstring). Docs with no characters score
+    NULL with n_chars = 0 (NULL text behaves as empty, repo convention).
+
+    Plan shape at scale: one scan → per-row char multiset (sequence +
+    transform, no raw-char shuffle) → explode → ONE hash aggregate keyed
+    (doc, char) with map-side combine (charset-bounded fan-in), then a
+    per-doc aggregate. Nothing corpus-sized shuffles except the
+    fixed-width (doc, char, count) relation.
+    """
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.length(c)
+    chars = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    per_char = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.transform(chars, lambda i: c.substr(i, F.lit(1)))
+            ).alias("ch"),
+        )
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ln9 = F.round(F.ln("cnt") * F.lit(1000000000.0), 0).cast("long")
+    scored = per_char.groupBy(id_col).agg(
+        F.sum(F.when(F.col("ch").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_chars"),
+        F.sum(
+            F.when(F.col("ch").isNotNull(), F.col("cnt") * ln9).otherwise(0)
+        ).cast("long").alias("_s9"),
+    )
+    lnn9 = F.round(F.ln("n_chars") * F.lit(1000000000.0), 0).cast("long")
+    return scored.select(
+        id_col,
+        "n_chars",
+        F.when(
+            F.col("n_chars") > 0,
+            (
+                lnn9 - F.expr("(_s9 + n_chars DIV 2) DIV n_chars")
+            ).cast("double")
+            / F.lit(1000000000.0),
+        ).alias("char_entropy"),
     )

@@ -282,3 +282,71 @@ def robust_outlier_profile(
         "n_low_outliers",
         "n_high_outliers",
     )
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column_name, n_rows, n_nulls, n_distinct, min_str, max_str,
+    min_num, max_num): the Deequ-style per-column data-quality profile —
+    null rates, cardinalities, and ranges for every requested column, the
+    first thing a release gate reads off a new corpus drop.
+
+    Numeric (incl. timestamp-free) extremes land in min_num/max_num as
+    doubles; string extremes in min_str/max_str; timestamps are formatted
+    to 'yyyy-MM-dd HH:mm:ss' strings (both engines format identically) —
+    double extremes are NOT stringified (engine float-formatting
+    diverges), stored doubles pass through min/max unchanged so the
+    numeric fields compare exactly.
+
+    Shape at scale: one aggregate PER COLUMN, unioned — deliberately not
+    a single multi-countDistinct aggregate, which Catalyst plans as an
+    EXPAND (row-count × column-count blowup before the shuffle). Each
+    per-column pass prunes the parquet scan to that one column
+    (ReadSchema shows a single field), so a 100-column profile reads each
+    column stripe once — embarrassingly parallel across columns and the
+    per-pass shuffle carries one partial-agg row per partition.
+    """
+    from pyspark.sql import types as T
+
+    cols = columns or [f.name for f in df.schema.fields]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    parts: list[DataFrame] = []
+    for name in cols:
+        dt = by_name[name]
+        c = F.col(name)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+            min_s, max_s = F.min(s), F.max(s)
+            min_n = F.lit(None).cast("double")
+            max_n = F.lit(None).cast("double")
+        elif isinstance(dt, (T.StringType,)):
+            min_s, max_s = F.min(c), F.max(c)
+            min_n = F.lit(None).cast("double")
+            max_n = F.lit(None).cast("double")
+        elif isinstance(dt, T.NumericType):
+            min_s = F.lit(None).cast("string")
+            max_s = F.lit(None).cast("string")
+            min_n = F.min(c).cast("double")
+            max_n = F.max(c).cast("double")
+        else:  # arrays/structs/binary: counts only
+            min_s = F.lit(None).cast("string")
+            max_s = F.lit(None).cast("string")
+            min_n = F.lit(None).cast("double")
+            max_n = F.lit(None).cast("double")
+        parts.append(
+            df.select(c).agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                min_s.alias("min_str"),
+                max_s.alias("max_str"),
+                min_n.alias("min_num"),
+                max_n.alias("max_num"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

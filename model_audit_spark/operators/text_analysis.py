@@ -881,3 +881,148 @@ def winnow_span_report(
         )
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def heaps_vocab_growth(
+    df: DataFrame,
+    n_checkpoints: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(checkpoint, id_cutoff, n_docs, n_tokens, vocab_size): the corpus
+    vocabulary-growth curve — Heaps' law V ≈ K·n^β says vocab_size should
+    grow sublinearly in n_tokens; a curve that bends UP signals encoding
+    junk or synthetic-token pollution entering later shards, one that
+    flattens hard signals heavy duplication. Checkpoint k covers docs
+    with id <= max_id·k/n_checkpoints (integer arithmetic; the id order
+    is the corpus's ingest order).
+
+    Pure integer relation — exact across engines by construction.
+
+    Shape at scale: ONE tokenize pass → (token, min id) aggregate (the
+    first-occurrence relation; map-side combine, output bounded by
+    vocabulary size) plus a per-doc token-count aggregate. Each is then
+    cross-joined against the tiny checkpoint relation and re-aggregated
+    on the checkpoint key — the corpus-sized relations shuffle once,
+    fixed-width, and the checkpoint fan-out multiplies only the BOUNDED
+    aggregate outputs, never raw text.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(
+            word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    first_seen = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.min("_id").alias("first_id"))
+    )
+    doc_tokens = toks.groupBy("_id").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_toks")
+    )
+    cps = (
+        df.agg(F.max(F.col(id_col)).cast("long").alias("_mx"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(n_checkpoints)))
+            ).alias("checkpoint"),
+            "_mx",
+        )
+        .select(
+            "checkpoint",
+            F.expr(f"_mx * checkpoint DIV {int(n_checkpoints)}").alias(
+                "id_cutoff"
+            ),
+        )
+    )
+    docs_at = (
+        doc_tokens.crossJoin(F.broadcast(cps))
+        .filter(F.col("_id") <= F.col("id_cutoff"))
+        .groupBy("checkpoint", "id_cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab_at = (
+        first_seen.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_id") <= F.col("id_cutoff"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return (
+        docs_at.join(vocab_at, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "id_cutoff",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias(
+                "vocab_size"
+            ),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    max_rank: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_terms, zipf_slope): the log-log OLS slope of the
+    rank-frequency curve over the corpus's top-`max_rank` tokens —
+    natural language sits near -1 (Zipf's law); a much flatter slope
+    flags templated/synthetic text, a much steeper one a degenerate
+    boilerplate head.
+
+    Bit-stability: ln(rank) and ln(freq) are quantized to integer
+    nanonats; all four OLS sums (Σx, Σy, Σxy, Σx²) run in DECIMAL(38,0)
+    — exact, order-free — and the final slope is one division of two
+    exactly-agreed doubles. Ranking ties break (freq DESC, token ASC),
+    so the top-`max_rank` cut is deterministic.
+
+    Shape at scale: one tokenize pass → token-count aggregate (map-side
+    combine, vocabulary-bounded output) → TakeOrdered max_rank rows →
+    single-row reduction. Nothing corpus-sized shuffles.
+    """
+    counts = (
+        df.select(
+            F.explode(
+                word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(int(max_rank))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    )
+    x9 = F.round(F.ln("rank") * F.lit(1000000000.0), 0).cast(
+        "decimal(38,0)"
+    )
+    y9 = F.round(F.ln("freq") * F.lit(1000000000.0), 0).cast(
+        "decimal(38,0)"
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x9).alias("sx"),
+        F.sum(y9).alias("sy"),
+        F.sum(x9 * y9).alias("sxy"),
+        F.sum(x9 * x9).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("zipf_slope"),
+    )

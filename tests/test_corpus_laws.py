@@ -1,0 +1,125 @@
+"""Character entropy, Heaps vocabulary growth, Zipf slope, column
+profile — the round-5 corpus-statistics tier."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from model_audit_spark.operators.lm import char_entropy_scores
+from model_audit_spark.operators.stats import column_profile
+from model_audit_spark.operators.text_analysis import (
+    heaps_vocab_growth,
+    zipf_slope,
+)
+
+
+@pytest.fixture(scope="module")
+def law_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "aaaa"),                      # zero entropy
+            (2, "abab"),                      # exactly ln 2
+            (3, "the cat sat on the mat"),
+            (4, None),                        # NULL text = empty
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_char_entropy_values(law_docs):
+    rows = {r.doc_id: r for r in char_entropy_scores(law_docs).collect()}
+    assert rows[1].n_chars == 4 and rows[1].char_entropy == 0.0
+    # two symbols, equal counts -> H = ln 2
+    assert rows[2].char_entropy == pytest.approx(math.log(2), abs=1e-6)
+    # exact reference: H = ln n - (sum c ln c)/n over char counts
+    txt = "the cat sat on the mat"
+    counts = {}
+    for ch in txt:
+        counts[ch] = counts.get(ch, 0) + 1
+    n = len(txt)
+    h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+    assert rows[3].char_entropy == pytest.approx(h, abs=1e-6)
+    # NULL and empty behave alike: no chars, NULL entropy
+    for d in (4, 5):
+        assert rows[d].n_chars == 0 and rows[d].char_entropy is None
+
+
+def test_entropy_flags_junk_below_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "zzzzzzzzzzzzzzzzzzzz"), (2, "a normal english sentence")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in char_entropy_scores(docs).collect()}
+    assert rows[1].char_entropy < 0.1 < rows[2].char_entropy
+
+
+def test_heaps_growth_monotone_and_exact(law_docs):
+    out = heaps_vocab_growth(law_docs, n_checkpoints=5).collect()
+    assert [r.checkpoint for r in out] == [1, 2, 3, 4, 5]
+    # cutoffs are max_id*k/5 with max_id=5 -> 1..5
+    assert [r.id_cutoff for r in out] == [1, 2, 3, 4, 5]
+    # both curves are non-decreasing
+    for a, b in zip(out, out[1:]):
+        assert b.n_tokens >= a.n_tokens and b.vocab_size >= a.vocab_size
+        assert b.n_docs == a.n_docs + 1
+    # final checkpoint covers the whole corpus
+    last = out[-1]
+    assert last.n_docs == 5
+    # tokens: aaaa | abab | the cat sat on the mat (6) = 8 total
+    assert last.n_tokens == 8
+    # distinct: aaaa, abab, the, cat, sat, on, mat = 7
+    assert last.vocab_size == 7
+    # checkpoint 1 sees only doc 1
+    assert out[0].n_tokens == 1 and out[0].vocab_size == 1
+
+
+def test_zipf_slope_exact_powerlaw(spark):
+    # freq(rank) = 2^(10-rank) for rank 1..10 -> perfect log-linear
+    # curve with slope exactly -ln2 per ln-rank unit... not linear in
+    # ln(rank), so instead build freq = C / rank (true Zipf, s=1):
+    # use freq = 720720 // rank which is exact for rank 1..10.
+    rows = []
+    tok_id = 0
+    for rank in range(1, 11):
+        freq = 720720 // rank  # divisible by 1..10 -> exact 1/rank law
+        for _ in range(1):
+            rows.append((tok_id, (f"w{rank:02d} ") * freq))
+        tok_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_slope(docs, max_rank=10).collect()[0]
+    assert out.n_terms == 10
+    assert out.zipf_slope == pytest.approx(-1.0, abs=1e-4)
+
+
+def test_zipf_slope_flat_for_uniform(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i:02d} " * 50) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = zipf_slope(docs, max_rank=20).collect()[0]
+    assert out.zipf_slope == pytest.approx(0.0, abs=1e-9)
+
+
+def test_column_profile_types_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x", 2.5, None),
+            (2, "y", -1.0, None),
+            (None, "x", 4.0, None),
+        ],
+        "k long, s string, v double, t timestamp",
+    )
+    rows = {r.column_name: r for r in column_profile(df).collect()}
+    assert set(rows) == {"k", "s", "v", "t"}
+    k = rows["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (3, 1, 2)
+    assert k.min_num == 1.0 and k.max_num == 2.0 and k.min_str is None
+    s = rows["s"]
+    assert (s.n_nulls, s.n_distinct, s.min_str, s.max_str) == (0, 2, "x", "y")
+    assert s.min_num is None
+    v = rows["v"]
+    assert v.min_num == -1.0 and v.max_num == 4.0
+    t = rows["t"]
+    assert t.n_nulls == 3 and t.n_distinct == 0 and t.min_str is None
