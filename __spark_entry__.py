@@ -3433,6 +3433,37 @@ def _column_profile_lineitem(spark, sf):
     return column_profile(li)
 
 
+def _link_prediction_aa(spark, sf):
+    """Adamic-Adar link prediction over the kNN similarity graph
+    (cluster.adamic_adar_scores): top-100 non-adjacent pairs by exact
+    integer-nanonat AA score — "should be neighbors but the top-k cut
+    missed them", ranked. Hub centers above max_degree excluded
+    (1/ln(deg) ≈ 0 there; bounds wedge fan-out). The near-dup minhash
+    graph is the wrong input at gate SF (25 edges, max degree 2, every
+    wedge closed), so the k=5 kNN graph supplies the open wedges."""
+    from model_audit_spark.operators.cluster import adamic_adar_scores
+
+    return adamic_adar_scores(
+        _knn_graph(spark, sf), src_col="src", dst_col="dst",
+        max_degree=1000, top_k=100,
+    )
+
+
+def _l_diversity(spark, sf):
+    """l-diversity histogram over events: quasi-identifiers
+    (event_type, day), sensitive attribute user_id
+    (pii.l_diversity_profile) — the attribute-disclosure companion to
+    k_anonymity."""
+    from model_audit_spark.operators.pii import l_diversity_profile
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    return l_diversity_profile(
+        ev, ["event_type", "day"], "user_id", l=3
+    ).orderBy("diversity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3500,12 +3531,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_vocab_growth": _heaps_vocab_growth,
         "zipf_slope": _zipf_slope,
         "column_profile_lineitem": _column_profile_lineitem,
+        "link_prediction_aa": _link_prediction_aa,
+        "l_diversity": _l_diversity,
         "ann_lsh_topk": _ann_lsh_topk,
-        "cache_keys": _cache_keys,
-        "corpus_stats": _corpus_stats,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
         # mirror-checked every session
+        "cache_keys": _cache_keys,
+        "corpus_stats": _corpus_stats,
         "dedup_simhash": _dedup_simhash,
         "detect_distribution": _detect_distribution,
         "dli_bigrams_by_source": _dli_bigrams,
@@ -3866,6 +3899,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "q11_important_parts": ora.q11_important_parts(),
         "q16_supplier_count": ora.q16_supplier_count(),
         "q20_dominant_supplier": ora.q20_dominant_supplier(),
+        "link_prediction_aa": ora.link_prediction_aa(
+            max_degree=1000, top_k=100
+        ),
+        "l_diversity": ora.l_diversity(l=3),
         "doc_entropy": ora.doc_entropy(),
         "heaps_vocab_growth": ora.heaps_vocab_growth(n_checkpoints=10),
         "zipf_slope": ora.zipf_slope(max_rank=100),

@@ -89,3 +89,39 @@ def k_anonymity_profile(
             (F.col("group_size") < k).alias("below_k"),
         )
     )
+
+
+def l_diversity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity histogram — k-anonymity's companion gate: a released
+    slice can be k-anonymous yet still leak when every row of an
+    equivalence class shares ONE sensitive value. Counts, for each
+    diversity level d (distinct sensitive values within a quasi-id
+    tuple's class), how many classes and rows sit there; classes below
+    the l threshold are the attribute-disclosure exposure.
+
+    Same two-stacked-aggregate shape as k_anonymity_profile: the first
+    groupBy (quasi tuple → row count + distinct-sensitive count) is the
+    only corpus-sized pass; the histogram aggregates |distinct tuples|
+    rows. Returns (diversity, n_groups, n_rows, below_l)."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.countDistinct(F.col(sensitive_col)).alias("diversity"),
+    )
+    return (
+        groups.groupBy("diversity")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("_rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            "diversity",
+            "n_groups",
+            "n_rows",
+            (F.col("diversity") < l).alias("below_l"),
+        )
+    )

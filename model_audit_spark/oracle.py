@@ -6393,6 +6393,82 @@ FROM lineitem""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name\n"
 
 
+def link_prediction_aa(
+    max_degree: int = 1000,
+    top_k: int = 100,
+    k: int = 5,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
+    dim: int = 64,
+) -> str:
+    """Twin of cluster.adamic_adar_scores over the kNN similarity
+    graph: exact-integer AA score (w9 = 10^18 // nanonat-ln(deg),
+    BIGINT sums), unique (aa9 DESC, a, b) ordering at the top-k cut."""
+    inner = knn_graph(
+        k=k, n_bands=n_bands, planes_per_band=planes_per_band, dim=dim
+    )
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({inner}) WHERE src <> dst
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+  GROUP BY 1
+),
+ctr AS (
+  SELECT n,
+         CAST(1000000000000000000 AS BIGINT)
+           // CAST(round(ln(d) * 1000000000.0) AS BIGINT) AS w9
+  FROM deg WHERE d >= 2 AND d <= {int(max_degree)}
+),
+adj AS (
+  SELECT a AS z, b AS x FROM und
+  UNION ALL SELECT b AS z, a AS x FROM und
+),
+adjc AS (SELECT adj.z, adj.x, ctr.w9 FROM adj JOIN ctr ON ctr.n = adj.z),
+wed AS (
+  SELECT l.x AS a, r.x AS b, l.w9
+  FROM adjc l JOIN adjc r ON l.z = r.z AND l.x < r.x
+),
+ne AS (
+  SELECT w.a, w.b, w.w9
+  FROM wed w LEFT JOIN und e ON e.a = w.a AND e.b = w.b
+  WHERE e.a IS NULL
+),
+sc AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w9) AS BIGINT) AS aa9
+  FROM ne GROUP BY 1, 2
+)
+SELECT a AS id_a, b AS id_b, n_common,
+       CAST(aa9 AS DOUBLE) / 1000000000.0 AS aa_score
+FROM sc
+ORDER BY aa9 DESC, a, b
+LIMIT {int(top_k)}
+"""
+
+
+def l_diversity(l: int = 3) -> str:
+    """Twin of pii.l_diversity_profile over events keyed by
+    (event_type, day) with user_id sensitive."""
+    return f"""
+WITH groups AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS _rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS diversity
+  FROM events GROUP BY 1, 2
+)
+SELECT diversity,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(_rows) AS BIGINT) AS n_rows,
+       diversity < {int(l)} AS below_l
+FROM groups GROUP BY diversity
+ORDER BY diversity
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -412,3 +412,26 @@ def test_effective_corpus_size_hand_computed(spark):
     assert web.effective_tokens_ppm == 7_000_000
     assert (books.n_docs, books.dup_docs, books.raw_tokens) == (1, 0, 2)
     assert books.effective_tokens_ppm == 2_000_000
+
+
+def test_adamic_adar_scores_exact(spark):
+    import math
+
+    from model_audit_spark.operators.cluster import adamic_adar_scores
+
+    # 1-2, 1-3, 2-3 triangle plus pendant 2-4: open wedges at center 2
+    # are (1,4) and (3,4); (1,3) is closed. deg(2)=3 -> w = 1/ln 3.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "src long, dst long"
+    )
+    rows = adamic_adar_scores(edges, max_degree=1000, top_k=10).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert set(got) == {(1, 4), (3, 4)}
+    w9 = 10**18 // round(math.log(3) * 1e9)
+    for key in got:
+        assert got[key].n_common == 1
+        assert got[key].aa_score == w9 / 1e9
+    # excluding the only center kills every wedge
+    assert (
+        adamic_adar_scores(edges, max_degree=2, top_k=10).count() == 0
+    )

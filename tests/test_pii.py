@@ -52,3 +52,22 @@ def test_k_anonymity_profile_hand_computed(spark):
         for r in k_anonymity_profile(df, ["source", "lang"], k=2).collect()
     }
     assert got == {3: (1, 3, False), 1: (2, 2, True)}
+
+
+def test_l_diversity_profile(spark):
+    from model_audit_spark.operators.pii import l_diversity_profile
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")],
+        "quasi string, sens string",
+    )
+    rows = {
+        r.diversity: r
+        for r in l_diversity_profile(df, ["quasi"], "sens", l=2).collect()
+    }
+    assert rows[1].n_groups == 1 and rows[1].n_rows == 1 and rows[1].below_l
+    assert (
+        rows[2].n_groups == 1
+        and rows[2].n_rows == 3
+        and not rows[2].below_l
+    )
