@@ -416,3 +416,40 @@ def test_winnow_selection_is_pure_projection(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_doc_entropy_two_hash_aggregates_no_join(spark):
+    """Per-doc char entropy: (doc,char) aggregate + per-doc aggregate —
+    exactly two key-hash exchanges, no join, and the scan carries only
+    (doc_id, text)."""
+    plan = final_plan(spark, "doc_entropy")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert sorted(f.split(":")[0] for f in m.group(1).split(",")) == [
+        "doc_id", "text",
+    ]
+
+
+def test_zipf_slope_takeordered_single_row_reduce(spark):
+    """Top-rank cut is TakeOrdered (never a global sort of the
+    vocabulary); everything after is a single-row reduction."""
+    plan = final_plan(spark, "zipf_slope")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "SortMergeJoin" not in plan
+    assert "Join" not in plan
+
+
+def test_column_profile_scans_are_single_field(spark):
+    """Every per-column pass prunes its parquet scan to THAT column —
+    the wide-table guarantee (and the reason this is not one
+    multi-countDistinct EXPAND plan)."""
+    plan = final_plan(spark, "column_profile_lineitem")
+    assert "Expand" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) >= 11
+    for s in scans:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+        fields = [f for f in m.group(1).split(",") if f]
+        assert len(fields) == 1, s[:160]
