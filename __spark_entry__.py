@@ -3474,7 +3474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     novelty, k-anonymity, channel attribution, heavy hitters, session
     paths, collocations, Lloyd k-means, vocab drift, dedup decisions,
     ANN recall + param sweep, BPE-64 pair, KS drift, hourly anomalies,
-    paragraph near-dups, quality sweep); (2) stale queries, oldest
+    paragraph near-dups, quality sweep, the TPC-H Q2/Q9/Q11/Q16/Q20
+    completion, char entropy, Heaps growth, Zipf slope, column profile,
+    Adamic-Adar link prediction, l-diversity); (2) stale queries, oldest
     driver evidence first. More stale than 50 slots this round, so the
     ledger's invariant is priority-shaped, not zero-stale: the window
     must BE the 50 highest-priority stale queries (never-certified
