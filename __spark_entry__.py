@@ -3464,6 +3464,48 @@ def _l_diversity(spark, sf):
     ).orderBy("diversity")
 
 
+def _dedup_canonical(spark, sf):
+    """Canonical-text dedup (dedup.canonical_dedup_groups) over the
+    documents table plus a deterministic byte-variant view — every
+    doc_id%7==0 document reappears re-cased, re-padded and re-wrapped
+    under id+10_000_000 (the corpus itself has no byte variants, so the
+    variant side guarantees the normalization layer is exercised: raw
+    hashing finds nothing, the canonical key must collapse each planted
+    pair)."""
+    from model_audit_spark.operators.dedup import canonical_dedup_groups
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.upper(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(" \n\t"),
+        ).alias("text"),
+    )
+    return canonical_dedup_groups(docs.unionByName(variants))
+
+
+def _mixing_plan(spark, sf):
+    """Token-budget mixing plan per source (sampling.mixing_plan):
+    temperature weights on exact token mass, planned tokens and implied
+    epochs for a 10M-token budget."""
+    from model_audit_spark.operators.sampling import mixing_plan
+
+    docs = _t(spark, sf, "documents")
+    return mixing_plan(docs, budget_tokens=10_000_000, alpha=0.7)
+
+
+def _embedding_norm_outliers(spark, sf):
+    """Squared-norm 3-sigma outliers over the embeddings table
+    (embstats.norm_outliers) — all-integer moment comparison, in-row
+    fold the only float step."""
+    from model_audit_spark.operators.embstats import norm_outliers
+
+    emb = _t(spark, sf, "embeddings")
+    return norm_outliers(emb, "embedding", "vec_id", k_sigma=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3512,7 +3554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _winnow_pairs,
         "dedup_communities": _dedup_communities,
         "dedup_kcore": _dedup_kcore,
-        "winnow_span_report": _winnow_span_report,
         "cluster_topics": _cluster_topics,
         "lateness_profile": _lateness_profile,
         "embedding_coverage": _embedding_coverage,
@@ -3531,14 +3572,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_supplier": _q20_dominant_supplier,
         "doc_entropy": _doc_entropy,
         "heaps_vocab_growth": _heaps_vocab_growth,
-        "zipf_slope": _zipf_slope,
         "column_profile_lineitem": _column_profile_lineitem,
         "link_prediction_aa": _link_prediction_aa,
         "l_diversity": _l_diversity,
+        "dedup_canonical": _dedup_canonical,
+        "mixing_plan": _mixing_plan,
+        "embedding_norm_outliers": _embedding_norm_outliers,
         "ann_lsh_topk": _ann_lsh_topk,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
-        # mirror-checked every session
+        # mirror-checked every session. winnow_span_report and
+        # zipf_slope are the two never-certified queries the 50-slot
+        # window cannot hold this round (52 never-certified; name
+        # tie-break per the ledger rule) — both full-mirror green at
+        # local[32] and local[7]; they rotate in first in r6.
+        "winnow_span_report": _winnow_span_report,
+        "zipf_slope": _zipf_slope,
         "cache_keys": _cache_keys,
         "corpus_stats": _corpus_stats,
         "dedup_simhash": _dedup_simhash,
@@ -3905,6 +3954,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             max_degree=1000, top_k=100
         ),
         "l_diversity": ora.l_diversity(l=3),
+        "dedup_canonical": ora.dedup_canonical(),
+        "mixing_plan": ora.mixing_plan(
+            budget_tokens=10_000_000, alpha=0.7
+        ),
+        "embedding_norm_outliers": ora.embedding_norm_outliers(k_sigma=3),
         "doc_entropy": ora.doc_entropy(),
         "heaps_vocab_growth": ora.heaps_vocab_growth(n_checkpoints=10),
         "zipf_slope": ora.zipf_slope(max_rank=100),

@@ -1231,3 +1231,52 @@ def dedup_recall_report(
         )
         .orderBy("method")
     )
+
+
+def canonical_text(col: Column | str) -> Column:
+    """Normalization key for canonical dedup: lower-case, every run of
+    non-letter/non-digit characters (punctuation, whitespace, newlines,
+    emoji) collapsed to one space, then trimmed — catches the trivial
+    variants raw-byte hashing misses (re-wrapped lines, smart quotes,
+    trailing whitespace, case drift). Unicode-category classes [^\\p{L}
+    \\p{N}] behave identically in Java regex and RE2, so the key is
+    engine-portable. Deliberately NOT Unicode-normalized (no NFC): no
+    builtin on either engine; documents needing it should be NFC'd at
+    ingest."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " ")
+    )
+
+
+def canonical_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(canon_hash, keeper_id, n_docs, n_byte_variants): groups of
+    documents identical AFTER canonical_text normalization with at
+    least 2 members — the near-exact layer between raw-hash dedup and
+    minhash: same words, different bytes. n_byte_variants counts the
+    distinct RAW hashes inside the group (how many byte-level variants
+    the canonical key collapsed); keeper is the smallest id.
+
+    Shape at scale: one projection to (id, canon_hash, raw_hash), ONE
+    key-hash aggregate carrying three fixed-width columns — text never
+    shuffles. NULL text canonicalizes like empty text (repo
+    convention)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.md5(canonical_text(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "canon_hash"
+        ),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_raw"),
+    )
+    return (
+        hashed.groupBy("canon_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_raw").alias("n_byte_variants"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("keeper_id")
+    )

@@ -295,3 +295,53 @@ def embedding_coverage(
             "n_orphan_vectors",
         )
     )
+
+
+def norm_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_sigma: int = 3,
+) -> DataFrame:
+    """(id, norm2, is_outlier): squared-norm outliers — the degenerate-
+    vector detector (all-zero embeddings from failed encodes, exploding
+    norms from fp issues) run before any cosine math trusts the corpus.
+
+    Integer-exact three-sigma rule: each row's squared norm is an
+    IN-ROW left fold (deterministic order both engines), quantized once
+    to micro units (round(·1e6) BIGINT); corpus mean and variance then
+    run in DECIMAL(38,0) sums of those exact integers, and the flag is
+    the all-integer comparison |q − μ| > k·σ cleared of denominators:
+    (n·q − Σq)² > k² · (n·Σq² − (Σq)²). No float reduction anywhere;
+    the emitted norm2 is q/1e6.
+
+    Shape at scale: one projection + one single-row aggregate broadcast
+    back — no shuffle of vectors."""
+    q = F.round(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    rows = df.select(F.col(id_col), q.alias("_q"))
+    d38 = "decimal(38,0)"
+    tot = rows.agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(F.col("_q").cast(d38)).alias("_s"),
+        F.sum(F.col("_q").cast(d38) * F.col("_q").cast(d38)).alias("_ss"),
+    )
+    k2 = int(k_sigma) * int(k_sigma)
+    dev = F.col("_n") * F.col("_q").cast(d38) - F.col("_s")
+    var_term = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            (F.col("_q").cast("double") / F.lit(1000000.0)).alias("norm2"),
+            (dev * dev > F.lit(k2) * var_term).alias("is_outlier"),
+        )
+        .orderBy(id_col)
+    )

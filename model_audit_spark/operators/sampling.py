@@ -519,3 +519,45 @@ def bucket_for(col: str, salt: str, n_buckets: int) -> Column:
             16, 10,
         ).cast("long") % n_buckets
     )
+
+
+def mixing_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """(stratum, n_docs, n_tokens, weight, planned_tokens, epochs): the
+    actionable form of temperature_mix_weights — given a training token
+    budget, how many tokens to draw from each source under the
+    T5-style w_s ∝ tokens_s^alpha rule, and how many passes over the
+    source that implies (epochs > 1 = the source will repeat; the
+    standard over-sampling red flag for small high-weight sources).
+
+    Token mass is the exact integer Σ whitespace-token counts; the only
+    doubles are the pow/normalize/round-6 steps temperature_mix_weights
+    already certifies cross-engine. One corpus aggregate; the
+    normalizing window moves |strata| rows."""
+    from model_audit_spark.functions.text import word_tokens
+
+    agg = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(word_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    weight = powed / F.sum(powed).over(w)
+    planned = weight * F.lit(float(int(budget_tokens)))
+    return agg.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(planned, 6).alias("planned_tokens"),
+        F.round(
+            planned / F.col("n_tokens").cast("double"), 6
+        ).alias("epochs"),
+    ).orderBy("stratum")

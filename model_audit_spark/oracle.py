@@ -6469,6 +6469,90 @@ ORDER BY diversity
 """
 
 
+def dedup_canonical() -> str:
+    """Twin of dedup.canonical_dedup_groups over documents + the
+    deterministic byte-variant view (doc_id%7==0 re-cased/re-padded
+    under id+10_000_000)."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         '  ' || upper(coalesce(text, '')) || ' ' || chr(10) || chr(9)
+           AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+h AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(coalesce(text, '')),
+                            '[^\p{L}\p{N}]+', ' ', 'g'))) AS canon_hash,
+    md5(coalesce(text, '')) AS _raw
+  FROM base
+)
+SELECT canon_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT _raw) AS BIGINT) AS n_byte_variants
+FROM h
+GROUP BY canon_hash
+HAVING count(*) >= 2
+ORDER BY keeper_id
+"""
+
+
+def mixing_plan(budget_tokens: int = 10_000_000, alpha: float = 0.7) -> str:
+    """Twin of sampling.mixing_plan over documents (stratum=source,
+    exact whitespace-token mass)."""
+    return f"""
+WITH s AS (
+  SELECT source AS stratum, count(*) AS n_docs,
+    CAST(sum(len({_words("coalesce(text, '')")})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT stratum, n_docs, n_tokens,
+  round(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)
+        / sum(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)) OVER (),
+        6) AS weight,
+  round(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)
+        / sum(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)) OVER ()
+        * {float(int(budget_tokens))}, 6) AS planned_tokens,
+  round(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)
+        / sum(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)) OVER ()
+        * {float(int(budget_tokens))} / CAST(n_tokens AS DOUBLE), 6)
+    AS epochs
+FROM s
+ORDER BY stratum
+"""
+
+
+def embedding_norm_outliers(k_sigma: int = 3) -> str:
+    """Twin of embstats.norm_outliers: in-row left-fold squared norm
+    quantized to micro units, all-integer three-sigma comparison in
+    HUGEINT (the Spark side uses DECIMAL(38,0))."""
+    k2 = int(k_sigma) * int(k_sigma)
+    return f"""
+WITH rows_q AS (
+  SELECT vec_id,
+    CAST(round(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000.0)
+      AS BIGINT) AS q
+  FROM embeddings
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS HUGEINT)
+           AS ss
+  FROM rows_q
+)
+SELECT vec_id,
+  CAST(q AS DOUBLE) / 1000000.0 AS norm2,
+  (n * q - s) * (n * q - s) > {k2} * (n * ss - s * s) AS is_outlier
+FROM rows_q, tot
+ORDER BY vec_id
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -123,3 +123,57 @@ def test_column_profile_types_and_counts(spark):
     assert v.min_num == -1.0 and v.max_num == 4.0
     t = rows["t"]
     assert t.n_nulls == 3 and t.n_distinct == 0 and t.min_str is None
+
+
+def test_canonical_dedup_groups(spark):
+    from model_audit_spark.operators.dedup import canonical_dedup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),           # same canonical key as 1
+            (3, "hello world"),           # byte-identical to 2
+            (4, "something else"),
+            (5, None),
+            (6, ""),                      # NULL and empty share a key
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.keeper_id: r for r in canonical_dedup_groups(docs).collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1].n_docs == 3
+    # docs 2 and 3 are one byte variant, doc 1 another
+    assert rows[1].n_byte_variants == 2
+    assert rows[5].n_docs == 2 and rows[5].n_byte_variants == 1
+
+
+def test_mixing_plan_budget_conservation(spark):
+    from model_audit_spark.operators.sampling import mixing_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s1"), (3, "x y z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = mixing_plan(docs, budget_tokens=1000, alpha=0.5).collect()
+    by = {r.stratum: r for r in rows}
+    assert by["s1"].n_tokens == 6 and by["s2"].n_tokens == 3
+    assert sum(r.weight for r in rows) == pytest.approx(1.0, abs=2e-6)
+    assert sum(r.planned_tokens for r in rows) == pytest.approx(
+        1000.0, abs=1e-3
+    )
+    # alpha=0.5 flattens: s2's weight above its natural 1/3 share
+    assert by["s2"].weight > 1 / 3
+    for r in rows:
+        assert r.epochs == pytest.approx(r.planned_tokens / r.n_tokens,
+                                         abs=1e-5)
+
+
+def test_norm_outliers_flags_planted_vector(spark):
+    from model_audit_spark.operators.embstats import norm_outliers
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)]
+    rows.append((99, [30.0, 0.0, 0.0]))  # norm2 = 900 vs 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in norm_outliers(df, k_sigma=3).collect()}
+    assert out[99].is_outlier and out[99].norm2 == 900.0
+    assert not any(out[i].is_outlier for i in range(20))
