@@ -315,8 +315,14 @@ def norm_outliers(
     (n·q − Σq)² > k² · (n·Σq² − (Σq)²). No float reduction anywhere;
     the emitted norm2 is q/1e6.
 
-    Shape at scale: one projection + one single-row aggregate broadcast
-    back — no shuffle of vectors."""
+    Shape at scale: ONE scan of the vector column — the (id, q)
+    projection is persisted (fixed-width, tiny next to the vectors;
+    registered with persistence.track) because both the moment
+    aggregate and the final flag projection read it; without the pin
+    the plan scans embeddings twice. No shuffle of vectors anywhere;
+    the single-row moments broadcast back."""
+    from model_audit_spark.persistence import track
+
     q = F.round(
         F.aggregate(
             F.col(vec_col),
@@ -326,7 +332,7 @@ def norm_outliers(
         * F.lit(1000000.0),
         0,
     ).cast("long")
-    rows = df.select(F.col(id_col), q.alias("_q"))
+    rows = track(df.select(F.col(id_col), q.alias("_q")).persist())
     d38 = "decimal(38,0)"
     tot = rows.agg(
         F.count(F.lit(1)).cast(d38).alias("_n"),
