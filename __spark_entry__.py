@@ -3506,6 +3506,45 @@ def _embedding_norm_outliers(spark, sf):
     return norm_outliers(emb, "embedding", "vec_id", k_sigma=3)
 
 
+def _event_transitions(spark, sf):
+    """First-order Markov matrix of event types within gap sessions
+    (threads.event_transitions): session-bounded lead successors,
+    integer-ppm conditional probabilities."""
+    from model_audit_spark.operators.threads import event_transitions
+
+    ev = _t(spark, sf, "events")
+    return event_transitions(ev, gap_seconds=1800)
+
+
+def _boilerplate_templates(spark, sf):
+    """Top repeated line templates per event_type over the
+    semi-structured props column (text_analysis.boilerplate_templates)
+    — digit masking collapses every '{\"k\": 42}' variant to one
+    skeleton (the documents table is single-line word soup with no
+    repeated lines, so props is where templates actually live)."""
+    from model_audit_spark.operators.text_analysis import (
+        boilerplate_templates,
+    )
+
+    ev = _t(spark, sf, "events")
+    return boilerplate_templates(
+        ev, top_k=3, text_col="props", group_col="event_type",
+        min_count=2,
+    )
+
+
+def _feature_correlations(spark, sf):
+    """Exact-moment Pearson correlations between integer document
+    features (text_analysis.feature_correlations) — DECIMAL(38,0)
+    sums, sqrt-of-exact-int assembly."""
+    from model_audit_spark.operators.text_analysis import (
+        feature_correlations,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return feature_correlations(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3547,11 +3586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _session_paths,
         "collocations": _collocations,
         "kmeans_clusters": _kmeans_clusters,
-        "vocab_drift": _vocab_drift,
         "dedup_decisions": _dedup_decisions,
         "dedup_recall_report": _dedup_recall_report,
-        "winnow_fingerprints": _winnow_fingerprints,
-        "winnow_pairs": _winnow_pairs,
         "dedup_communities": _dedup_communities,
         "dedup_kcore": _dedup_kcore,
         "cluster_topics": _cluster_topics,
@@ -3578,14 +3614,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _dedup_canonical,
         "mixing_plan": _mixing_plan,
         "embedding_norm_outliers": _embedding_norm_outliers,
+        "event_transitions": _event_transitions,
+        "boilerplate_templates": _boilerplate_templates,
+        "feature_correlations": _feature_correlations,
         "ann_lsh_topk": _ann_lsh_topk,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
-        # mirror-checked every session. winnow_span_report and
-        # zipf_slope are the two never-certified queries the 50-slot
-        # window cannot hold this round (52 never-certified; name
-        # tie-break per the ledger rule) — both full-mirror green at
-        # local[32] and local[7]; they rotate in first in r6.
+        # mirror-checked every session. 55 queries are never-driver-
+        # certified this round but the window holds 50; by the ledger's
+        # name tie-break the five that rotate to r6 are vocab_drift,
+        # winnow_fingerprints, winnow_pairs, winnow_span_report and
+        # zipf_slope — all full-mirror green at local[32] and local[7].
+        "vocab_drift": _vocab_drift,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_pairs": _winnow_pairs,
         "winnow_span_report": _winnow_span_report,
         "zipf_slope": _zipf_slope,
         "cache_keys": _cache_keys,
@@ -3955,6 +3997,11 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "l_diversity": ora.l_diversity(l=3),
         "dedup_canonical": ora.dedup_canonical(),
+        "event_transitions": ora.event_transitions(gap_seconds=1800),
+        "boilerplate_templates": ora.boilerplate_templates(
+            top_k=3, min_count=2
+        ),
+        "feature_correlations": ora.feature_correlations(),
         "mixing_plan": ora.mixing_plan(
             budget_tokens=10_000_000, alpha=0.7
         ),

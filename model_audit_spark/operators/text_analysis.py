@@ -1026,3 +1026,134 @@ def zipf_slope(
             .cast("double")
         ).alias("zipf_slope"),
     )
+
+
+def boilerplate_templates(
+    df: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_count: int = 2,
+) -> DataFrame:
+    """(group, skeleton, n_lines, rank): the top-k most repeated LINE
+    templates per source, after masking digit runs to '#' — the
+    template miner that surfaces per-domain boilerplate (nav bars,
+    footers, timestamps, cookie banners) which per-document dedup
+    cannot see because every page differs by a counter or date.
+
+    Skeleton: lower, digit runs → '#', inner whitespace collapsed,
+    trimmed; blank skeletons dropped. Rank ties break (count DESC,
+    skeleton ASC).
+
+    Scale: explode lines → skeleton projection (in-row) → ONE
+    (group, skeleton)-keyed count with map-side combine — boilerplate
+    is repetitive by definition, so the combiner collapses the heavy
+    keys before the shuffle; the per-group top-k window runs over the
+    |distinct skeletons ≥ min_count| relation, not the corpus."""
+    lines = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__line"),
+    )
+    skel = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("__line")), r"\p{N}+", "#"),
+            r"\s+",
+            " ",
+        )
+    )
+    counts = (
+        lines.select("group", skel.alias("skeleton"))
+        .filter(F.length("skeleton") > 0)
+        .groupBy("group", "skeleton")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") >= int(min_count))
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.desc("n_lines"), F.asc("skeleton")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .orderBy("group", "rank")
+    )
+
+
+def feature_correlations(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(feat_a, feat_b, n, pearson_r): exact-moment Pearson correlation
+    between the integer document features (n_chars, n_tokens, n_types —
+    distinct tokens) — the redundancy check run before feeding features
+    to a quality model (near-1 pairs carry no signal; a length~quality
+    feature pair near 0 flags a broken extractor).
+
+    Bit-stability: all five moment sums run in DECIMAL(38,0) over exact
+    integers; r = num / (sqrt(a)·sqrt(b)) computes each factor from an
+    exact integer cast to double (sqrt is correctly rounded — identical
+    on both engines), rounded once at emit. One corpus scan, one
+    single-row aggregate; the pair expansion happens on that single row.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    feats = df.select(
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(word_tokens(t)).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(word_tokens(t))).cast("long").alias(
+            "n_types"
+        ),
+    )
+    names = ["n_chars", "n_tokens", "n_types"]
+    d38 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for a in names:
+        aggs.append(F.sum(F.col(a).cast(d38)).alias(f"s_{a}"))
+        aggs.append(
+            F.sum(F.col(a).cast(d38) * F.col(a).cast(d38)).alias(
+                f"ss_{a}"
+            )
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a).cast(d38) * F.col(b).cast(d38)).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    mom = feats.agg(*aggs)
+    # all pair rows explode out of the ONE aggregate row — a union of
+    # per-pair selects would recompute the corpus aggregate per pair
+    structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = (
+                F.col("n") * F.col(f"sp_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ).cast("double")
+            va = (
+                F.col("n") * F.col(f"ss_{a}")
+                - F.col(f"s_{a}") * F.col(f"s_{a}")
+            ).cast("double")
+            vb = (
+                F.col("n") * F.col(f"ss_{b}")
+                - F.col(f"s_{b}") * F.col(f"s_{b}")
+            ).cast("double")
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("feat_a"),
+                    F.lit(b).alias("feat_b"),
+                    F.col("n").cast("long").alias("n"),
+                    # r is undefined when either feature is constant
+                    # (zero variance) — NULL, not a divide-by-zero
+                    F.when(
+                        (va > 0) & (vb > 0),
+                        F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6),
+                    ).alias("pearson_r"),
+                )
+            )
+    return (
+        mom.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.feat_a", "p.feat_b", "p.n", "p.pearson_r")
+        .orderBy("feat_a", "feat_b")
+    )

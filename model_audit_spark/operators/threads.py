@@ -165,3 +165,66 @@ def session_paths(
         "path",
         "n_sessions",
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """(cur_type, next_type, n_transitions, p_ppm): the first-order
+    Markov transition matrix of event types within gap sessions — which
+    action follows which, the structural complement of session_paths'
+    literal top paths. p_ppm = n_transitions·10⁶ DIV row total over
+    cur_type (integer-exact conditional probability).
+
+    Determinism: successor via lead over the unique (ts, order) key;
+    transitions never cross a session boundary (the successor's session
+    id must match). Scale: ONE user-hash window pass computes session
+    ids AND successors (same partitioning, shared sort), then a
+    (cur, next)-keyed count aggregate with map-side combine — the
+    shuffle after the window carries |type|² rows. Output ordered
+    (cur_type, next_type)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    flagged = events.select(
+        user_col,
+        ts_col,
+        order_col,
+        F.coalesce(F.col(type_col), F.lit("")).alias("__type"),
+    ).withColumn(
+        "__new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                (
+                    F.unix_timestamp(ts_col)
+                    - F.unix_timestamp(F.lag(ts_col).over(w))
+                )
+                > gap_seconds
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("__sid", F.sum("__new").over(w))
+    paired = sess.select(
+        F.col("__type").alias("cur_type"),
+        F.lead("__type").over(w).alias("__next"),
+        (F.lead("__sid").over(w) == F.col("__sid")).alias("__same"),
+    ).filter(F.col("__next").isNotNull() & F.col("__same"))
+    counts = paired.groupBy("cur_type", F.col("__next").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wt = Window.partitionBy("cur_type")
+    return (
+        counts.withColumn("__tot", F.sum("n_transitions").over(wt))
+        .select(
+            "cur_type",
+            "next_type",
+            "n_transitions",
+            F.expr("n_transitions * 1000000 DIV __tot").alias("p_ppm"),
+        )
+        .orderBy("cur_type", "next_type")
+    )

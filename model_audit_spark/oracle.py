@@ -6553,6 +6553,133 @@ ORDER BY vec_id
 """
 
 
+def event_transitions(gap_seconds: int = 1800) -> str:
+    """Twin of threads.event_transitions: same gap sessionization as
+    the session_paths twin, successor via lead over the unique
+    (ts, event_id) key, session-bounded, integer-ppm conditionals."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, coalesce(event_type, '') AS etype,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR date_diff('second', prev_ts, ts) > {gap_seconds}
+             THEN 1 ELSE 0 END AS newf
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS sid
+  FROM flagged
+),
+paired AS (
+  SELECT etype AS cur_type,
+    lead(etype) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type,
+    lead(sid) OVER (PARTITION BY user_id ORDER BY ts, event_id) = sid
+      AS same_session
+  FROM sess
+),
+counts AS (
+  SELECT cur_type, next_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM paired
+  WHERE next_type IS NOT NULL AND same_session
+  GROUP BY 1, 2
+)
+SELECT cur_type, next_type, n_transitions,
+  CAST(n_transitions * 1000000
+       // sum(n_transitions) OVER (PARTITION BY cur_type) AS BIGINT)
+    AS p_ppm
+FROM counts
+ORDER BY cur_type, next_type
+"""
+
+
+def boilerplate_templates(
+    top_k: int = 3, min_count: int = 2
+) -> str:
+    """Twin of text_analysis.boilerplate_templates over events.props
+    grouped by event_type: digit runs masked to '#', whitespace
+    collapsed, per-group top-k by (count DESC, skeleton ASC)."""
+    return rf"""
+WITH lines AS (
+  SELECT event_type AS "group",
+         unnest(string_split(coalesce(props, ''), chr(10))) AS line
+  FROM events
+),
+skel AS (
+  SELECT "group",
+    trim(regexp_replace(regexp_replace(lower(line), '\p{{N}}+', '#', 'g'),
+                        '\s+', ' ', 'g')) AS skeleton
+  FROM lines
+),
+counts AS (
+  SELECT "group", skeleton, CAST(count(*) AS BIGINT) AS n_lines
+  FROM skel WHERE length(skeleton) > 0
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_count)}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY "group" ORDER BY n_lines DESC, skeleton ASC
+  ) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT "group", skeleton, n_lines, rank
+FROM ranked WHERE rank <= {int(top_k)}
+ORDER BY "group", rank
+"""
+
+
+def feature_correlations() -> str:
+    """Twin of text_analysis.feature_correlations: five exact HUGEINT
+    moment sums, r assembled from correctly-rounded sqrt of exact
+    integers (the Spark side uses DECIMAL(38,0))."""
+    names = ["n_chars", "n_tokens", "n_types"]
+    moments = ["CAST(count(*) AS HUGEINT) AS n"]
+    for a in names:
+        moments.append(f"sum(CAST({a} AS HUGEINT)) AS s_{a}")
+        moments.append(
+            f"sum(CAST({a} AS HUGEINT) * CAST({a} AS HUGEINT)) AS ss_{a}"
+        )
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            moments.append(
+                f"sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT))"
+                f" AS sp_{a}_{b}"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS feat_a, '{b}' AS feat_b,"
+                f" CAST(n AS BIGINT) AS n,"
+                f" CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0"
+                f" AND n * ss_{b} - s_{b} * s_{b} > 0 THEN"
+                f" round(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+                f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))), 6)"
+                f" END AS pearson_r FROM mom"
+            )
+    toks = _tokens("coalesce(text, '')")
+    feats = (
+        "SELECT length(coalesce(text, '')) AS n_chars, "
+        f"len({toks}) AS n_tokens, "
+        f"len(list_distinct({toks})) AS n_types "
+        "FROM documents"
+    )
+    return (
+        f"WITH feats AS ({feats}), mom AS (SELECT "
+        + ", ".join(moments)
+        + " FROM feats) "
+        + " UNION ALL ".join(pairs)
+        + " ORDER BY feat_a, feat_b"
+    )
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

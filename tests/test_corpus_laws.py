@@ -177,3 +177,77 @@ def test_norm_outliers_flags_planted_vector(spark):
     out = {r.vec_id: r for r in norm_outliers(df, k_sigma=3).collect()}
     assert out[99].is_outlier and out[99].norm2 == 900.0
     assert not any(out[i].is_outlier for i in range(20))
+
+
+def test_event_transitions_session_bounded(spark):
+    from model_audit_spark.operators.threads import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            # user 1, one session: A -> B -> A
+            (1, 1, "A", "2024-01-01 10:00:00"),
+            (2, 1, "B", "2024-01-01 10:01:00"),
+            (3, 1, "A", "2024-01-01 10:02:00"),
+            # gap > 30 min: new session, B alone -> no transition out
+            (4, 1, "B", "2024-01-01 12:00:00"),
+            # user 2: A -> A
+            (5, 2, "A", "2024-01-01 10:00:00"),
+            (6, 2, "A", "2024-01-01 10:05:00"),
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        (r.cur_type, r.next_type): r
+        for r in event_transitions(ev, gap_seconds=1800).collect()
+    }
+    assert set(rows) == {("A", "B"), ("B", "A"), ("A", "A")}
+    # A is followed by B once and by A once -> 500000 ppm each
+    assert rows[("A", "B")].n_transitions == 1
+    assert rows[("A", "B")].p_ppm == 500000
+    assert rows[("A", "A")].p_ppm == 500000
+    # B -> A is B's only in-session successor
+    assert rows[("B", "A")].p_ppm == 1000000
+
+
+def test_boilerplate_templates_masks_digits(spark):
+    from model_audit_spark.operators.text_analysis import (
+        boilerplate_templates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "Visit  page 12\ncopyright 1999 acme\nunique one"),
+            (2, "s", "visit page 99\nCopyright 2024 ACME\nunique two"),
+            (3, "t", "no repeats here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = boilerplate_templates(
+        docs, top_k=3, group_col="source", min_count=2
+    ).collect()
+    got = [(r.group, r.skeleton, r.n_lines, r.rank) for r in rows]
+    # both digit/case/whitespace variants collapse; ties break on text
+    assert got == [
+        ("s", "copyright # acme", 2, 1),
+        ("s", "visit page #", 2, 2),
+    ]
+
+
+def test_feature_correlations_exact_and_guarded(spark):
+    from model_audit_spark.operators.text_analysis import (
+        feature_correlations,
+    )
+
+    # texts "a", "a a", ..., n_chars = 2k-1 is affine in n_tokens = k
+    # -> r exactly 1; n_types is constant 1 -> undefined (NULL)
+    docs = spark.createDataFrame(
+        [(k, " ".join(["a"] * k)) for k in range(1, 6)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.feat_a, r.feat_b): r for r in feature_correlations(docs).collect()
+    }
+    assert rows[("n_chars", "n_tokens")].pearson_r == 1.0
+    assert rows[("n_chars", "n_types")].pearson_r is None
+    assert rows[("n_tokens", "n_types")].pearson_r is None
+    assert all(r.n == 5 for r in rows.values())
