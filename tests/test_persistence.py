@@ -85,6 +85,12 @@ def test_dup_verified_session_holds_one_shingle_relation(spark, tmp_path):
 
     spark.catalog.clearCache()
     persistence.release_all()
+    # earlier tests' ITERATIVE operators (k_core, pagerank, label prop)
+    # leave lazy localCheckpoint RDDs pinned until the JVM context
+    # cleaner GCs them — neither clearCache nor release_all can drop
+    # those, so the leak assertion below is RELATIVE to this baseline
+    # (an absolute ==0 was flaky against collector timing)
+    n0 = _n_persistent_rdds(spark)
     entry._dup_verified(docs).count()
     m1 = persistence.memo_size()
     t1 = persistence.tracked_count()
@@ -95,4 +101,6 @@ def test_dup_verified_session_holds_one_shingle_relation(spark, tmp_path):
     # but the corpus-sized shingle relation was NOT duplicated
     assert persistence.tracked_count() == t1 + 1
     persistence.release_all()
-    assert _n_persistent_rdds(spark) == 0
+    # everything THIS test pinned is gone; pre-existing checkpoint
+    # debris may also have been GC'd meanwhile, hence <=
+    assert _n_persistent_rdds(spark) <= n0
