@@ -3545,6 +3545,54 @@ def _feature_correlations(spark, sf):
     return feature_correlations(docs)
 
 
+def _interarrival_profile(spark, sf):
+    """Per-event-type robust profile of user inter-arrival seconds:
+    lag deltas over the (user, ts, event_id) order feed the
+    histogram-exact median/MAD machinery (stats.robust_outlier_profile)
+    — the hazard-rate QA view (bot-like constant cadence shows as
+    MAD ~ 0; flooding as a heavy low tail)."""
+    from model_audit_spark.operators.stats import robust_outlier_profile
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    return robust_outlier_profile(
+        deltas, "delta", by="event_type"
+    ).orderBy("event_type")
+
+
+def _community_modularity(spark, sf):
+    """Newman modularity of the label-propagation partition over the
+    near-dup graph (cluster.community_modularity) — exact
+    DECIMAL(38,0) numerator, one double division."""
+    from model_audit_spark.operators.cluster import (
+        community_modularity,
+        label_propagation,
+    )
+
+    docs = _t(spark, sf, "documents")
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    sym = verified.unionByName(
+        verified.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    nodes = docs.select(F.col("doc_id"))
+    labels = label_propagation(
+        nodes, sym, rounds=4, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return community_modularity(
+        labels, verified, id_col="doc_id", label_col="community",
+        src_col="id_a", dst_col="id_b",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3576,13 +3624,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _epoch_shuffle,
         "length_outliers": _length_outliers,
         "domain_classify": _domain_classify,
-        "streaming_sessionize": _streaming_sessionize,
+        "interarrival_profile": _interarrival_profile,
+        "community_modularity": _community_modularity,
         "streaming_attribution": _streaming_attribution,
         "ngram_novelty": _ngram_novelty,
         "k_anonymity": _k_anonymity,
         "channel_attribution": _channel_attribution,
         "heavy_hitters": _heavy_hitters,
-        "streaming_scd2": _streaming_scd2,
         "session_paths": _session_paths,
         "collocations": _collocations,
         "kmeans_clusters": _kmeans_clusters,
@@ -3620,11 +3668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
-        # mirror-checked every session. 55 queries are never-driver-
+        # mirror-checked every session. 57 queries are never-driver-
         # certified this round but the window holds 50; by the ledger's
-        # name tie-break the five that rotate to r6 are vocab_drift,
+        # name tie-break the seven that rotate to r6 are
+        # streaming_scd2, streaming_sessionize, vocab_drift,
         # winnow_fingerprints, winnow_pairs, winnow_span_report and
         # zipf_slope — all full-mirror green at local[32] and local[7].
+        "streaming_scd2": _streaming_scd2,
+        "streaming_sessionize": _streaming_sessionize,
         "vocab_drift": _vocab_drift,
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_pairs": _winnow_pairs,
@@ -3789,7 +3840,7 @@ _MATERIALIZED_TWINS = {
     "cluster_quality", "effective_corpus_size",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
     "winnow_pairs", "dedup_communities", "winnow_span_report",
-    "dedup_kcore",
+    "dedup_kcore", "community_modularity",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -4002,6 +4053,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             top_k=3, min_count=2
         ),
         "feature_correlations": ora.feature_correlations(),
+        "interarrival_profile": ora.interarrival_profile(),
+        "community_modularity": ora.community_modularity(rounds=4),
         "mixing_plan": ora.mixing_plan(
             budget_tokens=10_000_000, alpha=0.7
         ),

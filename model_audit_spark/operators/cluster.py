@@ -908,3 +908,81 @@ def adamic_adar_scores(
             ),
         )
     )
+
+
+def community_modularity(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "community",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One row (n_communities, m_edges, modularity): Newman modularity
+    Q of a node partition over an undirected graph — the standard "is
+    this community structure real" score (Q near 0: no better than
+    random; 0.3+: strong structure). Evaluates the label-propagation /
+    connected-components output before any per-community action trusts
+    it.
+
+    Q = Σ_c (e_c/m − (d_c/2m)²). Computed exactly: the numerator
+    Σ_c (4m·e_c − d_c²) and denominator 4m² stay in DECIMAL(38,0)
+    integers (products bounded: m ≤ 10¹² edges keeps 4m² < 10²⁵) and
+    divide once as bit-identical doubles. Nodes missing a label are
+    excluded from both e_c and d_c (consistent on both sides).
+
+    Shape at scale: one distinct undirected edge relation (persisted —
+    feeds the within-community count AND the degree sum), two label
+    joins, two tiny per-community aggregates, a single-row reduce."""
+    und = track(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    lab = labels.select(
+        F.col(id_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    both = (
+        und.join(lab.select(F.col("_n").alias("a"), F.col("_c").alias("ca")), "a")
+        .join(lab.select(F.col("_n").alias("b"), F.col("_c").alias("cb")), "b")
+    )
+    e_c = (
+        both.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    d_c = (
+        both.select(F.explode(F.array("ca", "cb")).alias("_c"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    d38 = "decimal(38,0)"
+    per = d_c.join(e_c, "_c", "left").select(
+        "_c",
+        F.coalesce("e_c", F.lit(0)).cast(d38).alias("e_c"),
+        F.col("d_c").cast(d38).alias("d_c"),
+    )
+    return (
+        per.crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("m").cast("long").alias("m_edges"),
+            F.round(
+                F.sum(
+                    F.lit(4).cast(d38) * F.col("m").cast(d38) * F.col("e_c")
+                    - F.col("d_c") * F.col("d_c")
+                ).cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.max("m").cast("double")
+                    * F.max("m").cast("double")
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )

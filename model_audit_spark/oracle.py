@@ -6680,6 +6680,123 @@ def feature_correlations() -> str:
     )
 
 
+def interarrival_profile(k_num: int = 3, k_den: int = 1) -> str:
+    """Twin of the inter-arrival robust profile: lag deltas over the
+    (user, ts, event_id) order, then the length_outliers med2/mad4
+    histogram chain keyed by event_type."""
+    return f"""
+WITH deltas AS (
+  SELECT event_type,
+    date_diff('second',
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      ts) AS delta
+  FROM events
+),
+hist AS (
+  SELECT event_type, CAST(delta AS BIGINT) AS v, count(*) AS cnt
+  FROM deltas WHERE delta IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, v, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+),
+med AS (
+  SELECT event_type,
+    min(CASE WHEN cum >= ((n - 1) // 2) + 1 THEN v END)
+      + min(CASE WHEN cum >= (n // 2) + 1 THEN v END) AS med2,
+    max(n) AS n_rows
+  FROM ranked GROUP BY event_type
+),
+devhist AS (
+  SELECT h.event_type, abs(2 * h.v - m.med2) AS v,
+         CAST(sum(h.cnt) AS BIGINT) AS cnt
+  FROM hist h JOIN med m ON h.event_type = m.event_type
+  GROUP BY 1, 2
+),
+dranked AS (
+  SELECT event_type, v, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM devhist
+),
+mad AS (
+  SELECT event_type,
+    min(CASE WHEN cum >= ((n - 1) // 2) + 1 THEN v END)
+      + min(CASE WHEN cum >= (n // 2) + 1 THEN v END) AS mad4
+  FROM dranked GROUP BY event_type
+),
+flagged AS (
+  SELECT h.event_type, h.cnt,
+    (2 * h.v < m.med2) AS is_low,
+    (2 * abs(2 * h.v - m.med2) * {k_den} > {k_num} * d.mad4) AS is_out
+  FROM hist h
+  JOIN med m ON h.event_type = m.event_type
+  JOIN mad d ON h.event_type = d.event_type
+),
+tallies AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN is_out AND is_low THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_low_outliers,
+    CAST(sum(CASE WHEN is_out AND NOT is_low THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_high_outliers
+  FROM flagged GROUP BY event_type
+)
+SELECT m.event_type, m.n_rows, m.med2 / 2.0 AS median,
+  d.mad4 / 4.0 AS mad, t.n_low_outliers, t.n_high_outliers
+FROM med m
+JOIN mad d ON m.event_type = d.event_type
+JOIN tallies t ON m.event_type = t.event_type
+ORDER BY m.event_type
+"""
+
+
+def community_modularity(
+    rounds: int = 4, min_jaccard: float = 0.5
+) -> str:
+    """Twin of cluster.community_modularity over the label-propagation
+    partition of the near-dup graph: exact HUGEINT numerator
+    Σ_c(4m·e_c − d_c²), one double division (Spark uses
+    DECIMAL(38,0))."""
+    return f"""
+WITH comm AS ({dedup_communities(rounds=rounds, min_jaccard=min_jaccard)}),
+pairs2 AS ({dedup_minhash_pairs(min_jaccard=min_jaccard)}),
+und2 AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM pairs2 WHERE id_a <> id_b
+),
+both2 AS (
+  SELECT u.a, u.b, ca.community AS ca, cb.community AS cb
+  FROM und2 u
+  JOIN comm ca ON ca.doc_id = u.a
+  JOIN comm cb ON cb.doc_id = u.b
+),
+ec AS (
+  SELECT ca AS c, CAST(count(*) AS HUGEINT) AS e_c
+  FROM both2 WHERE ca = cb GROUP BY 1
+),
+dc AS (
+  SELECT c, CAST(count(*) AS HUGEINT) AS d_c
+  FROM (SELECT ca AS c FROM both2 UNION ALL SELECT cb AS c FROM both2)
+  GROUP BY 1
+),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM und2),
+per AS (
+  SELECT dc.c, coalesce(ec.e_c, 0::HUGEINT) AS e_c, dc.d_c
+  FROM dc LEFT JOIN ec ON ec.c = dc.c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+  CAST(max(mm.m) AS BIGINT) AS m_edges,
+  round(CAST(sum(4 * mm.m * per.e_c - per.d_c * per.d_c) AS DOUBLE)
+        / (4.0 * CAST(max(mm.m) AS DOUBLE) * CAST(max(mm.m) AS DOUBLE)),
+        6) AS modularity
+FROM per, mm
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

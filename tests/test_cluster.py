@@ -435,3 +435,24 @@ def test_adamic_adar_scores_exact(spark):
     assert (
         adamic_adar_scores(edges, max_degree=2, top_k=10).count() == 0
     )
+
+
+def test_community_modularity_two_triangles(spark):
+    from model_audit_spark.operators.cluster import community_modularity
+
+    # two triangles joined by one bridge: m = 7,
+    # Q = 2*(3/7 - (7/14)^2) = 5/14 = 0.357142857...
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, "A" if i <= 3 else "B") for i in range(1, 7)],
+        "doc_id long, community string",
+    )
+    row = community_modularity(labels, edges).collect()[0]
+    assert row.n_communities == 2 and row.m_edges == 7
+    assert row.modularity == 0.357143
+    # the degenerate one-community partition scores 0
+    one = labels.withColumn("community", F.lit("X"))
+    assert community_modularity(one, edges).collect()[0].modularity == 0.0

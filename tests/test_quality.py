@@ -185,3 +185,33 @@ def test_robust_outlier_profile_hand_computed(spark):
     g3 = out["g3"]
     assert (g3.median, g3.mad) == (5.0, 0.0)
     assert (g3.n_low_outliers, g3.n_high_outliers) == (0, 1)  # only 9
+
+
+def test_interarrival_deltas_feed_robust_profile(spark):
+    """The inter-arrival composition: lag deltas -> histogram-exact
+    median/MAD (MAD=0 caveat: any deviation is an outlier)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.stats import robust_outlier_profile
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "A", "2024-01-01 00:00:00"),
+            (2, 1, "A", "2024-01-01 00:00:10"),
+            (3, 1, "A", "2024-01-01 00:00:20"),
+            (4, 1, "A", "2024-01-01 00:02:00"),
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    row = robust_outlier_profile(deltas, "delta", by="event_type").collect()[0]
+    # deltas 10, 10, 100 -> median 10, MAD 0, the 100 is a high outlier
+    assert row.n_rows == 3 and row.median == 10.0 and row.mad == 0.0
+    assert row.n_high_outliers == 1 and row.n_low_outliers == 0
