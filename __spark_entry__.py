@@ -3593,6 +3593,33 @@ def _community_modularity(spark, sf):
     )
 
 
+def _community_source_nmi(spark, sf):
+    """Normalized mutual information between the near-dup communities
+    and the source column (cluster.partition_label_nmi) — the "whole
+    domains mirror each other" detector; integer-nanonat exact."""
+    from model_audit_spark.operators.cluster import (
+        label_propagation,
+        partition_label_nmi,
+    )
+
+    docs = _t(spark, sf, "documents")
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    sym = verified.unionByName(
+        verified.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    nodes = docs.select(F.col("doc_id"))
+    labels = label_propagation(
+        nodes, sym, rounds=4, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return partition_label_nmi(
+        labels, docs.select("doc_id", "source"),
+        id_col="doc_id", label_col="community", cat_col="source",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3626,7 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_classify": _domain_classify,
         "interarrival_profile": _interarrival_profile,
         "community_modularity": _community_modularity,
-        "streaming_attribution": _streaming_attribution,
+        "community_source_nmi": _community_source_nmi,
         "ngram_novelty": _ngram_novelty,
         "k_anonymity": _k_anonymity,
         "channel_attribution": _channel_attribution,
@@ -3668,12 +3695,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         # -- 51+: outside the window; driver-green rows retained and
         # ledger-verified (stale overflow rotates in r6), still
-        # mirror-checked every session. 57 queries are never-driver-
+        # mirror-checked every session. 58 queries are never-driver-
         # certified this round but the window holds 50; by the ledger's
-        # name tie-break the seven that rotate to r6 are
-        # streaming_scd2, streaming_sessionize, vocab_drift,
-        # winnow_fingerprints, winnow_pairs, winnow_span_report and
-        # zipf_slope — all full-mirror green at local[32] and local[7].
+        # name tie-break the eight that rotate to r6 are
+        # streaming_attribution, streaming_scd2, streaming_sessionize,
+        # vocab_drift, winnow_fingerprints, winnow_pairs,
+        # winnow_span_report and zipf_slope — all full-mirror green at
+        # local[32] and local[7].
+        "streaming_attribution": _streaming_attribution,
         "streaming_scd2": _streaming_scd2,
         "streaming_sessionize": _streaming_sessionize,
         "vocab_drift": _vocab_drift,
@@ -3840,7 +3869,7 @@ _MATERIALIZED_TWINS = {
     "cluster_quality", "effective_corpus_size",
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
     "winnow_pairs", "dedup_communities", "winnow_span_report",
-    "dedup_kcore", "community_modularity",
+    "dedup_kcore", "community_modularity", "community_source_nmi",
     # semantic_dedup / contrastive_triplets / span_dedup /
     # embedding_principal were measured equal-but-barely-faster
     # (<=0.6 s); they are NOT in this round's check window, so their
@@ -4055,6 +4084,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "feature_correlations": ora.feature_correlations(),
         "interarrival_profile": ora.interarrival_profile(),
         "community_modularity": ora.community_modularity(rounds=4),
+        "community_source_nmi": ora.community_source_nmi(rounds=4),
         "mixing_plan": ora.mixing_plan(
             budget_tokens=10_000_000, alpha=0.7
         ),

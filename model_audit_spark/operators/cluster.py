@@ -986,3 +986,122 @@ def community_modularity(
             ).alias("modularity"),
         )
     )
+
+
+def partition_label_nmi(
+    labels: DataFrame,
+    categories: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "community",
+    cat_col: str = "source",
+) -> DataFrame:
+    """One row (n_labels, n_categories, n_docs, nmi): normalized mutual
+    information between a node partition (e.g. near-dup communities)
+    and a categorical column (e.g. source) — "are the duplicate
+    communities source-aligned?" A high NMI says whole domains mirror
+    each other (act on sources); near 0 says duplication is diffuse
+    (act on documents).
+
+    Integer-nanonat exact: every ln runs over an exact BIGINT count and
+    quantizes immediately (round(ln·1e9)); per-cell pointwise MI uses
+    the SUM of quantized lns (ln9 N + ln9 c_xy − ln9 c_x − ln9 c_y) —
+    off by ≤2 nanonats from the true ln but IDENTICAL in both engines,
+    which is what the hash gate needs. I9 and the two entropies reduce
+    as exact BIGINT sums with one half-up division by N each;
+    nmi = 2·I9/(H9x + H9y) divides two exact integers as doubles.
+    Degenerate case (one label AND one category): NULL.
+
+    Shape at scale: one (label, cat) contingency aggregate (bounded by
+    |labels|·|cats|), two margin aggregates derived from it, a
+    single-row reduce. The contingency relation is persisted (tracked)
+    — it feeds the margins and the cell sum."""
+    joined = labels.select(
+        F.col(id_col).alias("_n"), F.col(label_col).alias("_x")
+    ).join(
+        categories.select(
+            F.col(id_col).alias("_n"), F.col(cat_col).alias("_y")
+        ),
+        "_n",
+    )
+    cells = track(
+        joined.groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .persist()
+    )
+    cx = cells.groupBy("_x").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    cy = cells.groupBy("_y").agg(F.sum("c_xy").cast("long").alias("c_y"))
+
+    def ln9(col):
+        return F.round(F.ln(col) * F.lit(1000000000.0), 0).cast("long")
+
+    tot = cells.agg(F.sum("c_xy").cast("long").alias("n"))
+    hx = (
+        cx.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("_n"),
+            F.sum(F.col("c_x") * ln9(F.col("c_x"))).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+        )
+        .select(
+            "n_labels",
+            (ln9(F.col("_n")) - F.expr("(_s + _n DIV 2) DIV _n")).alias(
+                "h9x"
+            ),
+        )
+    )
+    hy = (
+        cy.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("_n"),
+            F.sum(F.col("c_y") * ln9(F.col("c_y"))).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+        .select(
+            "n_categories",
+            (ln9(F.col("_n")) - F.expr("(_s + _n DIV 2) DIV _n")).alias(
+                "h9y"
+            ),
+        )
+    )
+    i9 = (
+        cells.join(F.broadcast(cx), "_x")
+        .join(F.broadcast(cy), "_y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("_n"),
+            F.sum(
+                F.col("c_xy")
+                * (
+                    ln9(F.col("n"))
+                    + ln9(F.col("c_xy"))
+                    - ln9(F.col("c_x"))
+                    - ln9(F.col("c_y"))
+                )
+            ).alias("_s"),
+        )
+        .select(
+            F.col("_n").alias("n_docs"),
+            F.expr(
+                "CASE WHEN _s >= 0 THEN (_s + _n DIV 2) DIV _n "
+                "ELSE -((-_s + _n DIV 2) DIV _n) END"
+            ).alias("i9"),
+        )
+    )
+    return (
+        hx.crossJoin(hy)
+        .crossJoin(i9)
+        .select(
+            "n_labels",
+            "n_categories",
+            "n_docs",
+            F.when(
+                F.col("h9x") + F.col("h9y") > 0,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("i9").cast("double")
+                    / (F.col("h9x") + F.col("h9y")).cast("double"),
+                    6,
+                ),
+            ).alias("nmi"),
+        )
+    )

@@ -6797,6 +6797,63 @@ FROM per, mm
 """
 
 
+def community_source_nmi(
+    rounds: int = 4, min_jaccard: float = 0.5
+) -> str:
+    """Twin of cluster.partition_label_nmi over the label-propagation
+    partition × source: per-cell pointwise MI from SUMS of quantized
+    lns (identical formula both engines), exact BIGINT reductions,
+    symmetric half-up division for the possibly-negative I9."""
+    ln9 = "CAST(round(ln({x}) * 1000000000.0) AS BIGINT)"
+    return f"""
+WITH comm AS ({dedup_communities(rounds=rounds, min_jaccard=min_jaccard)}),
+cells AS (
+  SELECT c.community AS x, d.source AS y,
+         CAST(count(*) AS BIGINT) AS c_xy
+  FROM comm c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY 1, 2
+),
+cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY 1),
+cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells),
+hx AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+    {ln9.format(x='max(t.n)')}
+      - (CAST(sum(c_x * {ln9.format(x='c_x')}) AS BIGINT)
+         + max(t.n) // 2) // max(t.n) AS h9x
+  FROM cx, tot t
+),
+hy AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_categories,
+    {ln9.format(x='max(t.n)')}
+      - (CAST(sum(c_y * {ln9.format(x='c_y')}) AS BIGINT)
+         + max(t.n) // 2) // max(t.n) AS h9y
+  FROM cy, tot t
+),
+i9t AS (
+  SELECT max(t.n) AS n_docs,
+    CAST(sum(c_xy * ({ln9.format(x='t.n')} + {ln9.format(x='c_xy')}
+                     - {ln9.format(x='c_x')} - {ln9.format(x='c_y')}))
+         AS BIGINT) AS s,
+    max(t.n) AS n
+  FROM cells
+  JOIN cx USING (x) JOIN cy USING (y), tot t
+),
+i9 AS (
+  SELECT n_docs,
+    CASE WHEN s >= 0 THEN (s + n // 2) // n
+         ELSE -((-s + n // 2) // n) END AS i9
+  FROM i9t
+)
+SELECT hx.n_labels, hy.n_categories, i9.n_docs,
+  CASE WHEN hx.h9x + hy.h9y > 0 THEN
+    round(2.0 * CAST(i9.i9 AS DOUBLE)
+          / CAST(hx.h9x + hy.h9y AS DOUBLE), 6)
+  END AS nmi
+FROM hx, hy, i9
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -456,3 +456,33 @@ def test_community_modularity_two_triangles(spark):
     # the degenerate one-community partition scores 0
     one = labels.withColumn("community", F.lit("X"))
     assert community_modularity(one, edges).collect()[0].modularity == 0.0
+
+
+def test_partition_label_nmi_aligned_and_independent(spark):
+    from model_audit_spark.operators.cluster import partition_label_nmi
+
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "doc_id long, community string",
+    )
+    aligned = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2"), (4, "s2")],
+        "doc_id long, source string",
+    )
+    row = partition_label_nmi(labels, aligned).collect()[0]
+    assert (row.n_labels, row.n_categories, row.n_docs) == (2, 2, 4)
+    assert row.nmi == 1.0
+    independent = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s1"), (4, "s2")],
+        "doc_id long, source string",
+    )
+    row = partition_label_nmi(labels, independent).collect()[0]
+    assert abs(row.nmi) < 1e-6
+    # degenerate: one label x one category -> undefined
+    one = spark.createDataFrame(
+        [(i, "X") for i in range(1, 5)], "doc_id long, community string"
+    )
+    onecat = spark.createDataFrame(
+        [(i, "s") for i in range(1, 5)], "doc_id long, source string"
+    )
+    assert partition_label_nmi(one, onecat).collect()[0].nmi is None
