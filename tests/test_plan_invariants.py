@@ -453,3 +453,33 @@ def test_column_profile_scans_are_single_field(spark):
         m = re.search(r"ReadSchema: struct<([^>]*)>", s)
         fields = [f for f in m.group(1).split(",") if f]
         assert len(fields) == 1, s[:160]
+
+
+def test_canonical_dedup_text_never_shuffles(spark):
+    """Canonical dedup reduces text to two md5 keys in-row; no
+    exchange carries the text column."""
+    plan = final_plan(spark, "dedup_canonical")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line[:160]
+
+
+def test_event_transitions_single_window_pass(spark):
+    """Session ids and successors share ONE user-hash window sort:
+    exactly one exchange on user_id, and no text-bearing shuffle."""
+    plan = final_plan(spark, "event_transitions")
+    user_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" in l
+    ]
+    assert len(user_exchanges) == 1, plan.count("Exchange hashpartitioning")
+
+
+def test_norm_outliers_single_vector_scan(spark):
+    """The moments leg and the flag projection share the persisted
+    (id, q) relation — one parquet scan of the embedding column, one
+    in-memory reuse, zero shuffles."""
+    plan = final_plan(spark, "embedding_norm_outliers")
+    assert plan.count("FileScan parquet") == 1
+    assert "InMemoryTableScan" in plan
+    assert "Exchange hashpartitioning" not in plan
