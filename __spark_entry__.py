@@ -3620,6 +3620,19 @@ def _community_source_nmi(spark, sf):
     )
 
 
+def _length_quantiles_exact(spark, sf):
+    """Histogram-exact per-source length quantiles at 5 permille
+    points (stats.histogram_quantiles) — the scalable exact-percentile
+    path (value-domain-bounded aggregate, no row buffering)."""
+    from model_audit_spark.operators.stats import histogram_quantiles
+
+    docs = _t(spark, sf, "documents")
+    return histogram_quantiles(
+        docs, "n_chars", by="source",
+        permilles=(100, 250, 500, 750, 900),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3654,11 +3667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_profile": _interarrival_profile,
         "community_modularity": _community_modularity,
         "community_source_nmi": _community_source_nmi,
+        "length_quantiles_exact": _length_quantiles_exact,
         "ngram_novelty": _ngram_novelty,
         "k_anonymity": _k_anonymity,
         "channel_attribution": _channel_attribution,
         "heavy_hitters": _heavy_hitters,
-        "session_paths": _session_paths,
         "collocations": _collocations,
         "kmeans_clusters": _kmeans_clusters,
         "dedup_decisions": _dedup_decisions,
@@ -3702,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab_drift, winnow_fingerprints, winnow_pairs,
         # winnow_span_report and zipf_slope — all full-mirror green at
         # local[32] and local[7].
+        "session_paths": _session_paths,
         "streaming_attribution": _streaming_attribution,
         "streaming_scd2": _streaming_scd2,
         "streaming_sessionize": _streaming_sessionize,
@@ -4085,6 +4099,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "interarrival_profile": ora.interarrival_profile(),
         "community_modularity": ora.community_modularity(rounds=4),
         "community_source_nmi": ora.community_source_nmi(rounds=4),
+        "length_quantiles_exact": ora.length_quantiles_exact(),
         "mixing_plan": ora.mixing_plan(
             budget_tokens=10_000_000, alpha=0.7
         ),

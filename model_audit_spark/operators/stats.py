@@ -350,3 +350,53 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    permilles: list[int] = (100, 250, 500, 750, 900),
+) -> DataFrame:
+    """Per-group EXACT type-1 (lower) quantiles of an integer column,
+    computed from the value histogram — the scalable exact companion
+    to the KLL sketches: `percentile()` buffers every group's raw rows
+    in executor memory, while this costs one map-side-combining
+    aggregate bounded by the VALUE DOMAIN (doc lengths, token counts,
+    latencies — at most ~1e6 distinct values at any corpus size).
+
+    Quantile definition: q_p = the smallest value whose cumulative
+    count reaches rank ⌈p·n⌉ (1-indexed) — pure integers, identical in
+    every engine (no interpolation, no floats). Probabilities are
+    integer PERMILLES so the rank arithmetic stays exact:
+    rank = (permille·n + 999) DIV 1000.
+
+    Output: one row per group with q_p{permille} columns plus n_rows.
+    Same cumsum-over-histogram shape as robust_outlier_profile: the
+    window runs over the compact histogram, never the corpus."""
+    v = F.col(value_col).cast("bigint")
+    hist = df.groupBy(F.col(by).alias(by), v.alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wo = (
+        Window.partitionBy(by)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(by)
+    ranked = hist.select(
+        by,
+        "v",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_rows")]
+    for p in permilles:
+        p = int(p)
+        rank = F.expr(f"({p} * n + 999) DIV 1000")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("v"))).alias(
+                f"q_p{p}"
+            )
+        )
+    return ranked.groupBy(by).agg(*aggs).orderBy(by)

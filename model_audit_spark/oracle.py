@@ -6854,6 +6854,34 @@ FROM hx, hy, i9
 """
 
 
+def length_quantiles_exact(
+    permilles: tuple = (100, 250, 500, 750, 900),
+) -> str:
+    """Twin of stats.histogram_quantiles over documents (n_chars by
+    source): type-1 lower quantile at rank ⌈p·n⌉ via histogram
+    cumsums — pure integers."""
+    qcols = ", ".join(
+        f"min(CASE WHEN cum >= ({int(p)} * n + 999) // 1000 THEN v END)"
+        f" AS q_p{int(p)}"
+        for p in permilles
+    )
+    return f"""
+WITH hist AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, v,
+    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM hist
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_rows, {qcols}
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -215,3 +215,27 @@ def test_interarrival_deltas_feed_robust_profile(spark):
     # deltas 10, 10, 100 -> median 10, MAD 0, the 100 is a high outlier
     assert row.n_rows == 3 and row.median == 10.0 and row.mad == 0.0
     assert row.n_high_outliers == 1 and row.n_low_outliers == 0
+
+
+def test_histogram_quantiles_type1_exact(spark):
+    from model_audit_spark.operators.stats import histogram_quantiles
+
+    # values 1..10 for one group: type-1 lower quantile at rank
+    # ceil(p*n): p500 -> rank 5 -> 5; p100 -> rank 1 -> 1;
+    # p900 -> rank 9 -> 9; p250 -> rank ceil(2.5)=3 -> 3
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 11)], "grp string, val long"
+    )
+    row = histogram_quantiles(
+        df, "val", by="grp", permilles=(100, 250, 500, 900)
+    ).collect()[0]
+    assert row.n_rows == 10
+    assert (row.q_p100, row.q_p250, row.q_p500, row.q_p900) == (1, 3, 5, 9)
+    # heavy ties: 9x value 7 + 1x value 100 -> every quantile <= p900 is 7
+    df2 = spark.createDataFrame(
+        [("g", 7)] * 9 + [("g", 100)], "grp string, val long"
+    )
+    r2 = histogram_quantiles(
+        df2, "val", by="grp", permilles=(500, 900, 1000)
+    ).collect()[0]
+    assert (r2.q_p500, r2.q_p900, r2.q_p1000) == (7, 7, 100)
