@@ -3633,6 +3633,16 @@ def _length_quantiles_exact(spark, sf):
     )
 
 
+def _burstiness_profile(spark, sf):
+    """Goh-Barabási burstiness of user inter-arrival gaps per event
+    type (threads.burstiness_profile) — exact integer moments, one
+    correctly-rounded sqrt."""
+    from model_audit_spark.operators.threads import burstiness_profile
+
+    ev = _t(spark, sf, "events")
+    return burstiness_profile(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
     entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
@@ -3667,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_profile": _interarrival_profile,
         "community_modularity": _community_modularity,
         "community_source_nmi": _community_source_nmi,
+        "burstiness_profile": _burstiness_profile,
         "length_quantiles_exact": _length_quantiles_exact,
         "ngram_novelty": _ngram_novelty,
         "k_anonymity": _k_anonymity,
@@ -3686,7 +3697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility64": _bpe_fertility64,
         "ann_param_sweep": _ann_param_sweep,
         "paragraph_near_dups": _paragraph_near_dups,
-        "quality_threshold_sweep": _quality_threshold_sweep,
         "events_ks_drift": _events_ks_drift,
         "events_hourly_anomalies": _events_hourly_anomalies,
         "q2_min_acctbal_supplier": _q2_min_acctbal_supplier,
@@ -3715,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab_drift, winnow_fingerprints, winnow_pairs,
         # winnow_span_report and zipf_slope — all full-mirror green at
         # local[32] and local[7].
+        "quality_threshold_sweep": _quality_threshold_sweep,
         "session_paths": _session_paths,
         "streaming_attribution": _streaming_attribution,
         "streaming_scd2": _streaming_scd2,
@@ -4100,6 +4111,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "community_modularity": ora.community_modularity(rounds=4),
         "community_source_nmi": ora.community_source_nmi(rounds=4),
         "length_quantiles_exact": ora.length_quantiles_exact(),
+        "burstiness_profile": ora.burstiness_profile(),
         "mixing_plan": ora.mixing_plan(
             budget_tokens=10_000_000, alpha=0.7
         ),

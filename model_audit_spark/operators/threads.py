@@ -228,3 +228,52 @@ def event_transitions(
         )
         .orderBy("cur_type", "next_type")
     )
+
+
+def burstiness_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """(event_type, n_intervals, mean_gap_s, burstiness): the
+    Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of user inter-arrival
+    seconds per event type — B→-1 periodic/bot cadence, B≈0 Poisson,
+    B→+1 heavy-tailed human bursts. The one-number companion to
+    interarrival_profile's median/MAD view.
+
+    Exact assembly: per-type integer moment sums (n, Σd, Σd²) in
+    DECIMAL(38,0); σ·n = sqrt(n·Σd² − (Σd)²) is the square root of an
+    exact integer (correctly rounded, identical both engines), so
+    B = (sqrt(nΣd²−S²) − S)/(sqrt(nΣd²−S²) + S) — the n's cancel —
+    and mean = S/n are bit-identical doubles rounded once at emit.
+    Degenerate all-zero gaps emit NULL.
+
+    One user-hash window pass for the lag deltas, one tiny per-type
+    aggregate."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    deltas = events.select(
+        F.coalesce(F.col(type_col), F.lit("")).alias("event_type"),
+        (
+            F.unix_timestamp(ts_col)
+            - F.unix_timestamp(F.lag(ts_col).over(w))
+        ).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    d38 = "decimal(38,0)"
+    mom = deltas.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("d").cast(d38)).alias("s"),
+        F.sum(F.col("d").cast(d38) * F.col("d").cast(d38)).alias("ss"),
+    )
+    sig_n = F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+    s_d = F.col("s").cast("double")
+    return mom.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_intervals"),
+        F.round(s_d / F.col("n").cast("double"), 6).alias("mean_gap_s"),
+        F.when(
+            sig_n + s_d > 0,
+            F.round((sig_n - s_d) / (sig_n + s_d), 6),
+        ).alias("burstiness"),
+    ).orderBy("event_type")

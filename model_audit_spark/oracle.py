@@ -6882,6 +6882,37 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def burstiness_profile() -> str:
+    """Twin of threads.burstiness_profile: exact HUGEINT moments,
+    B = (sqrt(nΣd²−S²) − S)/(sqrt(nΣd²−S²) + S)."""
+    return """
+WITH deltas AS (
+  SELECT coalesce(event_type, '') AS event_type,
+    date_diff('second',
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      ts) AS d
+  FROM events
+),
+mom AS (
+  SELECT event_type,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS s,
+    CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS HUGEINT) AS ss
+  FROM deltas WHERE d IS NOT NULL GROUP BY 1
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_intervals,
+  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+  CASE WHEN sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE) > 0
+  THEN round(
+    (sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+    / (sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+  END AS burstiness
+FROM mom
+ORDER BY event_type
+"""
+
+
 def materialized(sql: str) -> str:
     """Pin every CTE in `sql` to ONE evaluation (`AS MATERIALIZED`) —
     the fix for DETERMINISM.md failure mode 9: DuckDB's default CTE

@@ -118,3 +118,27 @@ def test_session_paths_hand_computed(spark):
         (1, "view>click", 2),
         (2, "view>view>click>purchase>view", 1),
     ]
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    from pyspark.sql import functions as F
+
+    from model_audit_spark.operators.threads import burstiness_profile
+
+    rows = []
+    # periodic: exact 10 s cadence -> sigma 0 -> B = -1
+    for i in range(6):
+        rows.append((i, 1, "periodic", f"2024-01-01 00:00:{10*i:02d}"))
+    # bursty: gaps 1,1,1,1,116 s -> high variance -> B > 0
+    ts = [0, 1, 2, 3, 4, 120]
+    for j, t in enumerate(ts):
+        rows.append((100 + j, 2, "bursty", f"2024-01-01 00:{t//60:02d}:{t%60:02d}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r for r in burstiness_profile(ev).collect()}
+    p = out["periodic"]
+    assert p.n_intervals == 5 and p.mean_gap_s == 10.0
+    assert p.burstiness == -1.0
+    b = out["bursty"]
+    assert b.n_intervals == 5 and b.burstiness > 0.3
