@@ -3645,26 +3645,79 @@ def _burstiness_profile(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks the FIRST 50
-    entries only. Round-5 rotation, derived from scripts/evidence_ledger.py
+    entries only. Round-6 rotation, derived from scripts/evidence_ledger.py
     (unit-level dependency fingerprints vs each query's newest green driver
-    round), in priority order: (1) every never-driver-certified query —
-    the round-5 additions (SCD2 batch + streaming, epoch shuffle, MAD
-    outliers, domain router, streaming sessionize/attribution, n-gram
-    novelty, k-anonymity, channel attribution, heavy hitters, session
-    paths, collocations, Lloyd k-means, vocab drift, dedup decisions,
-    ANN recall + param sweep, BPE-64 pair, KS drift, hourly anomalies,
-    paragraph near-dups, quality sweep, the TPC-H Q2/Q9/Q11/Q16/Q20
-    completion, char entropy, Heaps growth, Zipf slope, column profile,
-    Adamic-Adar link prediction, l-diversity); (2) stale queries, oldest
-    driver evidence first. More stale than 50 slots this round, so the
-    ledger's invariant is priority-shaped, not zero-stale: the window
-    must BE the 50 highest-priority stale queries (never-certified
-    first, then oldest round, name-tiebreak); the overflow keeps its
-    green rows + local mirror evidence and rotates in r6 — the ledger
-    prints the exact overflow set. Entries 51+ are re-checked by the
+    round), in priority order: (1) all 10 never-driver-certified queries —
+    the r5 additions that overflowed the r5 window (quality_threshold_sweep,
+    session_paths, streaming_attribution, streaming_scd2,
+    streaming_sessionize, vocab_drift, winnow_fingerprints, winnow_pairs,
+    winnow_span_report, zipf_slope; the r5 docstring miscounted these as 8
+    of 58 — the true ledger numbers were 10 of 60); (2) stale queries,
+    oldest driver evidence first (15 with r1-era evidence, then r2/r3/r4
+    tiers, name tie-break). 51 queries were stale entering r6 and the
+    window holds 50, so weighted_sample_es (r4 evidence, last by
+    tie-break) overflows to r7; round-6 code changes (BPE memo chain,
+    community memo, recall-report sampling, ADVICE fixes) re-stale their
+    own r5-certified queries, which join the overflow with the freshest
+    evidence tier. The ledger's invariant is priority-shaped: the window
+    must BE the 50 highest-priority stale queries; overflow keeps its
+    green rows + local mirror evidence. Entries 51+ are re-checked by the
     local mirror (scripts/check_oracle.py) every session."""
     return {
-        # -- 1-50: the driver's check window (ledger-derived r5 rotation)
+        # -- 1-50: the driver's check window (ledger-derived r6 rotation)
+        "quality_threshold_sweep": _quality_threshold_sweep,
+        "session_paths": _session_paths,
+        "streaming_attribution": _streaming_attribution,
+        "streaming_scd2": _streaming_scd2,
+        "streaming_sessionize": _streaming_sessionize,
+        "vocab_drift": _vocab_drift,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_pairs": _winnow_pairs,
+        "winnow_span_report": _winnow_span_report,
+        "zipf_slope": _zipf_slope,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "cache_keys": _cache_keys,
+        "corpus_stats": _corpus_stats,
+        "dedup_simhash": _dedup_simhash,
+        "detect_distribution": _detect_distribution,
+        "dli_bigrams_by_source": _dli_bigrams,
+        "dli_features_by_source": _dli_features,
+        "embedding_pairs_exact": _embedding_pairs_exact,
+        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
+        "lang_distribution": _lang_distribution,
+        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
+        "q_customers_no_orders": _q_customers_no_orders,
+        "q_events_hourly": _q_events_hourly,
+        "q_topk_customers": _q_topk_customers,
+        "style_count_distribution": _style_count_distribution,
+        "style_scores_long": _style_scores_long,
+        "media_decode": _media_decode,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "ann_ivf_sq8": _ann_ivf_sq8,
+        "ann_sq8_rerank": _ann_sq8_rerank,
+        "bpe_merges": _bpe_merges,
+        "bpe_segments": _bpe_segments,
+        "cluster_retention": _cluster_retention,
+        "curate_corpus": _curate_corpus,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_clusters_incremental": _dedup_clusters_incremental,
+        "dedup_containment": _dedup_containment,
+        "dedup_incremental": _dedup_incremental,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_minhash_signatures": _dedup_minhash_signatures,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
+        "dup_graph_stats": _dup_graph_stats,
+        "events_decayed": _events_decayed,
+        "knn_triangles": _knn_triangles,
+        "leakage_safe_splits": _leakage_safe_splits,
+        "pagerank_dupgraph": _pagerank_dupgraph,
+        "source_overlap": _source_overlap,
+        "vocab_coverage": _vocab_coverage,
+        # -- 51+: outside the window; driver-green rows retained and
+        # ledger-verified, still mirror-checked every session by
+        # scripts/check_oracle.py.
         "hybrid_search": _hybrid_search,
         "cluster_quality": _cluster_quality,
         "effective_corpus_size": _effective_corpus_size,
@@ -3715,65 +3768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "boilerplate_templates": _boilerplate_templates,
         "feature_correlations": _feature_correlations,
-        "ann_lsh_topk": _ann_lsh_topk,
-        # -- 51+: outside the window; driver-green rows retained and
-        # ledger-verified (stale overflow rotates in r6), still
-        # mirror-checked every session. 58 queries are never-driver-
-        # certified this round but the window holds 50; by the ledger's
-        # name tie-break the eight that rotate to r6 are
-        # streaming_attribution, streaming_scd2, streaming_sessionize,
-        # vocab_drift, winnow_fingerprints, winnow_pairs,
-        # winnow_span_report and zipf_slope — all full-mirror green at
-        # local[32] and local[7].
-        "quality_threshold_sweep": _quality_threshold_sweep,
-        "session_paths": _session_paths,
-        "streaming_attribution": _streaming_attribution,
-        "streaming_scd2": _streaming_scd2,
-        "streaming_sessionize": _streaming_sessionize,
-        "vocab_drift": _vocab_drift,
-        "winnow_fingerprints": _winnow_fingerprints,
-        "winnow_pairs": _winnow_pairs,
-        "winnow_span_report": _winnow_span_report,
-        "zipf_slope": _zipf_slope,
-        "cache_keys": _cache_keys,
-        "corpus_stats": _corpus_stats,
-        "dedup_simhash": _dedup_simhash,
-        "detect_distribution": _detect_distribution,
-        "dli_bigrams_by_source": _dli_bigrams,
-        "dli_features_by_source": _dli_features,
-        "embedding_pairs_exact": _embedding_pairs_exact,
-        "fingerprint_diff_buckets": _fingerprint_diff_buckets,
-        "lang_distribution": _lang_distribution,
-        "llmmap_fingerprints_by_source": _llmmap_fingerprints,
-        "q_customers_no_orders": _q_customers_no_orders,
-        "q_events_hourly": _q_events_hourly,
-        "q_topk_customers": _q_topk_customers,
-        "style_count_distribution": _style_count_distribution,
-        "style_scores_long": _style_scores_long,
-        "media_decode": _media_decode,
-        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,
-        "ann_ivf_sq8": _ann_ivf_sq8,
-        "ann_sq8_rerank": _ann_sq8_rerank,
-        "bpe_merges": _bpe_merges,
-        "bpe_segments": _bpe_segments,
-        "cluster_retention": _cluster_retention,
-        "curate_corpus": _curate_corpus,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_clusters_incremental": _dedup_clusters_incremental,
-        "dedup_containment": _dedup_containment,
-        "dedup_incremental": _dedup_incremental,
-        "dedup_minhash_pairs": _dedup_minhash_pairs,
-        "dedup_minhash_signatures": _dedup_minhash_signatures,
-        "dedup_threshold_sweep": _dedup_threshold_sweep,
-        "dup_graph_stats": _dup_graph_stats,
-        "events_decayed": _events_decayed,
-        "knn_triangles": _knn_triangles,
-        "leakage_safe_splits": _leakage_safe_splits,
-        "pagerank_dupgraph": _pagerank_dupgraph,
-        "source_overlap": _source_overlap,
-        "vocab_coverage": _vocab_coverage,
         "weighted_sample_es": _weighted_sample_es,
         "claimed_families": _claimed_families,
         "probe_category_counts": _probe_category_counts,

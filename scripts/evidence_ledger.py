@@ -40,6 +40,10 @@ moved between files is followed correctly.
 Output: EVIDENCE_LEDGER.json + a human summary; exit 1 if any STALE
 query is NOT in the first-50 window (the pre-driver invariant: every
 stale query must be windowed so the next driver run refreshes it).
+The invariant is deposit-stable (r6): a window is also accepted when
+it is priority-correct under the evidence state with the newest
+CORRECTNESS file removed — the state it was built for — so pytest is
+green both before and after the driver deposits a round's evidence.
 
 Usage: python scripts/evidence_ledger.py [--json-only]
 """
@@ -324,28 +328,46 @@ def main() -> int:
 
     order = list(entry_mod.queries().keys())
     window = set(order[:50])
-    ledger, stale = {}, []
-    for q in order:
-        r = roots.get(q, [])
-        rounds = greens.get(q, [])
-        newest = max(rounds) if rounds else None
-        cur_fp = closure_fingerprint(r, head_text) if r else None
-        fresh = False
-        if newest is not None and newest in commits and cur_fp:
-            c = commits[newest]
-            hist_fp = closure_fingerprint(
-                r, lambda p, c=c: git_show(c, p)
-            )
-            fresh = hist_fp == cur_fp
-        ledger[q] = {
-            "rounds_green": rounds,
-            "newest_green_round": newest,
-            "fresh": fresh,
+
+    cur_fps = {
+        q: (closure_fingerprint(roots[q], head_text)
+            if roots.get(q) else None)
+        for q in order
+    }
+
+    def fresh_at(q: str, newest: int | None) -> bool:
+        r, cur_fp = roots.get(q, []), cur_fps.get(q)
+        if newest is None or newest not in commits or not cur_fp:
+            return False
+        c = commits[newest]
+        return cur_fp == closure_fingerprint(
+            r, lambda p, c=c: git_show(c, p)
+        )
+
+    def evidence_state(exclude: int | None):
+        """(newest_by_query, stale_list) under the evidence set with
+        round `exclude` removed (None = full evidence)."""
+        newest_by_q, stale = {}, []
+        for q in order:
+            rounds = [n for n in greens.get(q, []) if n != exclude]
+            newest = max(rounds) if rounds else None
+            newest_by_q[q] = newest
+            if not fresh_at(q, newest):
+                stale.append(q)
+        return newest_by_q, stale
+
+    newest_full, stale = evidence_state(None)
+    stale_set = set(stale)
+    ledger = {
+        q: {
+            "rounds_green": greens.get(q, []),
+            "newest_green_round": newest_full[q],
+            "fresh": q not in stale_set,
             "in_next_window": q in window,
-            "fingerprint": cur_fp,
+            "fingerprint": cur_fps[q],
         }
-        if not fresh:
-            stale.append(q)
+        for q in order
+    }
 
     (REPO / "EVIDENCE_LEDGER.json").write_text(
         json.dumps(ledger, indent=1, sort_keys=True) + "\n"
@@ -360,18 +382,49 @@ def main() -> int:
     # oldest driver evidence; any spare slots go to the fresh queries
     # with the oldest rows (opportunistic refresh). Overflowed stale
     # queries keep their mirror evidence and rotate next round.
-    def prio(q: str):
-        n = ledger[q]["newest_green_round"]
-        return (0 if n is None else n, q)
+    def make_expected(newest_by_q, stale_list):
+        def prio(q: str):
+            n = newest_by_q[q]
+            return (0 if n is None else n, q)
 
-    expected = sorted(stale, key=prio)[:50]
-    if len(expected) < 50:
-        fresh_pool = sorted(
-            (q for q in order if q not in stale),
-            key=prio,
-        )
-        expected += fresh_pool[: 50 - len(expected)]
+        expected = sorted(stale_list, key=prio)[:50]
+        if len(expected) < 50:
+            stale_s = set(stale_list)
+            fresh_pool = sorted(
+                (q for q in order if q not in stale_s),
+                key=prio,
+            )
+            expected += fresh_pool[: 50 - len(expected)]
+        return expected, prio
+
+    expected, prio = make_expected(newest_full, stale)
     violation = set(order[:50]) != set(expected)
+
+    # Deposit stability (r6): the window is built against the evidence
+    # state BEFORE the next driver run; when the driver then deposits
+    # CORRECTNESS_r0N.json certifying exactly that window, the
+    # just-refreshed queries drop out of the priority set and the
+    # full-evidence expectation shifts to the NEXT rotation — which is
+    # r(N+1) work, not a broken invariant. So also accept a window that
+    # is priority-correct under the evidence state with the newest
+    # round removed (the state the window was built for). A mid-round
+    # code edit that silently stales an unwindowed high-priority query
+    # fails BOTH states, so the detection property is preserved.
+    newest_round = max(
+        (int(re.search(r"r(\d+)", p.name).group(1))
+         for p in REPO.glob("CORRECTNESS_r*.json")),
+        default=None,
+    )
+    if violation and newest_round is not None:
+        alt_expected, _ = make_expected(*evidence_state(newest_round))
+        if set(order[:50]) == set(alt_expected):
+            violation = False
+            if not json_only:
+                print(
+                    f"window matches the pre-r{newest_round} evidence "
+                    "state (deposit-stable pass); rotate before the "
+                    "next driver run"
+                )
     overflow = [q for q in sorted(stale, key=prio)[50:]]
     if "--emit-window" in sys.argv:
         print("_CHECK_WINDOW = [")
