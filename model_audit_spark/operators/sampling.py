@@ -535,29 +535,35 @@ def mixing_plan(
     source that implies (epochs > 1 = the source will repeat; the
     standard over-sampling red flag for small high-weight sources).
 
-    Token mass is the exact integer Σ whitespace-token counts; the only
+    Token mass is the exact integer Σ whitespace-token counts
+    (functions.text.words — the split() the docstring promises, not the
+    \\w+ DLI tokenizer: they differ on any punctuated corpus); the only
     doubles are the pow/normalize/round-6 steps temperature_mix_weights
-    already certifies cross-engine. One corpus aggregate; the
-    normalizing window moves |strata| rows."""
-    from model_audit_spark.functions.text import word_tokens
+    already certifies cross-engine. Zero-token strata emit NULL
+    weight/planned/epochs deterministically (pow(0,alpha)=0 would
+    otherwise make epochs 0/0 = engine-dependent NaN). One corpus
+    aggregate; the normalizing window moves |strata| rows."""
+    from model_audit_spark.functions.text import words
 
     agg = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
-            F.size(word_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            F.size(words(F.coalesce(F.col(text_col), F.lit(""))))
         ).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy()
     powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
     weight = powed / F.sum(powed).over(w)
     planned = weight * F.lit(float(int(budget_tokens)))
+    nonzero = F.col("n_tokens") > 0
     return agg.select(
         "stratum",
         "n_docs",
         "n_tokens",
-        F.round(weight, 6).alias("weight"),
-        F.round(planned, 6).alias("planned_tokens"),
-        F.round(
-            planned / F.col("n_tokens").cast("double"), 6
+        F.when(nonzero, F.round(weight, 6)).alias("weight"),
+        F.when(nonzero, F.round(planned, 6)).alias("planned_tokens"),
+        F.when(
+            nonzero,
+            F.round(planned / F.col("n_tokens").cast("double"), 6),
         ).alias("epochs"),
     ).orderBy("stratum")

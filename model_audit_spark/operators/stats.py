@@ -371,12 +371,20 @@ def histogram_quantiles(
     integer PERMILLES so the rank arithmetic stays exact:
     rank = (permille·n + 999) DIV 1000.
 
+    NULL values are excluded before the histogram is built (they could
+    never be selected by the min-over-threshold step but would inflate
+    n and shift every rank; and the two engines order NULLs at opposite
+    window ends, so keeping them would also diverge cross-engine).
+    n_rows therefore counts non-NULL values only.
+
     Output: one row per group with q_p{permille} columns plus n_rows.
     Same cumsum-over-histogram shape as robust_outlier_profile: the
     window runs over the compact histogram, never the corpus."""
     v = F.col(value_col).cast("bigint")
-    hist = df.groupBy(F.col(by).alias(by), v.alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(by).alias(by), v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     wo = (
         Window.partitionBy(by)

@@ -6502,7 +6502,8 @@ ORDER BY keeper_id
 
 def mixing_plan(budget_tokens: int = 10_000_000, alpha: float = 0.7) -> str:
     """Twin of sampling.mixing_plan over documents (stratum=source,
-    exact whitespace-token mass)."""
+    exact whitespace-token mass; zero-token strata emit NULL
+    weight/planned/epochs, mirroring the Spark-side guard)."""
     return f"""
 WITH s AS (
   SELECT source AS stratum, count(*) AS n_docs,
@@ -6510,16 +6511,19 @@ WITH s AS (
   FROM documents GROUP BY source
 )
 SELECT stratum, n_docs, n_tokens,
+  CASE WHEN n_tokens > 0 THEN
   round(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)
         / sum(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)) OVER (),
-        6) AS weight,
+        6) END AS weight,
+  CASE WHEN n_tokens > 0 THEN
   round(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)
         / sum(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)) OVER ()
-        * {float(int(budget_tokens))}, 6) AS planned_tokens,
+        * {float(int(budget_tokens))}, 6) END AS planned_tokens,
+  CASE WHEN n_tokens > 0 THEN
   round(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)
         / sum(power(CAST(n_tokens AS DOUBLE), {alpha}::DOUBLE)) OVER ()
         * {float(int(budget_tokens))} / CAST(n_tokens AS DOUBLE), 6)
-    AS epochs
+    END AS epochs
 FROM s
 ORDER BY stratum
 """
@@ -6859,7 +6863,9 @@ def length_quantiles_exact(
 ) -> str:
     """Twin of stats.histogram_quantiles over documents (n_chars by
     source): type-1 lower quantile at rank ⌈p·n⌉ via histogram
-    cumsums — pure integers."""
+    cumsums — pure integers. NULL values excluded before the
+    histogram, mirroring the Spark-side filter (n_rows = non-NULL
+    count)."""
     qcols = ", ".join(
         f"min(CASE WHEN cum >= ({int(p)} * n + 999) // 1000 THEN v END)"
         f" AS q_p{int(p)}"
@@ -6868,7 +6874,7 @@ def length_quantiles_exact(
     return f"""
 WITH hist AS (
   SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
 ),
 ranked AS (
   SELECT source, v,

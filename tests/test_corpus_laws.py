@@ -168,6 +168,39 @@ def test_mixing_plan_budget_conservation(spark):
                                          abs=1e-5)
 
 
+def test_mixing_plan_whitespace_tokens_and_empty_strata(spark):
+    """Pins the tokenizer choice (whitespace split, NOT \\w+ — they
+    differ on punctuated text: "don't stop-go now." is 3 whitespace
+    tokens but 5 \\w+ matches) and the zero-token guard (empty
+    stratum -> NULL weight/planned/epochs, never NaN or ±inf)."""
+    import math
+
+    from model_audit_spark.operators.sampling import mixing_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "don't stop-go now.", "punct"),
+            (2, "", "empty"),
+            (3, None, "empty"),
+            (4, "a b", "plain"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    by = {
+        r.stratum: r
+        for r in mixing_plan(docs, budget_tokens=100, alpha=0.7).collect()
+    }
+    assert by["punct"].n_tokens == 3  # \w+ would say 5
+    assert by["plain"].n_tokens == 2
+    assert by["empty"].n_tokens == 0 and by["empty"].n_docs == 2
+    assert by["empty"].weight is None
+    assert by["empty"].planned_tokens is None
+    assert by["empty"].epochs is None
+    for s in ("punct", "plain"):
+        assert by[s].epochs is not None
+        assert not math.isnan(by[s].epochs)
+
+
 def test_norm_outliers_flags_planted_vector(spark):
     from model_audit_spark.operators.embstats import norm_outliers
 

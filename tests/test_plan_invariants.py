@@ -437,7 +437,10 @@ def test_zipf_slope_takeordered_single_row_reduce(spark):
     vocabulary); everything after is a single-row reduction."""
     plan = final_plan(spark, "zipf_slope")
     assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan or "SortMergeJoin" not in plan
+    # "no global sort of the vocabulary" = no range-partitioned
+    # exchange anywhere (the only Sort nodes are the local post-
+    # TakeOrdered window sorts, which run on the k-row cut)
+    assert "Exchange rangepartitioning" not in plan
     assert "Join" not in plan
 
 

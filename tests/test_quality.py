@@ -239,3 +239,19 @@ def test_histogram_quantiles_type1_exact(spark):
         df2, "val", by="grp", permilles=(500, 900, 1000)
     ).collect()[0]
     assert (r2.q_p500, r2.q_p900, r2.q_p1000) == (7, 7, 100)
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    """NULL values must not inflate n or shift ranks: 1..10 plus four
+    NULLs gives the same quantiles (and n_rows) as 1..10 alone."""
+    from model_audit_spark.operators.stats import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 11)] + [("g", None)] * 4,
+        "grp string, val long",
+    )
+    row = histogram_quantiles(
+        df, "val", by="grp", permilles=(100, 500, 900)
+    ).collect()[0]
+    assert row.n_rows == 10
+    assert (row.q_p100, row.q_p500, row.q_p900) == (1, 5, 9)
