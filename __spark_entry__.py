@@ -2851,31 +2851,32 @@ def _bpe_segments(spark, sf):
 
 
 def _bpe_merges64(spark, sf):
-    """BPE at production merge counts (r5): the same Sennrich loop at
-    n_merges=64 in the driver-argmax shape (bpe.learn_bpe_merges_driver
-    — winning pair returns as one row per step, rewrite is a literal
-    projection, checkpoint every 6 steps). The oracle unrolls all 64
-    steps as MATERIALIZED CTEs (linear, not exponential), so the full
-    chain is hash-certified step by step. vocab_partitions=1: the
-    fixture vocabulary is tiny (31 words); production leaves it None."""
-    from model_audit_spark.operators.bpe import learn_bpe_merges_driver
+    """BPE at production merge counts (r6): collected-vocabulary shape
+    (bpe.learn_bpe_merges_collected) — ONE distributed corpus pass
+    collapses to the Heaps-bounded (word, freq) relation, then an
+    incremental driver-side Sennrich learner runs all 64 steps in a
+    single job instead of 64 sequential driver-argmax actions (pure
+    scheduling latency at any data size; the r5 perf finding). The
+    oracle still unrolls all 64 steps as MATERIALIZED CTEs, so the full
+    chain stays hash-certified step by step; the memo key lets
+    bpe_fertility64 reuse this chain within one session batch."""
+    from model_audit_spark.operators.bpe import learn_bpe_merges_collected
 
     docs = _t(spark, sf, "documents")
-    return learn_bpe_merges_driver(
-        docs, n_merges=64, ckpt_every=6, vocab_partitions=1
-    )
+    return learn_bpe_merges_collected(docs, n_merges=64, memo_key=sf)
 
 
 def _bpe_fertility64(spark, sf):
     """Final-state certificate of the 64-merge chain: exact vocabulary
     totals + freq-weighted mean fertility (tokens per word — the number
-    that prices training compute) in one row (bpe.bpe_fertility)."""
-    from model_audit_spark.operators.bpe import bpe_fertility
+    that prices training compute) in one row
+    (bpe.bpe_fertility_collected). Shares bpe_merges64's learned chain
+    through the persistence.memo_obj key instead of re-learning all 64
+    steps (the r5 duplicate-work finding)."""
+    from model_audit_spark.operators.bpe import bpe_fertility_collected
 
     docs = _t(spark, sf, "documents")
-    return bpe_fertility(
-        docs, n_merges=64, ckpt_every=6, vocab_partitions=1
-    )
+    return bpe_fertility_collected(docs, n_merges=64, memo_key=sf)
 
 
 def _events_decayed(spark, sf):

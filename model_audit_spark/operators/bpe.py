@@ -49,8 +49,10 @@ __all__ = [
     "apply_merge",
     "learn_bpe_merges",
     "learn_bpe_merges_driver",
+    "learn_bpe_merges_collected",
     "bpe_vocab_segments",
     "bpe_fertility",
+    "bpe_fertility_collected",
 ]
 
 
@@ -342,6 +344,202 @@ def learn_bpe_merges_driver(
         vocab_partitions,
     )
     return df.sparkSession.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def _rewrite_py(seq: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping rewrite — the Python twin
+    of apply_merge's fold ('l l l' with (l,l) -> ['ll','l'])."""
+    out, i, n = [], 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _learn_merges_py(
+    vocab: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> tuple[list[tuple], int, int, int]:
+    """Incremental Sennrich learner over the collapsed (word, freq)
+    relation: pair->count map + pair->words inverted index + a
+    lazy-deletion heap, so each merge step touches only the words that
+    CONTAIN the winning pair (the original learn_bpe optimization) —
+    total work is O(affected symbols), not O(|V| · n_merges).
+
+    Semantics are bit-identical to the distributed chain (and therefore
+    to the unrolled SQL twin): adjacent pairs are POSITION-counted
+    (overlaps included, matching the transform-slice enumerator),
+    the argmax order is (count desc, left asc, right asc) — the heap
+    key (-count, left, right) encodes it directly, and Python's
+    code-point string order equals Spark's UTF8 binary order — and the
+    rewrite is greedy left-to-right non-overlapping.
+
+    Returns (merges, n_words, total_freq, total_subwords) — the merge
+    table plus the final-state totals bpe_fertility reports."""
+    import heapq
+
+    seqs = [list(w) for w, _ in vocab]
+    freqs = [int(f) for _, f in vocab]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, seq in enumerate(seqs):
+        f = freqs[idx]
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + f
+            where.setdefault((a, b), set()).add(idx)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple] = []
+    for step_no in range(1, n_merges + 1):
+        # lazy deletion: every CURRENT count has a live heap entry
+        # (pushed at its last update), and any entry above it claims a
+        # higher count than its pair actually has — pop those stale
+        # entries until the top is current; that top is the argmax
+        # under (count desc, left asc, right asc).
+        best = None
+        while heap:
+            nc, a, b = heap[0]
+            cur = counts.get((a, b), 0)
+            if -nc != cur:
+                heapq.heappop(heap)
+                continue
+            if cur >= min_pair_count:
+                best = (a, b, cur)
+            break
+        if best is None:
+            break
+        left, right, cnt = best
+        merges.append((step_no, left, right, cnt))
+
+        touched: dict[tuple[str, str], int] = {}
+        for idx in sorted(where.get((left, right), ())):
+            seq, f = seqs[idx], freqs[idx]
+            for p in zip(seq, seq[1:]):
+                touched[p] = touched.get(p, 0) - f
+                s = where.get(p)
+                if s is not None:
+                    s.discard(idx)
+            new_seq = _rewrite_py(seq, left, right)
+            for p in zip(new_seq, new_seq[1:]):
+                touched[p] = touched.get(p, 0) + f
+                where.setdefault(p, set()).add(idx)
+            seqs[idx] = new_seq
+        for p, delta in touched.items():
+            if delta == 0:
+                continue
+            c = counts.get(p, 0) + delta
+            if c <= 0:
+                counts.pop(p, None)
+            else:
+                counts[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1]))
+
+    total_freq = sum(freqs)
+    total_subwords = sum(len(s) * f for s, f in zip(seqs, freqs))
+    return merges, len(seqs), total_freq, total_subwords
+
+
+def _collected_chain(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    min_pair_count: int,
+    memo_key=None,
+) -> tuple[list[tuple], int, int, int]:
+    """Distributed corpus collapse + bounded-relation driver learner.
+
+    The ONLY corpus-sized work is the word_freqs aggregate; the
+    vocabulary it emits is Heaps-law bounded (~1e6-1e7 rows at 100 TB,
+    tens of MB as (word, freq) pairs), so collecting it is the same
+    bounded-collect discipline as the k-means centroid and PQ codebook
+    collects (similarity.py) — and learning merges over the collapsed
+    relation driver-side is how production tokenizer trainers work.
+    This replaces 64 sequential Spark jobs (pure scheduling latency at
+    any data size — the per-step DATA is vocabulary-sized) with one.
+
+    `memo_key`: when set, the learned chain is memoized via
+    persistence.memo_obj keyed (table-key, n_merges, text_col,
+    min_pair_count), so bpe_fertility_collected reuses the chain
+    learn_bpe_merges_collected already ran in the same session batch;
+    release_all() (the bench isolation hook) clears it."""
+    def build():
+        rows = word_freqs(df, text_col).collect()
+        return _learn_merges_py(
+            [(r["word"], r["freq"]) for r in rows],
+            n_merges,
+            min_pair_count,
+        )
+
+    if memo_key is None:
+        return build()
+    from model_audit_spark import persistence
+
+    return persistence.memo_obj(
+        ("bpe_chain", memo_key, n_merges, text_col, min_pair_count),
+        build,
+    )
+
+
+def learn_bpe_merges_collected(
+    df: DataFrame,
+    n_merges: int = 64,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    memo_key=None,
+) -> DataFrame:
+    """learn_bpe_merges at production merge counts, collected-vocabulary
+    shape: identical output to the in-DAG and driver-argmax variants
+    (equality pinned in tests; the same SQL twin hash-certifies all
+    three), one distributed corpus pass + a driver-side incremental
+    learner over the Heaps-bounded vocabulary. Use this when the
+    vocabulary relation fits the driver (it does until ~1e8 distinct
+    words); learn_bpe_merges_driver remains the distributed per-step
+    loop beyond that."""
+    merges, _, _, _ = _collected_chain(
+        df, n_merges, text_col, min_pair_count, memo_key
+    )
+    return df.sparkSession.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_fertility_collected(
+    df: DataFrame,
+    n_merges: int = 64,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    memo_key=None,
+) -> DataFrame:
+    """bpe_fertility in the collected-vocabulary shape — same one-row
+    final-state certificate, computed from the SAME learned chain as
+    learn_bpe_merges_collected when `memo_key` matches (the chain is a
+    deterministic function of (table, n_merges); re-learning it was the
+    r5 perf finding). The division/round runs through the same Spark
+    expression as the distributed variant so rounding is
+    engine-identical."""
+    merges, n_words, total_freq, total_subwords = _collected_chain(
+        df, n_merges, text_col, min_pair_count, memo_key
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(len(merges), n_words, total_freq, total_subwords)],
+        "n_merges_done INT, n_words LONG, total_freq LONG, "
+        "total_subwords LONG",
+    ).select(
+        "n_merges_done",
+        "n_words",
+        "total_freq",
+        "total_subwords",
+        F.round(
+            F.col("total_subwords")
+            / F.greatest(F.col("total_freq"), F.lit(1)),
+            6,
+        ).alias("mean_fertility"),
+    )
 
 
 def bpe_fertility(

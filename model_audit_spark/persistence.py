@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 
 _tracked: list[DataFrame] = []
 _memo: dict[Hashable, DataFrame] = {}
+_obj_memo: dict[Hashable, object] = {}
 
 
 def _is_live(df: DataFrame) -> bool:
@@ -79,6 +80,22 @@ def memo(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
     return df
 
 
+def memo_obj(key: Hashable, builder: Callable[[], object]) -> object:
+    """Session-scoped memo for small DRIVER-SIDE artifacts derived from
+    a relation — a learned BPE merge chain, a codebook, a centroid
+    table. Unlike ``memo`` there is no storage level to re-validate
+    (the value is plain Python data, not executor blocks); the entry
+    lives until ``release_all()``, which is also the bench harness's
+    per-query isolation hook — so memoized artifacts never leak across
+    isolated timings, only across queries that genuinely share a
+    session batch (e.g. the driver's correctness gate)."""
+    if key in _obj_memo:
+        return _obj_memo[key]
+    v = builder()
+    _obj_memo[key] = v
+    return v
+
+
 def release_all() -> int:
     """Unpersist every tracked relation and clear the memo.
 
@@ -96,6 +113,7 @@ def release_all() -> int:
             pass
     _tracked.clear()
     _memo.clear()
+    _obj_memo.clear()
     return n
 
 
@@ -107,3 +125,9 @@ def tracked_count() -> int:
 def memo_size() -> int:
     """Number of live memo entries (pytest pins this)."""
     return len(_memo)
+
+
+def obj_memo_size() -> int:
+    """Number of live driver-side object-memo entries (pytest pins
+    this)."""
+    return len(_obj_memo)

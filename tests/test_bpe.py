@@ -236,3 +236,81 @@ def test_bpe_fertility_final_state(spark):
     assert r8["total_subwords"] == 60
     assert r8["mean_fertility"] == 1.0
     assert r8["n_merges_done"] <= 8
+
+
+def test_collected_learner_equals_distributed_chains(spark):
+    """The r6 collected-vocabulary shape (one corpus pass + incremental
+    driver learner) must emit an IDENTICAL merge table to both
+    distributed shapes — the reappearing-pair and tie-break paths
+    included (the 'tailN' suffixes force count ties broken by string
+    order)."""
+    from model_audit_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_collected,
+        learn_bpe_merges_driver,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat " * 3 + f"tail{i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dag = [tuple(r) for r in learn_bpe_merges(df, n_merges=12).collect()]
+    drv = [
+        tuple(r)
+        for r in learn_bpe_merges_driver(df, n_merges=12).collect()
+    ]
+    col = [
+        tuple(r)
+        for r in learn_bpe_merges_collected(df, n_merges=12).collect()
+    ]
+    assert col == dag == drv
+    assert len(col) == 12
+
+
+def test_collected_learner_early_exhaustion(spark):
+    from model_audit_spark.operators.bpe import learn_bpe_merges_collected
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    out = learn_bpe_merges_collected(df, n_merges=50).collect()
+    assert len(out) == 1
+    assert (out[0]["left"], out[0]["right"]) == ("a", "b")
+
+
+def test_collected_fertility_matches_distributed(spark):
+    from model_audit_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_fertility_collected,
+    )
+
+    rows = [(i, "alpha beta beta gamma-x") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (0, 8):
+        a = bpe_fertility(df, n_merges=k).collect()[0]
+        b = bpe_fertility_collected(df, n_merges=k).collect()[0]
+        assert tuple(a) == tuple(b), (k, tuple(a), tuple(b))
+
+
+def test_collected_chain_memo_shares_work(spark):
+    """With a memo_key, fertility reuses the chain merges already
+    learned (one obj-memo entry, not two); release_all clears it."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.bpe import (
+        bpe_fertility_collected,
+        learn_bpe_merges_collected,
+    )
+
+    persistence.release_all()
+    df = spark.createDataFrame(
+        [(1, "low low lower newest newest")], "doc_id long, text string"
+    )
+    m = learn_bpe_merges_collected(df, n_merges=6, memo_key="t")
+    n_m = m.count()
+    assert persistence.obj_memo_size() == 1
+    f = bpe_fertility_collected(df, n_merges=6, memo_key="t").collect()[0]
+    assert persistence.obj_memo_size() == 1  # reused, not re-learned
+    assert f["n_merges_done"] == n_m
+    persistence.release_all()
+    assert persistence.obj_memo_size() == 0
