@@ -1319,26 +1319,42 @@ def _dup_verified(docs, min_jaccard: float = 0.5):
     )
 
 
+def _dup_communities_rel(docs):
+    """Memoized label-propagation communities of the symmetric
+    near-dup graph — the shared upstream of dedup_communities,
+    community_modularity and community_source_nmi (r6: the three
+    queries each re-ran the same 4-round chain; persistence.memo
+    shares ONE evaluation per session batch, released by
+    release_all so isolated timings stay isolated)."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.cluster import label_propagation
+
+    def build():
+        verified = _dup_verified(docs).select("id_a", "id_b")
+        edges = verified.unionByName(
+            verified.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        nodes = docs.select(F.col("doc_id"))
+        return label_propagation(
+            nodes, edges, rounds=4, id_col="doc_id",
+            src_col="id_a", dst_col="id_b",
+        )
+
+    key = ("dup_communities", tuple(sorted(docs.inputFiles())), 4)
+    return persistence.memo(key, build)
+
+
 def _dedup_communities(spark, sf):
     """Label-propagation communities over the symmetric near-dup graph
     (4 synchronous rounds, least-label ties) — the modal-support
     alternative to connected components: thin spurious bridges don't
     fuse dense clusters. Iterative, hash-certified against an unrolled
-    SQL twin (cluster.label_propagation)."""
-    from model_audit_spark.operators.cluster import label_propagation
-
+    SQL twin (cluster.label_propagation); the communities relation is
+    session-memoized and shared with the modularity and NMI queries."""
     docs = _t(spark, sf, "documents")
-    verified = _dup_verified(docs).select("id_a", "id_b")
-    edges = verified.unionByName(
-        verified.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    )
-    nodes = docs.select(F.col("doc_id"))
-    return label_propagation(
-        nodes, edges, rounds=4, id_col="doc_id",
-        src_col="id_a", dst_col="id_b",
-    )
+    return _dup_communities_rel(docs)
 
 
 def _dedup_kcore(spark, sf):
@@ -3571,23 +3587,11 @@ def _community_modularity(spark, sf):
     """Newman modularity of the label-propagation partition over the
     near-dup graph (cluster.community_modularity) — exact
     DECIMAL(38,0) numerator, one double division."""
-    from model_audit_spark.operators.cluster import (
-        community_modularity,
-        label_propagation,
-    )
+    from model_audit_spark.operators.cluster import community_modularity
 
     docs = _t(spark, sf, "documents")
     verified = _dup_verified(docs).select("id_a", "id_b")
-    sym = verified.unionByName(
-        verified.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    )
-    nodes = docs.select(F.col("doc_id"))
-    labels = label_propagation(
-        nodes, sym, rounds=4, id_col="doc_id",
-        src_col="id_a", dst_col="id_b",
-    )
+    labels = _dup_communities_rel(docs)
     return community_modularity(
         labels, verified, id_col="doc_id", label_col="community",
         src_col="id_a", dst_col="id_b",
@@ -3598,23 +3602,10 @@ def _community_source_nmi(spark, sf):
     """Normalized mutual information between the near-dup communities
     and the source column (cluster.partition_label_nmi) — the "whole
     domains mirror each other" detector; integer-nanonat exact."""
-    from model_audit_spark.operators.cluster import (
-        label_propagation,
-        partition_label_nmi,
-    )
+    from model_audit_spark.operators.cluster import partition_label_nmi
 
     docs = _t(spark, sf, "documents")
-    verified = _dup_verified(docs).select("id_a", "id_b")
-    sym = verified.unionByName(
-        verified.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    )
-    nodes = docs.select(F.col("doc_id"))
-    labels = label_propagation(
-        nodes, sym, rounds=4, id_col="doc_id",
-        src_col="id_a", dst_col="id_b",
-    )
+    labels = _dup_communities_rel(docs)
     return partition_label_nmi(
         labels, docs.select("doc_id", "source"),
         id_col="doc_id", label_col="community", cat_col="source",
