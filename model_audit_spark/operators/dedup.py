@@ -1133,6 +1133,7 @@ def dedup_recall_report(
     simhash_bits: int = 32,
     simhash_bands: int = 4,
     simhash_max_distance: int = 3,
+    sample_n: int | None = None,
 ) -> DataFrame:
     """(method, n_truth, n_candidates, n_hits, recall_at_t): measured
     candidate recall of each near-dup candidate generator against the
@@ -1164,7 +1165,20 @@ def dedup_recall_report(
     report runs on a bounded calibration sample (the inverted-index
     truth join is still shared-shingle-bounded, never a cross join),
     exactly how ann_recall_report treats its exact top-k.
+
+    `sample_n` IS that calibration-sample mode: when set, the whole
+    report (truth AND every candidate generator) runs over a
+    deterministic hash-ordered sample of `sample_n` documents
+    (TakeOrdered by md5(id) — no full sort, no rand() seed drift), so
+    the exact-truth leg is bounded at any corpus size while schema and
+    semantics — including the prefix row's losslessness pin — are
+    unchanged. None (the default, and the gate configuration) keeps
+    the full corpus.
     """
+    if sample_n is not None:
+        df = df.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        ).limit(int(sample_n))
     sh_rel = shingles_df(df, text_col, id_col, shingle_n)
     truth = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, min_jaccard

@@ -1092,6 +1092,7 @@ def ann_recall_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    sample_n: int | None = None,
 ) -> DataFrame:
     """(method, k_returned, n_hits, recall_at_k): measured recall@k of
     every approximate retrieval path against the exact cosine top-k —
@@ -1112,7 +1113,23 @@ def ann_recall_report(
     (k rows) broadcasts into the hit-join. Nothing here scans the corpus
     more than the underlying methods already do; at scale the built
     indexes (IVF assignment, PQ/SQ8 codes) would be persisted relations
-    shared across the methods instead of rebuilt per method."""
+    shared across the methods instead of rebuilt per method.
+
+    `sample_n` is the bounded calibration-sample mode (the 100 TB
+    shape this docstring promised since r5): when set, the report runs
+    over the query vector plus a deterministic hash-ordered sample of
+    `sample_n - 1` other vectors (TakeOrdered by md5(id) — no full
+    sort, no rand() drift), bounding the exact-truth leg while schema
+    and semantics are unchanged. None (the default, and the gate
+    configuration) keeps the full corpus."""
+    if sample_n is not None:
+        keep = emb.filter(F.col(id_col) == query_vec_id)
+        rest = (
+            emb.filter(F.col(id_col) != query_vec_id)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(max(int(sample_n) - 1, 0))
+        )
+        emb = keep.unionByName(rest)
     exact = (
         cosine_topk(emb, query_vec_id, k, id_col, vec_col)
         .select(F.col(id_col), F.lit(1).alias("_hit"))

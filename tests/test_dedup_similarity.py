@@ -700,3 +700,27 @@ def test_dedup_recall_report_zero_candidate_method_emits_row(spark):
     for r in rows.values():
         assert r.n_truth == 0 and r.n_hits == 0
         assert r.recall_at_t == 0.0
+
+
+def test_dedup_recall_report_sample_mode(spark, docs):
+    """The 100 TB calibration-sample mode (r6): sample_n bounds the
+    exact-truth leg while schema and semantics are unchanged — the
+    prefix row's losslessness pin must hold ON the sample, and a
+    sample at least as large as the corpus is the full report."""
+    from model_audit_spark.operators.dedup import dedup_recall_report
+
+    full = dedup_recall_report(docs)
+    sampled = dedup_recall_report(docs, sample_n=4)
+    assert sampled.schema == full.schema
+    rows = {r.method: r for r in sampled.collect()}
+    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash"]
+    p = rows["prefix"]
+    assert p.n_candidates == p.n_truth and p.recall_at_t == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_t <= 1.0
+        assert r.n_hits <= r.n_candidates and r.n_hits <= r.n_truth
+    # sample >= corpus == full-mode rows (the gate configuration is
+    # sample_n=None; this pins that the sampling path degrades to it)
+    n = docs.count()
+    assert sorted(map(tuple, dedup_recall_report(docs, sample_n=n)
+                  .collect())) == sorted(map(tuple, full.collect()))

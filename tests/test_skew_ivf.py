@@ -558,3 +558,28 @@ def test_ivf_append_report_counts_and_share(spark):
     assert (out[1].old_size, out[1].added, out[1].new_size) == (2, 1, 3)
     assert out[0].share_ppm == 4 * 1000000 // 7
     assert out[1].share_ppm == 3 * 1000000 // 7
+
+
+def test_ann_recall_report_sample_mode(spark):
+    """sample_n keeps the query vector, bounds the corpus to a
+    deterministic hash-ordered sample, and preserves schema/semantics;
+    sample >= corpus degrades to the full report (the gate config)."""
+    from model_audit_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ann_recall_report(emb, query_vec_id=0, k=10)
+    sampled = ann_recall_report(emb, query_vec_id=0, k=10, sample_n=40)
+    assert sampled.schema == full.schema
+    rows = {r["method"]: r for r in sampled.collect()}
+    assert set(rows) == {
+        "ivf", "ivf_sq8", "lsh", "lsh_multiprobe",
+        "pq", "pq_rerank", "sq8", "sq8_rerank",
+    }
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] <= r["k_returned"]
+    n = emb.count()
+    assert sorted(map(tuple,
+                  ann_recall_report(emb, query_vec_id=0, k=10,
+                                    sample_n=n).collect())) == \
+        sorted(map(tuple, full.collect()))
