@@ -84,14 +84,13 @@ def main() -> None:
 
     import gc
 
-    times: dict[str, float] = {}
-    for name in bench_queries:
-        fn = qs[name]
+    from model_audit_spark import persistence
+
+    def run_once(name: str) -> float:
         t0 = time.time()
-        df = fn(spark, SF_DIR)
+        df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        elapsed = time.time() - t0
         # clearCache drops catalog-cached relations but NOT localCheckpoint
         # blocks (pagerank / connected-components rounds) — those free only
         # when the Python references die and the ContextCleaner runs, so
@@ -100,13 +99,29 @@ def main() -> None:
         del df
         gc.collect()
         # release_all() first: unpersists every operator-tracked relation
-        # AND resets the session memo (clearCache alone leaves stale memo
+        # AND resets the session memos (clearCache alone leaves stale memo
         # entries that the liveness re-check would rebuild anyway, but the
-        # explicit hook keeps the registry bounded across 145 queries)
-        from model_audit_spark import persistence
-
+        # explicit hook keeps the registry bounded across 200+ queries)
         persistence.release_all()
         spark.catalog.clearCache()
+        return elapsed
+
+    # Timing = min over two isolated-cold runs for SHORT queries.
+    # Rationale (r5 finding): in a 202-query sequence, neighbor effects
+    # (pandas-worker pool state, ContextCleaner backlog, JIT churn) can
+    # inflate a ~1 s query 2x (reef_layer_cka read 2.63 s in BENCH_r05
+    # vs 1.32 s isolated) — contention only ever ADDS time, so min is
+    # the right estimator for the query's own cost, and the noise is
+    # proportionally irrelevant above a few seconds, where a second run
+    # would just double bench wall-clock.
+    RERUN_BELOW_SEC = 4.0
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        t1 = run_once(name)
+        if t1 < RERUN_BELOW_SEC:
+            t1 = min(t1, run_once(name))
+        times[name] = round(t1, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -142,8 +157,11 @@ def main() -> None:
                 # r1 timed queries against a shared warm cache; since then
                 # each query is timed cold (clearCache before it runs), so
                 # per-query times are self-contained and NOT comparable to
-                # r1 rows for queries that shared cached subtrees
-                "timing": "isolated-cold-cache",
+                # r1 rows for queries that shared cached subtrees. Since r6
+                # short queries (<4 s) report the min of two cold runs —
+                # neighbor contention only adds time, so min isolates the
+                # query's own cost (the r5 reef_layer_cka 2x finding)
+                "timing": "isolated-cold-cache-min2-under-4s",
                 "queries_detail": "previous headline_queries_detail line",
             }
         )

@@ -1156,6 +1156,13 @@ def dedup_recall_report(
       provably lossless, so its row pins recall EXACTLY 1.0 and
       n_candidates == n_truth; a driver hash match re-certifies the
       losslessness claim every round from inside the report itself.
+    - winnow: MOSS winnowing fingerprint pairs (k=3 grams, window 4,
+      min_shared 2, max_df 50 — winnow_pairs' gate parameters; r6,
+      closing the one candidate family without a measured recall
+      number). Winnowing targets CONTAINMENT (shared verbatim runs),
+      so its recall against a whole-document Jaccard truth reads as
+      "how much of the Jaccard-near-dup set a span-level generator
+      also surfaces" — a calibration number, not a loss bound.
 
     Shape: the shingle relation builds ONCE and feeds truth, signatures
     and the prefix chain; each generator is the same candidate-bounded
@@ -1186,6 +1193,8 @@ def dedup_recall_report(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, shingles=sh_rel
     )
+    from model_audit_spark.operators.text_analysis import winnow_pairs
+
     cand_sets = {
         "minhash_lsh": minhash_band_pairs(sigs, id_col, num_hashes, bands),
         "prefix": ngram_jaccard_prefix_pairs(
@@ -1195,6 +1204,9 @@ def dedup_recall_report(
             df, text_col, id_col, simhash_bits, simhash_bands,
             simhash_max_distance,
         ).select("id_a", "id_b"),
+        "winnow": winnow_pairs(df, text_col, id_col).select(
+            "id_a", "id_b"
+        ),
     }
     cands = None
     for name in sorted(cand_sets):

@@ -5914,11 +5914,12 @@ def dedup_recall_report(
 ) -> str:
     """Twin of dedup.dedup_recall_report: candidate recall of each
     near-dup generator vs the exact all-pairs Jaccard >= t truth. The
-    minhash/simhash candidate CTEs are the SAME certified shapes as
-    dedup_minhash_pairs / dedup_simhash_pairs; the prefix generator's
-    certified twin is the all-pairs truth itself (losslessness), so its
-    row is the truth relation verbatim — a hash match re-proves the
-    PPJoin claim from inside the report."""
+    minhash/simhash/winnow candidate CTEs are the SAME certified shapes
+    as dedup_minhash_pairs / dedup_simhash_pairs / winnow_pairs (gate
+    parameters: k=3 grams, window 4, min_shared 2, max_df 50); the
+    prefix generator's certified twin is the all-pairs truth itself
+    (losslessness), so its row is the truth relation verbatim — a hash
+    match re-proves the PPJoin claim from inside the report."""
     band_sqls = []
     for b in range(4):
         parts = " || '|' || ".join(
@@ -5970,10 +5971,25 @@ sh_cand AS (
              AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
 ),
+{_winnow_ctes(3, 4, with_toksrc=False)},
+wn_posts AS (
+  SELECT DISTINCT doc_id, h FROM fps
+),
+wn_df AS (
+  SELECT h FROM wn_posts GROUP BY h HAVING count(*) <= 50
+),
+wn_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM wn_posts a
+  JOIN wn_df c ON c.h = a.h
+  JOIN wn_posts b ON b.h = a.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
 cands AS (
   SELECT 'minhash_lsh' AS method, id_a, id_b FROM mh_cand
   UNION ALL SELECT 'prefix' AS method, id_a, id_b FROM truth
   UNION ALL SELECT 'simhash' AS method, id_a, id_b FROM sh_cand
+  UNION ALL SELECT 'winnow' AS method, id_a, id_b FROM wn_cand
 ),
 tc AS (
   SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
@@ -5986,7 +6002,8 @@ per AS (
   LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
   GROUP BY c.method
 ),
-m(method) AS (VALUES ('minhash_lsh'), ('prefix'), ('simhash'))
+m(method) AS (VALUES ('minhash_lsh'), ('prefix'), ('simhash'),
+              ('winnow'))
 SELECT m.method, tc.n_truth,
        coalesce(per.n_candidates, 0) AS n_candidates,
        coalesce(per.n_hits, 0) AS n_hits,
@@ -5997,7 +6014,9 @@ ORDER BY m.method
 """
 
 
-def _winnow_ctes(gram_k: int = 3, window: int = 4) -> str:
+def _winnow_ctes(
+    gram_k: int = 3, window: int = 4, with_toksrc: bool = True
+) -> str:
     """toksrc..fps CTE chain: winnowing fingerprint selection (twin of
     text_analysis.winnow_selected). POSITIONAL grams (no list_distinct —
     stride 1), md5 per gram, per-window min with rightmost tie: the
@@ -6011,10 +6030,14 @@ def _winnow_ctes(gram_k: int = 3, window: int = 4) -> str:
         f"ELSE list_transform(range(1, len(toks) - {k - 2}), "
         f"i -> md5({concat})) END"
     )
-    return f"""
+    toksrc = f"""
 toksrc AS (
   SELECT doc_id, {_tokens('text')} AS toks FROM documents
-),
+),"""
+    # with_toksrc=False lets a composing twin that ALREADY defines the
+    # identical toksrc CTE (the shingle chain's) reuse it instead of
+    # tripping DuckDB's duplicate-CTE check (dedup_recall_report, r6)
+    return (toksrc if with_toksrc else "") + f"""
 g AS (
   SELECT doc_id, {grams} AS hs FROM toksrc
 ),

@@ -657,7 +657,7 @@ def test_dedup_recall_report_pins(spark, docs):
     )
 
     rows = {r.method: r for r in dedup_recall_report(docs).collect()}
-    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash"]
+    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash", "winnow"]
     n_truth = ngram_jaccard_pairs(docs, min_jaccard=0.5).count()
     assert all(r.n_truth == n_truth for r in rows.values())
     # PPJoin prefix filtering is lossless by theorem: its row must pin
@@ -696,7 +696,7 @@ def test_dedup_recall_report_zero_candidate_method_emits_row(spark):
         ["doc_id", "text"],
     )
     rows = {r.method: r for r in dedup_recall_report(df).collect()}
-    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash"]
+    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash", "winnow"]
     for r in rows.values():
         assert r.n_truth == 0 and r.n_hits == 0
         assert r.recall_at_t == 0.0
@@ -713,7 +713,7 @@ def test_dedup_recall_report_sample_mode(spark, docs):
     sampled = dedup_recall_report(docs, sample_n=4)
     assert sampled.schema == full.schema
     rows = {r.method: r for r in sampled.collect()}
-    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash"]
+    assert sorted(rows) == ["minhash_lsh", "prefix", "simhash", "winnow"]
     p = rows["prefix"]
     assert p.n_candidates == p.n_truth and p.recall_at_t == 1.0
     for r in rows.values():
