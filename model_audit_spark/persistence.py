@@ -67,14 +67,19 @@ def memo(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
     """Return the session-cached DataFrame for `key`, building and
     persisting it on first use (or after its blocks were dropped).
 
-    `builder` must return the relation UN-persisted; memo() persists and
-    tracks it. The storage-level re-check makes the memo safe under an
+    memo() persists (unless the builder's relation already holds live
+    blocks — e.g. it ends in its own localCheckpoint) and tracks the
+    result. The storage-level re-check makes the memo safe under an
     external ``spark.catalog.clearCache()``: the entry is rebuilt, never
     served stale."""
     df = _memo.get(key)
     if df is not None and _is_live(df):
         return df
-    df = builder().persist()
+    df = builder()
+    if not _is_live(df):
+        # builders that end in their own persist/localCheckpoint are
+        # left alone (re-persisting spams CacheManager warnings)
+        df = df.persist()
     _memo[key] = df
     _tracked.append(df)
     return df
