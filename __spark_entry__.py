@@ -1289,6 +1289,23 @@ def _knn_graph(spark, sf):
 
 
 
+def _dup_shingles(docs):
+    """The session-memoized shingle relation of the documents table —
+    ONE cached tokenize+shingle pass per (input files, n) shared by
+    every shingle consumer (minhash chain, exact/prefix Jaccard,
+    containment; r6 widened the sharing from the minhash chain to the
+    prefix-filter family via the operators' `shingles=` injection).
+    Contract: `docs` must be the unfiltered documents table — the memo
+    key is its file set."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.dedup import shingles_df
+
+    key = ("dup_shingles", tuple(sorted(docs.inputFiles())), 3)
+    return persistence.memo(
+        key, lambda: shingles_df(docs, "text", "doc_id")
+    )
+
+
 def _dup_verified(docs, min_jaccard: float = 0.5):
     """Shared sign->band->verify chain for every dup-graph query: ONE
     persisted shingle relation feeds both the minhash aggregate and the
@@ -1304,13 +1321,7 @@ def _dup_verified(docs, min_jaccard: float = 0.5):
     Explicit release: persistence.release_all(). Contract: `docs` must
     be the unfiltered documents table — the memo key is its file set,
     so two different projections of the same files would share."""
-    from model_audit_spark import persistence
-    from model_audit_spark.operators.dedup import shingles_df
-
-    key = ("dup_shingles", tuple(sorted(docs.inputFiles())), 3)
-    shing = persistence.memo(
-        key, lambda: shingles_df(docs, "text", "doc_id")
-    )
+    shing = _dup_shingles(docs)
     sigs = minhash_signatures(docs, "text", "doc_id", shingles=shing)
     pairs = minhash_band_pairs(sigs, "doc_id")
     return jaccard_verify(
@@ -1760,7 +1771,10 @@ def _dedup_ngram_jaccard(spark, sf):
     from model_audit_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", min_jaccard=0.5,
+        shingles=_dup_shingles(docs),
+    )
 
 
 def _dedup_recall_report(spark, sf):
@@ -1949,7 +1963,9 @@ def _dedup_jaccard_prefix(spark, sf):
     from model_audit_spark.operators.dedup import ngram_jaccard_prefix_pairs
 
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_prefix_pairs(docs, min_jaccard=0.5)
+    return ngram_jaccard_prefix_pairs(
+        docs, min_jaccard=0.5, shingles=_dup_shingles(docs)
+    )
 
 
 def _length_bucketed_batches(spark, sf):
@@ -3023,7 +3039,9 @@ def _dedup_containment(spark, sf):
     from model_audit_spark.operators.dedup import containment_prefix_pairs
 
     docs = _t(spark, sf, "documents")
-    return containment_prefix_pairs(docs, min_containment=0.6)
+    return containment_prefix_pairs(
+        docs, min_containment=0.6, shingles=_dup_shingles(docs)
+    )
 
 
 def _dedup_clusters_incremental(spark, sf):

@@ -492,11 +492,16 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for ALL pairs with exact n-gram Jaccard >=
     min_jaccard — no MinHash approximation (reference has no counterpart;
     this is the exact member of the dedup family, vs the LSH-candidate
     minhash path).
+
+    `shingles`: a pre-built shingles_df relation to reuse (the
+    minhash_signatures injection pattern) — the caller owns its
+    persist/release lifecycle; None builds and tracks one internally.
 
     Candidate generation is a shingle inverted index: groupBy(shingle) →
     sorted posting list → in-bucket pair expansion, so the shingle relation
@@ -514,7 +519,11 @@ def ngram_jaccard_pairs(
     # consumed by both sizes and the posting-list aggregate — persist so the
     # tokenize+shingle subtree runs once (SCALE.md rule 3); tracked for
     # persistence.release_all()
-    shing = track(shingles_df(df, text_col, id_col, shingle_n).persist())
+    shing = (
+        shingles
+        if shingles is not None
+        else track(shingles_df(df, text_col, id_col, shingle_n).persist())
+    )
     sizes = shing.select(F.col(id_col).alias("_id"), F.size("sh").alias("n_sh"))
     postings = (
         shing.select(F.col(id_col), F.explode("sh").alias("s"))
@@ -596,6 +605,7 @@ def ngram_jaccard_prefix_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-equal results to ngram_jaccard_pairs with far fewer
     candidates: prefix filtering (PPJoin's core idea). For Jaccard ≥ t a
@@ -610,10 +620,17 @@ def ngram_jaccard_prefix_pairs(
     sizes (≈ (1−t)·Σ|sh|), and crucially the boilerplate shingles that
     cause Σ|postings|² blowups are exactly the FREQUENT ones, which the
     rare-first prefix rarely includes — the skew hedge falls out of the
-    algorithm instead of needing a max_df cap."""
+    algorithm instead of needing a max_df cap.
+
+    `shingles`: a pre-built shingles_df relation to reuse (caller owns
+    its lifecycle); None builds and tracks one internally."""
     if not (0 < min_jaccard <= 1):
         raise ValueError("min_jaccard must be in (0, 1]")
-    shing = track(shingles_df(df, text_col, id_col, shingle_n).persist())
+    shing = (
+        shingles
+        if shingles is not None
+        else track(shingles_df(df, text_col, id_col, shingle_n).persist())
+    )
     sizes = shing.select(
         F.col(id_col).alias("_id"), F.size("sh").alias("n_sh")
     )
@@ -687,6 +704,7 @@ def containment_prefix_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_containment: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, containment): every pair with
     |A∩B| / min(|A|, |B|) ≥ min_containment (id_a < id_b) — the
@@ -717,11 +735,17 @@ def containment_prefix_pairs(
     many queries in one session release them via
     persistence.release_all() (the gate harness's clearCache() between
     queries does the same); on a real cluster, checkpoint `shing`
-    instead to also truncate lineage.
+    instead to also truncate lineage. `shingles`: a pre-built
+    shingles_df relation to reuse (caller owns its lifecycle); None
+    builds and tracks one internally.
     """
     if not (0 < min_containment <= 1):
         raise ValueError("min_containment must be in (0, 1]")
-    shing = track(shingles_df(df, text_col, id_col, shingle_n).persist())
+    shing = (
+        shingles
+        if shingles is not None
+        else track(shingles_df(df, text_col, id_col, shingle_n).persist())
+    )
     pre = _rare_prefix_postings(shing, id_col, min_containment).select(
         F.col(id_col).alias("_id_s"),
         F.col("_n").alias("_n_s"),
@@ -1186,9 +1210,11 @@ def dedup_recall_report(
         df = df.orderBy(
             F.md5(F.col(id_col).cast("string")), F.col(id_col)
         ).limit(int(sample_n))
-    sh_rel = shingles_df(df, text_col, id_col, shingle_n)
+    sh_rel = track(
+        shingles_df(df, text_col, id_col, shingle_n).persist()
+    )
     truth = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, min_jaccard
+        df, text_col, id_col, shingle_n, min_jaccard, shingles=sh_rel
     ).select("id_a", "id_b")
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, shingles=sh_rel
@@ -1198,7 +1224,8 @@ def dedup_recall_report(
     cand_sets = {
         "minhash_lsh": minhash_band_pairs(sigs, id_col, num_hashes, bands),
         "prefix": ngram_jaccard_prefix_pairs(
-            df, text_col, id_col, shingle_n, min_jaccard
+            df, text_col, id_col, shingle_n, min_jaccard,
+            shingles=sh_rel,
         ).select("id_a", "id_b"),
         "simhash": simhash_near_dup_pairs(
             df, text_col, id_col, simhash_bits, simhash_bands,
