@@ -314,3 +314,47 @@ def test_collected_chain_memo_shares_work(spark):
     assert f["n_merges_done"] == n_m
     persistence.release_all()
     assert persistence.obj_memo_size() == 0
+
+
+def test_incremental_learner_property_random_corpora():
+    """The r6 incremental heap learner (_learn_merges_py) equals the
+    full-recount sequential reference for ANY corpus — randomized over
+    a tiny alphabet to maximize count collisions (tie-breaks), pair
+    REAPPEARANCE after later merges, stale-heap-entry churn, and early
+    exhaustion. Pure Python, no Spark; deep merge counts stress the
+    incremental count/index updates far past what the Spark gates run."""
+    import collections
+    import random
+
+    from model_audit_spark.operators.bpe import _learn_merges_py
+
+    rng = random.Random(99)
+    for trial in range(60):
+        n_words = rng.randint(1, 15)
+        words = [
+            "".join(
+                rng.choice("ab") for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(n_words)
+        ]
+        k = rng.randint(1, 30)
+        min_count = rng.randint(1, 3)
+        vocab = sorted(collections.Counter(words).items())
+        got, n_w, tot_f, tot_sub = _learn_merges_py(vocab, k, min_count)
+        assert got == _ref_bpe(words, k, min_count), (trial, words, k)
+        assert n_w == len(vocab) and tot_f == len(words)
+        # final totals equal a from-scratch replay of the merge table
+        seqs = {w: list(w) for w, _ in vocab}
+        for _, l, r, _ in got:
+            for w in seqs:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        freq = dict(vocab)
+        assert tot_sub == sum(len(s) * freq[w] for w, s in seqs.items())
