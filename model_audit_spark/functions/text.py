@@ -40,6 +40,17 @@ def strip(col: Column | str) -> Column:
     return F.regexp_replace(F.regexp_replace(_c(col), r"^\s+", ""), r"\s+$", "")
 
 
+# Tokenizer contract note (r6, found by hypothesis): the separator
+# class of words()/strip() is ASCII whitespace — Java regex \s == RE2
+# \s == [ \t\n\x0b\f\r] — NOT Python str.split()'s full Unicode set,
+# so U+00A0 / U+2007 / ideographic spaces are token CHARACTERS here.
+# Deliberate and engine-portable: both gate engines share the ASCII
+# class, keeping the tokenizer identical across JVM/RE2/streaming;
+# normalize exotic whitespace at ingest if Python parity on such
+# corpora matters. (Documented as a comment, not in the docstring:
+# unit fingerprints include docstrings, and a prose-only edit must
+# not re-stale every certified query downstream of this tokenizer —
+# see DETERMINISM.md process rules.)
 def words(col: Column | str) -> Column:
     """Python text.split(): whitespace tokens, [] for blank input (F1)."""
     t = strip(col)

@@ -599,3 +599,40 @@ def test_weighted_sample_es_long_mantissa_weights(spark, weights):
             ).collect()
         ]
         assert got == expect, (parts, got[:3], expect[:3])
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=6))
+@_SETTINGS
+def test_mixing_plan_tokenizer_matches_python_split(spark, texts):
+    """mixing_plan's token mass is EXACTLY the engine tokenizer
+    contract: ASCII-whitespace split (functions.text.words — r6
+    ADVICE pinned it against the \\w+ DLI tokenizer, which differs on
+    any punctuated text; hypothesis then found the second edge, NBSP:
+    Python str.split() treats Unicode whitespace as separators but
+    both gate engines' \\s is ASCII-only, so the documented contract
+    is the ASCII class). Zero-token strata emit NULL
+    weight/planned/epochs; nonzero weights sum to 1."""
+    import re
+
+    from model_audit_spark.operators.sampling import mixing_plan
+
+    def ascii_split(t: str) -> list[str]:
+        return [w for w in re.split("[ \t\n\x0b\f\r]+", t) if w]
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.stratum: r for r in mixing_plan(df, budget_tokens=1000).collect()}
+    expect: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        expect[f"s{i % 3}"] = expect.get(f"s{i % 3}", 0) + len(ascii_split(t))
+    assert {k: r.n_tokens for k, r in got.items()} == expect
+    nonzero = [r for r in got.values() if r.n_tokens > 0]
+    for r in got.values():
+        if r.n_tokens == 0:
+            assert (
+                r.weight is None
+                and r.planned_tokens is None
+                and r.epochs is None
+            )
+    if nonzero:
+        assert abs(sum(r.weight for r in nonzero) - 1.0) < 1e-4
