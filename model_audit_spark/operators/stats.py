@@ -199,11 +199,18 @@ def robust_outlier_profile(
     MAD = 0 (over half the group shares one value) keeps the standard
     caveat: any deviation counts as an outlier.
 
+    NULL values are excluded before the histogram (same r6 fix as
+    histogram_quantiles: NULLs inflated n and shifted both median
+    ranks, and the engines order NULLs at opposite window ends) —
+    n_rows counts non-NULL values only.
+
     Returns per group: n rows, median, mad, n_low / n_high outliers.
     """
     v = F.col(value_col).cast("bigint")
-    hist = df.groupBy(F.col(by).alias(by), v.alias("v")).agg(
-        F.count("*").alias("cnt")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(by).alias(by), v.alias("v"))
+        .agg(F.count("*").alias("cnt"))
     )
 
     def _med2(h: DataFrame, key: str) -> DataFrame:

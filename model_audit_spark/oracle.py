@@ -5223,11 +5223,12 @@ def length_outliers(k_num: int = 3, k_den: int = 1) -> str:
     """Twin of stats.robust_outlier_profile(documents, n_chars, source):
     histogram -> window-cumsum exact medians (med2/mad4 integer
     doubling trick) -> outlier tally. Window/aggregate sums CAST to
-    BIGINT (DuckDB HUGEINT widening)."""
+    BIGINT (DuckDB HUGEINT widening). NULL values excluded before the
+    histogram, mirroring the Spark-side filter (r6)."""
     return f"""
 WITH hist AS (
   SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
 ),
 ranked AS (
   SELECT source, v, cnt,

@@ -255,3 +255,19 @@ def test_histogram_quantiles_ignores_nulls(spark):
     ).collect()[0]
     assert row.n_rows == 10
     assert (row.q_p100, row.q_p500, row.q_p900) == (1, 5, 9)
+
+
+def test_robust_outlier_profile_ignores_nulls(spark):
+    """Same NULL contract as histogram_quantiles: NULL values must not
+    inflate n or shift the median/MAD ranks."""
+    from model_audit_spark.operators.stats import robust_outlier_profile
+
+    base = [("g", v) for v in [10, 10, 10, 100]]
+    clean = spark.createDataFrame(base, "grp string, val long")
+    dirty = spark.createDataFrame(
+        base + [("g", None)] * 5, "grp string, val long"
+    )
+    a = robust_outlier_profile(clean, "val", by="grp").collect()[0]
+    b = robust_outlier_profile(dirty, "val", by="grp").collect()[0]
+    assert tuple(a) == tuple(b)
+    assert b.n_rows == 4 and b.median == 10.0
