@@ -524,6 +524,10 @@ def bpe_fertility_collected(
     merges, n_words, total_freq, total_subwords = _collected_chain(
         df, n_merges, text_col, min_pair_count, memo_key
     )
+    if n_words == 0:
+        # empty corpus: match the distributed shape exactly — SQL
+        # sum() over zero rows is NULL, not 0 (DETERMINISM.md rule 7)
+        total_freq = total_subwords = None
     spark = df.sparkSession
     return spark.createDataFrame(
         [(len(merges), n_words, total_freq, total_subwords)],

@@ -291,6 +291,12 @@ def test_collected_fertility_matches_distributed(spark):
         a = bpe_fertility(df, n_merges=k).collect()[0]
         b = bpe_fertility_collected(df, n_merges=k).collect()[0]
         assert tuple(a) == tuple(b), (k, tuple(a), tuple(b))
+    # empty corpus: both shapes emit SQL-sum semantics — n_words 0,
+    # NULL totals (sum over zero rows), NULL fertility
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    a = bpe_fertility(empty, n_merges=4).collect()[0]
+    b = bpe_fertility_collected(empty, n_merges=4).collect()[0]
+    assert tuple(a) == tuple(b) == (0, 0, None, None, None)
 
 
 def test_collected_chain_memo_shares_work(spark):
