@@ -35,3 +35,89 @@ def test_every_stale_query_is_inside_the_driver_window():
         "stale queries outside the 50-slot driver window — rotate them "
         "into the first 50 entries of queries():\n" + proc.stdout
     )
+
+
+def _fp(files: dict[str, str], roots):
+    """closure_fingerprint over an in-memory file set."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "evidence_ledger", str(REPO / "scripts" / "evidence_ledger.py")
+    )
+    el = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(el)
+    return el.closure_fingerprint(roots, lambda p: files.get(p))
+
+
+_BASE = {
+    "__spark_entry__.py": (
+        "from model_audit_spark.operators.alpha import work\n"
+        "from model_audit_spark import oracle as ora\n"
+        "def _q(spark, sf):\n"
+        "    return work(spark, sf)\n"
+        "def _other(spark, sf):\n"
+        "    return 2\n"
+    ),
+    "model_audit_spark/operators/alpha.py": (
+        "from model_audit_spark.functions.beta import helper\n"
+        "CONST = 3\n"
+        "def work(spark, sf):\n"
+        "    return helper(sf) + CONST\n"
+        "def unrelated():\n"
+        "    return 9\n"
+    ),
+    "model_audit_spark/functions/beta.py": (
+        "def helper(sf):\n"
+        '    """docstring v1"""\n'
+        "    return 1\n"
+    ),
+}
+_ROOTS = [("__spark_entry__.py", "_q")]
+
+
+def test_closure_tracer_follows_imports_and_constants():
+    """The unit tracer that decides rotation staleness must change the
+    fingerprint for edits anywhere in the TRUE closure (entry fn,
+    imported operator, transitively imported helper, a read constant,
+    and — the r6 lesson — docstrings), and must NOT change it for
+    edits outside the closure (sibling functions at every level)."""
+    base = _fp(_BASE, _ROOTS)
+    assert base is not None
+
+    def edited(path, old, new):
+        files = dict(_BASE)
+        assert old in files[path]
+        files[path] = files[path].replace(old, new)
+        return _fp(files, _ROOTS)
+
+    # in-closure edits: all change the fingerprint
+    assert edited("__spark_entry__.py",
+                  "return work(spark, sf)",
+                  "return work(spark,   sf)") != base
+    # ...but a trailing comment after a unit's LAST statement lies
+    # outside ast.get_source_segment's span, so it does NOT re-stale —
+    # cheap annotations are rotation-free (pinned as a feature)
+    assert edited("__spark_entry__.py",
+                  "return work(spark, sf)",
+                  "return work(spark, sf)  # note") == base
+    assert edited("model_audit_spark/operators/alpha.py",
+                  "helper(sf) + CONST", "helper(sf) + CONST + 0") != base
+    assert edited("model_audit_spark/functions/beta.py",
+                  "return 1", "return int(1)") != base
+    assert edited("model_audit_spark/operators/alpha.py",
+                  "CONST = 3", "CONST = 4") != base
+    # docstring-only edit IS a closure change (fingerprints hash source)
+    assert edited("model_audit_spark/functions/beta.py",
+                  "docstring v1", "docstring v2") != base
+
+    # out-of-closure edits: fingerprint is stable
+    assert edited("__spark_entry__.py",
+                  "return 2", "return 22") == base
+    assert edited("model_audit_spark/operators/alpha.py",
+                  "return 9", "return 99") == base
+
+
+def test_closure_tracer_missing_root_returns_none():
+    files = dict(_BASE)
+    del files["__spark_entry__.py"]
+    assert _fp(files, _ROOTS) is None
