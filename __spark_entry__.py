@@ -3653,28 +3653,101 @@ def _burstiness_profile(spark, sf):
     return burstiness_profile(ev)
 
 
+# The driver's correctness-gate window: the FIRST 50 entries of
+# queries(). MACHINE-MAINTAINED — regenerate with
+#   python scripts/evidence_ledger.py --rotate
+# which rewrites this literal from the ledger's priority order
+# (never-driver-certified first, then oldest driver evidence, then
+# opportunistic refresh of the fresh queries with the oldest rows)
+# and groups memo-sharing families adjacently (the communities trio,
+# the shingle/verified dup-graph family, the BPE pair) so a driver
+# session executing the window in order reuses the session memos.
+# Round-7 rotation: the 15 queries the r6 ledger marked MISPLACED
+# (r6's own late edits re-staled their closures — the BPE pair, both
+# recall reports, the communities trio, kcore, dedup_decisions,
+# mixing_plan, the ADVICE-fixed stats queries, and weighted_sample_es
+# pending since r4) head the window; 35 opportunistic refreshes fill
+# the remaining slots.
+_CHECK_WINDOW = [
+    "weighted_sample_es",
+    "bpe_merges64",
+    "bpe_fertility64",
+    "dedup_recall_report",
+    "dedup_decisions",
+    "dedup_kcore",
+    "dedup_communities",
+    "community_modularity",
+    "community_source_nmi",
+    "ann_recall_report",
+    "mixing_plan",
+    "effective_corpus_size",
+    "interarrival_profile",
+    "length_outliers",
+    "length_quantiles_exact",
+    "claimed_families",
+    "probe_category_counts",
+    "probes_filtered",
+    "audit_consistency_rate",
+    "audit_verdict_sources",
+    "benchmark_accuracy",
+    "benchmark_accuracy_by_class",
+    "benchmark_detect",
+    "c4_clean",
+    "char_lm_scores",
+    "cka_labels",
+    "contamination_check",
+    "corpus_sample",
+    "dedup_exact",
+    "detect_documents",
+    "dli_compare_sources",
+    "doc_fingerprints",
+    "embedding_near_dups",
+    "events_rollup_cascade",
+    "length_percentiles",
+    "llmmap_compare_sources",
+    "llmmap_features_documents",
+    "llmmap_fingerprint_hashes",
+    "media_profile",
+    "memorization_average",
+    "memorization_levenshtein",
+    "memorization_verbatim",
+    "pack_chunks",
+    "paragraph_dedup",
+    "pii_scan",
+    "probe_style_consistency",
+    "q_events_asof",
+    "q_events_range_join",
+    "q_events_sessionize",
+    "q_rollup_revenue",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered for the driver's correctness gate, which checks the FIRST 50
-    entries only. Round-6 rotation, derived from scripts/evidence_ledger.py
-    (unit-level dependency fingerprints vs each query's newest green driver
-    round), in priority order: (1) all 10 never-driver-certified queries —
-    the r5 additions that overflowed the r5 window (quality_threshold_sweep,
-    session_paths, streaming_attribution, streaming_scd2,
-    streaming_sessionize, vocab_drift, winnow_fingerprints, winnow_pairs,
-    winnow_span_report, zipf_slope; the r5 docstring miscounted these as 8
-    of 58 — the true ledger numbers were 10 of 60); (2) stale queries,
-    oldest driver evidence first (15 with r1-era evidence, then r2/r3/r4
-    tiers, name tie-break). 51 queries were stale entering r6 and the
-    window holds 50, so weighted_sample_es (r4 evidence, last by
-    tie-break) overflows to r7; round-6 code changes (BPE memo chain,
-    community memo, recall-report sampling, ADVICE fixes) re-stale their
-    own r5-certified queries, which join the overflow with the freshest
-    evidence tier. The ledger's invariant is priority-shaped: the window
-    must BE the 50 highest-priority stale queries; overflow keeps its
-    green rows + local mirror evidence. Entries 51+ are re-checked by the
-    local mirror (scripts/check_oracle.py) every session."""
+    """Ordered for the driver's correctness gate, which checks the FIRST
+    50 entries only: the _CHECK_WINDOW queries first (in window order —
+    memo-sharing families adjacent so one driver session reuses the
+    session memos), then every other registry query in canonical
+    registry order. The window literal is regenerated from the evidence
+    ledger (`scripts/evidence_ledger.py --rotate`) at the END of each
+    round, so the window the driver consumes always reflects the
+    closing tree — late edits can no longer orphan their own evidence
+    (the r6 failure mode). Entries 51+ keep their green driver rows and
+    are re-checked by the local mirror (scripts/check_oracle.py) every
+    session."""
+    reg = _query_registry()
+    out = {q: reg[q] for q in _CHECK_WINDOW}
+    for q, fn in reg.items():
+        if q not in out:
+            out[q] = fn
+    return out
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Canonical name -> callable registry: one entry per SURVEY §2
+    operator query. Order here is NOT the gate order — queries()
+    reorders through _CHECK_WINDOW; keep this list grouped by subject
+    for humans and append new queries where they belong."""
     return {
-        # -- 1-50: the driver's check window (ledger-derived r6 rotation)
         "quality_threshold_sweep": _quality_threshold_sweep,
         "session_paths": _session_paths,
         "streaming_attribution": _streaming_attribution,

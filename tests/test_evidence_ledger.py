@@ -121,3 +121,64 @@ def test_closure_tracer_missing_root_returns_none():
     files = dict(_BASE)
     del files["__spark_entry__.py"]
     assert _fp(files, _ROOTS) is None
+
+
+def _ledger_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "evidence_ledger", str(REPO / "scripts" / "evidence_ledger.py")
+    )
+    el = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(el)
+    return el
+
+
+def test_affinity_order_groups_memo_chains():
+    """--rotate's window ordering must pull memo-chain members adjacent
+    (in chain order, at the first member's priority position) while
+    leaving standalone queries in priority order."""
+    el = _ledger_module()
+    window = [
+        "community_source_nmi",   # chain member, appears first
+        "zipf_slope",             # standalone
+        "dedup_communities",      # same chain, earlier in chain order
+        "bpe_fertility64",        # bpe chain
+        "corpus_stats",           # standalone
+        "bpe_merges64",
+    ]
+    got = el.affinity_order(window)
+    assert got == [
+        "dedup_communities",      # chain emitted at first-member slot,
+        "community_source_nmi",   # in chain order
+        "zipf_slope",
+        "bpe_merges64",           # bpe chain in chain order
+        "bpe_fertility64",
+        "corpus_stats",
+    ]
+    # permutation, nothing dropped or invented
+    assert sorted(got) == sorted(window)
+
+
+def test_affinity_chains_name_real_queries():
+    """Every chain member must be a registry query — a typo here would
+    silently stop grouping that member."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    el = _ledger_module()
+    names = set(entry.queries())
+    for chain in el.AFFINITY_CHAINS:
+        unknown = [q for q in chain if q not in names]
+        assert not unknown, f"AFFINITY_CHAINS names unknown queries: {unknown}"
+
+
+def test_check_window_is_50_registry_names_and_heads_queries():
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    assert len(entry._CHECK_WINDOW) == 50
+    assert len(set(entry._CHECK_WINDOW)) == 50
+    order = list(entry.queries())
+    assert order[:50] == entry._CHECK_WINDOW
+    assert len(order) == len(set(order))
