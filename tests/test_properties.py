@@ -601,6 +601,253 @@ def test_weighted_sample_es_long_mantissa_weights(spark, weights):
         assert got == expect, (parts, got[:3], expect[:3])
 
 
+# ---------------------------------------------------------------------------
+# r7 (verdict task 6): property suites for the analytical core —
+# JS divergence, cosine top-k, winnowing, exact histogram quantiles.
+# Same discipline as above: one Spark job per example, few examples,
+# adversarial inputs over statistical volume.
+
+_WEIGHT = st.floats(min_value=0.0, max_value=10.0, allow_nan=False)
+_DIST_PAIR = st.dictionaries(
+    st.sampled_from(list("abcdefgh")),
+    st.tuples(_WEIGHT, _WEIGHT),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _js_reference(wa: dict[str, float], wb: dict[str, float]) -> float:
+    """Pure-python mirror of js_divergence_pairs' semantics: normalize
+    each side by max(sum, 1e-300) over the UNION of keys, then
+    JS = (KL(p||m) + KL(q||m)) / 2 with zero-mass terms dropped."""
+    import math
+
+    keys = set(wa) | set(wb)
+    sa = max(sum(wa.values()), 1e-300)
+    sb = max(sum(wb.values()), 1e-300)
+    js = 0.0
+    for k in keys:
+        p = wa.get(k, 0.0) / sa
+        q = wb.get(k, 0.0) / sb
+        m = (p + q) / 2
+        if p > 0 and m > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0 and m > 0:
+            js += 0.5 * q * math.log(q / m)
+    return js
+
+
+def _js_run(spark, rows_a, rows_b):
+    from model_audit_spark.operators.dli import js_divergence_pairs
+
+    rows = [("a", k, w) for k, w in rows_a] + [("b", k, w) for k, w in rows_b]
+    dist = spark.createDataFrame(
+        rows, "model_id STRING, ngram STRING, weight DOUBLE"
+    )
+    out = js_divergence_pairs(dist).collect()
+    assert len(out) == 1
+    return out[0]["js_divergence"]
+
+
+@given(d=_DIST_PAIR)
+@_SETTINGS
+def test_js_divergence_matches_reference_bounded_and_symmetric(spark, d):
+    """js_divergence_pairs equals the pure-python JS for ANY pair of
+    weight maps (shared and disjoint keys), sits in [0, ln 2], and is
+    symmetric under swapping the two distributions."""
+    import math
+
+    from hypothesis import assume
+
+    rows_a = [(k, wa) for k, (wa, _) in d.items() if wa > 0]
+    rows_b = [(k, wb) for k, (_, wb) in d.items() if wb > 0]
+    # a side with no positive mass has no distribution row at all and
+    # therefore no pair — that vacuous case is not what this pins
+    assume(rows_a and rows_b)
+    got = _js_run(spark, rows_a, rows_b)
+    want = _js_reference(dict(rows_a), dict(rows_b))
+    assert abs(got - want) < 1e-9
+    assert -1e-12 <= got <= math.log(2.0) + 1e-9
+    # symmetry: swap which model carries which weights
+    assert abs(_js_run(spark, rows_b, rows_a) - got) < 1e-9
+
+
+@given(
+    d=_DIST_PAIR,
+    scale=st.floats(min_value=1e-3, max_value=1e3, allow_nan=False),
+)
+@_SETTINGS
+def test_js_divergence_zero_on_identical_up_to_scale(spark, d, scale):
+    """JS(P, cP) = 0 for any positive c: the operator normalizes each
+    side, so total-mass differences between corpora never register as
+    behavioral divergence."""
+    from hypothesis import assume
+
+    rows_a = [(k, wa) for k, (wa, _) in d.items() if wa > 0]
+    assume(rows_a)
+    rows_b = [(k, w * scale) for k, w in rows_a]
+    assert abs(_js_run(spark, rows_a, rows_b)) < 1e-9
+
+
+_VEC = st.lists(
+    st.floats(min_value=-8.0, max_value=8.0, allow_nan=False),
+    min_size=4,
+    max_size=4,
+)
+
+
+@given(
+    vecs=st.lists(_VEC, min_size=2, max_size=10),
+    k=st.integers(min_value=1, max_value=10),
+    scale=st.floats(min_value=1e-2, max_value=1e2, allow_nan=False),
+)
+@_SETTINGS
+def test_cosine_topk_matches_reference_and_is_scale_invariant(
+    spark, vecs, k, scale
+):
+    """cosine_topk equals the pure-python ranking (round-6dp sim DESC,
+    id ASC) for ANY corpus; every similarity sits in [-1, 1]; the query
+    ranks itself at 1.0; and scaling every vector by a positive
+    constant changes nothing (cosine is scale-free)."""
+    import math
+
+    from hypothesis import assume
+
+    from model_audit_spark.operators.similarity import cosine_topk
+
+    # zero-norm vectors make cosine undefined (NaN) — excluded here;
+    # the engine's NaN convention is pinned by the oracle twins
+    assume(all(math.sqrt(sum(x * x for x in v)) > 1e-6 for v in vecs))
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in cosine_topk(emb, 0, k=k).collect()
+    ]
+
+    q = vecs[0]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return round(sum(a * b for a, b in zip(v, q)) / (n * qn), 6)
+
+    want = sorted(
+        ((i, cos(v)) for i, v in rows), key=lambda t: (-t[1], t[0])
+    )[:k]
+    assert got == want
+    assert all(-1.0 <= s <= 1.0 for _, s in got)
+    assert got[0] == (0, 1.0)  # self-similarity heads the ranking
+
+    scaled = spark.createDataFrame(
+        [(i, [x * scale for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got_scaled = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in cosine_topk(scaled, 0, k=k).collect()
+    ]
+    # identical up to 6dp rounding jitter at the last digit
+    assert [i for i, _ in got_scaled] == [i for i, _ in got]
+    for (_, a), (_, b) in zip(got_scaled, got):
+        assert abs(a - b) <= 2e-6
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=8))
+@_SETTINGS
+def test_winnow_selected_equals_reference_and_covers_every_window(
+    spark, texts
+):
+    """winnow_selected (the zero-shuffle array form) equals the classic
+    per-window reference — min hash per window, RIGHTMOST position on
+    ties, distinct — for ANY corpus, and therefore inherits winnowing's
+    guarantee: every full window of `w` consecutive grams contains at
+    least one selected fingerprint."""
+    import pyspark.sql.functions as SF
+
+    from model_audit_spark.functions.text import ngrams, word_tokens
+    from model_audit_spark.operators.text_analysis import winnow_selected
+
+    K, W = 3, 4
+    docs = _docs(spark, texts)
+    # the same gram-hash sequence the operator sees, via the same
+    # engine primitives (tokenizer + ngram + md5)
+    hashes = {
+        r["doc_id"]: list(r["h"])
+        for r in docs.select(
+            "doc_id",
+            SF.transform(
+                ngrams(word_tokens("text"), K), SF.md5
+            ).alias("h"),
+        ).collect()
+    }
+
+    def ref(hs: list[str]) -> set[tuple[int, str]]:
+        n = len(hs)
+        out: set[tuple[int, str]] = set()
+        for s in range(n - W + 1):
+            best = min(range(s, s + W), key=lambda i: (hs[i], -i))
+            out.add((best + 1, hs[best]))  # positions are 1-based
+        return out
+
+    got: dict[int, set] = {}
+    for r in winnow_selected(docs, gram_k=K, window=W).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    for doc_id, hs in hashes.items():
+        expect = ref(hs)
+        assert got.get(doc_id, set()) == expect, doc_id
+        # coverage guarantee on the operator's own output
+        sel_pos = sorted(p for p, _ in got.get(doc_id, set()))
+        for s in range(1, len(hs) - W + 2):
+            assert any(s <= p <= s + W - 1 for p in sel_pos), (doc_id, s)
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_SETTINGS
+def test_histogram_quantiles_match_sorted_list_reference(spark, groups):
+    """histogram_quantiles computes EXACT type-1 (lower) quantiles:
+    q_p = sorted(non-null values)[ceil(p/1000 * n)] (1-indexed), per
+    group, for ANY value multiset including NULLs; groups with only
+    NULLs vanish (no histogram rows); n_rows counts non-NULL only."""
+    from model_audit_spark.operators.stats import histogram_quantiles
+
+    permilles = (100, 250, 500, 750, 900)
+    rows = [
+        (f"g{gi}", v) for gi, vals in enumerate(groups) for v in vals
+    ]
+    if not rows:
+        rows = [("g0", None)]
+    df = spark.createDataFrame(rows, "grp STRING, val INT")
+    got = {
+        r["grp"]: r
+        for r in histogram_quantiles(
+            df, "val", by="grp", permilles=permilles
+        ).collect()
+    }
+    for gi, vals in enumerate(groups):
+        name = f"g{gi}"
+        clean = sorted(v for v in vals if v is not None)
+        if not clean:
+            assert name not in got
+            continue
+        r = got[name]
+        n = len(clean)
+        assert r["n_rows"] == n
+        for p in permilles:
+            rank = (p * n + 999) // 1000  # ceil(p*n/1000), 1-indexed
+            assert r[f"q_p{p}"] == clean[rank - 1], (name, p)
+
+
 @given(texts=st.lists(_TEXT, min_size=1, max_size=6))
 @_SETTINGS
 def test_mixing_plan_tokenizer_matches_python_split(spark, texts):
