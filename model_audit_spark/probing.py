@@ -18,10 +18,13 @@ OpenAIWireTransport (the default — OpenAI-compatible chat-completions
 wire: POST {base}/v1/chat/completions, max_tokens=500, temperature=0,
 Bearer auth; also the "custom" provider against any compatible base),
 and AnthropicWireTransport (messages wire: POST {base}/v1/messages,
-max_tokens=500, x-api-key + anthropic-version headers). Both import
-httpx at call time (guarded — this environment has no HTTP client or
-network, so live calls raise ImportError, which the retry loop
-fail-fasts); tests inject a fake `post` and never touch the network.
+max_tokens=500, x-api-key + anthropic-version headers). Both resolve
+their HTTP client at call time via `default_post` (httpx when
+installed, else a stdlib urllib.request fallback speaking the same
+(url, json=, headers=, timeout=) shape — so probing works with zero
+optional dependencies); tests either inject a fake `post` or stand up
+a loopback http.server and exercise the REAL wire path end-to-end
+(tests/test_engine.py).
 """
 
 from __future__ import annotations
@@ -38,6 +41,62 @@ RESPONSE_SCHEMA = (
     "model_id STRING, probe_seq INT, probe_id STRING, category STRING, "
     "response STRING"
 )
+
+
+class _UrllibResponse:
+    """Minimal httpx.Response-shaped wrapper over a urllib response:
+    just the two members the transports use."""
+
+    def __init__(self, status: int, body: bytes, url: str):
+        self.status_code = status
+        self._body = body
+        self._url = url
+
+    def raise_for_status(self) -> None:
+        if self.status_code >= 400:
+            raise RuntimeError(
+                f"HTTP {self.status_code} for {self._url}"
+            )
+
+    def json(self):
+        import json as _json
+
+        return _json.loads(self._body.decode("utf-8"))
+
+
+def _urllib_post(url, json=None, headers=None, timeout=60.0):
+    """stdlib POST with the same call shape the transports use with
+    httpx.post. HTTP error statuses return a response object (like
+    httpx) rather than raising, so the transports' raise_for_status()
+    + the retry loop's status-code classification behave identically
+    on both clients."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps(json or {}).encode("utf-8"),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return _UrllibResponse(resp.status, resp.read(), url)
+    except urllib.error.HTTPError as e:
+        return _UrllibResponse(e.code, e.read(), url)
+
+
+def default_post() -> Callable:
+    """The live HTTP client: httpx.post when the library is installed
+    (connection pooling, HTTP/2), else the stdlib urllib fallback —
+    probing requires no optional dependency."""
+    try:
+        import httpx
+
+        return httpx.post
+    except ImportError:
+        return _urllib_post
 
 
 class StaticResponseSource:
@@ -97,9 +156,9 @@ class OpenAIWireTransport:
     max_tokens=500, temperature=0.0, Bearer auth, raise on HTTP error,
     first choice's message content as the response).
 
-    `post` is injectable for offline tests; when None, httpx is imported
-    at call time (guarded — raises ImportError where the library is
-    absent, which _retry_call fail-fasts). Plain attributes only, so the
+    `post` is injectable for offline tests; when None, default_post()
+    resolves the live client at call time (httpx when installed, else
+    the stdlib urllib fallback). Plain attributes only, so the
     instance pickles into the mapInPandas closure."""
 
     def __init__(
@@ -121,13 +180,7 @@ class OpenAIWireTransport:
     def __call__(self, model_id: str, prompt: str) -> str:
         post = self.post
         if post is None:
-            try:
-                import httpx
-            except ImportError as e:
-                raise ImportError(
-                    "httpx is required for live probing (pip install httpx)"
-                ) from e
-            post = httpx.post
+            post = default_post()
         headers = (
             {"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}
         )
@@ -154,9 +207,9 @@ class AnthropicWireTransport:
     block's text as the response, empty string when content is empty;
     like the reference's Anthropic branch, no temperature is sent).
 
-    `post` is injectable for offline tests; when None, httpx is imported
-    at call time (guarded — raises ImportError where the library is
-    absent, which _retry_call fail-fasts). Plain attributes only, so the
+    `post` is injectable for offline tests; when None, default_post()
+    resolves the live client at call time (httpx when installed, else
+    the stdlib urllib fallback). Plain attributes only, so the
     instance pickles into the mapInPandas closure.
 
     Provenance: every wire constant here (the api.anthropic.com base
@@ -186,13 +239,7 @@ class AnthropicWireTransport:
     def __call__(self, model_id: str, prompt: str) -> str:
         post = self.post
         if post is None:
-            try:
-                import httpx
-            except ImportError as e:
-                raise ImportError(
-                    "httpx is required for live probing (pip install httpx)"
-                ) from e
-            post = httpx.post
+            post = default_post()
         headers = {"anthropic-version": self.API_VERSION}
         if self.api_key:
             headers["x-api-key"] = self.api_key

@@ -221,10 +221,13 @@ def test_http_probe_source_default_transport_is_openai_wire():
 
     src = HTTPProbeSource(api_base="https://example.test", api_key="k")
     assert isinstance(src.transport, OpenAIWireTransport)
-    # live call path needs httpx (absent here) -> ImportError, which the
-    # retry matrix fail-fasts instead of retrying
-    with pytest.raises(ImportError):
-        src.transport("m", "p")
+    # the live client resolves at call time: httpx when installed, the
+    # stdlib urllib fallback otherwise — a dead loopback port fails with
+    # a CONNECTION error either way, never an ImportError
+    dead = HTTPProbeSource(api_base="http://127.0.0.1:9", api_key="k")
+    with pytest.raises(Exception) as exc:
+        dead.transport("m", "p")
+    assert not isinstance(exc.value, ImportError)
 
 
 def test_http_probe_source_with_fake_transport(spark):
@@ -304,5 +307,180 @@ def test_http_probe_source_anthropic_provider():
 
     src = HTTPProbeSource(provider="anthropic", api_key="k")
     assert isinstance(src.transport, AnthropicWireTransport)
-    with pytest.raises(ImportError):
-        src.transport("m", "p")
+    dead = HTTPProbeSource(
+        provider="anthropic", api_base="http://127.0.0.1:9", api_key="k"
+    )
+    with pytest.raises(Exception) as exc:
+        dead.transport("m", "p")
+    assert not isinstance(exc.value, ImportError)
+
+
+# --------------------------------------------------------------- real wire
+# r7 (verdict task 7): exercise the REAL post path — default_post()'s
+# live client against a recorded loopback http.server — instead of the
+# injected fake, covering JSON encoding, header transmission, status
+# classification, and the Spark mapInPandas probe end-to-end.
+
+
+class _WireServer:
+    """Threaded loopback HTTP server with scripted per-path responses
+    and a request recorder. Responses: list of (status, payload dict)
+    consumed in order per path; the last one repeats."""
+
+    def __init__(self, scripts: dict[str, list[tuple[int, dict]]]):
+        import http.server
+        import json as _json
+        import threading
+
+        recorder = self.requests = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — http.server API
+                body = self.rfile.read(
+                    int(self.headers.get("Content-Length", 0))
+                )
+                recorder.append(
+                    {
+                        "path": self.path,
+                        "headers": {k.lower(): v for k, v in self.headers.items()},
+                        "json": _json.loads(body or b"{}"),
+                    }
+                )
+                script = scripts.get(self.path, [(404, {})])
+                status, payload = script.pop(0) if len(script) > 1 else script[0]
+                blob = _json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+            def log_message(self, *a):  # silence stderr
+                pass
+
+        self.server = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler
+        )
+        self.base = f"http://127.0.0.1:{self.server.server_address[1]}"
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_real_wire_openai_and_anthropic_against_loopback_server():
+    """Both transports with post=None (the real default_post client)
+    against a live loopback server: request bodies, auth headers and
+    response parsing all cross a real HTTP socket."""
+    from model_audit_spark.probing import (
+        AnthropicWireTransport,
+        OpenAIWireTransport,
+    )
+
+    srv = _WireServer(
+        {
+            "/v1/chat/completions": [
+                (200, {"choices": [{"message": {"content": "oai-pong"}}]})
+            ],
+            "/v1/messages": [
+                (200, {"content": [{"type": "text", "text": "ant-pong"}]})
+            ],
+        }
+    )
+    try:
+        oai = OpenAIWireTransport(api_base=srv.base, api_key="sk-live")
+        assert oai("gpt-x", "ping") == "oai-pong"
+        ant = AnthropicWireTransport(api_base=srv.base, api_key="sk-a")
+        assert ant("claude-x", "ping") == "ant-pong"
+    finally:
+        srv.close()
+
+    oai_req = next(
+        r for r in srv.requests if r["path"] == "/v1/chat/completions"
+    )
+    assert oai_req["headers"]["authorization"] == "Bearer sk-live"
+    assert oai_req["headers"]["content-type"] == "application/json"
+    assert oai_req["json"]["max_tokens"] == 500
+    assert oai_req["json"]["temperature"] == 0.0
+    assert oai_req["json"]["messages"] == [
+        {"role": "user", "content": "ping"}
+    ]
+    ant_req = next(r for r in srv.requests if r["path"] == "/v1/messages")
+    assert ant_req["headers"]["x-api-key"] == "sk-a"
+    assert ant_req["headers"]["anthropic-version"] == "2023-06-01"
+    assert ant_req["json"]["max_tokens"] == 500
+    assert "temperature" not in ant_req["json"]
+
+
+def test_real_wire_status_classification_through_retry_matrix():
+    """Over the real wire: 401 fail-fasts as ValueError, 429-then-200
+    succeeds after the rate-limit backoff, persistent 500 exhausts
+    retries — the same matrix the fake-post tests pin, now with actual
+    HTTP status lines."""
+    from model_audit_spark.probing import OpenAIWireTransport, _retry_call
+
+    srv = _WireServer(
+        {
+            "/v1/chat/completions": [
+                (429, {"error": "rate limited"}),
+                (200, {"choices": [{"message": {"content": "recovered"}}]}),
+            ]
+        }
+    )
+    try:
+        t = OpenAIWireTransport(api_base=srv.base)
+        assert (
+            _retry_call(lambda: t("m", "p"), sleep=lambda s: None)
+            == "recovered"
+        )
+    finally:
+        srv.close()
+
+    srv401 = _WireServer({"/v1/chat/completions": [(401, {})]})
+    try:
+        t = OpenAIWireTransport(api_base=srv401.base)
+        with pytest.raises(ValueError, match="auth"):
+            _retry_call(lambda: t("m", "p"), sleep=lambda s: None)
+        assert len(srv401.requests) == 1  # fail-fast: no retries burned
+    finally:
+        srv401.close()
+
+    srv500 = _WireServer({"/v1/chat/completions": [(500, {})]})
+    try:
+        t = OpenAIWireTransport(api_base=srv500.base)
+        with pytest.raises(RuntimeError, match="after 3 retries"):
+            _retry_call(lambda: t("m", "p"), sleep=lambda s: None)
+        assert len(srv500.requests) == 3
+    finally:
+        srv500.close()
+
+
+def test_http_probe_source_end_to_end_over_real_wire(spark):
+    """The full probe pipeline — HTTPProbeSource.probe's mapInPandas
+    stage calling the provider transport from Spark python workers —
+    against the loopback server: 2 models x 20 probes, every response
+    row landed, all 40 requests observed server-side."""
+    srv = _WireServer(
+        {
+            "/v1/chat/completions": [
+                (200, {"choices": [{"message": {"content": "live-resp"}}]})
+            ]
+        }
+    )
+    try:
+        src = HTTPProbeSource(
+            api_base=srv.base, api_key="k", concurrency=2
+        )
+        out = src.probe(spark, ["model-a", "model-b"]).collect()
+    finally:
+        srv.close()
+    assert len(out) == 40
+    assert {r["model_id"] for r in out} == {"model-a", "model-b"}
+    assert {r["response"] for r in out} == {"live-resp"}
+    assert len(srv.requests) == 40
+    models_seen = {r["json"]["model"] for r in srv.requests}
+    assert models_seen == {"model-a", "model-b"}
