@@ -85,15 +85,27 @@ def test_memorization_and_report_tools(spark):
 
 
 def test_live_tools_surface_errors_not_crashes(spark):
-    """verify_model needs httpx (absent) — the ImportError must come back
-    as an isError tool result, and the server must stay usable."""
-    s = MCPServer(spark)
-    resp = _call(
-        s, "tools/call",
-        {"name": "verify_model", "arguments": {"model": "gpt-x"}},
-    )
+    """A live-probe failure (here: a loopback server answering 401, so
+    the retry matrix fail-fasts with an auth ValueError inside the
+    Spark probe stage) must come back as an isError tool result, and
+    the server must stay usable. (Until r7 this pinned an ImportError
+    from the missing httpx; the stdlib wire fallback means live calls
+    now reach a real socket and fail with transport/auth errors
+    instead.)"""
+    from tests.test_engine import _WireServer
+
+    srv = _WireServer({"/v1/chat/completions": [(401, {})]})
+    try:
+        s = MCPServer(spark)
+        resp = _call(
+            s, "tools/call",
+            {"name": "verify_model",
+             "arguments": {"model": "gpt-x", "api_base": srv.base}},
+        )
+    finally:
+        srv.close()
     assert resp["result"]["isError"] is True
-    assert "httpx" in resp["result"]["content"][0]["text"]
+    assert "auth" in resp["result"]["content"][0]["text"].lower()
     # still serving
     assert _call(s, "ping")["result"] == {}
 
