@@ -192,12 +192,23 @@ def generate(mult: int) -> Path:
 
 # ------------------------------------------------------------------ run
 
-def heavy_queries():
+def heavy_queries(mult: int):
     """The measured tier: (name, callable(spark, sf_dir) -> DataFrame).
     Mostly queries() entries verbatim; the two recall reports run in
     their bounded sample_n calibration mode (their own documented 100 TB
     configuration — the full-corpus exact-truth leg is quadratic on
-    this fixed-vocabulary fixture by construction)."""
+    this fixed-vocabulary fixture by construction).
+
+    knn_graph is measured in BOTH configurations: the gate's fixed LSH
+    parameters (4 bands x 6 planes = 64 buckets/band — bucket occupancy
+    grows linearly with N, in-bucket pair work quadratically; measured
+    to exhaust 80 GB of shuffle disk at mult=100, so the fixed variant
+    is skipped beyond mult=10 with that finding recorded) and the
+    SCALE.md knob policy (planes grow ~log2(N) to hold occupancy
+    constant), which is the configuration a production deployment
+    scales."""
+    import math
+
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -218,12 +229,29 @@ def heavy_queries():
             emb, query_vec_id=0, k=10, dim=64, sample_n=1000
         )
 
-    return [
+    def knn_policy(spark, sf):
+        """knn_graph with the log(N) occupancy policy: hold expected
+        bucket occupancy at the sf0.1 level (2000 vectors / 2^6
+        buckets ≈ 31) by growing planes_per_band with corpus size."""
+        from model_audit_spark.operators.similarity import knn_graph
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        n = emb.count()
+        planes = max(6, math.ceil(math.log2(max(n / 31, 2))))
+        return knn_graph(
+            emb, k=5, n_bands=4, planes_per_band=planes, dim=64
+        )
+
+    tier = [
         ("dedup_minhash_pairs", qs["dedup_minhash_pairs"]),
         ("dedup_decisions", qs["dedup_decisions"]),
         ("dedup_recall_report[sample_n=1000]", recall_sampled),
         ("ann_recall_report[sample_n=1000]", ann_sampled),
-        ("knn_graph", qs["knn_graph"]),
+    ]
+    if mult <= 10:
+        tier.append(("knn_graph[fixed 6 planes]", qs["knn_graph"]))
+    tier += [
+        ("knn_graph[policy log2(N/31) planes]", knn_policy),
         ("dedup_communities", qs["dedup_communities"]),
         ("community_modularity", qs["community_modularity"]),
         ("community_source_nmi", qs["community_source_nmi"]),
@@ -234,6 +262,7 @@ def heavy_queries():
         ("curate_corpus", qs["curate_corpus"]),
         ("winnow_pairs", qs["winnow_pairs"]),
     ]
+    return tier
 
 
 def run(mult: int, as_json: bool) -> None:
@@ -247,7 +276,7 @@ def run(mult: int, as_json: bool) -> None:
     if not Path(big_dir, "documents.parquet").exists():
         raise SystemExit(f"run `gen {mult}` first ({big_dir} missing)")
     spark = get_spark(app_name="model-audit-scale-bench")
-    tier = heavy_queries()
+    tier = heavy_queries(mult)
 
     def timed_once(fn, sf_dir):
         t0 = time.time()
@@ -285,8 +314,18 @@ def run(mult: int, as_json: bool) -> None:
 
     results = {}
     for name, fn in tier:
-        t_small, r_small = timed(fn, BASE_SF_DIR)
-        t_big, r_big = timed(fn, big_dir)
+        try:
+            t_small, r_small = timed(fn, BASE_SF_DIR)
+            t_big, r_big = timed(fn, big_dir)
+        except Exception as e:  # record and continue — a blowup at the
+            # big scale is a FINDING (e.g. disk exhaustion from a
+            # quadratic shuffle), not a reason to lose the other rows
+            msg = str(e).split("\n")[0][:200]
+            results[name] = {"error": msg}
+            print(f"# {name}: FAILED ({msg})", file=sys.stderr)
+            persistence.release_all()
+            spark.catalog.clearCache()
+            continue
         exp = (
             math.log(t_big / t_small) / math.log(mult)
             if t_small > 0 else float("nan")
@@ -309,6 +348,9 @@ def run(mult: int, as_json: bool) -> None:
         print(f"{'query':<{w}} sf0.1_s  sf{BASE_SF * mult:g}_s  exp   "
               f"rows_small -> rows_big")
         for n, r in results.items():
+            if "error" in r:
+                print(f"{n:<{w}} FAILED: {r['error']}")
+                continue
             print(f"{n:<{w}} {r['sf0.1_sec']:>7.2f} "
                   f"{r[f'sf{BASE_SF * mult:g}_sec']:>7.2f} "
                   f"{r['exponent']:>5.2f}   "
