@@ -573,11 +573,12 @@ def knn_graph(
     emb: DataFrame,
     k: int = 5,
     n_bands: int = 4,
-    planes_per_band: int = 6,
+    planes_per_band: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 42,
+    target_occupancy: int = 32,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over EVERY vector — the
     all-documents analogue of lsh_topk (one query) and the input relation
@@ -603,7 +604,23 @@ def knn_graph(
       by src — never a global sort.
     - At 100 TB, write `sigs` bucketed by (band, bucket) once and reuse it
       across queries (same layout trick as the IVF inverted file).
+    - `planes_per_band` MUST grow ~log2(N) with corpus size: expected
+      bucket occupancy is N / 2^planes, and in-bucket pair expansion is
+      quadratic in occupancy — measured in SCALE.md's 100× sweep, a
+      fixed 6 planes at 200k vectors exhausted 80 GB of shuffle disk,
+      while log-scaled planes completed in 182 s. Pass
+      `planes_per_band=None` to derive ceil(log2(N / target_occupancy))
+      from a corpus count (one cheap metadata-backed count on parquet
+      sources; explicit planes skip the count and stay the default for
+      pinned-parameter gate queries).
     """
+    if planes_per_band is None:
+        import math
+
+        n = emb.count()
+        planes_per_band = max(
+            6, math.ceil(math.log2(max(n / target_occupancy, 2.0)))
+        )
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     from pyspark.sql import Window

@@ -264,6 +264,36 @@ def test_knn_graph_planted_neighbors_and_ordering(spark):
         assert len(nb) <= 3 and src not in [r.dst for r in nb]
 
 
+def test_knn_graph_derives_planes_from_corpus_size(spark):
+    """planes_per_band=None derives ceil(log2(N / target_occupancy))
+    (floored at 6) from a corpus count — the SCALE.md occupancy policy
+    as an operator default. Pinned by equivalence: the derived run is
+    row-identical to the run with the explicitly computed plane count
+    (same seed, same planes → same buckets → same graph)."""
+    import math
+    import random
+
+    from model_audit_spark.operators.similarity import knn_graph
+
+    rng = random.Random(11)
+    dim = 8
+    n = 700  # ceil(log2(700/32)) = 5 -> floored to 6... pick occupancy
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    occ = 4  # small occupancy target so the derivation exceeds the floor
+    expect_planes = max(6, math.ceil(math.log2(n / occ)))  # = 8
+    assert expect_planes > 6
+    derived = knn_graph(
+        emb, k=3, planes_per_band=None, dim=dim, target_occupancy=occ
+    )
+    explicit = knn_graph(
+        emb, k=3, planes_per_band=expect_planes, dim=dim
+    )
+    a = sorted(map(tuple, derived.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_span_dedup_detects_repeated_span(spark):
     from model_audit_spark.operators.dedup import span_dedup_stats
 
