@@ -550,3 +550,34 @@ def test_winnow_span_report_localizes_and_matches_pairs(spark):
     # the shared run sits at the HEAD of doc 1 and the TAIL of doc 2
     assert r.a_pos_min < 8 and r.b_pos_min > 5
     assert r.a_pos_min <= r.a_pos_max and r.b_pos_min <= r.b_pos_max
+
+
+def test_winnow_pairs_fractional_df_cap_equals_absolute(spark):
+    """max_df_frac=f is exactly max_df=ceil(f*n_docs) (the override is
+    corpus-relative so 'common' keeps meaning the same SHARE of docs as
+    the corpus grows — SCALE.md's 100x sweep measured the absolute cap
+    collapsing recall on a growing corpus); frac=1.0 equals no cap."""
+    import math
+
+    from model_audit_spark.operators.text_analysis import winnow_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"{base} doc{i} filler{i} more{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def collect(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_pairs(df, min_shared=1, **kw).collect()
+        )
+
+    n = len(rows)
+    for frac in (0.25, 0.5, 1.0):
+        assert collect(max_df_frac=frac) == collect(
+            max_df=math.ceil(frac * n)
+        ), frac
+    assert collect(max_df_frac=1.0) == collect(max_df=None)
+    # the shared-boilerplate prefix hits every doc, so a sub-1/n cap
+    # kills all pairs while frac=1.0 keeps them
+    assert collect(max_df_frac=0.01) == []
+    assert len(collect(max_df_frac=1.0)) > 0
