@@ -64,6 +64,22 @@ def cosine_topk(
     )
 
 
+def derive_n_planes(
+    emb: DataFrame, target_occupancy: int = 32, floor: int = 6
+) -> int:
+    """The SCALE.md LSH knob policy as a helper: plane counts must grow
+    ~log2(N) so expected bucket occupancy (N / 2^planes) stays constant
+    — in-bucket candidate work is quadratic in occupancy, and the 100x
+    sweep measured a fixed plane count exhausting 80 GB of shuffle disk
+    at 200k vectors. ceil(log2(N / target_occupancy)), floored (the
+    pinned gate defaults remain explicit so their evidence is stable).
+    Costs one count() — metadata-backed on parquet sources."""
+    import math
+
+    n = emb.count()
+    return max(floor, math.ceil(math.log2(max(n / target_occupancy, 2.0))))
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42):
     """Deterministic Gaussian hyperplanes (driver-side literals)."""
     import numpy as np
@@ -91,7 +107,7 @@ def lsh_topk(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -112,7 +128,7 @@ def lsh_multiprobe_topk(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -129,7 +145,13 @@ def lsh_multiprobe_topk(
     The probe set is expressed as `bit_count(bucket XOR qbucket) <=
     radius` against the broadcast query row — no explicit bucket-list
     explosion, and on a bucket-partitioned layout the equivalent IN-list
-    of ≤ 1 + C(n,1) + … bucket ids prunes partitions instead."""
+    of ≤ 1 + C(n,1) + … bucket ids prunes partitions instead.
+
+    `n_planes=None` derives the count from corpus size via
+    derive_n_planes (the occupancy policy); the explicit default keeps
+    the pinned gate parameters."""
+    if n_planes is None:
+        n_planes = derive_n_planes(emb)
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)
@@ -160,14 +182,17 @@ def lsh_multiprobe_topk(
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by LSH signature, exact cosine
     within buckets, keep pairs >= threshold. The bucket join replaces the
-    O(N²) cross product with Σ bucket²."""
+    O(N²) cross product with Σ bucket². `n_planes=None` derives the
+    count from corpus size via derive_n_planes (the occupancy policy)."""
+    if n_planes is None:
+        n_planes = derive_n_planes(emb)
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)
@@ -615,12 +640,7 @@ def knn_graph(
       pinned-parameter gate queries).
     """
     if planes_per_band is None:
-        import math
-
-        n = emb.count()
-        planes_per_band = max(
-            6, math.ceil(math.log2(max(n / target_occupancy, 2.0)))
-        )
+        planes_per_band = derive_n_planes(emb, target_occupancy)
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     from pyspark.sql import Window

@@ -754,3 +754,39 @@ def test_dedup_recall_report_sample_mode(spark, docs):
     n = docs.count()
     assert sorted(map(tuple, dedup_recall_report(docs, sample_n=n)
                   .collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_lsh_family_derives_planes_from_corpus_size(spark):
+    """n_planes=None on the LSH top-k family and the cosine-pair
+    generator resolves through derive_n_planes — pinned by row-identical
+    equivalence with the explicitly derived count, plus the derivation
+    arithmetic itself (floor at 6, ceil(log2(N/occupancy)) above it)."""
+    import random
+
+    from model_audit_spark.operators.similarity import (
+        derive_n_planes,
+        embedding_cosine_pairs,
+        lsh_topk,
+    )
+
+    rng = random.Random(5)
+    dim = 8
+    n = 600
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    planes = derive_n_planes(emb)  # ceil(log2(600/32)) = 5 -> floor 6
+    assert planes == 6
+    assert derive_n_planes(emb, target_occupancy=4) == 8  # ceil(log2(150))
+    assert derive_n_planes(emb, target_occupancy=4, floor=10) == 10
+
+    a = sorted(map(tuple, lsh_topk(emb, 0, k=5, n_planes=None).collect()))
+    b = sorted(map(tuple, lsh_topk(emb, 0, k=5, n_planes=planes).collect()))
+    assert a == b and len(a) > 0
+
+    pa = sorted(map(tuple, embedding_cosine_pairs(
+        emb, threshold=0.0, n_planes=None).collect()))
+    pb = sorted(map(tuple, embedding_cosine_pairs(
+        emb, threshold=0.0, n_planes=derive_n_planes(emb, floor=6)
+    ).collect()))
+    assert pa == pb
