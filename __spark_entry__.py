@@ -3662,28 +3662,37 @@ def _burstiness_profile(spark, sf):
 # and groups memo-sharing families adjacently (the communities trio,
 # the shingle/verified dup-graph family, the BPE pair) so a driver
 # session executing the window in order reuses the session memos.
-# Round-7 rotation: the 15 queries the r6 ledger marked MISPLACED
-# (r6's own late edits re-staled their closures — the BPE pair, both
-# recall reports, the communities trio, kcore, dedup_decisions,
-# mixing_plan, the ADVICE-fixed stats queries, and weighted_sample_es
-# pending since r4) head the window; 35 opportunistic refreshes fill
-# the remaining slots.
+# Round-7 rotation, regenerated on the CLOSING tree (the end-of-round
+# step the r6 verdict mandated): the 15 queries the r6 ledger marked
+# MISPLACED plus the 9 whose closures r7's own scale work re-staled
+# (the knn_graph/LSH plane-policy derivation and the winnow_pairs
+# fractional df cap touch the similarity/winnow closures) head the
+# window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
+    "embedding_near_dups",
+    "ann_lsh_multiprobe",
+    "contrastive_triplets",
+    "knn_graph",
     "weighted_sample_es",
+    "ann_param_sweep",
+    "ann_recall_report",
     "bpe_merges64",
     "bpe_fertility64",
     "dedup_recall_report",
     "dedup_decisions",
+    "knn_triangles",
     "dedup_kcore",
     "dedup_communities",
     "community_modularity",
     "community_source_nmi",
-    "ann_recall_report",
-    "mixing_plan",
     "effective_corpus_size",
     "interarrival_profile",
     "length_outliers",
     "length_quantiles_exact",
+    "link_prediction_aa",
+    "mixing_plan",
+    "ann_lsh_topk",
+    "winnow_pairs",
     "claimed_families",
     "probe_category_counts",
     "probes_filtered",
@@ -3701,7 +3710,6 @@ _CHECK_WINDOW = [
     "detect_documents",
     "dli_compare_sources",
     "doc_fingerprints",
-    "embedding_near_dups",
     "events_rollup_cascade",
     "length_percentiles",
     "llmmap_compare_sources",
@@ -3711,14 +3719,6 @@ _CHECK_WINDOW = [
     "memorization_average",
     "memorization_levenshtein",
     "memorization_verbatim",
-    "pack_chunks",
-    "paragraph_dedup",
-    "pii_scan",
-    "probe_style_consistency",
-    "q_events_asof",
-    "q_events_range_join",
-    "q_events_sessionize",
-    "q_rollup_revenue",
 ]
 
 
@@ -3972,12 +3972,15 @@ _MATERIALIZED_TWINS = {
     "cluster_topics", "dedup_recall_report", "winnow_fingerprints",
     "winnow_pairs", "dedup_communities", "winnow_span_report",
     "dedup_kcore", "community_modularity", "community_source_nmi",
-    # semantic_dedup / contrastive_triplets / span_dedup /
-    # embedding_principal were measured equal-but-barely-faster
-    # (<=0.6 s); they are NOT in this round's check window, so their
-    # twins stay byte-identical to the SQL their newest driver rows
-    # certified (evidence_ledger invariant) — add them when they next
-    # rotate in.
+    # r7: contrastive_triplets rotated into the window, so its twin
+    # adopts materialization now (equal rows re-verified by the local
+    # mirror; the r7 driver row certifies the new SQL).
+    "contrastive_triplets",
+    # semantic_dedup / span_dedup / embedding_principal were measured
+    # equal-but-barely-faster (<=0.6 s); they are NOT in this round's
+    # check window, so their twins stay byte-identical to the SQL
+    # their newest driver rows certified (evidence_ledger invariant)
+    # — add them when they next rotate in.
 }
 
 

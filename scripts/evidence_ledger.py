@@ -190,12 +190,45 @@ def module_paths(mod: str) -> list[str]:
     return [f"{p}.py", f"{p}/__init__.py"]
 
 
+VIRTUAL = "__virtual__"
+
+
+def _materialized_members(file_text) -> frozenset[str]:
+    """The _MATERIALIZED_TWINS membership at one tree state."""
+    t = file_text(ENTRY)
+    if t is None:
+        return frozenset()
+    try:
+        tree = ast.parse(t)
+    except SyntaxError:
+        return frozenset()
+    out: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            isinstance(tg, ast.Name) and tg.id == "_MATERIALIZED_TWINS"
+            for tg in node.targets
+        ):
+            for c in ast.walk(node.value):
+                if isinstance(c, ast.Constant) and isinstance(c.value, str):
+                    out.add(c.value)
+    return frozenset(out)
+
+
 def closure_fingerprint(
     roots: list[tuple[str, str]], file_text
 ) -> str | None:
     """sha256 over the unit closure's sources at one tree state.
     `roots`: [(path, unit_name)]. Returns None when a root is missing
-    (tree predates the query)."""
+    (tree predates the query).
+
+    A (VIRTUAL, "materialized:<q>") root contributes the query's
+    _MATERIALIZED_TWINS MEMBERSHIP bit instead of a source unit: adding
+    or removing ONE member must stale only that query, not every other
+    member (hashing the whole set literal did exactly that — adding
+    contrastive_triplets in r7 would have re-staled ~20 certified
+    queries whose SQL never changed)."""
+    virtual = [(p, n) for p, n in roots if p == VIRTUAL]
+    roots = [r for r in roots if r[0] != VIRTUAL]
     sources: dict[str, PySource | None] = {}
 
     def src_of(path: str) -> PySource | None:
@@ -256,6 +289,12 @@ def closure_fingerprint(
             if mp:
                 todo.append((mp, attr))
 
+    if virtual:
+        members = _materialized_members(file_text)
+        for _, name in virtual:
+            q = name.split(":", 1)[1]
+            parts[f"{VIRTUAL}:{name}"] = "1" if q in members else "0"
+
     h = hashlib.sha256()
     for key in sorted(parts):
         h.update(key.encode())
@@ -308,9 +347,11 @@ def query_roots() -> dict[str, list[tuple[str, str]]]:
         r = [(ENTRY, fn)]
         if q in ofn:
             r.append((ORACLE, ofn[q]))
+            # membership BIT, not the set literal: adding one member
+            # stales that query alone (see closure_fingerprint)
+            r.append((VIRTUAL, f"materialized:{q}"))
         if q in mat:
             r.append((ORACLE, "materialized"))
-            r.append((ENTRY, "_MATERIALIZED_TWINS"))
         roots[q] = r
     return roots
 

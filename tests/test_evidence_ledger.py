@@ -134,6 +134,45 @@ def _ledger_module():
     return el
 
 
+def test_materialized_membership_bit_stales_only_the_edited_query():
+    """The _MATERIALIZED_TWINS coupling fix (r7): a query's fingerprint
+    carries its own membership BIT, so adding one member to the set
+    stales that query alone — hashing the whole set literal re-staled
+    every member (measured in r7: one addition would have invalidated
+    ~20 certified queries whose SQL never changed)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "evidence_ledger", str(REPO / "scripts" / "evidence_ledger.py")
+    )
+    el = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(el)
+
+    def entry_text(members):
+        lits = ", ".join(f'"{m}"' for m in members)
+        return (
+            "def _qa(spark, sf):\n    return 1\n"
+            "def _qb(spark, sf):\n    return 2\n"
+            "_MATERIALIZED_TWINS = {" + lits + "}\n"
+        )
+
+    def fp(query, members):
+        files = {"__spark_entry__.py": entry_text(members)}
+        roots = [
+            ("__spark_entry__.py", f"_q{query}"),
+            (el.VIRTUAL, f"materialized:q{query}"),
+        ]
+        return el.closure_fingerprint(roots, lambda p: files.get(p))
+
+    base_a = fp("a", ["qa"])
+    # adding ANOTHER query to the set must not move qa's fingerprint...
+    assert fp("a", ["qa", "qb"]) == base_a
+    # ...but flipping qa's own membership must
+    assert fp("a", []) != base_a
+    # and qb's fingerprint flips exactly when qb joins
+    assert fp("b", ["qa"]) != fp("b", ["qa", "qb"])
+
+
 def test_affinity_order_groups_memo_chains():
     """--rotate's window ordering must pull memo-chain members adjacent
     (in chain order, at the first member's priority position) while
