@@ -883,3 +883,175 @@ def test_mixing_plan_tokenizer_matches_python_split(spark, texts):
             )
     if nonzero:
         assert abs(sum(r.weight for r in nonzero) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# r7 (beyond task 6): the graph / representation kernels.
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0, max_size=14,
+)
+
+
+@given(edges=_EDGES)
+@_SETTINGS
+def test_pagerank_mass_nonneg_and_partition_invariant(spark, edges):
+    """Integer pico-mass PageRank: every pr >= 0, total mass stays
+    within floor-division leakage of PAGERANK_SCALE, and the result is
+    BIT-identical under repartitioning (the portability claim the
+    integer arithmetic exists for)."""
+    from pyspark.sql import Row
+
+    from model_audit_spark.operators.cluster import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    nodes = spark.createDataFrame([Row(node=i) for i in range(10)])
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [], "src LONG, dst LONG"
+    )
+    pr = {r["node"]: r["pr"]
+          for r in pagerank(nodes, e, iterations=2).collect()}
+    assert set(pr) == set(range(10))
+    assert all(v >= 0 for v in pr.values())
+    total = sum(pr.values())
+    assert total <= PAGERANK_SCALE
+    assert total >= PAGERANK_SCALE * 0.99
+    again = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            nodes.repartition(7), e.repartition(5), iterations=2
+        ).collect()
+    }
+    assert again == pr
+
+
+@given(
+    edges=_EDGES,
+    labels=st.lists(st.integers(0, 3), min_size=10, max_size=10),
+)
+@_SETTINGS
+def test_modularity_matches_reference(spark, edges, labels):
+    """community_modularity equals the textbook Newman Q computed in
+    pure python over the same distinct undirected edge set, and sits in
+    [-0.5, 1]."""
+    from pyspark.sql import Row
+
+    from model_audit_spark.operators.cluster import community_modularity
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    lab_df = spark.createDataFrame(
+        [Row(doc_id=i, community=labels[i]) for i in range(10)]
+    )
+    e_df = spark.createDataFrame(
+        list(und) or [], "src LONG, dst LONG"
+    )
+    row = community_modularity(lab_df, e_df).first()
+    m = len(und)
+    if m == 0:
+        # empty graph: no per-community rows -> degenerate NULL report
+        assert row["n_communities"] == 0
+        assert row["m_edges"] is None and row["modularity"] is None
+        return
+    assert row["m_edges"] == m
+    e_c: dict[int, int] = {}
+    d_c: dict[int, int] = {}
+    for a, b in und:
+        ca, cb = labels[a], labels[b]
+        d_c[ca] = d_c.get(ca, 0) + 1
+        d_c[cb] = d_c.get(cb, 0) + 1
+        if ca == cb:
+            e_c[ca] = e_c.get(ca, 0) + 1
+    q = sum(
+        e_c.get(c, 0) / m - (d / (2 * m)) ** 2 for c, d in d_c.items()
+    )
+    assert abs(row["modularity"] - round(q, 6)) <= 1e-6
+    assert -0.5 - 1e-9 <= row["modularity"] <= 1.0 + 1e-9
+
+
+@given(
+    labels=st.lists(st.integers(0, 3), min_size=4, max_size=16),
+)
+@_SETTINGS
+def test_nmi_bounds_alignment_and_rename_invariance(spark, labels):
+    """partition_label_nmi: [0,1] within nanonat quantization; exactly
+    aligned partitions score ~1; renaming labels changes nothing (MI is
+    a function of the contingency table, not the names)."""
+    from pyspark.sql import Row
+
+    from model_audit_spark.operators.cluster import partition_label_nmi
+
+    n = len(labels)
+    lab_df = spark.createDataFrame(
+        [Row(doc_id=i, community=labels[i]) for i in range(n)]
+    )
+    cat_df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{labels[i]}") for i in range(n)]
+    )
+    row = partition_label_nmi(lab_df, cat_df).first()
+    if len(set(labels)) == 1:
+        assert row["nmi"] is None  # degenerate: 1 label AND 1 category
+    else:
+        assert abs(row["nmi"] - 1.0) <= 1e-6  # perfect alignment
+    # rename invariance against an independent random-ish category
+    cat2 = spark.createDataFrame(
+        [Row(doc_id=i, source=f"t{(i * 7 + 3) % 3}") for i in range(n)]
+    )
+    base = partition_label_nmi(lab_df, cat2).first()["nmi"]
+    renamed = spark.createDataFrame(
+        [Row(doc_id=i, community=9 - labels[i]) for i in range(n)]
+    )
+    same = partition_label_nmi(renamed, cat2).first()["nmi"]
+    assert same == base
+    if base is not None:
+        assert -1e-9 <= base <= 1.0 + 1e-6
+
+
+_MAT = st.lists(
+    st.lists(
+        st.floats(min_value=-4.0, max_value=4.0, allow_nan=False),
+        min_size=2, max_size=2,
+    ),
+    min_size=3, max_size=6,
+)
+
+
+@given(xm=_MAT, ym=_MAT, c=st.floats(min_value=0.5, max_value=2.0))
+@_SETTINGS
+def test_cka_long_equals_numpy_and_is_scale_invariant(spark, xm, ym, c):
+    """The DataFrame-only CKA (join + aggregate Gram entries — the
+    100 TB path) equals the numpy reference on ANY pair of small
+    matrices, and linear CKA's isotropic-scaling invariance holds:
+    cka(cX, Y) = cka(X, Y)."""
+    from hypothesis import assume
+
+    from model_audit_spark.operators.reef import cka_long, cka_numpy
+
+    n = min(len(xm), len(ym))
+    xm, ym = xm[:n], ym[:n]
+
+    def long_df(mat, scale=1.0):
+        rows = [
+            (s, d, float(v) * scale)
+            for s, row in enumerate(mat)
+            for d, v in enumerate(row)
+        ]
+        return spark.createDataFrame(rows, "sample INT, dim INT, v DOUBLE")
+
+    want = cka_numpy(xm, ym)
+    got = cka_long(long_df(xm), long_df(ym)).first()["cka"]
+    assert abs(got - want) <= 1e-9
+    assert -1e-9 <= got <= 1.0 + 1e-9
+    # scale invariance — skip the degenerate zero-variance regime where
+    # the 1e-10 denominator guard flips under scaling
+    import numpy as np
+
+    X = np.asarray(xm) - np.asarray(xm).mean(0)
+    Y = np.asarray(ym) - np.asarray(ym).mean(0)
+    hxx = float(np.linalg.norm(X.T @ X, "fro") ** 2)
+    hyy = float(np.linalg.norm(Y.T @ Y, "fro") ** 2)
+    assume(hxx * hyy > 1e-12)
+    scaled = cka_long(long_df(xm, scale=c), long_df(ym)).first()["cka"]
+    assert abs(scaled - got) <= 1e-6
