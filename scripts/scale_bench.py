@@ -190,6 +190,100 @@ def generate(mult: int) -> Path:
     return out
 
 
+def generate_relational(mult: int) -> Path:
+    """Scale the relational/events tier: each fact/dim table replicated
+    `mult` times with per-replica KEY OFFSETS (key' = key + r*(max+1)),
+    so every foreign-key relationship keeps exactly its sf0.1 fan-in —
+    each order still matches one customer, each lineitem one order/part/
+    supplier, each user keeps its event history. That is how a real
+    business grows 10x (more orders, same join shape), and it keeps
+    group cardinalities per key constant so any super-linear runtime is
+    the plan's fault, not a data artifact. nation/region stay fixed
+    (real dimensions don't grow with volume). Dates/prices unchanged."""
+    import duckdb
+
+    out = SCALE_ROOT / f"sf{BASE_SF * mult:g}"
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE TABLE _r AS SELECT range AS i FROM range({mult})")
+
+    def src(t):
+        return f"'{BASE_SF_DIR}/{t}.parquet'"
+
+    def pad(table, key):
+        return con.sql(
+            f"select max({key}) + 1 from {src(table)}"
+        ).fetchone()[0]
+
+    c_pad = pad("customer", "c_custkey")
+    s_pad = pad("supplier", "s_suppkey")
+    p_pad = pad("part", "p_partkey")
+    o_pad = pad("orders", "o_orderkey")
+    e_pad = pad("events", "event_id")
+    u_pad = pad("events", "user_id")
+
+    plans = {
+        "customer": (
+            "c_custkey + i*{c} AS c_custkey, c_name, c_nationkey, "
+            "c_acctbal, c_mktsegment"
+        ),
+        "supplier": (
+            "s_suppkey + i*{s} AS s_suppkey, s_name, s_nationkey, s_acctbal"
+        ),
+        "part": (
+            "p_partkey + i*{p} AS p_partkey, p_name, p_brand, p_type, "
+            "p_size, p_retailprice"
+        ),
+        "orders": (
+            "o_orderkey + i*{o} AS o_orderkey, o_custkey + i*{c} AS "
+            "o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+            "o_orderpriority"
+        ),
+        "lineitem": (
+            "l_orderkey + i*{o} AS l_orderkey, l_partkey + i*{p} AS "
+            "l_partkey, l_suppkey + i*{s} AS l_suppkey, l_linenumber, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, "
+            "l_returnflag, l_linestatus, l_shipdate"
+        ),
+        "events": (
+            "event_id + i*{e} AS event_id, ts, user_id + i*{u} AS "
+            "user_id, event_type, value, props"
+        ),
+    }
+    for table, proj in plans.items():
+        cols = proj.format(c=c_pad, s=s_pad, p=p_pad, o=o_pad,
+                           e=e_pad, u=u_pad)
+        dest = out / f"{table}.parquet"
+        if dest.is_symlink() or dest.exists():
+            dest.unlink()  # replace the gen-phase symlink with real data
+        con.sql(
+            f"COPY (SELECT {cols} FROM {src(table)} CROSS JOIN _r) "
+            f"TO '{dest}' (FORMAT parquet)"
+        )
+        print(f"# wrote {dest}", file=sys.stderr)
+    for t in ("nation", "region"):
+        link = out / f"{t}.parquet"
+        if not link.exists():
+            link.symlink_to(f"{BASE_SF_DIR}/{t}.parquet")
+    return out
+
+
+def relational_queries():
+    """The relational/events measured tier — queries() entries verbatim
+    covering the scan-agg, broadcast-dim-join, fact-fact-join, window,
+    sessionize and rollup shapes."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [
+        "q1_pricing_summary", "q3_top_unshipped", "q5_regional_revenue",
+        "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
+        "q_salted_revenue", "q_window_orders", "q_events_sessionize",
+        "events_rollup_cascade", "q_events_funnel", "zorder_events",
+    ]
+    return [(n, qs[n]) for n in names]
+
+
 # ------------------------------------------------------------------ run
 
 def heavy_queries(mult: int):
@@ -265,7 +359,7 @@ def heavy_queries(mult: int):
     return tier
 
 
-def run(mult: int, as_json: bool) -> None:
+def run(mult: int, as_json: bool, tier_name: str = "heavy") -> None:
     import gc
     import math
 
@@ -276,7 +370,8 @@ def run(mult: int, as_json: bool) -> None:
     if not Path(big_dir, "documents.parquet").exists():
         raise SystemExit(f"run `gen {mult}` first ({big_dir} missing)")
     spark = get_spark(app_name="model-audit-scale-bench")
-    tier = heavy_queries(mult)
+    tier = (relational_queries() if tier_name == "rel"
+            else heavy_queries(mult))
 
     def timed_once(fn, sf_dir):
         t0 = time.time()
@@ -358,13 +453,20 @@ def run(mult: int, as_json: bool) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) < 3 or sys.argv[1] not in ("gen", "run"):
+    cmds = ("gen", "run", "gen-rel", "run-rel")
+    if len(sys.argv) < 3 or sys.argv[1] not in cmds:
         raise SystemExit(__doc__)
     mult = int(sys.argv[2])
     if sys.argv[1] == "gen":
         generate(mult)
+    elif sys.argv[1] == "gen-rel":
+        generate_relational(mult)
     else:
-        run(mult, "--json" in sys.argv)
+        run(
+            mult,
+            "--json" in sys.argv,
+            tier_name="rel" if sys.argv[1] == "run-rel" else "heavy",
+        )
 
 
 if __name__ == "__main__":
