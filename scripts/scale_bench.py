@@ -280,6 +280,10 @@ def relational_queries():
         "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
         "q_salted_revenue", "q_window_orders", "q_events_sessionize",
         "events_rollup_cascade", "q_events_funnel", "zorder_events",
+        # the Structured Streaming legs (availableNow micro-batches over
+        # the same events parquet; applyInPandasWithState state ops)
+        "streaming_sessionize", "streaming_scd2", "streaming_attribution",
+        "channel_attribution",
     ]
     return [(n, qs[n]) for n in names]
 
