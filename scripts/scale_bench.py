@@ -41,9 +41,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-BASE_SF_DIR = "/root/testdata/sf0.1"
-BASE_SF = 0.1
-SCALE_ROOT = REPO / "scale_data"
+BASE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1"
+)
+BASE_SF = float(BASE_SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+SCALE_ROOT = Path(
+    os.environ.get("SPARK_GRAFT_SCALE_ROOT", str(REPO / "scale_data"))
+)
 SEED = 20260815
 
 TABLES = [

@@ -1,0 +1,154 @@
+"""The scale-measurement generator must be semantics-preserving —
+otherwise the exponents in SCALE.md measure a broken corpus, not the
+engine. Pins, at mult=2 over sf0.001 (fast):
+
+- relational replication: exact 2x row counts, FK closure (every
+  lineitem orderkey/partkey/suppkey and order custkey resolves), and
+  the q1-shape aggregate doubling EXACTLY per group (key offsets must
+  not perturb any measure column);
+- document generation: 2x doc count, the calibrated dup-injection rate
+  within tolerance, vocabulary closed over the base vocabulary, and
+  determinism (same seed -> byte-identical texts).
+
+No Spark session needed; duckdb + the generator only.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path("/root/repo")
+BASE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sb(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_BASE", BASE)
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_ROOT", str(tmp_path))
+    spec = importlib.util.spec_from_file_location(
+        "scale_bench", str(REPO / "scripts" / "scale_bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.BASE_SF_DIR == BASE and str(mod.SCALE_ROOT) == str(tmp_path)
+    return mod
+
+
+def test_relational_replication_preserves_semantics(sb):
+    out = sb.generate_relational(2)
+    con = duckdb.connect()
+
+    def n(d, t):
+        return con.sql(f"select count(*) from '{d}/{t}.parquet'").fetchone()[0]
+
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "events"):
+        assert n(out, t) == 2 * n(BASE, t), t
+    # dimensions stay fixed
+    for t in ("nation", "region"):
+        assert n(out, t) == n(BASE, t), t
+
+    # FK closure after offsetting
+    for fk, dim, key in [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ]:
+        dangling = con.sql(
+            f"select count(*) from '{out}/lineitem.parquet' l "
+            f"where not exists (select 1 from '{out}/{dim}.parquet' d "
+            f"where d.{key} = l.{fk})"
+        ).fetchone()[0]
+        assert dangling == 0, fk
+    dangling = con.sql(
+        f"select count(*) from '{out}/orders.parquet' o "
+        f"where not exists (select 1 from '{out}/customer.parquet' c "
+        f"where c.c_custkey = o.o_custkey)"
+    ).fetchone()[0]
+    assert dangling == 0
+
+    # per-order fan-in preserved: lineitem-count multiset per order is
+    # identical between base and each replica
+    base_fan = con.sql(
+        f"select cnt, count(*) from (select l_orderkey, count(*) cnt "
+        f"from '{BASE}/lineitem.parquet' group by 1) group by 1 order by 1"
+    ).fetchall()
+    big_fan = con.sql(
+        f"select cnt, count(*) from (select l_orderkey, count(*) cnt "
+        f"from '{out}/lineitem.parquet' group by 1) group by 1 order by 1"
+    ).fetchall()
+    assert big_fan == [(c, 2 * k) for c, k in base_fan]
+
+    # q1-shape aggregate doubles EXACTLY per group (measure columns
+    # untouched by the key offsets)
+    # DECIMAL sums: double addition is order-sensitive, so a bit-equal
+    # doubling check needs exact arithmetic
+    q1 = (
+        "select l_returnflag, l_linestatus, "
+        "sum(cast(l_quantity as decimal(28,10))) sq, "
+        "sum(cast(l_extendedprice as decimal(28,10))) se, count(*) c "
+        "from '{d}/lineitem.parquet' group by 1, 2 order by 1, 2"
+    )
+    base_rows = con.sql(q1.format(d=BASE)).fetchall()
+    big_rows = con.sql(q1.format(d=out)).fetchall()
+    assert big_rows == [
+        (f, s, 2 * sq, 2 * se, 2 * c) for f, s, sq, se, c in base_rows
+    ]
+
+
+def test_document_generation_calibrated_and_deterministic(sb, tmp_path):
+    out = sb.generate(2)
+    con = duckdb.connect()
+    doc = f"'{out}/documents.parquet'"
+    base = f"'{BASE}/documents.parquet'"
+    n_base = con.sql(f"select count(*) from {base}").fetchone()[0]
+    n_docs, n_dup = con.sql(
+        f"select count(*), sum(case when text like '% dup' then 1 else 0 "
+        f"end) from {doc}"
+    ).fetchone()
+    assert n_docs == 2 * n_base
+    base_rate = con.sql(
+        f"select sum(case when text like '% dup' then 1 else 0 end)"
+        f"/count(*) from {base}"
+    ).fetchone()[0]
+    # binomial tolerance around the calibrated rate
+    assert abs(n_dup / n_docs - base_rate) < 0.03
+
+    # vocabulary closed over the base vocabulary (plus the dup marker)
+    extra = con.sql(
+        f"select count(*) from ("
+        f"select distinct unnest(string_split(text, ' ')) w from {doc}) "
+        f"where w not in (select distinct unnest(string_split(text, ' ')) "
+        f"from {base})"
+    ).fetchone()[0]
+    assert extra == 0
+
+    # embeddings: count, dim, labels drawn from the base label set
+    emb = f"'{out}/embeddings.parquet'"
+    n_vec, dim = con.sql(
+        f"select count(*), min(len(embedding)) from {emb}"
+    ).fetchone()
+    n_vec_base = con.sql(
+        f"select count(*) from '{BASE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert n_vec == 2 * n_vec_base and dim == 64
+
+    # determinism: regenerate into a second root -> identical texts
+    os.environ["SPARK_GRAFT_SCALE_ROOT"] = str(tmp_path / "again")
+    spec = importlib.util.spec_from_file_location(
+        "scale_bench_again", str(REPO / "scripts" / "scale_bench.py")
+    )
+    again = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(again)
+    out2 = again.generate(2)
+    same = con.sql(
+        f"select count(*) from {doc} a join '{out2}/documents.parquet' b "
+        f"using (doc_id) where a.text = b.text"
+    ).fetchone()[0]
+    assert same == n_docs
