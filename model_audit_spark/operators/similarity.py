@@ -960,6 +960,8 @@ def sq8_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    params: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """(id, approx_dot) for the k best approximate dot products under
     SQ8 — the scalar-quantization leg of the ANN family (between
@@ -970,9 +972,18 @@ def sq8_topk(
     code array against the broadcast per-query scale array — zero
     shuffle beyond the top-k, and the float additions run in FIXED
     array order, so the SQL twin (list_reduce left fold) reproduces the
-    sums bit for bit."""
-    params = sq8_params(emb, vec_col)
-    enc = sq8_encode(emb, params, id_col, vec_col)
+    sums bit for bit.
+
+    `params` / `enc` inject a pre-built quantizer relation and code
+    relation (the dedup `shingles=` convention): a caller evaluating
+    several SQ8 consumers — ann_recall_report runs three — builds and
+    persists the index ONCE instead of re-encoding the corpus per
+    method, which is also the 100 TB shape (codes are a persisted
+    index, not a per-query projection)."""
+    if params is None:
+        params = sq8_params(emb, vec_col)
+    if enc is None:
+        enc = sq8_encode(emb, params, id_col, vec_col)
     q = (
         emb.filter(F.col(id_col) == query_vec_id)
         .crossJoin(F.broadcast(params))
@@ -1022,14 +1033,17 @@ def sq8_rerank_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    params: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage SQ8 retrieval: 1-byte-code shortlist → exact cosine
     re-rank of the survivors against the full float vectors (candidate-
     bounded semi-join — same production shape as pq_rerank_topk, with
     the scalar quantizer as the cheap stage). Output matches
-    cosine_topk's schema/rounding, so recall is directly measurable."""
+    cosine_topk's schema/rounding, so recall is directly measurable.
+    `params`/`enc` inject a shared pre-built index (sq8_topk)."""
     short = sq8_topk(
-        emb, query_vec_id, shortlist, id_col, vec_col
+        emb, query_vec_id, shortlist, id_col, vec_col, params, enc
     ).select(id_col)
     cand = emb.join(short, id_col, "left_semi")
     q = emb.filter(F.col(id_col) == query_vec_id).select(
@@ -1057,6 +1071,10 @@ def ivf_sq8_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
+    assigned: DataFrame | None = None,
+    params: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + SQ8 hybrid — the production inverted-file shape: the coarse
     quantizer bounds candidates to the `nprobe` nearest cells, and the
@@ -1064,11 +1082,18 @@ def ivf_sq8_topk(
     (at 100 TB the float relation is only ever touched by index build
     and re-rank; the probe path is cells → byte codes → top-k).
     Seeded-sample quantizer so the whole index build is reproducible in
-    the SQL twin. Emits (id, approx_dot)."""
-    centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    params = sq8_params(emb, vec_col)
-    enc = sq8_encode(emb, params, id_col, vec_col)
+    the SQL twin. Emits (id, approx_dot). `centroids`/`assigned`/
+    `params`/`enc` inject shared pre-built index relations (the
+    sq8_topk convention) — ann_recall_report builds each once for all
+    eight methods."""
+    if centroids is None:
+        centroids = ivf_centroids_seeded(emb, n_clusters, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    if params is None:
+        params = sq8_params(emb, vec_col)
+    if enc is None:
+        enc = sq8_encode(emb, params, id_col, vec_col)
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
         [(cid, c, _centroid_norm(c)) for cid, c in enumerate(centroids)],
@@ -1171,27 +1196,45 @@ def ann_recall_report(
         cosine_topk(emb, query_vec_id, k, id_col, vec_col)
         .select(F.col(id_col), F.lit(1).alias("_hit"))
     )
+    # shared persisted index relations (r7): each built ONCE for all
+    # eight methods — previously the three SQ8 consumers each re-encoded
+    # the corpus and ivf_sq8 re-ran the coarse assignment. Persisted and
+    # track()ed like the dedup shingle relation; at 100 TB these ARE the
+    # persisted index tables the probe paths scan.
+    from model_audit_spark.persistence import track
+
     books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim)
     centroids = ivf_centroids_seeded(emb, n_clusters=8)
-    assigned = ivf_assign(emb, centroids)
+    assigned = track(ivf_assign(emb, centroids).persist())
+    sq_params = sq8_params(emb, vec_col)
+    sq_enc = track(sq8_encode(emb, sq_params, id_col, vec_col).persist())
+    pq_codes = track(pq_encode(emb, books, id_col, vec_col).persist())
     methods = {
         "ivf": ivf_probe(
             assigned, query_vec_id, centroids, k=k, nprobe=3
         ),
         "ivf_sq8": ivf_sq8_topk(
-            emb, query_vec_id, k=k, n_clusters=8, nprobe=3
+            emb, query_vec_id, k=k, n_clusters=8, nprobe=3,
+            centroids=centroids, assigned=assigned,
+            params=sq_params, enc=sq_enc,
         ),
         "lsh": lsh_topk(emb, query_vec_id, k=k, n_planes=6, dim=dim),
         "lsh_multiprobe": lsh_multiprobe_topk(
             emb, query_vec_id, k=k, n_planes=6, probe_radius=1, dim=dim
         ),
-        "pq": pq_topk(emb, query_vec_id, codebooks=books, k=k),
-        "pq_rerank": pq_rerank_topk(
-            emb, query_vec_id, codebooks=books, k=k, shortlist=50
+        "pq": pq_topk(
+            emb, query_vec_id, codebooks=books, k=k, codes=pq_codes
         ),
-        "sq8": sq8_topk(emb, query_vec_id, k=k),
+        "pq_rerank": pq_rerank_topk(
+            emb, query_vec_id, codebooks=books, k=k, shortlist=50,
+            codes=pq_codes,
+        ),
+        "sq8": sq8_topk(
+            emb, query_vec_id, k=k, params=sq_params, enc=sq_enc
+        ),
         "sq8_rerank": sq8_rerank_topk(
-            emb, query_vec_id, k=k, shortlist=50
+            emb, query_vec_id, k=k, shortlist=50,
+            params=sq_params, enc=sq_enc,
         ),
     }
     parts = None

@@ -790,3 +790,54 @@ def test_lsh_family_derives_planes_from_corpus_size(spark):
         emb, threshold=0.0, n_planes=derive_n_planes(emb, floor=6)
     ).collect()))
     assert pa == pb
+
+
+def test_ann_index_injection_equals_internal_build(spark):
+    """The shared-index injection params (sq8 params/enc, ivf centroids/
+    assigned, pq codes) must be row-identical to the internal builds —
+    ann_recall_report relies on this to build each index once for all
+    eight methods."""
+    import random
+
+    from model_audit_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_seeded,
+        ivf_sq8_topk,
+        pq_codebooks_seeded,
+        pq_encode,
+        pq_rerank_topk,
+        sq8_encode,
+        sq8_params,
+        sq8_rerank_topk,
+        sq8_topk,
+    )
+
+    rng = random.Random(3)
+    dim = 8
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(80)]
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    params = sq8_params(emb)
+    enc = sq8_encode(emb, params)
+    cents = ivf_centroids_seeded(emb, 4)
+    assigned = ivf_assign(emb, cents)
+    books = pq_codebooks_seeded(emb, m=4, k=8, dim=dim)
+    codes = pq_encode(emb, books)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(sq8_topk(emb, 0, k=5, params=params, enc=enc)) == rows(
+        sq8_topk(emb, 0, k=5)
+    )
+    assert rows(
+        sq8_rerank_topk(emb, 0, k=5, params=params, enc=enc)
+    ) == rows(sq8_rerank_topk(emb, 0, k=5))
+    assert rows(
+        ivf_sq8_topk(
+            emb, 0, k=5, n_clusters=4, centroids=cents,
+            assigned=assigned, params=params, enc=enc,
+        )
+    ) == rows(ivf_sq8_topk(emb, 0, k=5, n_clusters=4))
+    assert rows(
+        pq_rerank_topk(emb, 0, codebooks=books, k=5, codes=codes)
+    ) == rows(pq_rerank_topk(emb, 0, codebooks=books, k=5))
