@@ -3673,6 +3673,7 @@ _CHECK_WINDOW = [
     "ann_lsh_multiprobe",
     "contrastive_triplets",
     "knn_graph",
+    "ann_sq8_topk",
     "weighted_sample_es",
     "ann_param_sweep",
     "ann_recall_report",
@@ -3691,7 +3692,9 @@ _CHECK_WINDOW = [
     "length_quantiles_exact",
     "link_prediction_aa",
     "mixing_plan",
+    "ann_ivf_sq8",
     "ann_lsh_topk",
+    "ann_sq8_rerank",
     "winnow_pairs",
     "claimed_families",
     "probe_category_counts",
@@ -3716,9 +3719,6 @@ _CHECK_WINDOW = [
     "llmmap_features_documents",
     "llmmap_fingerprint_hashes",
     "media_profile",
-    "memorization_average",
-    "memorization_levenshtein",
-    "memorization_verbatim",
 ]
 
 
