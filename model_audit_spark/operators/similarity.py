@@ -1294,9 +1294,20 @@ def ann_param_sweep(
         cosine_topk(emb, query_vec_id, k, id_col, vec_col)
         .select(F.col(id_col), F.lit(1).alias("_hit"))
     )
+    # shared persisted index relations (r7, the ann_recall_report
+    # discipline): assigned feeds 3 nprobe variants, the SQ8 params/enc
+    # both shortlist variants, the PQ codes both shortlist variants —
+    # without the persist+injection each variant re-scans the corpus
+    from model_audit_spark.persistence import track
+
     centroids = ivf_centroids_seeded(emb, 8, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned = track(
+        ivf_assign(emb, centroids, id_col, vec_col).persist()
+    )
     books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim)
+    sq_params = sq8_params(emb, vec_col)
+    sq_enc = track(sq8_encode(emb, sq_params, id_col, vec_col).persist())
+    pq_codes = track(pq_encode(emb, books, id_col, vec_col).persist())
     variants: list[tuple[str, str, DataFrame]] = []
     for r in radii:
         variants.append(
@@ -1329,6 +1340,7 @@ def ann_param_sweep(
                 sq8_rerank_topk(
                     emb, query_vec_id, k=k, shortlist=sl,
                     id_col=id_col, vec_col=vec_col,
+                    params=sq_params, enc=sq_enc,
                 ),
             )
         )
@@ -1340,6 +1352,7 @@ def ann_param_sweep(
                 pq_rerank_topk(
                     emb, query_vec_id, codebooks=books, k=k,
                     shortlist=sl, id_col=id_col, vec_col=vec_col,
+                    codes=pq_codes,
                 ),
             )
         )
