@@ -1055,3 +1055,65 @@ def test_cka_long_equals_numpy_and_is_scale_invariant(spark, xm, ym, c):
     assume(hxx * hyy > 1e-12)
     scaled = cka_long(long_df(xm, scale=c), long_df(ym)).first()["cka"]
     assert abs(scaled - got) <= 1e-6
+
+
+@given(
+    texts=st.lists(_TEXT, min_size=2, max_size=14),
+    quota=st.integers(min_value=0, max_value=6),
+)
+@_SETTINGS
+def test_quota_sample_exact_counts_and_determinism(spark, texts, quota):
+    """Stratum k keeps EXACTLY min(quota, |stratum k|) rows; smp_rank
+    is dense 1..n within each stratum; the selection is a pure function
+    of (id, salt) — identical across re-evaluation and repartitioning."""
+    from model_audit_spark.operators.sampling import quota_sample
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sizes = {}
+    for i, _ in enumerate(texts):
+        sizes[f"s{i % 3}"] = sizes.get(f"s{i % 3}", 0) + 1
+    quotas = {s: quota for s in sizes}
+    out = quota_sample(df, quotas).collect()
+    by_stratum: dict[str, list] = {}
+    for r in out:
+        by_stratum.setdefault(r["source"], []).append(r)
+    for s, n in sizes.items():
+        got = by_stratum.get(s, [])
+        assert len(got) == min(quota, n), s
+        assert sorted(r["smp_rank"] for r in got) == list(
+            range(1, len(got) + 1)
+        )
+    again = quota_sample(df.repartition(5), quotas).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+@given(n=st.integers(min_value=1, max_value=40))
+@_SETTINGS
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark, n):
+    """Every epoch contains every doc exactly once; positions within
+    each (epoch, shard) are dense from 1; the draw is deterministic
+    (repartitioned input -> identical rows); epochs differ (for n > 2
+    the probability all epochs sort identically is ~0 and the seeded
+    hash makes it fixed — regression-pinned, not flaky)."""
+    from model_audit_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, n_epochs=2, n_shards=4).collect()
+    by_epoch: dict[int, list] = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for rows in by_epoch.values():
+        assert sorted(r["doc_id"] for r in rows) == list(range(n))
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["position"])
+        for pos in by_shard.values():
+            assert sorted(pos) == list(range(1, len(pos) + 1))
+    again = epoch_shuffle(
+        df.repartition(6), n_epochs=2, n_shards=4
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
