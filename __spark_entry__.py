@@ -1449,7 +1449,7 @@ def _embedding_contamination(spark, sf):
     emb = _t(spark, sf, "embeddings")
     tr = emb.filter(F.col("vec_id") % 5 != 0)
     ev = emb.filter(F.col("vec_id") % 5 == 0)
-    return embedding_contamination(tr, ev, threshold=0.4, dim=64)
+    return embedding_contamination(tr, ev, threshold=0.4, n_planes=8, dim=64)
 
 
 def _bm25_search(spark, sf):

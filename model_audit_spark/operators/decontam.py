@@ -107,7 +107,7 @@ def embedding_contamination(
     train_emb: DataFrame,
     eval_emb: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -123,9 +123,14 @@ def embedding_contamination(
     and the exact cosine verifies. Output: one row per contaminated
     training vector with its worst (highest-cosine) eval match —
     (train_id, eval_id, cosine_sim), ties on cosine broken by eval_id.
+
+    `n_planes=None` (the default) derives the count from the TRAINING
+    corpus size via derive_n_planes — the train side is the one that
+    grows to 100 TB; the eval set is fixed. Gate queries pin literals.
     """
     from model_audit_spark.operators.similarity import (
         as_double_array,
+        derive_n_planes,
         random_hyperplanes,
         rhp_signature,
         _dot,
@@ -133,6 +138,8 @@ def embedding_contamination(
     )
     from pyspark.sql import Window
 
+    if n_planes is None:
+        n_planes = derive_n_planes(train_emb)
     if dim is None:
         dim = len(train_emb.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)

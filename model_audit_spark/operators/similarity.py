@@ -107,7 +107,7 @@ def lsh_topk(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_planes: int | None = 12,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -128,7 +128,7 @@ def lsh_multiprobe_topk(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_planes: int | None = 12,
+    n_planes: int | None = None,
     probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -147,9 +147,10 @@ def lsh_multiprobe_topk(
     explosion, and on a bucket-partitioned layout the equivalent IN-list
     of ≤ 1 + C(n,1) + … bucket ids prunes partitions instead.
 
-    `n_planes=None` derives the count from corpus size via
-    derive_n_planes (the occupancy policy); the explicit default keeps
-    the pinned gate parameters."""
+    `n_planes=None` (the default) derives the count from corpus size via
+    derive_n_planes (the occupancy policy) — the scale-safe configuration
+    is the one an un-parameterized caller gets. Gate queries pass their
+    pinned literals explicitly so their evidence hashes stay stable."""
     if n_planes is None:
         n_planes = derive_n_planes(emb)
     if dim is None:
@@ -182,15 +183,16 @@ def lsh_multiprobe_topk(
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int | None = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by LSH signature, exact cosine
     within buckets, keep pairs >= threshold. The bucket join replaces the
-    O(N²) cross product with Σ bucket². `n_planes=None` derives the
-    count from corpus size via derive_n_planes (the occupancy policy)."""
+    O(N²) cross product with Σ bucket². `n_planes=None` (the default)
+    derives the count from corpus size via derive_n_planes (the occupancy
+    policy); gate queries pin literals explicitly."""
     if n_planes is None:
         n_planes = derive_n_planes(emb)
     if dim is None:
@@ -598,7 +600,7 @@ def knn_graph(
     emb: DataFrame,
     k: int = 5,
     n_bands: int = 4,
-    planes_per_band: int | None = 6,
+    planes_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -633,11 +635,12 @@ def knn_graph(
       bucket occupancy is N / 2^planes, and in-bucket pair expansion is
       quadratic in occupancy — measured in SCALE.md's 100× sweep, a
       fixed 6 planes at 200k vectors exhausted 80 GB of shuffle disk,
-      while log-scaled planes completed in 182 s. Pass
-      `planes_per_band=None` to derive ceil(log2(N / target_occupancy))
+      while log-scaled planes completed in 182 s. The default
+      `planes_per_band=None` derives ceil(log2(N / target_occupancy))
       from a corpus count (one cheap metadata-backed count on parquet
-      sources; explicit planes skip the count and stay the default for
-      pinned-parameter gate queries).
+      sources) so an un-parameterized caller gets the measured-safe
+      configuration; gate queries pass explicit literals to skip the
+      count and keep their evidence hashes stable.
     """
     if planes_per_band is None:
         planes_per_band = derive_n_planes(emb, target_occupancy)

@@ -112,7 +112,7 @@ def test_embedding_contamination_planted_leak(spark):
     out = {
         r.train_id: (r.eval_id, r.cosine_sim)
         for r in embedding_contamination(
-            tr, ev, threshold=0.9, dim=dim
+            tr, ev, threshold=0.9, n_planes=8, dim=dim
         ).collect()
     }
     assert 101 in out and out[101][0] == 5 and out[101][1] >= 0.999999

@@ -792,6 +792,44 @@ def test_lsh_family_derives_planes_from_corpus_size(spark):
     assert pa == pb
 
 
+def test_lsh_family_defaults_are_scale_safe(spark):
+    """The library DEFAULT for every LSH plane-count parameter is the
+    occupancy-derived policy (None -> derive_n_planes), not a fixed
+    literal: the 100x sweep measured a fixed plane count exhausting
+    shuffle disk at 200k vectors, so an un-parameterized caller must get
+    the scale-safe configuration. Pins (a) every signature default is
+    None, and (b) at 10x the sf0.1 corpus (200k vectors) the derived
+    count exceeds the old fixed literals."""
+    import inspect
+
+    from model_audit_spark.operators.decontam import embedding_contamination
+    from model_audit_spark.operators.similarity import (
+        derive_n_planes,
+        embedding_cosine_pairs,
+        knn_graph,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    for fn, param in [
+        (lsh_topk, "n_planes"),
+        (lsh_multiprobe_topk, "n_planes"),
+        (embedding_cosine_pairs, "n_planes"),
+        (knn_graph, "planes_per_band"),
+        (embedding_contamination, "n_planes"),
+    ]:
+        assert inspect.signature(fn).parameters[param].default is None, (
+            f"{fn.__name__}.{param} must default to the derive policy"
+        )
+
+    # derive_n_planes only consults .count(); a range relation stands in
+    # for a 200k-vector corpus (10x the sf0.1 embeddings table).
+    big = spark.range(200_000)
+    derived = derive_n_planes(big)
+    assert derived == 13  # ceil(log2(200000/32))
+    assert derived > 12 and derived > 8 and derived > 6  # old literals
+
+
 def test_ann_index_injection_equals_internal_build(spark):
     """The shared-index injection params (sq8 params/enc, ivf centroids/
     assigned, pq codes) must be row-identical to the internal builds —
