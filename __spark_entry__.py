@@ -1282,10 +1282,27 @@ def _char_lm_scores(spark, sf):
 
 
 def _knn_graph(spark, sf):
+    """The session-memoized k=5 kNN edge relation of the embeddings
+    table — ONE multi-band LSH + cosine-verify + top-k evaluation per
+    (input files, params) shared by every kNN-graph consumer
+    (knn_triangles, link_prediction_aa, contrastive_triplets), the same
+    sharing discipline as _dup_shingles / _dup_communities_rel. The
+    memo re-checks storage level, so harnesses that clearCache()/
+    release_all() between queries (bench.py, check_oracle.py) rebuild
+    transparently and isolated timings stay isolated. planes_per_band
+    pinned at the gate literal (library default now derives from corpus
+    size; the explicit literal keeps evidence hashes stable)."""
+    from model_audit_spark import persistence
     from model_audit_spark.operators.similarity import knn_graph
 
     emb = _t(spark, sf, "embeddings")
-    return knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
+    key = (
+        "knn_graph", tuple(sorted(emb.inputFiles())), 5, 4, 6, 64,
+    )
+    return persistence.memo(
+        key,
+        lambda: knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64),
+    )
 
 
 

