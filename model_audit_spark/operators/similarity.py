@@ -1186,7 +1186,15 @@ def ann_recall_report(
     `sample_n - 1` other vectors (TakeOrdered by md5(id) — no full
     sort, no rand() drift), bounding the exact-truth leg while schema
     and semantics are unchanged. None (the default, and the gate
-    configuration) keeps the full corpus."""
+    configuration) keeps the full corpus.
+
+    Cache lifecycle: the shared index relations are persist()ed and
+    registered via persistence.track — they stay pinned after the
+    report materializes so a session batch can reuse them. A long-lived
+    caller (the MCP server, a notebook) must call
+    persistence.release_all() between batches, exactly as the bench and
+    gate harnesses do; otherwise repeated calls accumulate cached
+    blocks."""
     if sample_n is not None:
         keep = emb.filter(F.col(id_col) == query_vec_id)
         rest = (
@@ -1292,7 +1300,9 @@ def ann_param_sweep(
     mini-plan ending in a k-row TakeOrdered, so the sweep costs the
     per-variant probes, not repeated index builds. At scale assigned /
     codes are persisted index relations and the sweep is pure probe
-    work."""
+    work. Cache lifecycle: the shared relations are persist()ed and
+    persistence.track()ed — long-lived callers must call
+    persistence.release_all() between batches (the harnesses do)."""
     exact = (
         cosine_topk(emb, query_vec_id, k, id_col, vec_col)
         .select(F.col(id_col), F.lit(1).alias("_hit"))

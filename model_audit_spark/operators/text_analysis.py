@@ -794,7 +794,13 @@ def winnow_pairs(
     on a 100x corpus because every gram's df outgrew the constant —
     while a fractional cap keeps "common" meaning the same share of
     documents at any scale. Costs one count() over the input (in-DAG
-    via a 1-row cross join, no driver collect)."""
+    via a 1-row cross join, no driver collect). Denominator choice: the
+    count is over ALL input rows, including docs too short to yield any
+    winnow fingerprint — the cap tracks corpus size, not fingerprinted
+    size, so on corpora with many short/empty texts the effective cap is
+    slightly looser than "frac share of fingerprinted docs" (the stable,
+    cheaper contract: it never moves when the gram/window params
+    change)."""
     posts = (
         winnow_selected(df, text_col, id_col, gram_k, window)
         .select(id_col, "h")

@@ -88,9 +88,13 @@ def _urllib_post(url, json=None, headers=None, timeout=60.0):
 
 
 def default_post() -> Callable:
-    """The live HTTP client: httpx.post when the library is installed
-    (connection pooling, HTTP/2), else the stdlib urllib fallback —
-    probing requires no optional dependency."""
+    """The live HTTP client: httpx.post when the library is installed,
+    else the stdlib urllib fallback — probing requires no optional
+    dependency. Note module-level httpx.post opens a fresh connection
+    per call (no pooling; pooling/HTTP2 would need a shared
+    httpx.Client) — acceptable here because each mapInPandas batch
+    amortizes setup over many probes and the retry wrapper owns the
+    failure modes either way."""
     try:
         import httpx
 

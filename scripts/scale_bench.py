@@ -133,10 +133,18 @@ def generate(mult: int) -> Path:
     dup_flags = rng.random(n) < cal["p_dup"]
     for i in range(n):
         if dup_flags[i] and i > 0:
+            # resample until the base is a fresh (non-dup) text: the
+            # fixture's near-dups are always `original + " dup"`, so a
+            # dup-of-dup would be a byte-identical EXACT duplicate the
+            # fixture doesn't have (and would deflate the suffix rate)
             base = texts[rng.integers(0, i)]
-            texts.append(
-                base + " dup" if not base.endswith(" dup") else base
-            )
+            for _ in range(8):
+                if not base.endswith(" dup"):
+                    break
+                base = texts[rng.integers(0, i)]
+            if base.endswith(" dup"):
+                base = base[: -len(" dup")]
+            texts.append(base + " dup")
         else:
             texts.append(
                 " ".join(vocab[rng.choice(len(vocab), size=n_tok[i], p=wp)])
@@ -367,7 +375,12 @@ def heavy_queries(mult: int):
     return tier
 
 
-def run(mult: int, as_json: bool, tier_name: str = "heavy") -> None:
+def run(
+    mult: int,
+    as_json: bool,
+    tier_name: str = "heavy",
+    only: list[str] | None = None,
+) -> None:
     import gc
     import math
 
@@ -375,11 +388,17 @@ def run(mult: int, as_json: bool, tier_name: str = "heavy") -> None:
     from model_audit_spark.session import get_spark
 
     big_dir = str(SCALE_ROOT / f"sf{BASE_SF * mult:g}")
-    if not Path(big_dir, "documents.parquet").exists():
+    probe = "events" if tier_name == "rel" else "documents"
+    if not Path(big_dir, f"{probe}.parquet").exists():
         raise SystemExit(f"run `gen {mult}` first ({big_dir} missing)")
     spark = get_spark(app_name="model-audit-scale-bench")
     tier = (relational_queries() if tier_name == "rel"
             else heavy_queries(mult))
+    if only:
+        tier = [(n, fn) for n, fn in tier if n in only]
+        missing = set(only) - {n for n, _ in tier}
+        if missing:
+            raise SystemExit(f"unknown --only queries: {sorted(missing)}")
 
     def timed_once(fn, sf_dir):
         t0 = time.time()
@@ -470,10 +489,15 @@ def main() -> None:
     elif sys.argv[1] == "gen-rel":
         generate_relational(mult)
     else:
+        only = None
+        for a in sys.argv[3:]:
+            if a.startswith("--only="):
+                only = [s for s in a.split("=", 1)[1].split(",") if s]
         run(
             mult,
             "--json" in sys.argv,
             tier_name="rel" if sys.argv[1] == "run-rel" else "heavy",
+            only=only,
         )
 
 
