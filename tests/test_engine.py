@@ -459,6 +459,64 @@ def test_real_wire_status_classification_through_retry_matrix():
         srv500.close()
 
 
+def test_real_wire_messages_status_classification_and_probe(spark):
+    """The messages-wire twin of the OpenAI-wire real-socket suite:
+    429-then-200 recovers through the retry backoff, 401 fail-fasts
+    with no retries burned, and the full mapInPandas probe pipeline
+    (provider transport called from Spark python workers) lands every
+    row — same loopback server, real status lines."""
+    from model_audit_spark.probing import AnthropicWireTransport, _retry_call
+
+    srv = _WireServer(
+        {
+            "/v1/messages": [
+                (429, {"error": "rate limited"}),
+                (200, {"content": [{"type": "text", "text": "recovered"}]}),
+            ]
+        }
+    )
+    try:
+        t = AnthropicWireTransport(api_base=srv.base, api_key="k")
+        assert (
+            _retry_call(lambda: t("m", "p"), sleep=lambda s: None)
+            == "recovered"
+        )
+    finally:
+        srv.close()
+
+    srv401 = _WireServer({"/v1/messages": [(401, {})]})
+    try:
+        t = AnthropicWireTransport(api_base=srv401.base, api_key="k")
+        with pytest.raises(ValueError, match="auth"):
+            _retry_call(lambda: t("m", "p"), sleep=lambda s: None)
+        assert len(srv401.requests) == 1  # fail-fast: no retries burned
+    finally:
+        srv401.close()
+
+    srv_ok = _WireServer(
+        {
+            "/v1/messages": [
+                (200, {"content": [{"type": "text", "text": "live-resp"}]})
+            ]
+        }
+    )
+    try:
+        src = HTTPProbeSource(
+            provider="anthropic",
+            api_base=srv_ok.base,
+            api_key="k",
+            concurrency=2,
+        )
+        out = src.probe(spark, ["model-a", "model-b"]).collect()
+    finally:
+        srv_ok.close()
+    assert len(out) == 40
+    assert {r["response"] for r in out} == {"live-resp"}
+    assert len(srv_ok.requests) == 40
+    auth = {r["headers"]["x-api-key"] for r in srv_ok.requests}
+    assert auth == {"k"}
+
+
 def test_http_probe_source_end_to_end_over_real_wire(spark):
     """The full probe pipeline — HTTPProbeSource.probe's mapInPandas
     stage calling the provider transport from Spark python workers —
