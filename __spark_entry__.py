@@ -72,6 +72,18 @@ from model_audit_spark.catalogs import (
 )
 
 
+def _sink_view(spark: SparkSession, prefix: str) -> str:
+    """Fresh memory-sink view name, registered with persistence so
+    release_all() drops the sink's heap-buffered rows between queries
+    (clearCache alone cannot — measured at 100x events: a prior query's
+    9.5M-row sink pinned the heap into GCLocker allocation failures)."""
+    import uuid as _uuid
+
+    from model_audit_spark import persistence
+
+    return persistence.track_view(spark, prefix + _uuid.uuid4().hex[:8])
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
@@ -349,7 +361,7 @@ def _streaming_sessionize(spark, sf):
     stream = normalize_event_ts(
         spark.readStream.schema(batch_schema).parquet(stage)
     )
-    name = "sess_" + uuid.uuid4().hex[:8]
+    name = _sink_view(spark, "sess_")
     ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -518,7 +530,7 @@ def _streaming_scd2(spark, sf):
     stream = normalize_event_ts(
         spark.readStream.schema(batch_schema).parquet(stage)
     )
-    name = "sscd2_" + uuid.uuid4().hex[:8]
+    name = _sink_view(spark, "sscd2_")
     ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -642,7 +654,7 @@ def _streaming_attribution(spark, sf):
 
     from model_audit_spark.streaming import streaming_interval_join
 
-    name = "attr_" + uuid.uuid4().hex[:8]
+    name = _sink_view(spark, "attr_")
     ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -2232,7 +2244,7 @@ def _streaming_source_verdict(spark, sf):
 
     from model_audit_spark.streaming import running_source_verdict
 
-    name = "verdict_" + uuid.uuid4().hex[:8]
+    name = _sink_view(spark, "verdict_")
     ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
     path = f"{sf}/documents.parquet"
     # the file source streams directories; stage the table file in one
@@ -2415,7 +2427,7 @@ def _streaming_drift(spark, sf):
     baseline = bucket_counts(
         docs.filter(F.col("source") == "src0"), buckets
     )
-    name = "drift_" + uuid.uuid4().hex[:8]
+    name = _sink_view(spark, "drift_")
     ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
     stage = tempfile.mkdtemp(prefix="ma_stream_")
     os.symlink(path, os.path.join(stage, "part-0.parquet"))

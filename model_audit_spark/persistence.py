@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 _tracked: list[DataFrame] = []
 _memo: dict[Hashable, DataFrame] = {}
 _obj_memo: dict[Hashable, object] = {}
+_tracked_views: list[tuple[object, str]] = []
 
 
 def _is_live(df: DataFrame) -> bool:
@@ -101,8 +102,23 @@ def memo_obj(key: Hashable, builder: Callable[[], object]) -> object:
     return v
 
 
+def track_view(spark, name: str) -> str:
+    """Register a session temp view whose BACKING ROWS live in JVM heap
+    (a streaming memory-sink table) for explicit release.
+
+    The memory sink's buffered rows survive query termination and are
+    NOT dropped by ``spark.catalog.clearCache()`` — only dropping the
+    temp view frees them. A 100x-events scale run measured the leak
+    directly: streaming_sessionize's 9.5M-row sink stayed pinned through
+    the next query's run and pushed the JVM into GCLocker allocation
+    failures. Returns the name unchanged so call sites stay one-line."""
+    _tracked_views.append((spark, name))
+    return name
+
+
 def release_all() -> int:
-    """Unpersist every tracked relation and clear the memo.
+    """Unpersist every tracked relation, drop tracked memory-sink views,
+    and clear the memo.
 
     The explicit end-of-session / between-batch hook. Returns the number
     of relations released (idempotent: a second call returns 0)."""
@@ -116,7 +132,14 @@ def release_all() -> int:
             # a dead SparkSession mid-teardown must not mask the caller's
             # own shutdown path
             pass
+    for spark, name in _tracked_views:
+        try:
+            if spark.catalog.dropTempView(name):
+                n += 1
+        except Exception:
+            pass
     _tracked.clear()
+    _tracked_views.clear()
     _memo.clear()
     _obj_memo.clear()
     return n

@@ -70,6 +70,22 @@ def test_release_all_drops_blocks(spark):
     assert persistence.release_all() == 0
 
 
+def test_release_all_drops_tracked_memory_sink_views(spark):
+    """Memory-sink temp views registered via track_view are dropped by
+    release_all — the 100x-events finding: sink rows survive query
+    termination, clearCache() can't free them, and an untracked 9.5M-row
+    sink from one streaming query pushed the NEXT query into GCLocker
+    allocation failures."""
+    name = persistence.track_view(spark, "tv_test_sink")
+    spark.range(10).createOrReplaceTempView(name)
+    assert spark.catalog.tableExists(name)
+    released = persistence.release_all()
+    assert released >= 1
+    assert not spark.catalog.tableExists(name)
+    # idempotent: the registry is cleared, a second call drops nothing
+    assert persistence.release_all() == 0
+
+
 def test_knn_family_session_holds_one_graph_relation(spark, tmp_path):
     """The four kNN-graph consumers (knn_graph, knn_triangles,
     link_prediction_aa, contrastive_triplets) share ONE memoized edge
