@@ -1318,6 +1318,56 @@ def _knn_graph(spark, sf):
 
 
 
+def _ann_indexes(spark, sf):
+    """Session-memoized ANN index artifacts of the embeddings table —
+    the gate-parameter IVF centroids + assignment, SQ8 params + codes,
+    and PQ codebooks + codes, built ONCE per (input files) and shared
+    by the six per-method ANN gate queries through their injection
+    parameters (the same sharing ann_recall_report/ann_param_sweep use
+    internally since r7; injected-vs-internal equality is test-pinned
+    in test_ann_index_injection_equals_internal_build). Driver-side
+    artifacts (centroids, codebooks) ride persistence.memo_obj;
+    executor relations (assigned, params, enc, codes) persistence.memo.
+    Harnesses that release_all()/clearCache() between queries rebuild
+    transparently, so isolated timings stay isolated."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_seeded,
+        pq_codebooks_seeded,
+        pq_encode,
+        sq8_encode,
+        sq8_params,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    files = tuple(sorted(emb.inputFiles()))
+    centroids = persistence.memo_obj(
+        ("ann_centroids", files, 8),
+        lambda: ivf_centroids_seeded(emb, n_clusters=8),
+    )
+    books = persistence.memo_obj(
+        ("ann_codebooks", files, 8, 16, 64),
+        lambda: pq_codebooks_seeded(emb, m=8, k=16, dim=64),
+    )
+    assigned = persistence.memo(
+        ("ann_assigned", files, 8), lambda: ivf_assign(emb, centroids)
+    )
+    params = persistence.memo(
+        ("ann_sq8_params", files), lambda: sq8_params(emb)
+    )
+    enc = persistence.memo(
+        ("ann_sq8_enc", files), lambda: sq8_encode(emb, params)
+    )
+    codes = persistence.memo(
+        ("ann_pq_codes", files, 8, 16), lambda: pq_encode(emb, books)
+    )
+    return {
+        "emb": emb, "centroids": centroids, "assigned": assigned,
+        "params": params, "enc": enc, "books": books, "codes": codes,
+    }
+
+
 def _dup_shingles(docs):
     """The session-memoized shingle relation of the documents table —
     ONE cached tokenize+shingle pass per (input files, n) shared by
@@ -1940,28 +1990,24 @@ def _ann_lsh_topk(spark, sf):
 def _ann_pq_topk(spark, sf):
     """Product-quantization ANN: 8-byte codes + asymmetric-distance
     top-k (similarity.pq_encode / pq_topk, seeded codebooks)."""
-    from model_audit_spark.operators.similarity import (
-        pq_codebooks_seeded,
-        pq_topk,
-    )
+    from model_audit_spark.operators.similarity import pq_topk
 
-    emb = _t(spark, sf, "embeddings")
-    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
-    return pq_topk(emb, query_vec_id=0, codebooks=books, k=10)
+    ix = _ann_indexes(spark, sf)
+    return pq_topk(
+        ix["emb"], query_vec_id=0, codebooks=ix["books"], k=10,
+        codes=ix["codes"],
+    )
 
 
 def _ann_pq_rerank(spark, sf):
     """Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank
     (similarity.pq_rerank_topk)."""
-    from model_audit_spark.operators.similarity import (
-        pq_codebooks_seeded,
-        pq_rerank_topk,
-    )
+    from model_audit_spark.operators.similarity import pq_rerank_topk
 
-    emb = _t(spark, sf, "embeddings")
-    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64)
+    ix = _ann_indexes(spark, sf)
     return pq_rerank_topk(
-        emb, query_vec_id=0, codebooks=books, k=10, shortlist=50
+        ix["emb"], query_vec_id=0, codebooks=ix["books"], k=10,
+        shortlist=50, codes=ix["codes"],
     )
 
 
@@ -2134,17 +2180,11 @@ def _ann_ivf_topk(spark, sf):
     the index; ivf_probe is the declarative query-time path. Production
     trains with ivf_index_kmeans instead and persists `assigned` bucketed
     by cluster (similarity.py docstrings)."""
-    from model_audit_spark.operators.similarity import (
-        ivf_assign,
-        ivf_centroids_seeded,
-        ivf_probe,
-    )
+    from model_audit_spark.operators.similarity import ivf_probe
 
-    emb = _t(spark, sf, "embeddings")
-    centroids = ivf_centroids_seeded(emb, n_clusters=8)
-    assigned = ivf_assign(emb, centroids)
-    return ivf_probe(assigned, query_vec_id=0, centroids=centroids,
-                     k=10, nprobe=3)
+    ix = _ann_indexes(spark, sf)
+    return ivf_probe(ix["assigned"], query_vec_id=0,
+                     centroids=ix["centroids"], k=10, nprobe=3)
 
 
 def _embedding_pairs_exact(spark, sf):
@@ -2960,8 +3000,11 @@ def _ann_sq8_topk(spark, sf):
     (similarity.sq8_topk)."""
     from model_audit_spark.operators.similarity import sq8_topk
 
-    emb = _t(spark, sf, "embeddings")
-    return sq8_topk(emb, query_vec_id=0, k=10)
+    ix = _ann_indexes(spark, sf)
+    return sq8_topk(
+        ix["emb"], query_vec_id=0, k=10,
+        params=ix["params"], enc=ix["enc"],
+    )
 
 
 def _ann_sq8_rerank(spark, sf):
@@ -2970,8 +3013,11 @@ def _ann_sq8_rerank(spark, sf):
     (similarity.sq8_rerank_topk)."""
     from model_audit_spark.operators.similarity import sq8_rerank_topk
 
-    emb = _t(spark, sf, "embeddings")
-    return sq8_rerank_topk(emb, query_vec_id=0, k=10, shortlist=50)
+    ix = _ann_indexes(spark, sf)
+    return sq8_rerank_topk(
+        ix["emb"], query_vec_id=0, k=10, shortlist=50,
+        params=ix["params"], enc=ix["enc"],
+    )
 
 
 def _ann_ivf_sq8(spark, sf):
@@ -2980,9 +3026,11 @@ def _ann_ivf_sq8(spark, sf):
     (similarity.ivf_sq8_topk)."""
     from model_audit_spark.operators.similarity import ivf_sq8_topk
 
-    emb = _t(spark, sf, "embeddings")
+    ix = _ann_indexes(spark, sf)
     return ivf_sq8_topk(
-        emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3
+        ix["emb"], query_vec_id=0, k=10, n_clusters=8, nprobe=3,
+        centroids=ix["centroids"], assigned=ix["assigned"],
+        params=ix["params"], enc=ix["enc"],
     )
 
 
