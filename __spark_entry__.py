@@ -348,7 +348,6 @@ def _streaming_sessionize(spark, sf):
     the microsecond gap to the previous event is >= the gap
     (strictly-less merges), mirrored with unix_micros / epoch_us."""
     import tempfile
-    import uuid
 
     from model_audit_spark.streaming import streaming_sessionize
 
@@ -517,7 +516,6 @@ def _streaming_scd2(spark, sf):
     over open snapshots, then the latest snapshot by n_events — must
     hash-match the SAME DuckDB twin as the batch events_scd2."""
     import tempfile
-    import uuid
 
     from model_audit_spark.streaming import streaming_scd2
 
@@ -634,7 +632,6 @@ def _streaming_attribution(spark, sf):
     views, exact integer lag sum). Oracle: the identical interval join
     as plain batch SQL."""
     import tempfile
-    import uuid
 
     path = f"{sf}/events.parquet"
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2278,7 +2275,6 @@ def _streaming_source_verdict(spark, sf):
     running verdict per source — which must equal the batch
     majority/consistency aggregate the oracle computes."""
     import tempfile
-    import uuid
 
     from pyspark.sql import Window
 
@@ -2445,7 +2441,6 @@ def _streaming_drift(spark, sf):
     final streamed histogram to the baseline — and must hash-match the
     all-batch corpus_drift oracle."""
     import tempfile
-    import uuid
 
     from model_audit_spark.operators.drift import (
         bucket_counts,
