@@ -1315,26 +1315,22 @@ def _knn_graph(spark, sf):
 
 
 
-def _ann_indexes(spark, sf):
-    """Session-memoized ANN index artifacts of the embeddings table —
-    the gate-parameter IVF centroids + assignment, SQ8 params + codes,
-    and PQ codebooks + codes, built ONCE per (input files) and shared
-    by the six per-method ANN gate queries through their injection
-    parameters (the same sharing ann_recall_report/ann_param_sweep use
-    internally since r7; injected-vs-internal equality is test-pinned
-    in test_ann_index_injection_equals_internal_build). Driver-side
-    artifacts (centroids, codebooks) ride persistence.memo_obj;
-    executor relations (assigned, params, enc, codes) persistence.memo.
-    Harnesses that release_all()/clearCache() between queries rebuild
-    transparently, so isolated timings stay isolated."""
+def _ivf_index(spark, sf):
+    """Session-memoized gate-parameter IVF index (centroids +
+    assignment) of the embeddings table, shared by ann_ivf_topk and
+    ann_ivf_sq8 through their injection parameters — the same sharing
+    ann_recall_report/ann_param_sweep use internally since r7;
+    injected-vs-internal equality is test-pinned in
+    test_ann_index_injection_equals_internal_build. Driver-side
+    centroids ride persistence.memo_obj, the assignment relation
+    persistence.memo; harnesses that release_all() between queries
+    rebuild transparently, so isolated timings stay isolated. The
+    helpers are split per index family so a query builds only the
+    artifacts it probes."""
     from model_audit_spark import persistence
     from model_audit_spark.operators.similarity import (
         ivf_assign,
         ivf_centroids_seeded,
-        pq_codebooks_seeded,
-        pq_encode,
-        sq8_encode,
-        sq8_params,
     )
 
     emb = _t(spark, sf, "embeddings")
@@ -1343,26 +1339,53 @@ def _ann_indexes(spark, sf):
         ("ann_centroids", files, 8),
         lambda: ivf_centroids_seeded(emb, n_clusters=8),
     )
-    books = persistence.memo_obj(
-        ("ann_codebooks", files, 8, 16, 64),
-        lambda: pq_codebooks_seeded(emb, m=8, k=16, dim=64),
-    )
     assigned = persistence.memo(
         ("ann_assigned", files, 8), lambda: ivf_assign(emb, centroids)
     )
+    return emb, centroids, assigned
+
+
+def _sq8_index(spark, sf):
+    """Session-memoized SQ8 quantizer (per-dim params + byte codes) —
+    shared by ann_sq8_topk, ann_sq8_rerank and ann_ivf_sq8 (see
+    _ivf_index for the sharing contract)."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.similarity import (
+        sq8_encode,
+        sq8_params,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    files = tuple(sorted(emb.inputFiles()))
     params = persistence.memo(
         ("ann_sq8_params", files), lambda: sq8_params(emb)
     )
     enc = persistence.memo(
         ("ann_sq8_enc", files), lambda: sq8_encode(emb, params)
     )
+    return emb, params, enc
+
+
+def _pq_index(spark, sf):
+    """Session-memoized PQ index (codebooks + codes) — shared by
+    ann_pq_topk and ann_pq_rerank (see _ivf_index for the sharing
+    contract)."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.similarity import (
+        pq_codebooks_seeded,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    files = tuple(sorted(emb.inputFiles()))
+    books = persistence.memo_obj(
+        ("ann_codebooks", files, 8, 16, 64),
+        lambda: pq_codebooks_seeded(emb, m=8, k=16, dim=64),
+    )
     codes = persistence.memo(
         ("ann_pq_codes", files, 8, 16), lambda: pq_encode(emb, books)
     )
-    return {
-        "emb": emb, "centroids": centroids, "assigned": assigned,
-        "params": params, "enc": enc, "books": books, "codes": codes,
-    }
+    return emb, books, codes
 
 
 def _dup_shingles(docs):
@@ -1989,11 +2012,8 @@ def _ann_pq_topk(spark, sf):
     top-k (similarity.pq_encode / pq_topk, seeded codebooks)."""
     from model_audit_spark.operators.similarity import pq_topk
 
-    ix = _ann_indexes(spark, sf)
-    return pq_topk(
-        ix["emb"], query_vec_id=0, codebooks=ix["books"], k=10,
-        codes=ix["codes"],
-    )
+    emb, books, codes = _pq_index(spark, sf)
+    return pq_topk(emb, query_vec_id=0, codebooks=books, k=10, codes=codes)
 
 
 def _ann_pq_rerank(spark, sf):
@@ -2001,10 +2021,10 @@ def _ann_pq_rerank(spark, sf):
     (similarity.pq_rerank_topk)."""
     from model_audit_spark.operators.similarity import pq_rerank_topk
 
-    ix = _ann_indexes(spark, sf)
+    emb, books, codes = _pq_index(spark, sf)
     return pq_rerank_topk(
-        ix["emb"], query_vec_id=0, codebooks=ix["books"], k=10,
-        shortlist=50, codes=ix["codes"],
+        emb, query_vec_id=0, codebooks=books, k=10, shortlist=50,
+        codes=codes,
     )
 
 
@@ -2179,9 +2199,9 @@ def _ann_ivf_topk(spark, sf):
     by cluster (similarity.py docstrings)."""
     from model_audit_spark.operators.similarity import ivf_probe
 
-    ix = _ann_indexes(spark, sf)
-    return ivf_probe(ix["assigned"], query_vec_id=0,
-                     centroids=ix["centroids"], k=10, nprobe=3)
+    _, centroids, assigned = _ivf_index(spark, sf)
+    return ivf_probe(assigned, query_vec_id=0, centroids=centroids,
+                     k=10, nprobe=3)
 
 
 def _embedding_pairs_exact(spark, sf):
@@ -2995,11 +3015,8 @@ def _ann_sq8_topk(spark, sf):
     (similarity.sq8_topk)."""
     from model_audit_spark.operators.similarity import sq8_topk
 
-    ix = _ann_indexes(spark, sf)
-    return sq8_topk(
-        ix["emb"], query_vec_id=0, k=10,
-        params=ix["params"], enc=ix["enc"],
-    )
+    emb, params, enc = _sq8_index(spark, sf)
+    return sq8_topk(emb, query_vec_id=0, k=10, params=params, enc=enc)
 
 
 def _ann_sq8_rerank(spark, sf):
@@ -3008,10 +3025,9 @@ def _ann_sq8_rerank(spark, sf):
     (similarity.sq8_rerank_topk)."""
     from model_audit_spark.operators.similarity import sq8_rerank_topk
 
-    ix = _ann_indexes(spark, sf)
+    emb, params, enc = _sq8_index(spark, sf)
     return sq8_rerank_topk(
-        ix["emb"], query_vec_id=0, k=10, shortlist=50,
-        params=ix["params"], enc=ix["enc"],
+        emb, query_vec_id=0, k=10, shortlist=50, params=params, enc=enc
     )
 
 
@@ -3021,11 +3037,11 @@ def _ann_ivf_sq8(spark, sf):
     (similarity.ivf_sq8_topk)."""
     from model_audit_spark.operators.similarity import ivf_sq8_topk
 
-    ix = _ann_indexes(spark, sf)
+    emb, centroids, assigned = _ivf_index(spark, sf)
+    _, params, enc = _sq8_index(spark, sf)
     return ivf_sq8_topk(
-        ix["emb"], query_vec_id=0, k=10, n_clusters=8, nprobe=3,
-        centroids=ix["centroids"], assigned=ix["assigned"],
-        params=ix["params"], enc=ix["enc"],
+        emb, query_vec_id=0, k=10, n_clusters=8, nprobe=3,
+        centroids=centroids, assigned=assigned, params=params, enc=enc,
     )
 
 

@@ -80,16 +80,18 @@ def test_ann_gate_queries_share_memoized_index_relations(spark):
     sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()
     persistence.release_all()
-    ix1 = entry._ann_indexes(spark, sf)
+    _, cent1, asg1 = entry._ivf_index(spark, sf)
+    _, par1, enc1 = entry._sq8_index(spark, sf)
+    _, books1, codes1 = entry._pq_index(spark, sf)
     n_df, n_obj = persistence.memo_size(), persistence.obj_memo_size()
     assert n_df == 4 and n_obj == 2  # assigned/params/enc/codes + 2 objs
-    ix2 = entry._ann_indexes(spark, sf)
+    _, cent2, asg2 = entry._ivf_index(spark, sf)
+    _, par2, enc2 = entry._sq8_index(spark, sf)
+    _, books2, codes2 = entry._pq_index(spark, sf)
     assert persistence.memo_size() == n_df
     assert persistence.obj_memo_size() == n_obj
-    for k in ("assigned", "params", "enc", "codes"):
-        assert ix2[k] is ix1[k]
-    assert ix2["centroids"] is ix1["centroids"]
-    assert ix2["books"] is ix1["books"]
+    assert asg2 is asg1 and par2 is par1 and enc2 is enc1
+    assert codes2 is codes1 and cent2 is cent1 and books2 is books1
     persistence.release_all()
 
 
