@@ -3757,56 +3757,56 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
-    "embedding_near_dups",
+    "ann_ivf_topk",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "embedding_contamination",
+    "streaming_drift",
+    "streaming_source_verdict",
+    "streaming_attribution",
+    "streaming_scd2",
+    "streaming_sessionize",
+    "ann_ivf_sq8",
     "ann_lsh_multiprobe",
-    "contrastive_triplets",
-    "knn_graph",
-    "ann_sq8_topk",
-    "weighted_sample_es",
+    "ann_lsh_topk",
     "ann_param_sweep",
     "ann_recall_report",
-    "bpe_merges64",
-    "bpe_fertility64",
-    "dedup_recall_report",
-    "dedup_decisions",
-    "knn_triangles",
-    "dedup_kcore",
-    "dedup_communities",
-    "community_modularity",
-    "community_source_nmi",
-    "effective_corpus_size",
-    "interarrival_profile",
-    "length_outliers",
-    "length_quantiles_exact",
-    "link_prediction_aa",
-    "mixing_plan",
-    "ann_ivf_sq8",
-    "ann_lsh_topk",
     "ann_sq8_rerank",
+    "ann_sq8_topk",
+    "contrastive_triplets",
+    "dedup_recall_report",
+    "knn_triangles",
+    "embedding_near_dups",
+    "knn_graph",
+    "link_prediction_aa",
     "winnow_pairs",
-    "claimed_families",
-    "probe_category_counts",
-    "probes_filtered",
-    "audit_consistency_rate",
-    "audit_verdict_sources",
-    "benchmark_accuracy",
-    "benchmark_accuracy_by_class",
-    "benchmark_detect",
-    "c4_clean",
-    "char_lm_scores",
-    "cka_labels",
-    "contamination_check",
-    "corpus_sample",
-    "dedup_exact",
-    "detect_documents",
-    "dli_compare_sources",
-    "doc_fingerprints",
-    "events_rollup_cascade",
-    "length_percentiles",
-    "llmmap_compare_sources",
-    "llmmap_features_documents",
-    "llmmap_fingerprint_hashes",
-    "media_profile",
+    "memorization_average",
+    "memorization_levenshtein",
+    "memorization_verbatim",
+    "pack_chunks",
+    "paragraph_dedup",
+    "pii_scan",
+    "probe_style_consistency",
+    "q_events_asof",
+    "q_events_range_join",
+    "q_events_sessionize",
+    "q_rollup_revenue",
+    "quality_repetition",
+    "reef_layer_cka",
+    "similarity_topk",
+    "style_fingerprint",
+    "text_stats",
+    "verify_sources",
+    "watermark_documents",
+    "budget_select",
+    "conversation_transcripts",
+    "doc_chunks",
+    "embedding_dim_stats",
+    "events_pivot",
+    "label_separation",
+    "lang_id_ext",
+    "length_bucketed_batches",
+    "mixture_weights",
 ]
 
 
