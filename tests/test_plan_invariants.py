@@ -145,8 +145,23 @@ def test_knn_graph_band_explode_carries_no_vectors(spark):
     """The band self-join must key on (band, bucket) rows that carry no
     embedding array — vectors re-enter via the candidate-bounded joins.
     Also pins WindowGroupLimit: the per-source top-k is pushed below the
-    full sort (rank pushdown), so no candidate set is globally sorted."""
-    df = entrymod.queries()["knn_graph"](spark, SF)
+    full sort (rank pushdown), so no candidate set is globally sorted.
+
+    Built directly from the operator (gate parameters) rather than the
+    queries() entry: the gate relation is session-memoized/persisted
+    since r8, so its optimizedPlan renders as an InMemoryRelation whose
+    stored PHYSICAL plan hides the logical Join Inner lines this test
+    greps — the invariant pinned here is the operator's plan shape.
+    Caches are released first: a live cached copy of the same relation
+    (left by an earlier test's memoized gate query) would be
+    substituted into even a fresh build's plan by the CacheManager."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.similarity import knn_graph
+
+    persistence.release_all()
+    spark.catalog.clearCache()
+    emb = entrymod._t(spark, SF, "embeddings")
+    df = knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     lines = opt.splitlines()
     band_joins = [
