@@ -29,6 +29,7 @@ a loopback http.server and exercise the REAL wire path end-to-end
 
 from __future__ import annotations
 
+import re
 import time
 from collections.abc import Callable, Iterator
 
@@ -134,20 +135,27 @@ def _retry_call(
             raise
         except Exception as e:  # noqa: BLE001 — classified below
             err = str(e).lower()
-            if any(
-                kw in err
-                for kw in (
-                    "401",
-                    "403",
-                    "unauthorized",
-                    "forbidden",
-                    "invalid api key",
-                    "authentication",
+            # numeric status codes match as standalone tokens only: a
+            # bare substring test reclassifies any error whose URL
+            # happens to contain the digits (measured: a loopback
+            # server on ephemeral port 40351 turned an HTTP 500 into a
+            # fail-fast "auth failure" because "401" ⊂ "40351")
+            codes = set(re.findall(r"\b(\d{3})\b", err))
+            if (
+                codes & {"401", "403"}
+                or any(
+                    kw in err
+                    for kw in (
+                        "unauthorized",
+                        "forbidden",
+                        "invalid api key",
+                        "authentication",
+                    )
                 )
             ):
                 raise ValueError(f"API auth failure: {e}") from e
             last_err = e
-            if "429" in err or "rate" in err:
+            if "429" in codes or "rate" in err:
                 sleep(min(2.0 ** (attempt + 2), backoff_cap))
                 continue
         sleep(min(2.0**attempt, backoff_cap))

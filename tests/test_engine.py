@@ -170,6 +170,23 @@ def test_retry_call_matrix():
     with pytest.raises(RuntimeError, match="empty response"):
         _retry_call(always_empty, sleep=lambda s: None)
 
+    # status codes classify as standalone tokens, never substrings: an
+    # HTTP 500 whose URL contains the digits 401 (here: ephemeral port
+    # 40351, the measured full-suite flake) must exhaust retries as a
+    # server error, NOT fail fast as an auth error
+    def port_contains_401():
+        raise RuntimeError("HTTP 500 for http://127.0.0.1:40351/v1/x")
+
+    with pytest.raises(RuntimeError, match="after 3 retries"):
+        _retry_call(port_contains_401, sleep=lambda s: None)
+
+    # a REAL 401 token still fails fast
+    def real_401():
+        raise RuntimeError("HTTP 401 for http://127.0.0.1:9/v1/x")
+
+    with pytest.raises(ValueError, match="auth"):
+        _retry_call(real_401, sleep=lambda s: None)
+
 
 class _FakeResp:
     def __init__(self, payload, status=200):
