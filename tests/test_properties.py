@@ -1117,3 +1117,36 @@ def test_epoch_shuffle_is_a_permutation_per_epoch(spark, n):
         df.repartition(6), n_epochs=2, n_shards=4
     ).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+@given(
+    port=st.integers(min_value=1024, max_value=65535),
+    status=st.sampled_from([500, 502, 503, 408]),
+)
+@settings(max_examples=200, deadline=None)
+def test_retry_classifier_never_fail_fasts_on_url_digits(port, status):
+    """Status-code classification is token-exact: a retryable server
+    error whose URL contains ANY ephemeral port (including ports with
+    401/403 as a substring — the measured full-suite flake on port
+    40351) must exhaust retries as a RuntimeError, never fail fast as
+    an auth ValueError; and a real 401/403 status token always fail-
+    fasts regardless of the port."""
+    import pytest as _pytest
+
+    from model_audit_spark.probing import _retry_call
+
+    def server_error():
+        raise RuntimeError(
+            f"HTTP {status} for http://127.0.0.1:{port}/v1/chat"
+        )
+
+    with _pytest.raises(RuntimeError, match="after 3 retries"):
+        _retry_call(server_error, sleep=lambda s: None)
+
+    def auth_error():
+        raise RuntimeError(
+            f"HTTP 401 for http://127.0.0.1:{port}/v1/chat"
+        )
+
+    with _pytest.raises(ValueError, match="auth"):
+        _retry_call(auth_error, sleep=lambda s: None)
