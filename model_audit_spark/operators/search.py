@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from model_audit_spark.functions.text import ngrams, word_tokens
+from pyspark.sql import Column
+from model_audit_spark.functions.text import word_tokens
 
 __all__ = [
     "bm25_search",
@@ -238,33 +239,60 @@ def phrase_search(
     cannot express).
 
     Tokenizes the phrase with the document tokenizer, then counts
-    occurrences as equality over the document's |phrase|-gram array
-    (functions.text.ngrams — the slice-zip construction, O(n) per row):
-    a pure projection + filter, no join, no shuffle except the final
-    ordering. The same scan/projection shape as detection — linear in
+    occurrences by comparing the next |phrase| tokens at every position
+    (higher-order filter over a position sequence — O(n·k) per row with
+    no per-position string allocation): a pure projection + filter, no
+    join, no shuffle except the final ordering. The same scan/projection shape as detection — linear in
     corpus size, trivially streamable.
 
     NULL text behaves as empty (no match). Single-term phrases reduce to
-    a token-equality count."""
+    a token-equality count.
+
+    A conjunctive substring pre-filter runs before tokenization: every
+    phrase token comes from \\w+ over lower(text), so a matching doc
+    must contain each term as a contiguous substring of its lowered
+    text — a cheap vectorized contains() per term that skips the n-gram
+    array build for non-candidate rows. Sound superset (never drops a
+    match); measured at 100× docs it cut the scan-heavy leg from
+    37.5 s (exp 0.81 — per-row gram construction dominating) to the
+    selective-filter regime."""
     import re as _re
 
     terms = [t for t in _re.findall(r"[\w]+", phrase.lower()) if t]
     if not terms:
         raise ValueError("phrase has no tokens")
-    target = " ".join(terms)
-    toks = df.select(
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    pre = df
+    for t in terms:
+        pre = pre.filter(low.contains(t))
+    toks = pre.select(
         F.col(id_col),
         word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"),
     )
-    grams = toks.select(
+    # occurrence count by per-position token comparison over the same
+    # arrays_zip-of-shifted-slices shape as functions.text.ngrams (the
+    # tokens array is referenced a CONSTANT number of times — per-
+    # element element_at lambdas get the tokenizer inlined per element
+    # by CollapseProject, going quadratic; measured as a 10-minute
+    # timeout at 100× docs). Unlike ngrams, no concat'd gram string is
+    # ever allocated: the zipped struct's fields compare directly
+    # against the term literals — identical semantics (overlaps
+    # included) at a fraction of the per-row allocation cost.
+    k = len(terms)
+    w = F.col("_w")
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    parts = [F.slice(w, j + 1, m).alias(f"_g{j}") for j in range(k)]
+    zipped = F.arrays_zip(*parts)
+
+    def _match(t: Column) -> Column:
+        c = t["_g0"] == F.lit(terms[0])
+        for j in range(1, k):
+            c = c & (t[f"_g{j}"] == F.lit(terms[j]))
+        return c
+
+    counted = toks.select(
         F.col(id_col),
-        ngrams(F.col("_w"), len(terms)).alias("_g"),
-    )
-    counted = grams.select(
-        F.col(id_col),
-        F.size(
-            F.filter(F.col("_g"), lambda g: g == F.lit(target))
-        ).alias("n_occurrences"),
+        F.size(F.filter(zipped, _match)).alias("n_occurrences"),
     )
     return counted.filter(F.col("n_occurrences") > 0).orderBy(
         F.desc("n_occurrences"), F.asc(id_col)
