@@ -3761,6 +3761,7 @@ _CHECK_WINDOW = [
     "ann_pq_rerank",
     "ann_pq_topk",
     "embedding_contamination",
+    "phrase_search",
     "streaming_drift",
     "streaming_source_verdict",
     "streaming_attribution",
@@ -3806,7 +3807,6 @@ _CHECK_WINDOW = [
     "label_separation",
     "lang_id_ext",
     "length_bucketed_batches",
-    "mixture_weights",
 ]
 
 
