@@ -1,0 +1,80 @@
+"""The LEAKCHECK history-elision clean filter (round-9 task 3): the
+blob committed to git must carry per-category counts but never the hit
+strings themselves (committing them verbatim is what fed the measured
++50%/round self-quotation cascade, 145 -> 214 hits r7 -> r8). The
+working-tree file is untouched by design — only `git add` content is
+rewritten. Any surprise input must pass through byte-identical."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import subprocess
+from pathlib import Path
+
+REPO = Path("/root/repo")
+
+spec = importlib.util.spec_from_file_location(
+    "leak_elide", str(REPO / "scripts" / "leak_elide.py")
+)
+le = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(le)
+
+
+def test_elides_hit_strings_keeps_counts():
+    raw = json.dumps({
+        "round": 8,
+        "n_hits": 3,
+        "hits": {
+            "cat-a": ["secret-ish line 1", "secret-ish line 2"],
+            "cat-b": ["another"],
+            "cat-empty": [],
+        },
+    })
+    out = json.loads(le.elide(raw))
+    assert out["round"] == 8 and out["n_hits"] == 3
+    assert out["hits"]["cat-empty"] == []
+    assert len(out["hits"]["cat-a"]) == 1
+    assert "2 hit string(s) elided" in out["hits"]["cat-a"][0]
+    assert "1 hit string(s) elided" in out["hits"]["cat-b"][0]
+    blob = json.dumps(out)
+    assert "secret-ish" not in blob and "another" not in blob
+
+
+def test_passthrough_on_surprise_input():
+    for raw in ("not json {", "[1, 2, 3]", '{"no_hits": 1}',
+                '{"hits": "not-a-dict"}', ""):
+        assert le.elide(raw) == raw
+
+
+def test_filter_is_wired():
+    # .gitattributes routes LEAKCHECK.json through the filter, and the
+    # local config defines the clean command (re-wired by
+    # scripts/install_filters.sh after a fresh clone)
+    attr = subprocess.run(
+        ["git", "check-attr", "filter", "LEAKCHECK.json"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout
+    assert "leakelide" in attr
+    clean = subprocess.run(
+        ["git", "config", "filter.leakelide.clean"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout
+    assert "leak_elide.py" in clean
+    # end-to-end: the blob git would store for the CURRENT working-tree
+    # LEAKCHECK.json is elided (hash-object applies the clean filter)
+    if (REPO / "LEAKCHECK.json").exists():
+        blob_hash = subprocess.run(
+            ["git", "hash-object", "-w", "--path", "LEAKCHECK.json",
+             "--stdin"],
+            cwd=REPO, capture_output=True, text=True,
+            input=(REPO / "LEAKCHECK.json").read_text(),
+        ).stdout.strip()
+        blob = subprocess.run(
+            ["git", "cat-file", "blob", blob_hash],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout
+        d = json.loads(blob)
+        for lst in d.get("hits", {}).values():
+            for s in lst:
+                assert "elided from git history" in s
