@@ -102,8 +102,38 @@ def main() -> None:
         )
         return time.time() - t0
 
+    # Second probe leg (round-9 task 4): the pure-codegen leg tracks
+    # JIT/CPU state but NOT the state that inflates the real queries
+    # (r8 closing: cal_ratio 0.947 "machine fast" while raw totals rose
+    # +6.6% uniformly). The real surface is dominated by string-heavy
+    # expression scans feeding one shuffle aggregate, so probe exactly
+    # that shape — synthetic strings from range (data-independent, no
+    # SF input), sha2+concat per row, hash-shuffle to 1024 groups.
+    def _calibrate_str_once() -> float:
+        t0 = time.time()
+        (
+            spark.range(24_000_000, numPartitions=par)
+            .select(
+                (_F.col("id") % 1024).alias("k"),
+                _F.sha2(
+                    _F.concat(_F.lit("cal"), _F.col("id").cast("string")),
+                    256,
+                ).alias("s"),
+            )
+            .groupBy("k")
+            .agg(
+                _F.count("*").alias("c"),
+                _F.max("s").alias("mx"),
+                _F.avg(_F.length("s")).alias("al"),
+            )
+            .collect()
+        )
+        return time.time() - t0
+
     calibration = round(min(_calibrate_once() for _ in range(3)), 3)
-    print(f"# calibration: {calibration}s", file=sys.stderr)
+    calibration_str = round(min(_calibrate_str_once() for _ in range(3)), 3)
+    print(f"# calibration: codegen {calibration}s, "
+          f"string+shuffle {calibration_str}s", file=sys.stderr)
 
     import gc
 
@@ -146,11 +176,26 @@ def main() -> None:
         print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     # Calibrated view: divide by the machine-drift ratio vs the nominal
-    # calibration (the r7 closing probe, 1.338 s on the reference box).
-    # Raw stays the ground truth; the calibrated column lets the judge's
+    # calibrations (min-of-3 on the reference box: codegen leg pinned
+    # from the r7 close, string+shuffle leg pinned at its r9
+    # introduction). The blend is the arithmetic mean of the two legs'
+    # ratios — the string leg exercises GC/allocator/page-cache state
+    # the codegen leg is blind to (the r8 coherence wart: probe said
+    # 0.947 "fast" while raw totals drifted +6.6%). Raw stays the
+    # ground truth; the calibrated column lets the judge's
     # round-over-round diff separate machine state from regressions.
     CAL_NOMINAL = 1.338
-    cal_ratio = round(calibration / CAL_NOMINAL, 4) if calibration else 1.0
+    # pinned min-of-3 on the reference box at r9 introduction, while
+    # the codegen leg read 1.347 (ratio 1.007 — near-nominal state)
+    CAL_NOMINAL_STR = 1.411
+    ratio_codegen = (
+        round(calibration / CAL_NOMINAL, 4) if calibration else 1.0
+    )
+    ratio_str = (
+        round(calibration_str / CAL_NOMINAL_STR, 4)
+        if calibration_str else 1.0
+    )
+    cal_ratio = round((ratio_codegen + ratio_str) / 2, 4)
     times_calibrated = {
         n: round(t / cal_ratio, 3) for n, t in times.items()
     }
@@ -179,8 +224,17 @@ def main() -> None:
         "total_calibrated_sec": round(sum(times_calibrated.values()), 3),
         "timing": "isolated-cold-cache-min2",
         "calibration_sec": calibration,
+        "calibration_str_sec": calibration_str,
         "cal_nominal_sec": CAL_NOMINAL,
+        "cal_nominal_str_sec": CAL_NOMINAL_STR,
+        "cal_ratio_codegen": ratio_codegen,
+        "cal_ratio_str": ratio_str,
         "cal_ratio": cal_ratio,
+        "cal_note": (
+            "cal_ratio is the mean of the codegen and string+shuffle "
+            "probe ratios; r9 validation: see ROUNDCLOSE.md step 4 and "
+            "the back-to-back bench comparison in SCALE.md"
+        ),
     }
     try:
         import re as _re
@@ -192,6 +246,15 @@ def main() -> None:
         # NEXT round and squat its slot — the r7 close wrote
         # BENCH_DETAIL_r08.json); inference = newest CORRECTNESS round + 1.
         rnd_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND", "")
+        if rnd_env and not rnd_env.isdigit():
+            # malformed pin must not abort AFTER the timing loop ran —
+            # warn and fall back to inference (round-9 advice)
+            print(
+                f"# ignoring non-integer SPARK_GRAFT_BENCH_ROUND="
+                f"{rnd_env!r}; inferring round from CORRECTNESS files",
+                file=sys.stderr,
+            )
+            rnd_env = ""
         rounds = [
             int(m.group(1))
             for p in here.glob("CORRECTNESS_r*.json")
@@ -203,12 +266,17 @@ def main() -> None:
         if rnd:
             slot = here / f"BENCH_DETAIL_r{rnd:02d}.json"
             if slot.exists() and not rnd_env:
+                # an UN-PINNED run must never squat an occupied slot
+                # (the r7 close overwrote BENCH_DETAIL_r08.json this
+                # way; a r9 verify run at sf0.001 nearly repeated it).
+                # BENCH_DETAIL.json above still records the run.
                 print(
-                    f"# overwriting inferred slot {slot.name}; set "
+                    f"# NOT overwriting occupied slot {slot.name}; set "
                     "SPARK_GRAFT_BENCH_ROUND to pin the round explicitly",
                     file=sys.stderr,
                 )
-            slot.write_text(blob)
+            else:
+                slot.write_text(blob)
     except OSError as e:  # pragma: no cover — read-only checkout
         print(f"# bench detail artifact not written: {e}", file=sys.stderr)
     # full per-query map FIRST (human/archive line, may exceed the

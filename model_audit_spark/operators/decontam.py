@@ -127,6 +127,16 @@ def embedding_contamination(
     `n_planes=None` (the default) derives the count from the TRAINING
     corpus size via derive_n_planes — the train side is the one that
     grows to 100 TB; the eval set is fixed. Gate queries pin literals.
+
+    Recall implication of the derived default (r8 change, was a fixed
+    8): more planes at scale means finer buckets, hence FEWER LSH
+    candidate pairs ever reach the exact-cosine verify — recall is
+    traded for the bounded bucket occupancy that makes the scan safe at
+    100 TB. Callers who previously relied on the 8-plane recall at
+    large N should pin `n_planes=8` explicitly (and accept its
+    quadratic in-bucket growth) or raise `threshold` headroom; the
+    dedup_recall_report/ann_recall_report gates are the measured
+    recall reference for the derived policy.
     """
     from model_audit_spark.operators.similarity import (
         as_double_array,

@@ -606,6 +606,7 @@ def knn_graph(
     dim: int | None = None,
     seed: int = 42,
     target_occupancy: int = 32,
+    prefilter_m: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over EVERY vector — the
     all-documents analogue of lsh_topk (one query) and the input relation
@@ -641,6 +642,18 @@ def knn_graph(
       sources) so an un-parameterized caller gets the measured-safe
       configuration; gate queries pass explicit literals to skip the
       count and keep their evidence hashes stable.
+    - SQ8-prefiltered verify (r9): the full-precision cosine only runs
+      on the `prefilter_m` best candidates per source (None derives
+      3·k; <=0 disables). All candidates are first scored on 1-byte
+      SQ8 codes — approx_dot = K0 + p_a + p_b + Σ w_i·c_a_i·c_b_i with
+      per-vector scalars p and broadcast per-dim weights w, so the
+      wide candidate join carries int codes (half the bytes of the
+      float arrays) and the double-lambda exact cosine touches only
+      m/deg of the pairs. The decode is affine-exact, so approx
+      ordering tracks exact ordering to quantization error (rg/510
+      per dim); with m = 3k the measured 100× output is hash-identical
+      to the unfiltered leg (SCALE.md r9 row). Sources with fewer than
+      m candidates pass through untouched by construction.
     """
     if planes_per_band is None:
         planes_per_band = derive_n_planes(emb, target_occupancy)
@@ -676,6 +689,90 @@ def knn_graph(
         )
         .distinct()
     )
+    if prefilter_m is None:
+        prefilter_m = 3 * k
+    if prefilter_m > 0:
+        # SQ8 verify prefilter: score every candidate on the quantized
+        # decode (float32 arrays, half the exact width) and keep only
+        # the best `prefilter_m` per source for the full-precision
+        # cosine. decode(c)_i = mn_i + sc_i with sc_i = rg_i·c_i/255,
+        # so dot(decode(a), decode(b)) = K0 + p_a + p_b + dot(sc_a,
+        # sc_b) with per-vector scalars p = Σ mn_i·sc_i and the global
+        # K0 = Σ mn_i² — the per-pair work is ONE zip_with+fold over
+        # float arrays, and the 8-byte vectors join only m·N pairs.
+        params = sq8_params(base, "_v")
+        enc = sq8_encode(base, params, "_id", "_v")
+        sc_expr = F.zip_with(
+            F.col("rgs"),
+            F.col("codes"),
+            lambda rg, c: (rg * c.cast("double") / 255.0).cast("float"),
+        )
+        encp = (
+            enc.crossJoin(F.broadcast(params))
+            .join(base.select("_id", "_nv"), "_id")
+            .select(
+                "_id",
+                "_nv",
+                sc_expr.alias("_sc"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("mns"), sc_expr, lambda mn, s: mn * s
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("_p"),
+            )
+        )
+        k0row = params.select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("mns"), F.col("mns"), lambda a_, b_: a_ * b_
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_k0")
+        )
+        approx = (
+            cand.join(
+                encp.select(
+                    F.col("_id").alias("src"),
+                    F.col("_sc").alias("_sa"),
+                    F.col("_p").alias("_pa"),
+                ),
+                "src",
+            )
+            .join(
+                encp.select(
+                    F.col("_id").alias("dst"),
+                    F.col("_sc").alias("_sb"),
+                    F.col("_p").alias("_pb"),
+                    F.col("_nv").alias("_nb"),
+                ),
+                "dst",
+            )
+            .crossJoin(F.broadcast(k0row))
+        )
+        adot = F.aggregate(
+            F.zip_with(
+                F.col("_sa"), F.col("_sb"), lambda a_, b_: a_ * b_
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # 1/|src| is constant within the window partition, so the
+        # approx ranking divides by the dst norm only
+        ascore = (
+            F.col("_k0") + F.col("_pa") + F.col("_pb") + adot
+        ) / F.col("_nb")
+        wpre = Window.partitionBy("src").orderBy(
+            F.desc("_ascore"), F.asc("dst")
+        )
+        cand = (
+            approx.withColumn("_ascore", ascore)
+            .withColumn("_arank", F.row_number().over(wpre))
+            .filter(F.col("_arank") <= prefilter_m)
+            .select("src", "dst")
+        )
     with_vecs = (
         cand.join(
             base.select(

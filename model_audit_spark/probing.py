@@ -135,12 +135,22 @@ def _retry_call(
             raise
         except Exception as e:  # noqa: BLE001 — classified below
             err = str(e).lower()
-            # numeric status codes match as standalone tokens only: a
-            # bare substring test reclassifies any error whose URL
-            # happens to contain the digits (measured: a loopback
-            # server on ephemeral port 40351 turned an HTTP 500 into a
-            # fail-fast "auth failure" because "401" ⊂ "40351")
-            codes = set(re.findall(r"\b(\d{3})\b", err))
+            # numeric status codes count only in an HTTP-status context
+            # ("http 401", "http/1.1 403", "status 429", "error 401",
+            # "code: 403") — a bare 3-digit token can be a port, a byte
+            # count, or a request id (measured: a loopback server on
+            # ephemeral port 40351 turned an HTTP 500 into a fail-fast
+            # "auth failure" because "401" ⊂ "40351"; an unanchored
+            # \b\d{3}\b still misfires on "403 bytes" or a literal
+            # port 401). The http(?!s?://) lookahead keeps URL schemes
+            # from anchoring their host's digits.
+            codes = set(
+                re.findall(
+                    r"\b(?:status|error|code|http(?:/[\d.]+)?)"
+                    r"(?!s?://)\D{0,3}(\d{3})\b",
+                    err,
+                )
+            )
             if (
                 codes & {"401", "403"}
                 or any(

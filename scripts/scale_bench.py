@@ -136,14 +136,14 @@ def generate(mult: int) -> Path:
             # resample until the base is a fresh (non-dup) text: the
             # fixture's near-dups are always `original + " dup"`, so a
             # dup-of-dup would be a byte-identical EXACT duplicate the
-            # fixture doesn't have (and would deflate the suffix rate)
-            base = texts[rng.integers(0, i)]
-            for _ in range(8):
+            # fixture doesn't have (and would deflate the suffix rate).
+            # texts[0] is always fresh, and the dup pool is a strict
+            # minority (p_dup << 1), so this terminates after ~1/(1-p)
+            # draws in expectation
+            while True:
+                base = texts[rng.integers(0, i)]
                 if not base.endswith(" dup"):
                     break
-                base = texts[rng.integers(0, i)]
-            if base.endswith(" dup"):
-                base = base[: -len(" dup")]
             texts.append(base + " dup")
         else:
             texts.append(
@@ -200,6 +200,145 @@ def generate(mult: int) -> Path:
             link.symlink_to(f"{BASE_SF_DIR}/{t}.parquet")
     print(f"# wrote {out}", file=sys.stderr)
     return out
+
+
+# Zipf/Heaps text realism (round-9 verdict task 2). The calibrated
+# generator above is distribution-faithful to the driver fixture, but
+# the fixture's 31-word vocabulary does NOT grow with the corpus, so at
+# 100x every gram's document frequency saturates: winnow_pairs' df cap
+# pruned almost everything (8101 -> 1159 pairs) and phrase_search's
+# conjunctive contains() pre-filter passed ~100% of docs. Both numbers
+# measured the fixture, not the operator. Real text obeys Heaps' law
+# (vocabulary ~ K * T^beta over T tokens) with Zipf rank frequencies
+# (p_r ~ 1/r^s); the zipf generator below produces that, keeping the
+# fixture's dup-injection contract, token-count distribution, and
+# lang/source mix, and seating the fixture's own words at the head
+# ranks (in their empirical frequency order) so driver-fixture phrases
+# like "table hash" stay present — selective, not universal.
+ZIPF_S = 1.05       # classic English-range Zipf exponent
+HEAPS_K = 7.0       # V(T) = HEAPS_K * T^HEAPS_BETA
+HEAPS_BETA = 0.5    # English-range Heaps exponent (0.4-0.6)
+
+
+def _zipf_vocab(n_tokens: int, head_words: list[str]):
+    """(vocab array, rank-probability array) for a corpus of n_tokens.
+    `head_words` (the fixture vocabulary, most-frequent first) occupy
+    ranks 1..31; synthetic forms fill the Heaps-law tail."""
+    import numpy as np
+
+    v = max(len(head_words),
+            int(HEAPS_K * float(n_tokens) ** HEAPS_BETA))
+    vocab = list(head_words) + [
+        f"tok{r:06d}" for r in range(len(head_words), v)
+    ]
+    p = 1.0 / np.arange(1, v + 1) ** ZIPF_S
+    p /= p.sum()
+    return np.array(vocab), p
+
+
+def generate_zipf(mult: int) -> Path:
+    """A Heaps/Zipf-realistic documents corpus at mult x sf0.1 volume,
+    under SCALE_ROOT/zipf/. Exponents over this family must compare
+    zipf-vs-zipf, so `gen-zipf 1` produces the small endpoint too."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = SCALE_ROOT / "zipf" / f"sf{BASE_SF * mult:g}"
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    cal = _calibrate(con)
+    rng = np.random.default_rng(SEED)
+
+    n = cal["n_docs"] * mult
+    # fixture words by empirical frequency, most frequent first — they
+    # take the head Zipf ranks so fixture phrases survive realistically
+    head = [w for w, _ in sorted(
+        zip(cal["vocab"], cal["word_counts"]), key=lambda t: -t[1]
+    )]
+    n_tok = rng.choice(np.array(cal["tok_counts"]), size=n)
+    total = int(n_tok.sum())
+    vocab, p = _zipf_vocab(total, head)
+    print(f"# zipf gen: {n} docs, {total} tokens, vocab {len(vocab)} "
+          f"(Heaps K={HEAPS_K} beta={HEAPS_BETA}, Zipf s={ZIPF_S})",
+          file=sys.stderr)
+
+    # one bulk draw, split at per-doc offsets (a per-doc rng.choice
+    # loop is ~50x slower at 500k docs)
+    flat = vocab[rng.choice(len(vocab), size=total, p=p)]
+    offs = np.concatenate(([0], np.cumsum(n_tok)))
+    dup_flags = rng.random(n) < cal["p_dup"]
+    texts: list[str] = []
+    for i in range(n):
+        if dup_flags[i] and i > 0:
+            # same dup-injection contract as generate(): near-dups are
+            # `fresh original + " dup"`, never dup-of-dup (texts[0] is
+            # always fresh, so the draw terminates)
+            while True:
+                base = texts[rng.integers(0, i)]
+                if not base.endswith(" dup"):
+                    break
+            texts.append(base + " dup")
+        else:
+            texts.append(" ".join(flat[offs[i]:offs[i + 1]]))
+
+    lang_names = [l for l, _ in cal["langs"]]
+    lang_p = np.array([c for _, c in cal["langs"]], dtype=float)
+    lang_p /= lang_p.sum()
+    src_names = [s for s, _ in cal["sources"]]
+    docs = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(
+            [lang_names[j] for j in rng.choice(len(lang_names), n, p=lang_p)]
+        ),
+        "source": pa.array(
+            [src_names[j] for j in rng.integers(0, len(src_names), n)]
+        ),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(docs, out / "documents.parquet")
+    # the zipf tier is text-only; non-document tables ride along as
+    # symlinks so loaders that probe the directory keep working
+    for t in TABLES + ["embeddings"]:
+        link = out / f"{t}.parquet"
+        if not link.exists():
+            link.symlink_to(f"{BASE_SF_DIR}/{t}.parquet")
+    print(f"# wrote {out}", file=sys.stderr)
+    return out
+
+
+def zipf_queries():
+    """The fixture-realism remeasure tier: the two rows the r8 verdict
+    flagged as fixture-distorted, plus dedup_minhash_pairs as the
+    dup-injection-contract cross-check (its output must still scale
+    with the injected dup count on the realistic fixture)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    return [
+        ("winnow_pairs", qs["winnow_pairs"]),
+        ("phrase_search", qs["phrase_search"]),
+        ("dedup_minhash_pairs", qs["dedup_minhash_pairs"]),
+    ]
+
+
+def phrase_prefilter_selectivity(doc_dir: str) -> float:
+    """Fraction of docs passing phrase_search's conjunctive contains()
+    pre-filter for the driver phrase "table hash" — the lever that the
+    fixed-vocabulary fixture saturated to ~100%."""
+    import duckdb
+
+    con = duckdb.connect()  # held: a temporary is GC'd under the relation
+    try:
+        return con.sql(
+            f"select avg(case when contains(text, 'table') and "
+            f"contains(text, 'hash') then 1.0 else 0.0 end) "
+            f"from '{doc_dir}/documents.parquet'"
+        ).fetchone()[0]
+    finally:
+        con.close()
 
 
 def generate_relational(mult: int) -> Path:
@@ -387,12 +526,27 @@ def run(
     from model_audit_spark import persistence
     from model_audit_spark.session import get_spark
 
-    big_dir = str(SCALE_ROOT / f"sf{BASE_SF * mult:g}")
-    probe = "events" if tier_name == "rel" else "documents"
-    if not Path(big_dir, f"{probe}.parquet").exists():
-        raise SystemExit(f"run `gen {mult}` first ({big_dir} missing)")
+    small_dir = BASE_SF_DIR
+    if tier_name == "zipf":
+        # zipf exponents compare zipf-vs-zipf: the driver fixture's
+        # fixed vocabulary is exactly what this tier exists to avoid
+        small_dir = str(SCALE_ROOT / "zipf" / f"sf{BASE_SF:g}")
+        big_dir = str(SCALE_ROOT / "zipf" / f"sf{BASE_SF * mult:g}")
+        for d, m in ((small_dir, 1), (big_dir, mult)):
+            if not Path(d, "documents.parquet").exists():
+                raise SystemExit(f"run `gen-zipf {m}` first ({d} missing)")
+        for d in (small_dir, big_dir):
+            sel = phrase_prefilter_selectivity(d)
+            print(f"# phrase pre-filter selectivity at {d}: {sel:.3f}",
+                  file=sys.stderr)
+    else:
+        big_dir = str(SCALE_ROOT / f"sf{BASE_SF * mult:g}")
+        probe = "events" if tier_name == "rel" else "documents"
+        if not Path(big_dir, f"{probe}.parquet").exists():
+            raise SystemExit(f"run `gen {mult}` first ({big_dir} missing)")
     spark = get_spark(app_name="model-audit-scale-bench")
     tier = (relational_queries() if tier_name == "rel"
+            else zipf_queries() if tier_name == "zipf"
             else heavy_queries(mult))
     if only:
         tier = [(n, fn) for n, fn in tier if n in only]
@@ -437,7 +591,7 @@ def run(
     results = {}
     for name, fn in tier:
         try:
-            t_small, r_small = timed(fn, BASE_SF_DIR)
+            t_small, r_small = timed(fn, small_dir)
             t_big, r_big = timed(fn, big_dir)
         except Exception as e:  # record and continue — a blowup at the
             # big scale is a FINDING (e.g. disk exhaustion from a
@@ -480,7 +634,7 @@ def run(
 
 
 def main() -> None:
-    cmds = ("gen", "run", "gen-rel", "run-rel")
+    cmds = ("gen", "run", "gen-rel", "run-rel", "gen-zipf", "run-zipf")
     if len(sys.argv) < 3 or sys.argv[1] not in cmds:
         raise SystemExit(__doc__)
     mult = int(sys.argv[2])
@@ -488,15 +642,18 @@ def main() -> None:
         generate(mult)
     elif sys.argv[1] == "gen-rel":
         generate_relational(mult)
+    elif sys.argv[1] == "gen-zipf":
+        generate_zipf(mult)
     else:
         only = None
         for a in sys.argv[3:]:
             if a.startswith("--only="):
                 only = [s for s in a.split("=", 1)[1].split(",") if s]
+        tiers = {"run": "heavy", "run-rel": "rel", "run-zipf": "zipf"}
         run(
             mult,
             "--json" in sys.argv,
-            tier_name="rel" if sys.argv[1] == "run-rel" else "heavy",
+            tier_name=tiers[sys.argv[1]],
             only=only,
         )
 

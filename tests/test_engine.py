@@ -187,6 +187,34 @@ def test_retry_call_matrix():
     with pytest.raises(ValueError, match="auth"):
         _retry_call(real_401, sleep=lambda s: None)
 
+    # standalone 3-digit tokens OUTSIDE an HTTP-status context never
+    # classify: a byte count, a bare port, or a request id containing
+    # 401/403 must exhaust retries as a generic error (round-9 advice:
+    # the token-exact matcher still misfired on "403 bytes" / port 401)
+    for msg in (
+        "read 403 bytes from socket",
+        "connection refused on port 401",
+        "request id 403-abc failed",
+    ):
+        with pytest.raises(RuntimeError, match="after 3 retries"):
+            _retry_call(
+                lambda m=msg: (_ for _ in ()).throw(RuntimeError(m)),
+                sleep=lambda s: None,
+            )
+
+    # ...while status-context spellings from every shipped transport
+    # and client (httpx-style, urllib-style, HTTP/1.1 status line) do
+    for msg in (
+        "HTTP/1.1 401 Unauthorized",
+        "HTTP Error 403: Forbidden",
+        "status 401 from upstream",
+    ):
+        with pytest.raises(ValueError, match="auth"):
+            _retry_call(
+                lambda m=msg: (_ for _ in ()).throw(RuntimeError(m)),
+                sleep=lambda s: None,
+            )
+
 
 class _FakeResp:
     def __init__(self, payload, status=200):

@@ -152,3 +152,76 @@ def test_document_generation_calibrated_and_deterministic(sb, tmp_path):
         f"using (doc_id) where a.text = b.text"
     ).fetchone()[0]
     assert same == n_docs
+
+
+def test_zipf_generation_heaps_vocab_and_dup_contract(sb):
+    """Round-9 realism tier: the zipf generator must (a) grow its
+    vocabulary with corpus size (Heaps' law — the property whose
+    ABSENCE distorted the r8 winnow/phrase 100x rows), (b) keep the
+    calibrated dup-injection contract, (c) seat the fixture words at
+    the head ranks so driver-fixture phrases stay present but
+    selective, and (d) be head-heavy (Zipf), leaving a long tail of
+    rare words so gram document-frequency does not saturate."""
+    out1 = sb.generate_zipf(1)
+    out4 = sb.generate_zipf(4)
+    con = duckdb.connect()
+
+    def vocab_size(d):
+        return con.sql(
+            f"select count(distinct w) from (select "
+            f"unnest(string_split(text, ' ')) w from "
+            f"'{d}/documents.parquet')"
+        ).fetchone()[0]
+
+    v1, v4 = vocab_size(out1), vocab_size(out4)
+    # Heaps: V grows with T (4x tokens -> ~2x vocab at beta=0.5);
+    # generously bracketed against sampling noise
+    assert v4 > 1.4 * v1, (v1, v4)
+
+    # dup-injection contract preserved at the calibrated rate
+    doc = f"'{out4}/documents.parquet'"
+    base = f"'{BASE}/documents.parquet'"
+    n_docs, n_dup = con.sql(
+        f"select count(*), sum(case when text like '% dup' then 1 "
+        f"else 0 end) from {doc}"
+    ).fetchone()
+    base_rate = con.sql(
+        f"select sum(case when text like '% dup' then 1 else 0 end)"
+        f"/count(*) from {base}"
+    ).fetchone()[0]
+    assert abs(n_dup / n_docs - base_rate) < 0.03
+    # near-dups are `fresh original + " dup"` — never dup-of-dup
+    assert con.sql(
+        f"select count(*) from {doc} where text like '% dup dup'"
+    ).fetchone()[0] == 0
+
+    # fixture head words present (phrase_search's driver phrase needs
+    # both its words alive in the realistic corpus)
+    for w in ("table", "hash"):
+        assert con.sql(
+            f"select count(*) from {doc} where contains(text, ' {w} ') "
+            f"or text like '{w} %' or text like '% {w}'"
+        ).fetchone()[0] > 0, w
+
+    # ...but the conjunctive pre-filter is SELECTIVE, not universal
+    # (the r8 fixture saturated this to ~100%)
+    sel = sb.phrase_prefilter_selectivity(str(out4))
+    assert 0.0 < sel < 0.5, sel
+
+    # Zipf head-heaviness with a long tail: the top word dominates the
+    # median-rank word, and a large fraction of the vocabulary is rare
+    freqs = [c for _, c in con.sql(
+        f"select w, count(*) c from (select unnest(string_split("
+        f"text, ' ')) w from {doc} where text not like '% dup') "
+        f"group by 1 order by c desc"
+    ).fetchall()]
+    assert freqs[0] > 20 * freqs[len(freqs) // 2]
+    # no-saturation: most of the vocabulary appears in <1% of docs, so
+    # shingle df stays informative (the r8 fixture had EVERY word in
+    # ~every doc, which is what collapsed winnow_pairs under its df cap)
+    dfs = [c for _, c in con.sql(
+        f"select w, count(distinct doc_id) c from (select doc_id, "
+        f"unnest(string_split(text, ' ')) w from {doc}) group by 1"
+    ).fetchall()]
+    low_df = sum(1 for c in dfs if c < 0.01 * n_docs)
+    assert low_df > 0.5 * len(dfs), (low_df, len(dfs))
