@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from model_audit_spark import oracle as ora
 from model_audit_spark.catalogs import benchmark_df, probes_df
-from model_audit_spark.functions.text import watermark_columns
+from model_audit_spark.functions.text import with_watermark_signals
 from model_audit_spark.operators.audit import (
     audit_verdict,
     claimed_families,
@@ -1236,18 +1236,18 @@ def _lang_distribution(spark, sf):
 
 def _watermark_documents(spark, sf):
     docs = _t(spark, sf, "documents")
-    cols = watermark_columns("text")
-    return docs.select(
+    # fused single-tokenization path (r9): values identical to the
+    # watermark_columns() dict, but each marker tree computed once
+    out = with_watermark_signals(docs.select("doc_id", "text"), "text")
+    return out.select(
         "doc_id",
-        F.round(cols["wm_word_len_variance"], 6).alias(
-            "wm_word_len_variance"
-        ),
-        F.round(cols["wm_bigram_unique_ratio"], 6).alias(
+        F.round("wm_word_len_variance", 6).alias("wm_word_len_variance"),
+        F.round("wm_bigram_unique_ratio", 6).alias(
             "wm_bigram_unique_ratio"
         ),
-        cols["wm_zero_width_count"].alias("wm_zero_width_count"),
-        cols["wm_double_space_count"].alias("wm_double_space_count"),
-        cols["wm_score"].alias("wm_score"),
+        "wm_zero_width_count",
+        "wm_double_space_count",
+        "wm_score",
     )
 
 

@@ -15,7 +15,7 @@ mcp_server.py:446-474) including their Python edge cases:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from model_audit_spark.catalogs import (
@@ -341,3 +341,86 @@ def watermark_columns(text_col: str = "text") -> dict[str, Column]:
         .when(score >= 0.3, "medium")
         .otherwise("low"),
     }
+
+
+def with_watermark_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the six wm_* watermark-signal columns, single-tokenization.
+
+    Same arithmetic and output contract as watermark_columns() — identical
+    values column-for-column — but fused: watermark_columns() returns one
+    expression tree per output, so wm_score re-embeds all four marker
+    trees and wm_level re-embeds wm_score; higher-order lambdas carry
+    fresh variable ids, which defeats codegen subexpression elimination,
+    so the text is re-tokenized and re-scanned up to 4× per row (the
+    measured exp-0.70 per-row constant at 100×, SCALE.md). Here each
+    non-cheap producer (token array, bigram array, the four metrics, the
+    raw score) is materialized as a named column in its own projection;
+    CollapseProject keeps a multiply-referenced non-cheap alias as a
+    stage-local value computed once, all inside one WholeStageCodegen —
+    no shuffle, no extra pass over the data.
+    """
+    c = F.col(text_col)
+    w = F.col("_wm_w")
+    lens = F.transform(w, lambda x: F.length(x).cast("double"))
+    denom = F.greatest(F.size(w), F.lit(1))
+    sums = F.aggregate(
+        lens,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("q")),
+        lambda a, x: F.struct(
+            (a["s"] + x).alias("s"), (a["q"] + x * x).alias("q")
+        ),
+    )
+    bg = F.col("_wm_bg")
+    n_bg = F.size(bg)
+    variance = F.col("wm_word_len_variance")
+    unique_ratio = F.col("wm_bigram_unique_ratio")
+    zwc = F.col("wm_zero_width_count")
+    double_space = F.col("_wm_dsp")
+    stat_applicable = F.col("_wm_n") > 20
+    score = (
+        F.when(stat_applicable & (variance < 2.0), F.lit(0.3)).otherwise(0.0)
+        + F.when(stat_applicable & (unique_ratio < 0.5), F.lit(0.2)).otherwise(0.0)
+        + F.when(zwc > 0, F.lit(0.5)).otherwise(0.0)
+        + F.when(double_space > 3, F.lit(0.2)).otherwise(0.0)
+    )
+    out_cols = [x for x in df.columns] + [
+        "wm_word_len_variance",
+        "wm_bigram_unique_ratio",
+        "wm_zero_width_count",
+        "wm_double_space_count",
+        "wm_score",
+        "wm_level",
+    ]
+    return (
+        df.withColumn("_wm_w", words(c))
+        .withColumns({"_wm_bg": bigrams(w), "_wm_n": F.size(w)})
+        .withColumns(
+            {
+                "wm_word_len_variance": sums["q"] / denom
+                - (sums["s"] / denom) * (sums["s"] / denom),
+                "wm_bigram_unique_ratio": F.when(
+                    n_bg > 0, F.size(F.array_distinct(bg)) / n_bg
+                ).otherwise(F.lit(1.0)),
+                "wm_zero_width_count": (
+                    F.length(c)
+                    - F.length(F.translate(c, "​‌‍﻿", ""))
+                ).cast("bigint"),
+                "_wm_dsp": (
+                    F.length(c)
+                    - F.length(F.replace(c, F.lit("  "), F.lit("")))
+                )
+                / 2,
+            }
+        )
+        .withColumn("_wm_score", score)
+        .withColumns(
+            {
+                "wm_double_space_count": double_space.cast("bigint"),
+                "wm_score": F.round(F.col("_wm_score"), 2),
+                "wm_level": F.when(F.col("_wm_score") >= 0.5, "high")
+                .when(F.col("_wm_score") >= 0.3, "medium")
+                .otherwise("low"),
+            }
+        )
+        .select(*out_cols)
+    )

@@ -186,15 +186,11 @@ def call_tool(spark: SparkSession, name: str, args: dict[str, Any]) -> str:
             .orderBy("text_id")
         )
     if name == "audit_watermark":
-        from model_audit_spark.functions.text import watermark_columns
+        from model_audit_spark.functions.text import with_watermark_signals
 
         df = _texts_df(spark, args["texts"])
-        cols = watermark_columns("text")
-        return _rows_to_text(
-            df.select(
-                "text_id", *[c.alias(k) for k, c in cols.items()]
-            ).orderBy("text_id")
-        )
+        out = with_watermark_signals(df, "text").drop("text")
+        return _rows_to_text(out.orderBy("text_id"))
     if name == "audit_memorization":
         from model_audit_spark.operators.memorization import (
             levenshtein_similarity,

@@ -148,6 +148,29 @@ def test_watermark_signals(spark):
     assert math.isclose(got, var, rel_tol=1e-12)
 
 
+def test_watermark_fused_matches_dict(spark):
+    """with_watermark_signals (single-tokenization, staged projections)
+    must equal the watermark_columns() dict column-for-column, including
+    the repetitive/zero-width/edge rows that flip each score branch."""
+    from model_audit_spark.functions.text import with_watermark_signals
+
+    rows = [
+        (1, "normal text" + "​‌"),
+        (2, "a  b  c  d  e" + "  tail"),
+        (3, " ".join(["ab"] * 40)),  # low variance + low bigram uniqueness
+        (4, ""),
+        (5, "   "),
+        (6, None),
+        (7, "one two three"),
+        (8, " ".join(f"w{i}" for i in range(30))),  # stat-applicable, varied
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    cols = watermark_columns("text")
+    old = df.select("id", *[c.alias(n) for n, c in cols.items()]).collect()
+    new = with_watermark_signals(df, "text").drop("text").collect()
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
+
+
 def test_detect_lang_profile_multilingual(spark):
     from model_audit_spark.functions.text import detect_lang_profile
 
