@@ -606,7 +606,6 @@ def knn_graph(
     dim: int | None = None,
     seed: int = 42,
     target_occupancy: int = 32,
-    prefilter_m: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over EVERY vector — the
     all-documents analogue of lsh_topk (one query) and the input relation
@@ -623,13 +622,31 @@ def knn_graph(
     B while B's drops A).
 
     Plan shape at scale:
-    - The band explode carries (id, band, bucket) ONLY — 16 bytes/row, not
-      the vector (rule: no wide rows through a blowup). Vectors re-enter
-      through two candidate-bounded joins against the base relation,
-      exactly like jaccard_verify's semi-join discipline (SCALE.md #10).
-    - Σ bucket² within-band pair expansion, distinct-deduped across bands.
-    - Per-source top-k is one window over the candidate set, partitioned
-      by src — never a global sort.
+    - Vectors ride the band explode ONCE (n_bands × N rows through the
+      (band, bucket) shuffle) and every candidate pair is scored
+      BUCKET-LOCALLY in the self-join output; from that point on the
+      relation is narrow (src, dst, cosine_sim ≈ 24 B/row) through the
+      cross-band distinct and the top-k window. The r8 shape joined
+      narrow candidates back against the vector table twice, which
+      re-shuffled the PAIR relation carrying a full vector per row —
+      measured at 100× (200k vectors, ~15M candidates) that wide pair
+      shuffle dominated the wall; bucket-local scoring removed it
+      (100.6 s → 55 s class, SCALE.md r9 row). A pair colliding in
+      multiple bands is scored once per band and deduped after — flops
+      are cheap, pair-relation bytes are not.
+    - Σ bucket² within-band pair expansion, distinct-deduped across bands
+      (cosine_sim is a pure function of the pair, so the 3-column
+      distinct equals a pair distinct).
+    - Per-source top-k is one window over the narrow scored set,
+      partitioned by src — never a global sort.
+    - An SQ8-quantized verify prefilter was built and MEASURED OUT (r9):
+      scoring candidates on 1-byte codes before a float rerank added an
+      extra window plus joins whose approx-score arrays were nearly as
+      wide as the vectors themselves — 160 s vs 100.6 s unfiltered at
+      100×, hash-identical output. With occupancy-policy plane counts
+      the per-source candidate set is already small (~100); quantized
+      verify only pays when the exact leg is far wider than the codes
+      (e.g. 768-dim), not at dim 64.
     - At 100 TB, write `sigs` bucketed by (band, bucket) once and reuse it
       across queries (same layout trick as the IVF inverted file).
     - `planes_per_band` MUST grow ~log2(N) with corpus size: expected
@@ -642,18 +659,6 @@ def knn_graph(
       sources) so an un-parameterized caller gets the measured-safe
       configuration; gate queries pass explicit literals to skip the
       count and keep their evidence hashes stable.
-    - SQ8-prefiltered verify (r9): the full-precision cosine only runs
-      on the `prefilter_m` best candidates per source (None derives
-      3·k; <=0 disables). All candidates are first scored on 1-byte
-      SQ8 codes — approx_dot = K0 + p_a + p_b + Σ w_i·c_a_i·c_b_i with
-      per-vector scalars p and broadcast per-dim weights w, so the
-      wide candidate join carries int codes (half the bytes of the
-      float arrays) and the double-lambda exact cosine touches only
-      m/deg of the pairs. The decode is affine-exact, so approx
-      ordering tracks exact ordering to quantization error (rg/510
-      per dim); with m = 3k the measured 100× output is hash-identical
-      to the unfiltered leg (SCALE.md r9 row). Sources with fewer than
-      m candidates pass through untouched by construction.
     """
     if planes_per_band is None:
         planes_per_band = derive_n_planes(emb, target_occupancy)
@@ -674,9 +679,24 @@ def knn_graph(
             )
         )
     keyed = base.select(
-        "_id", F.explode(F.array(*band_sigs)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = (
+        "_id", "_v", "_nv", F.explode(F.array(*band_sigs)).alias("bb")
+    ).select(
+        "_id",
+        "_v",
+        "_nv",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    # bucket-local scoring: the exact cosine is computed inside the
+    # (band, bucket) self-join output while both vectors are co-located,
+    # so only n_bands × N wide rows ever shuffle; the pair relation is
+    # narrow (src, dst, cosine_sim) from here on. cosine_sim is a pure
+    # function of the pair, so the 3-column distinct dedupes cross-band
+    # collisions exactly.
+    sim = _dot(F.col("a._v"), F.col("b._v")) / (
+        F.col("a._nv") * F.col("b._nv")
+    )
+    scored = (
         keyed.alias("a")
         .join(
             keyed.alias("b"),
@@ -685,115 +705,11 @@ def knn_graph(
             & (F.col("a._id") != F.col("b._id")),
         )
         .select(
-            F.col("a._id").alias("src"), F.col("b._id").alias("dst")
+            F.col("a._id").alias("src"),
+            F.col("b._id").alias("dst"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
         .distinct()
-    )
-    if prefilter_m is None:
-        prefilter_m = 3 * k
-    if prefilter_m > 0:
-        # SQ8 verify prefilter: score every candidate on the quantized
-        # decode (float32 arrays, half the exact width) and keep only
-        # the best `prefilter_m` per source for the full-precision
-        # cosine. decode(c)_i = mn_i + sc_i with sc_i = rg_i·c_i/255,
-        # so dot(decode(a), decode(b)) = K0 + p_a + p_b + dot(sc_a,
-        # sc_b) with per-vector scalars p = Σ mn_i·sc_i and the global
-        # K0 = Σ mn_i² — the per-pair work is ONE zip_with+fold over
-        # float arrays, and the 8-byte vectors join only m·N pairs.
-        params = sq8_params(base, "_v")
-        enc = sq8_encode(base, params, "_id", "_v")
-        sc_expr = F.zip_with(
-            F.col("rgs"),
-            F.col("codes"),
-            lambda rg, c: (rg * c.cast("double") / 255.0).cast("float"),
-        )
-        encp = (
-            enc.crossJoin(F.broadcast(params))
-            .join(base.select("_id", "_nv"), "_id")
-            .select(
-                "_id",
-                "_nv",
-                sc_expr.alias("_sc"),
-                F.aggregate(
-                    F.zip_with(
-                        F.col("mns"), sc_expr, lambda mn, s: mn * s
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("_p"),
-            )
-        )
-        k0row = params.select(
-            F.aggregate(
-                F.zip_with(
-                    F.col("mns"), F.col("mns"), lambda a_, b_: a_ * b_
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_k0")
-        )
-        approx = (
-            cand.join(
-                encp.select(
-                    F.col("_id").alias("src"),
-                    F.col("_sc").alias("_sa"),
-                    F.col("_p").alias("_pa"),
-                ),
-                "src",
-            )
-            .join(
-                encp.select(
-                    F.col("_id").alias("dst"),
-                    F.col("_sc").alias("_sb"),
-                    F.col("_p").alias("_pb"),
-                    F.col("_nv").alias("_nb"),
-                ),
-                "dst",
-            )
-            .crossJoin(F.broadcast(k0row))
-        )
-        adot = F.aggregate(
-            F.zip_with(
-                F.col("_sa"), F.col("_sb"), lambda a_, b_: a_ * b_
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # 1/|src| is constant within the window partition, so the
-        # approx ranking divides by the dst norm only
-        ascore = (
-            F.col("_k0") + F.col("_pa") + F.col("_pb") + adot
-        ) / F.col("_nb")
-        wpre = Window.partitionBy("src").orderBy(
-            F.desc("_ascore"), F.asc("dst")
-        )
-        cand = (
-            approx.withColumn("_ascore", ascore)
-            .withColumn("_arank", F.row_number().over(wpre))
-            .filter(F.col("_arank") <= prefilter_m)
-            .select("src", "dst")
-        )
-    with_vecs = (
-        cand.join(
-            base.select(
-                F.col("_id").alias("src"),
-                F.col("_v").alias("sv"),
-                F.col("_nv").alias("sn"),
-            ),
-            "src",
-        )
-        .join(
-            base.select(
-                F.col("_id").alias("dst"),
-                F.col("_v").alias("dv"),
-                F.col("_nv").alias("dn"),
-            ),
-            "dst",
-        )
-    )
-    sim = _dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn"))
-    scored = with_vecs.select(
-        "src", "dst", F.round(sim, 6).alias("cosine_sim")
     )
     w = Window.partitionBy("src").orderBy(
         F.desc("cosine_sim"), F.asc("dst")
