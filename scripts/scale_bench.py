@@ -313,7 +313,12 @@ def zipf_queries():
     """The fixture-realism remeasure tier: the two rows the r8 verdict
     flagged as fixture-distorted, plus dedup_minhash_pairs as the
     dup-injection-contract cross-check (its output must still scale
-    with the injected dup count on the realistic fixture)."""
+    with the injected dup count on the realistic fixture), plus the
+    text operators whose OUTPUT SHAPE depends on vocabulary growth —
+    corpus statistics (Zipf slope, Heaps growth, entropy) and the
+    df-banded search scorers are only meaningful on text whose
+    vocabulary actually grows; on the fixed-30-word fixture their
+    relations saturate at any scale."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -321,6 +326,13 @@ def zipf_queries():
         ("winnow_pairs", qs["winnow_pairs"]),
         ("phrase_search", qs["phrase_search"]),
         ("dedup_minhash_pairs", qs["dedup_minhash_pairs"]),
+        ("zipf_slope", qs["zipf_slope"]),
+        ("heaps_vocab_growth", qs["heaps_vocab_growth"]),
+        ("doc_entropy", qs["doc_entropy"]),
+        ("bm25_search", qs["bm25_search"]),
+        ("tfidf_keywords", qs["tfidf_keywords"]),
+        ("ngram_novelty", qs["ngram_novelty"]),
+        ("vocab_coverage", qs["vocab_coverage"]),
     ]
 
 
