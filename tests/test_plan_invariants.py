@@ -433,12 +433,18 @@ def test_winnow_selection_is_pure_projection(spark):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_doc_entropy_two_hash_aggregates_no_join(spark):
-    """Per-doc char entropy: (doc,char) aggregate + per-doc aggregate —
-    exactly two key-hash exchanges, no join, and the scan carries only
-    (doc_id, text)."""
+def test_doc_entropy_zero_shuffle_projection(spark):
+    """Per-doc char entropy (r9 shape): run-length counts over the
+    per-doc sorted char array, entirely in staged projections — NO
+    exchange, NO aggregate, NO join; the scan carries only
+    (doc_id, text). (The r1-r8 shape pushed O(total chars) rows through
+    a (doc,char) hash aggregate — two exchanges; values unchanged.)"""
     plan = final_plan(spark, "doc_entropy")
-    assert plan.count("Exchange hashpartitioning") == 2
+    # the loader's round-robin repartition (tiny-file parallelism) is
+    # the only exchange allowed; no KEY shuffle exists in the query
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Aggregate" not in plan
     assert "Join" not in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
