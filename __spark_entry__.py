@@ -3757,56 +3757,56 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
-    "ann_ivf_topk",
-    "ann_pq_rerank",
-    "ann_pq_topk",
-    "embedding_contamination",
-    "phrase_search",
-    "streaming_drift",
-    "streaming_source_verdict",
-    "streaming_attribution",
-    "streaming_scd2",
-    "streaming_sessionize",
-    "ann_ivf_sq8",
-    "ann_lsh_multiprobe",
-    "ann_lsh_topk",
-    "ann_param_sweep",
-    "ann_recall_report",
-    "ann_sq8_rerank",
-    "ann_sq8_topk",
+    "doc_entropy",
     "contrastive_triplets",
-    "dedup_recall_report",
-    "knn_triangles",
-    "embedding_near_dups",
+    "embedding_contamination",
     "knn_graph",
+    "knn_triangles",
     "link_prediction_aa",
-    "winnow_pairs",
-    "memorization_average",
-    "memorization_levenshtein",
-    "memorization_verbatim",
-    "pack_chunks",
-    "paragraph_dedup",
-    "pii_scan",
-    "probe_style_consistency",
-    "q_events_asof",
-    "q_events_range_join",
-    "q_events_sessionize",
-    "q_rollup_revenue",
-    "quality_repetition",
-    "reef_layer_cka",
-    "similarity_topk",
-    "style_fingerprint",
-    "text_stats",
-    "verify_sources",
     "watermark_documents",
-    "budget_select",
-    "conversation_transcripts",
-    "doc_chunks",
-    "embedding_dim_stats",
-    "events_pivot",
-    "label_separation",
-    "lang_id_ext",
-    "length_bucketed_batches",
+    "mixture_weights",
+    "q17_small_quantity",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q_events_cube",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_rolling",
+    "quality_calibrated",
+    "snapshot_diff",
+    "span_dedup",
+    "top_boilerplate_spans",
+    "zorder_events",
+    "bm25_search",
+    "corpus_drift",
+    "dsir_select",
+    "dsir_weights",
+    "embedding_principal",
+    "memorization_seqmatch",
+    "q10_returned_items",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "q22_global_threshold",
+    "q3_top_unshipped",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q_salted_revenue",
+    "q_urgent_customers",
+    "q_window_orders",
+    "quota_sample",
+    "semantic_dedup",
+    "source_data_card",
+    "tfidf_keywords",
+    "boilerplate_templates",
+    "burstiness_profile",
+    "channel_attribution",
 ]
 
 
