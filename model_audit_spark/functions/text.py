@@ -295,6 +295,53 @@ def dli_certainty_count(lower_col: Column) -> Column:
 # Watermark signals (F26-F29, reference mcp_server.py:446-474)
 # ---------------------------------------------------------------------------
 
+# The score contract, shared by BOTH implementations below (the
+# dict-of-columns form and the fused projection form) so a weight or
+# threshold tweak can never drift them apart: each signal contributes
+# its weight when its predicate fires; the variance/uniqueness legs
+# apply only past the statistical floor.
+WM_MIN_WORDS_STAT = 20
+WM_VAR_THRESHOLD = 2.0
+WM_UNIQUE_THRESHOLD = 0.5
+WM_DOUBLE_SPACE_THRESHOLD = 3
+WM_WEIGHTS = {"variance": 0.3, "unique": 0.2, "zero_width": 0.5,
+              "double_space": 0.2}
+WM_LEVEL_HIGH = 0.5
+WM_LEVEL_MEDIUM = 0.3
+
+
+def _wm_score_expr(
+    variance: Column, unique_ratio: Column, zwc: Column,
+    double_space: Column, n_words: Column,
+) -> Column:
+    """The raw watermark score from the four (already-built) signal
+    columns — the single home of the weights/thresholds above."""
+    stat = n_words > WM_MIN_WORDS_STAT
+    return (
+        F.when(
+            stat & (variance < WM_VAR_THRESHOLD),
+            F.lit(WM_WEIGHTS["variance"]),
+        ).otherwise(0.0)
+        + F.when(
+            stat & (unique_ratio < WM_UNIQUE_THRESHOLD),
+            F.lit(WM_WEIGHTS["unique"]),
+        ).otherwise(0.0)
+        + F.when(zwc > 0, F.lit(WM_WEIGHTS["zero_width"])).otherwise(0.0)
+        + F.when(
+            double_space > WM_DOUBLE_SPACE_THRESHOLD,
+            F.lit(WM_WEIGHTS["double_space"]),
+        ).otherwise(0.0)
+    )
+
+
+def _wm_level_expr(score: Column) -> Column:
+    return (
+        F.when(score >= WM_LEVEL_HIGH, "high")
+        .when(score >= WM_LEVEL_MEDIUM, "medium")
+        .otherwise("low")
+    )
+
+
 def watermark_columns(text_col: str = "text") -> dict[str, Column]:
     c = F.col(text_col)
     w = words(c)
@@ -324,22 +371,14 @@ def watermark_columns(text_col: str = "text") -> dict[str, Column]:
     double_space = (
         F.length(c) - F.length(F.replace(c, F.lit("  "), F.lit("")))
     ) / 2
-    stat_applicable = n > 20
-    score = (
-        F.when(stat_applicable & (variance < 2.0), F.lit(0.3)).otherwise(0.0)
-        + F.when(stat_applicable & (unique_ratio < 0.5), F.lit(0.2)).otherwise(0.0)
-        + F.when(zwc > 0, F.lit(0.5)).otherwise(0.0)
-        + F.when(double_space > 3, F.lit(0.2)).otherwise(0.0)
-    )
+    score = _wm_score_expr(variance, unique_ratio, zwc, double_space, n)
     return {
         "wm_word_len_variance": variance,
         "wm_bigram_unique_ratio": unique_ratio,
         "wm_zero_width_count": zwc.cast("bigint"),
         "wm_double_space_count": double_space.cast("bigint"),
         "wm_score": F.round(score, 2),
-        "wm_level": F.when(score >= 0.5, "high")
-        .when(score >= 0.3, "medium")
-        .otherwise("low"),
+        "wm_level": _wm_level_expr(score),
     }
 
 
@@ -376,12 +415,8 @@ def with_watermark_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     unique_ratio = F.col("wm_bigram_unique_ratio")
     zwc = F.col("wm_zero_width_count")
     double_space = F.col("_wm_dsp")
-    stat_applicable = F.col("_wm_n") > 20
-    score = (
-        F.when(stat_applicable & (variance < 2.0), F.lit(0.3)).otherwise(0.0)
-        + F.when(stat_applicable & (unique_ratio < 0.5), F.lit(0.2)).otherwise(0.0)
-        + F.when(zwc > 0, F.lit(0.5)).otherwise(0.0)
-        + F.when(double_space > 3, F.lit(0.2)).otherwise(0.0)
+    score = _wm_score_expr(
+        variance, unique_ratio, zwc, double_space, F.col("_wm_n")
     )
     out_cols = [x for x in df.columns] + [
         "wm_word_len_variance",
@@ -417,9 +452,7 @@ def with_watermark_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             {
                 "wm_double_space_count": double_space.cast("bigint"),
                 "wm_score": F.round(F.col("_wm_score"), 2),
-                "wm_level": F.when(F.col("_wm_score") >= 0.5, "high")
-                .when(F.col("_wm_score") >= 0.3, "medium")
-                .otherwise("low"),
+                "wm_level": _wm_level_expr(F.col("_wm_score")),
             }
         )
         .select(*out_cols)

@@ -143,11 +143,23 @@ def _retry_call(
             # "auth failure" because "401" ⊂ "40351"; an unanchored
             # \b\d{3}\b still misfires on "403 bytes" or a literal
             # port 401). The http(?!s?://) lookahead keeps URL schemes
-            # from anchoring their host's digits.
+            # from anchoring their host's digits. The second pattern
+            # covers code-BEFORE-reason formats ("429 Too Many
+            # Requests", requests-style "401 Client Error: ...") where
+            # no context word precedes the code — the reason phrase
+            # itself is the status context.
             codes = set(
                 re.findall(
                     r"\b(?:status|error|code|http(?:/[\d.]+)?)"
                     r"(?!s?://)\D{0,3}(\d{3})\b",
+                    err,
+                )
+            ) | set(
+                re.findall(
+                    r"\b(\d{3})\s+(?:too many requests|unauthorized|"
+                    r"forbidden|client error|server error|"
+                    r"service unavailable|internal server|bad gateway|"
+                    r"gateway timeout|request timeout)\b",
                     err,
                 )
             )
@@ -165,7 +177,7 @@ def _retry_call(
             ):
                 raise ValueError(f"API auth failure: {e}") from e
             last_err = e
-            if "429" in codes or "rate" in err:
+            if "429" in codes or "rate" in err or "too many requests" in err:
                 sleep(min(2.0 ** (attempt + 2), backoff_cap))
                 continue
         sleep(min(2.0**attempt, backoff_cap))

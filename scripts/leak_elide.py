@@ -16,17 +16,25 @@ rewrites content at `git add` time. On ANY parse/shape surprise the
 input passes through byte-identical: a commit must never break or
 silently lose data because of this hygiene layer.
 
-Wiring (idempotent, done by scripts/install_hooks.sh or manually):
+Wiring (idempotent, done by scripts/install_filters.sh or manually):
     .gitattributes:  LEAKCHECK.json filter=leakelide
     git config filter.leakelide.clean "python3 scripts/leak_elide.py"
 `filter.leakelide.required` stays false, so a missing interpreter or
 a crash degrades to committing the unfiltered content, never an error.
+
+Idempotency: a fresh clone checks out the ELIDED blob (no smudge
+filter), so the clean filter re-runs over already-elided content on
+the next `git add`. Elided placeholder lists pass through UNCHANGED —
+otherwise every category's recorded count would collapse to 1 and the
+file would read as perpetually modified after clone.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+_MARKER = " hit string(s) elided from git history "
 
 
 def elide(raw: str) -> str:
@@ -36,12 +44,18 @@ def elide(raw: str) -> str:
         if not isinstance(hits, dict):
             return raw
         for cat, lst in hits.items():
-            if isinstance(lst, list) and lst:
-                hits[cat] = [
-                    f"<{len(lst)} hit string(s) elided from git history "
-                    f"to damp the self-quotation cascade; see the "
-                    f"working-tree LEAKCHECK.json>"
-                ]
+            if not (isinstance(lst, list) and lst):
+                continue
+            if (
+                len(lst) == 1
+                and isinstance(lst[0], str)
+                and _MARKER in lst[0]
+            ):
+                continue  # already elided — keep the original count
+            hits[cat] = [
+                f"<{len(lst)}{_MARKER}to damp the self-quotation "
+                f"cascade; see the working-tree LEAKCHECK.json>"
+            ]
         return json.dumps(d, indent=1) + "\n"
     except Exception:
         return raw

@@ -58,6 +58,22 @@ TABLES = [
 
 # ------------------------------------------------------------------ gen
 
+def _append_dup(texts: list, rng, i: int) -> None:
+    """Inject one near-dup: `fresh original + " dup"` — THE dup
+    contract, shared by every generator tier so they can never drift.
+    Resample until the base is a fresh (non-dup) text: the fixture's
+    near-dups are always `original + " dup"`, so a dup-of-dup would be
+    a byte-identical EXACT duplicate the fixture doesn't have (and
+    would deflate the suffix rate). texts[0] is always fresh, and the
+    dup pool is a strict minority (p_dup << 1), so this terminates
+    after ~1/(1-p) draws in expectation."""
+    while True:
+        base = texts[rng.integers(0, i)]
+        if not base.endswith(" dup"):
+            break
+    texts.append(base + " dup")
+
+
 def _calibrate(con):
     """Measure the sf0.1 generative parameters this script replicates."""
     d = f"'{BASE_SF_DIR}/documents.parquet'"
@@ -133,18 +149,7 @@ def generate(mult: int) -> Path:
     dup_flags = rng.random(n) < cal["p_dup"]
     for i in range(n):
         if dup_flags[i] and i > 0:
-            # resample until the base is a fresh (non-dup) text: the
-            # fixture's near-dups are always `original + " dup"`, so a
-            # dup-of-dup would be a byte-identical EXACT duplicate the
-            # fixture doesn't have (and would deflate the suffix rate).
-            # texts[0] is always fresh, and the dup pool is a strict
-            # minority (p_dup << 1), so this terminates after ~1/(1-p)
-            # draws in expectation
-            while True:
-                base = texts[rng.integers(0, i)]
-                if not base.endswith(" dup"):
-                    break
-            texts.append(base + " dup")
+            _append_dup(texts, rng, i)
         else:
             texts.append(
                 " ".join(vocab[rng.choice(len(vocab), size=n_tok[i], p=wp)])
@@ -272,14 +277,7 @@ def generate_zipf(mult: int) -> Path:
     texts: list[str] = []
     for i in range(n):
         if dup_flags[i] and i > 0:
-            # same dup-injection contract as generate(): near-dups are
-            # `fresh original + " dup"`, never dup-of-dup (texts[0] is
-            # always fresh, so the draw terminates)
-            while True:
-                base = texts[rng.integers(0, i)]
-                if not base.endswith(" dup"):
-                    break
-            texts.append(base + " dup")
+            _append_dup(texts, rng, i)
         else:
             texts.append(" ".join(flat[offs[i]:offs[i + 1]]))
 

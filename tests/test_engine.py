@@ -208,12 +208,29 @@ def test_retry_call_matrix():
         "HTTP/1.1 401 Unauthorized",
         "HTTP Error 403: Forbidden",
         "status 401 from upstream",
+        # code-BEFORE-reason formats (requests-style raise_for_status,
+        # bare status lines) — the reason phrase is the context
+        "401 Client Error: Unauthorized for url: http://x/v1/y",
+        "403 Forbidden",
     ):
         with pytest.raises(ValueError, match="auth"):
             _retry_call(
                 lambda m=msg: (_ for _ in ()).throw(RuntimeError(m)),
                 sleep=lambda s: None,
             )
+
+    # code-first rate limits take the LONG backoff leg (min 4 s first
+    # sleep), not the generic short one — a custom transport spelling
+    # "429 Too Many Requests" must not burn retries inside the window
+    sleeps: list[float] = []
+    with pytest.raises(RuntimeError, match="after 3 retries"):
+        _retry_call(
+            lambda: (_ for _ in ()).throw(
+                RuntimeError("429 Too Many Requests")
+            ),
+            sleep=sleeps.append,
+        )
+    assert sleeps and all(s >= 4.0 for s in sleeps)
 
 
 class _FakeResp:

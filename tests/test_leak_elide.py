@@ -47,10 +47,32 @@ def test_passthrough_on_surprise_input():
         assert le.elide(raw) == raw
 
 
+def test_elide_is_idempotent_preserving_counts():
+    # A fresh clone checks out the ELIDED blob (no smudge filter), so
+    # the clean filter re-runs over already-elided content at the next
+    # `git add`. It must be a fixed point — otherwise every category's
+    # recorded count collapses to 1 and the file reads as perpetually
+    # modified after clone.
+    raw = json.dumps({
+        "n_hits": 5,
+        "hits": {"cat-a": ["h1", "h2", "h3"], "cat-b": ["h4", "h5"]},
+    })
+    once = le.elide(raw)
+    assert le.elide(once) == once
+    d = json.loads(once)
+    assert "3 hit string(s) elided" in d["hits"]["cat-a"][0]
+    assert "2 hit string(s) elided" in d["hits"]["cat-b"][0]
+
+
 def test_filter_is_wired():
-    # .gitattributes routes LEAKCHECK.json through the filter, and the
-    # local config defines the clean command (re-wired by
-    # scripts/install_filters.sh after a fresh clone)
+    # .gitattributes routes LEAKCHECK.json through the filter; the
+    # local config defines the clean command. install_filters.sh is
+    # idempotent, so the test wires it itself — a fresh clone must be
+    # green without manual setup.
+    subprocess.run(
+        ["bash", "scripts/install_filters.sh"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
     attr = subprocess.run(
         ["git", "check-attr", "filter", "LEAKCHECK.json"],
         cwd=REPO, capture_output=True, text=True,
@@ -61,20 +83,24 @@ def test_filter_is_wired():
         cwd=REPO, capture_output=True, text=True,
     ).stdout
     assert "leak_elide.py" in clean
-    # end-to-end: the blob git would store for the CURRENT working-tree
-    # LEAKCHECK.json is elided (hash-object applies the clean filter)
+    # end-to-end: the blob hash git computes for the working-tree
+    # LEAKCHECK.json under --path (clean filter applied) must equal
+    # the hash of elide(content) — proof the wiring actually rewrites
+    # `git add` content. No -w: don't litter .git/objects with
+    # dangling test blobs.
     if (REPO / "LEAKCHECK.json").exists():
-        blob_hash = subprocess.run(
-            ["git", "hash-object", "-w", "--path", "LEAKCHECK.json",
-             "--stdin"],
-            cwd=REPO, capture_output=True, text=True,
-            input=(REPO / "LEAKCHECK.json").read_text(),
-        ).stdout.strip()
-        blob = subprocess.run(
-            ["git", "cat-file", "blob", blob_hash],
-            cwd=REPO, capture_output=True, text=True,
-        ).stdout
-        d = json.loads(blob)
+        content = (REPO / "LEAKCHECK.json").read_text()
+
+        def _hash(args: list[str], data: str) -> str:
+            return subprocess.run(
+                ["git", "hash-object", "--stdin", *args],
+                cwd=REPO, capture_output=True, text=True, input=data,
+            ).stdout.strip()
+
+        filtered_by_git = _hash(["--path", "LEAKCHECK.json"], content)
+        filtered_by_us = _hash([], le.elide(content))
+        assert filtered_by_git == filtered_by_us
+        d = json.loads(le.elide(content))
         for lst in d.get("hits", {}).values():
             for s in lst:
                 assert "elided from git history" in s
