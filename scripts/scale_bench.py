@@ -331,6 +331,12 @@ def zipf_queries():
         ("tfidf_keywords", qs["tfidf_keywords"]),
         ("ngram_novelty", qs["ngram_novelty"]),
         ("vocab_coverage", qs["vocab_coverage"]),
+        # dedup/curation cross-checks: their fixed-vocab exponents must
+        # hold where shingle document frequencies DON'T saturate
+        ("dedup_decisions", qs["dedup_decisions"]),
+        ("curate_corpus", qs["curate_corpus"]),
+        ("quality_threshold_sweep", qs["quality_threshold_sweep"]),
+        ("span_dedup", qs["span_dedup"]),
     ]
 
 
