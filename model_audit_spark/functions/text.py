@@ -398,6 +398,19 @@ def with_watermark_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     stage-local value computed once, all inside one WholeStageCodegen —
     no shuffle, no extra pass over the data.
     """
+    clash = [
+        name
+        for name in df.columns
+        if name.startswith("wm_") or name.startswith("_wm_")
+    ]
+    if clash:
+        # withColumn would silently REPLACE these and the final select
+        # would then list the name twice (ambiguous-column failure
+        # downstream) — refuse up front instead.
+        raise ValueError(
+            "with_watermark_signals: input frame already has reserved "
+            f"wm_*/_wm_* column(s): {clash}"
+        )
     c = F.col(text_col)
     w = F.col("_wm_w")
     lens = F.transform(w, lambda x: F.length(x).cast("double"))

@@ -153,6 +153,13 @@ def char_entropy_scores(
     bit-identical.) Each non-cheap array is materialized as a named
     column in its own projection so CollapseProject keeps it computed
     once — the watermark-fusion discipline.
+
+    Portability note: the `F.split(col, "")` char explosion relies on
+    Spark >= 3.4 semantics (SPARK-40194: no trailing empty element).
+    On older Spark the split appends one "" per row, inflating n_chars
+    by 1 and breaking the bit-identical entropy contract; use
+    `F.split(col, "(?!$)")` there. Verified correct on the pinned
+    PySpark 4.1.2.
     """
     lc = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     staged = df.withColumn("_lc", lc).withColumn(

@@ -150,7 +150,7 @@ def _retry_call(
             # itself is the status context.
             codes = set(
                 re.findall(
-                    r"\b(?:status|error|code|http(?:/[\d.]+)?)"
+                    r"\b(?:status(?:_?code)?|error|code|http(?:/[\d.]+)?)"
                     r"(?!s?://)\D{0,3}(\d{3})\b",
                     err,
                 )

@@ -212,6 +212,12 @@ def test_retry_call_matrix():
         # bare status lines) — the reason phrase is the context
         "401 Client Error: Unauthorized for url: http://x/v1/y",
         "403 Forbidden",
+        # snake/camel status attribute spellings (round-10 advice: the
+        # underscore in status_code defeated the old \b-anchored
+        # alternation, burning retries instead of failing fast)
+        "status_code=401",
+        "response.status_code: 403",
+        "statuscode 401",
     ):
         with pytest.raises(ValueError, match="auth"):
             _retry_call(

@@ -141,11 +141,16 @@ def test_budget_select_no_global_single_partition_window(spark):
     assert all("_pid" in l for l in win_lines)
 
 
-def test_knn_graph_band_explode_carries_no_vectors(spark):
-    """The band self-join must key on (band, bucket) rows that carry no
-    embedding array — vectors re-enter via the candidate-bounded joins.
-    Also pins WindowGroupLimit: the per-source top-k is pushed below the
-    full sort (rank pushdown), so no candidate set is globally sorted.
+def test_knn_graph_scores_bucket_locally(spark):
+    """Pins the r9 bucket-local-scoring shape (similarity.py knn_graph):
+    vectors ride the band explode INTO the (band, bucket) self-join,
+    cosine is computed in the join's output projection while both
+    vectors are co-located, and the relation is narrow
+    (src, dst, cosine_sim) from there through the cross-band distinct
+    and the top-k WindowGroupLimit. A regression back to the r8 shape —
+    narrow candidates re-joined against the base vector table — would
+    re-shuffle the PAIR relation wide (measured: 182 s vs 79 s at 100×)
+    and shows up here as a second Join.
 
     Built directly from the operator (gate parameters) rather than the
     queries() entry: the gate relation is session-memoized/persisted
@@ -164,20 +169,43 @@ def test_knn_graph_band_explode_carries_no_vectors(spark):
     df = knn_graph(emb, k=5, n_bands=4, planes_per_band=6, dim=64)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     lines = opt.splitlines()
-    band_joins = [
-        l for l in lines if "Join Inner" in l and "band" in l and "bucket" in l
+
+    # exactly ONE join in the whole plan: the (band, bucket) self-join.
+    # The r8 shape had two more (candidates re-joined to base, twice).
+    joins = [l for l in lines if re.search(r"\bJoin\b", l)]
+    assert len(joins) == 1, joins
+    join_line = joins[0]
+    assert "band" in join_line and "bucket" in join_line, join_line
+    # the join CONDITION keys on band/bucket/_id only — vectors are
+    # carried as payload, never compared
+    assert "_v#" not in join_line and "_nv#" not in join_line, join_line
+
+    # both join inputs are keyed projections that DO carry the vector
+    # (that is the point: score while co-located)
+    join_idx = lines.index(join_line)
+    feeding = [
+        l for l in lines[join_idx + 1 :]
+        if "Project" in l and "band" in l and "bucket" in l
     ]
-    assert band_joins, opt
-    # join condition references only ids/band/bucket, never a vector col
-    assert all(
-        "_v#" not in l and "sv#" not in l and "dv#" not in l
-        for l in band_joins
+    assert feeding and all("_v#" in l and "_nv#" in l for l in feeding), (
+        feeding or lines[join_idx:]
     )
-    # the explode feeds a pruning Project of exactly (_id, band, bucket)
-    assert any(
-        "bb#" in l and ".band AS band" in l and ".bucket AS bucket" in l
-        for l in lines
+
+    # everything ABOVE the scoring projection is narrow: the distinct
+    # (Aggregate) groups exactly (src, dst, cosine_sim), and no operator
+    # above the join's output projection references a vector column
+    agg = next(l for l in lines if "Aggregate" in l)
+    assert "src#" in agg and "dst#" in agg and "cosine_sim#" in agg, agg
+    assert "_v#" not in agg and "_nv#" not in agg, agg
+    scoring_idx = next(
+        i for i, l in enumerate(lines)
+        if "Project" in l and "cosine_sim" in l and "_v#" in l
     )
+    assert scoring_idx < join_idx  # scoring sits directly on the join
+    for l in lines[:scoring_idx]:
+        assert "_v#" not in l and "_nv#" not in l, l
+
+    # per-source top-k is rank-pushed (no global sort of the pair set)
     assert "WindowGroupLimit" in opt
 
 

@@ -171,6 +171,22 @@ def test_watermark_fused_matches_dict(spark):
     assert sorted(map(tuple, old)) == sorted(map(tuple, new))
 
 
+def test_watermark_fused_rejects_reserved_columns(spark):
+    """An input frame already carrying wm_*/_wm_* columns would be
+    silently replaced by withColumn and then duplicated in the final
+    select — the operator must refuse up front (round-10 advice)."""
+    import pytest as _pytest
+
+    from model_audit_spark.functions.text import with_watermark_signals
+
+    for bad in ("wm_score", "_wm_w"):
+        df = spark.createDataFrame(
+            [("t", 0.0)], f"text STRING, {bad} DOUBLE"
+        )
+        with _pytest.raises(ValueError, match="reserved"):
+            with_watermark_signals(df, "text")
+
+
 def test_detect_lang_profile_multilingual(spark):
     from model_audit_spark.functions.text import detect_lang_profile
 
