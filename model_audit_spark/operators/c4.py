@@ -71,14 +71,30 @@ def c4_clean_stats(
     has_lorem_ipsum, has_brace, kept_len, kept_md5, c4_pass
     [, kept_text]). NULL text behaves as empty (repo-wide convention).
     """
+    # The line/kept/kept_text producers are lambda-bearing arrays each
+    # referenced 3x downstream; Spark's subexpression elimination skips
+    # LambdaVariable trees, so the inline form re-split and re-filtered
+    # every line up to 9x per row (the watermark-fusion defect,
+    # functions/text.with_watermark_signals). Staged as named columns,
+    # CollapseProject keeps each computed once per row in one
+    # WholeStageCodegen — still one scan, one projection chain.
     c = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(
-        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
+    staged = (
+        df.withColumn(
+            "_c4_lines",
+            F.filter(
+                F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                lambda x: x != F.lit(""),
+            ),
+        )
+        .withColumn("_c4_kept", F.filter(F.col("_c4_lines"), _line_kept))
+        .withColumn("_c4_kt", F.array_join(F.col("_c4_kept"), "\n"))
+        .withColumn("_c4_ns", F.size(sentences(F.col("_c4_kt"))))
     )
-    kept = F.filter(lines, _line_kept)
-    kept_text = F.array_join(kept, "\n")
-    n_sent = F.size(sentences(kept_text))
+    lines = F.col("_c4_lines")
+    kept = F.col("_c4_kept")
+    kept_text = F.col("_c4_kt")
+    n_sent = F.col("_c4_ns")
     lower_all = F.lower(c)
     has_lorem = lower_all.contains("lorem ipsum")
     has_brace = c.contains("{")
@@ -101,4 +117,4 @@ def c4_clean_stats(
     ]
     if keep_text:
         cols.append(kept_text.alias("kept_text"))
-    return df.select(*cols)
+    return staged.select(*cols)

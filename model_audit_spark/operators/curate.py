@@ -8,7 +8,7 @@ Every doc gets a verdict in ONE result relation:
 
 Stages (all deterministic, all SQL-mirrored in oracle.curate_corpus):
   lang       — n-gram language ID not in the allow-list
-  quality    — composite quality_score (doc_stat_columns) below threshold
+  quality    — composite quality_score (with_doc_stats) below threshold
   exact_dup  — not the lowest-id doc of its md5(text) group
   near_dup   — appears as the HIGHER id of a MinHash-LSH candidate pair
                whose exact n-gram Jaccard >= min_jaccard (greedy pairwise
@@ -31,8 +31,10 @@ from model_audit_spark.operators.dedup import (
     jaccard_verify,
     minhash_band_pairs,
     minhash_signatures,
+    shingles_df,
 )
-from model_audit_spark.operators.text_analysis import doc_stat_columns
+from model_audit_spark.persistence import track
+from model_audit_spark.operators.text_analysis import with_doc_stats
 
 
 def curate_corpus(
@@ -44,20 +46,34 @@ def curate_corpus(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """(id, lang_pred, quality_score, drop_reason, kept) for every doc."""
-    stats = doc_stat_columns(text_col)
-    base = docs.select(
+    base = with_doc_stats(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col,
+        names=["quality_score", "lang_pred"],
+    ).select(
         F.col(id_col),
-        stats["quality_score"].alias("quality_score"),
-        stats["lang_pred"].alias("lang_pred"),
+        "quality_score",
+        "lang_pred",
         F.md5(F.col(text_col)).alias("text_hash"),
     )
     w = Window.partitionBy("text_hash").orderBy(id_col)
     flagged = base.withColumn("is_first", F.row_number().over(w) == 1)
 
-    sigs = minhash_signatures(docs, text_col, id_col)
+    # ONE persisted shingle relation feeds both the minhash aggregate
+    # and the exact Jaccard verify (minhash_signatures `shingles=`):
+    # without it the chain re-tokenized the corpus per consumer, and
+    # Catalyst's inferred-filter pushdown substituted the shingle tree
+    # into pushed Filters 12x (measured in the optimized plan) — the
+    # persist is also the pushdown barrier.
+    shing = track(
+        shingles_df(docs, text_col, id_col).persist()
+    )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, shingles=shing
+    )
     pairs = jaccard_verify(
         docs, minhash_band_pairs(sigs, id_col), text_col, id_col,
-        min_jaccard=min_jaccard,
+        min_jaccard=min_jaccard, shingles=shing,
     )
     near = (
         pairs.select(F.col("id_b").alias(id_col))

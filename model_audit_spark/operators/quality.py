@@ -65,9 +65,21 @@ def repetition_stats(
     bullet_line_frac, ellipsis_line_frac, top_2gram, top_2gram_char_frac,
     repetition_pass). NULL text behaves as empty (repo-wide convention).
     """
+    # `lines` is a lambda-bearing array referenced ~8x (sizes, dup_frac,
+    # bullet/ellipsis filters, denominators); Spark's subexpression
+    # elimination skips LambdaVariable trees, so the inline form re-split
+    # and re-trimmed every row per reference (the watermark-fusion
+    # defect). Staged as named columns, each producer is computed once
+    # per row — still one scan, no shuffle added.
     c = F.coalesce(F.col(text_col), F.lit(""))
-    lines = _nonblank(F.split(c, "\n"))
-    paras = _nonblank(F.split(c, r"\n{2,}"))
+    staged = df.withColumns(
+        {
+            "_rs_lines": _nonblank(F.split(c, "\n")),
+            "_rs_paras": _nonblank(F.split(c, r"\n{2,}")),
+        }
+    )
+    lines = F.col("_rs_lines")
+    paras = F.col("_rs_paras")
     n_lines = F.size(lines)
     n_words = F.size(words(c))
     n_chars = F.length(c)
@@ -89,7 +101,7 @@ def repetition_stats(
         count_substr(c, "#") + count_substr(c, "...") + count_substr(c, "…")
     )
 
-    feats = df.select(
+    feats = staged.select(
         F.col(id_col),
         n_lines.alias("n_lines"),
         F.round(_dup_frac(lines), 6).alias("dup_line_frac"),

@@ -88,6 +88,129 @@ def doc_stat_columns(text_col: str = "text") -> dict[str, "Column"]:
     }
 
 
+DOC_STAT_NAMES = (
+    "n_chars",
+    "n_words",
+    "n_tokens",
+    "n_bpe_tokens",
+    "mean_word_len",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_pred",
+)
+
+
+def with_doc_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    names: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """Append the requested doc-stat columns, single-tokenization — the
+    watermark-fusion discipline (functions/text.with_watermark_signals).
+
+    Same arithmetic and values column-for-column as doc_stat_columns(),
+    but fused: the dict form embeds the word_tokens() regexp tokenizer
+    inside several lambda-bearing trees (stop_hits' filter, mean_wlen's
+    array_join), and Spark's subexpression elimination SKIPS expressions
+    containing LambdaVariables, so one quality_score evaluation
+    re-tokenizes the text up to 4x per row (the measured exp-0.79
+    per-row constant on the Heaps/Zipf 100x tier, SCALE.md r10). Here
+    each non-cheap producer (token array, whitespace-word array, the
+    stopword-hit count, the joined-length, the punct ratio) is
+    materialized as a named `_ds_*` column in its own projection;
+    CollapseProject keeps a multiply-referenced non-cheap alias as a
+    stage-local value computed once, all inside one WholeStageCodegen —
+    no shuffle, no extra pass. Only the producers the requested `names`
+    actually need are staged.
+    """
+    names = list(DOC_STAT_NAMES) if names is None else list(names)
+    unknown = set(names) - set(DOC_STAT_NAMES)
+    if unknown:
+        raise ValueError(f"with_doc_stats: unknown stat(s) {sorted(unknown)}")
+    clash = [
+        n for n in df.columns if n in names or n.startswith("_ds_")
+    ]
+    if clash:
+        raise ValueError(
+            "with_doc_stats: input frame already has reserved "
+            f"column(s): {clash}"
+        )
+    need = set(names)
+    c = F.col(text_col)
+    out = df
+    stage1: dict[str, Column] = {}
+    need_toks = need & {
+        "n_tokens", "mean_word_len", "stopword_ratio", "quality_score"
+    }
+    need_words = need & {"n_words", "quality_score"}
+    if need_toks:
+        stage1["_ds_t"] = word_tokens(c)
+    if need_words:
+        stage1["_ds_w"] = words(c)
+    if stage1:
+        out = out.withColumns(stage1)
+
+    stage2: dict[str, Column] = {}
+    if need_toks:
+        stage2["_ds_nt"] = F.size(F.col("_ds_t"))
+        if need & {"stopword_ratio", "quality_score"}:
+            stage2["_ds_sh"] = F.size(
+                F.filter(F.col("_ds_t"), lambda t: t.isin(STOPWORDS))
+            )
+        if need & {"mean_word_len", "quality_score"}:
+            stage2["_ds_jl"] = F.length(F.array_join(F.col("_ds_t"), ""))
+    if need_words:
+        stage2["_ds_nw"] = F.size(F.col("_ds_w"))
+    if need & {"punct_ratio", "quality_score"}:
+        stage2["_ds_pr"] = (
+            F.length(c) - F.length(F.translate(c, ".,;:!?", ""))
+        ) / F.greatest(F.length(c), F.lit(1))
+    if stage2:
+        out = out.withColumns(stage2)
+
+    tot = F.greatest(F.col("_ds_nt"), F.lit(1)) if need_toks else None
+    final: dict[str, Column] = {}
+    for name in names:
+        if name == "n_chars":
+            final[name] = F.length(c)
+        elif name == "n_words":
+            final[name] = F.col("_ds_nw")
+        elif name == "n_tokens":
+            final[name] = F.col("_ds_nt")
+        elif name == "n_bpe_tokens":
+            final[name] = token_count_bpe(c)
+        elif name == "mean_word_len":
+            final[name] = F.round(F.col("_ds_jl") / tot, 6)
+        elif name == "punct_ratio":
+            final[name] = F.round(F.col("_ds_pr"), 6)
+        elif name == "stopword_ratio":
+            final[name] = F.round(F.col("_ds_sh") / tot, 6)
+        elif name == "quality_score":
+            len_score = F.least(
+                F.greatest((F.col("_ds_nw") - 20) / 80.0, F.lit(0.0)),
+                F.lit(1.0),
+            )
+            stop_score = F.least(
+                (F.col("_ds_sh") / tot) / 0.3, F.lit(1.0)
+            )
+            mean_wlen = F.col("_ds_jl") / tot
+            wlen_score = F.when(
+                (mean_wlen >= 3.0) & (mean_wlen <= 8.0), 1.0
+            ).otherwise(0.0)
+            punct_score = F.when(
+                F.col("_ds_pr") <= 0.1, 1.0
+            ).otherwise(0.0)
+            final[name] = F.round(
+                0.25 * len_score + 0.25 * stop_score
+                + 0.25 * wlen_score + 0.25 * punct_score,
+                6,
+            )
+        elif name == "lang_pred":
+            final[name] = detect_lang(c)
+    return out.withColumns(final).select(*df.columns, *names)
+
+
 def doc_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -97,11 +220,12 @@ def doc_stats(
     stopword ratio (healthy band around natural prose), mean word length in
     the 3..8 band, and punctuation sanity (<= 0.1). Deterministic, documented
     here as the engine's own quality metric (the reference has none).
+    Fused single-tokenization path (with_doc_stats); values identical to
+    the doc_stat_columns expression dict.
     """
-    cols = doc_stat_columns(text_col)
-    return df.select(
-        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
-    )
+    return with_doc_stats(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    ).drop(text_col)
 
 
 def doc_fingerprints(
@@ -252,10 +376,11 @@ def source_data_card(
     the cheapest possible shape for a whole-corpus report: scan once,
     shuffle fixed-width state per (source, digest).
     """
-    q = doc_stat_columns(text_col)["quality_score"]
     digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    staged = with_doc_stats(df, text_col, names=["quality_score"])
+    q = F.col("quality_score")
     return (
-        df.groupBy(F.col(stratum_col).alias("source"))
+        staged.groupBy(F.col(stratum_col).alias("source"))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(chars_col).cast("bigint").alias("total_chars"),
@@ -365,11 +490,20 @@ def quality_threshold_sweep(
     At 100 TB this is one corpus scan + a 7-key aggregate; the decision
     table a filtering run consults before committing to a cutoff."""
     spark = df.sparkSession
-    stats = doc_stat_columns(text_col)
-    q = df.select(
-        F.round(stats["quality_score"] * 1e6)
-        .cast("long")
-        .alias("q_micro")
+    # q_micro is coalesced NON-NULLABLE: the theta join below would
+    # otherwise infer isnotnull(q_micro), and Catalyst pushes that
+    # Filter below the staged projections by SUBSTITUTING the aliases —
+    # re-inlining the whole quality tree (7 tokenizer subtrees measured)
+    # and defeating the single-tokenization staging. NULL-text docs map
+    # to -1, which fails every threshold exactly as NULL failed the
+    # theta predicate — values and oracle unchanged.
+    q = with_doc_stats(
+        df.select(F.col(text_col)), text_col, names=["quality_score"]
+    ).select(
+        F.coalesce(
+            F.round(F.col("quality_score") * 1e6).cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("q_micro")
     )
     total = q.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     t = spark.createDataFrame(

@@ -252,22 +252,21 @@ def streaming_curate(
     within: str = "10 minutes",
 ) -> DataFrame:
     """Streaming ingest form of curate_corpus: stateless lang/quality
-    gating (pure projection — same doc_stat_columns expressions as batch)
+    gating (pure projection — same fused with_doc_stats expressions as batch)
     then watermark-bounded exact dedup. Emits the kept documents only.
 
     The near-dup stage here stays batch (curate_corpus as periodic
     compaction); when a persisted LSH index exists,
     streaming_near_dup_candidates flags probable near-dups in-flight
     against it (candidates only — exact verification stays batch)."""
-    from model_audit_spark.operators.text_analysis import doc_stat_columns
+    from model_audit_spark.operators.text_analysis import with_doc_stats
 
-    stats = doc_stat_columns(text_col)
-    gated = stream.select(
-        F.col(id_col),
-        F.col(ts_col).alias("ts"),
-        F.col(text_col),
-        stats["quality_score"].alias("quality_score"),
-        stats["lang_pred"].alias("lang_pred"),
+    gated = with_doc_stats(
+        stream.select(
+            F.col(id_col), F.col(ts_col).alias("ts"), F.col(text_col)
+        ),
+        text_col,
+        names=["quality_score", "lang_pred"],
     ).filter(
         F.col("lang_pred").isin(list(langs))
         & (F.col("quality_score") >= min_quality)
