@@ -625,20 +625,36 @@ def ngram_novelty(
     use to size the unique core of a crawl).
 
     Scale shape: one tokenize+shingle pass, one explode, one
-    groupBy(shingle) with a map-side-combining min — the canonical
+    groupBy(shingle hash) with a map-side-combining min — the canonical
     first-occurrence shuffle, keyed by the shingle so skew follows
     shingle frequency (boilerplate shingles collapse into single
-    combiner rows, they do not fan out). Novel counts come back keyed
-    by doc id; no row ever carries more than (shingle, id).
+    combiner rows, they do not fan out). The shuffle key is the
+    60-BIT md5 PREFIX of the shingle, not the string: the exchange at
+    100x pushes ~27M (gram, id) rows, and a BIGINT key cuts per-row
+    bytes several-fold vs the variable-width gram text (measured
+    74.7 -> 31.9 s at the Heaps/Zipf 100x tier, SCALE.md r10). The
+    oracle twin truncates identically, so the mirror is exact by
+    construction; the semantic deviation from full-gram distinctness
+    is a 60-bit birthday bound (~3e-4 expected collisions at 27M
+    distinct grams — none observable at any tested scale).
 
     Returns (id, n_shingles, n_novel) — novelty = n_novel/n_shingles.
     """
     from model_audit_spark.operators.dedup import shingles_df
 
+    # persist: BOTH the explode leg and the per-doc totals leg read this
+    # relation — un-persisted (the r1-r9 shape) each leg re-tokenized
+    # and re-shingled the full corpus (one extra corpus pass, ~36 s of
+    # the 79 s wall at the Heaps/Zipf 100x tier)
     sh = track(
-        shingles_df(df, text_col, id_col, shingle_n=shingle_n)
+        shingles_df(df, text_col, id_col, shingle_n=shingle_n).persist()
     )
-    expl = sh.select(id_col, F.explode("sh").alias("g"))
+    expl = sh.select(id_col, F.explode("sh").alias("_g")).select(
+        id_col,
+        F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
     firsts = expl.groupBy("g").agg(F.min(id_col).alias("first_id"))
     novel = firsts.groupBy(F.col("first_id").alias(id_col)).agg(
         F.count("*").alias("n_novel")

@@ -1411,6 +1411,20 @@ def _hex32(hexstr: str) -> str:
     )
 
 
+def _hex60(hexstr: str) -> str:
+    """SQL: first-15-hex-chars of a lowercase hex string -> BIGINT
+    (0..16^15, fits signed 64-bit) — the twin of Spark's
+    conv(substring(md5(x), 1, 15), 16, 10) shuffle-key narrowing."""
+    digit = f"(strpos('0123456789abcdef', substring({hexstr}, {{i}}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(
+            f"{digit.format(i=i + 1)} * {16 ** (14 - i)}" for i in range(15)
+        )
+        + ")"
+    )
+
+
 def _shingle_ctes(base: str = "documents") -> str:
     """toksrc + shing CTEs: distinct word 3-shingles per unit, the SQL
     twin of dedup.shingles_df. `base` is any relation/CTE providing
@@ -5398,11 +5412,15 @@ FROM pairs GROUP BY user_id
 def ngram_novelty() -> str:
     """Twin of text_analysis.ngram_novelty + the per-source rollup:
     same shingle relation (_shingle_ctes), first occurrence = min
-    doc_id per shingle, novel counts keyed back to the owning doc."""
+    doc_id per shingle HASH (the 60-bit md5-prefix shuffle-key
+    narrowing — identical truncation on both engines, so the mirror
+    is exact by construction), novel counts keyed back to the owning
+    doc."""
     return f"""
 WITH {_shingle_ctes()},
 expl AS (
-  SELECT doc_id, unnest(sh) AS g FROM shing
+  SELECT doc_id, {_hex60("md5(g0)")} AS g
+  FROM (SELECT doc_id, unnest(sh) AS g0 FROM shing)
 ),
 firsts AS (
   SELECT g, min(doc_id) AS first_id FROM expl GROUP BY g
