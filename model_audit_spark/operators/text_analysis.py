@@ -853,12 +853,23 @@ def winnow_selected(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
         lambda h, p: F.struct(h.alias("h"), (-p).alias("negpos")),
     )
-    staged = grams.filter(n >= w).select(id_col, hp.alias("_hp"))
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_hp") - (w - 1)),
-            lambda s: F.array_min(F.slice("_hp", s, w)),
-        )
+    staged = grams.select(id_col, n.alias("_n"), hp.alias("_hp"))
+    # short docs are excluded by a when-guard that emits an EMPTY
+    # selection (explode drops it), NOT a row filter: a .filter(n >= w)
+    # here gets pushed below the gram projection with the alias
+    # substituted, re-inlining the whole tokenize+gram+md5 pipeline
+    # into the pushed Filter — 2x per-row evaluation, measured in the
+    # optimized plan (the watermark-fusion pushdown defect).
+    sel = F.when(
+        F.col("_n") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_hp") - (w - 1)),
+                lambda s: F.array_min(F.slice("_hp", s, w)),
+            )
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<h:string,negpos:int>>")
     )
     return staged.select(
         id_col, F.explode(sel).alias("_s")
@@ -951,9 +962,20 @@ def winnow_pairs(
     slightly looser than "frac share of fingerprinted docs" (the stable,
     cheaper contract: it never moves when the gram/window params
     change)."""
+    # posting key = the 60-bit md5 PREFIX, not the 32-char hex string:
+    # the distinct and the bucket groupBy push every posting through an
+    # exchange, and a BIGINT key cuts per-row bytes ~4x. The oracle twin
+    # truncates identically (_hex60) so the mirror stays exact by
+    # construction; n_shared counts distinct truncated hashes (60-bit
+    # birthday bound — no observable effect at any tested scale).
     posts = (
         winnow_selected(df, text_col, id_col, gram_k, window)
-        .select(id_col, "h")
+        .select(
+            id_col,
+            F.conv(F.substring("h", 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
         .distinct()
     )
     buckets = posts.groupBy("h").agg(
@@ -1012,7 +1034,13 @@ def winnow_span_report(
     hashes appearing at several positions contribute each position to
     the extent while n_shared still counts DISTINCT hashes (matching
     winnow_pairs exactly; pinned)."""
-    sel = winnow_selected(df, text_col, id_col, gram_k, window)
+    # same 60-bit md5-prefix key narrowing as winnow_pairs (oracle
+    # twin truncates identically)
+    sel = winnow_selected(df, text_col, id_col, gram_k, window).select(
+        id_col,
+        "pos",
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("h"),
+    )
     posts = sel.groupBy("h").agg(
         F.sort_array(
             F.collect_set(F.struct(F.col(id_col).alias("d"), "pos"))

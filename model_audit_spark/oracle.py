@@ -6119,11 +6119,13 @@ def winnow_pairs(
     max_df: int = 50,
 ) -> str:
     """Twin of text_analysis.winnow_pairs: pairs sharing >= min_shared
-    distinct fingerprint hashes, max_df cap applied before expansion."""
+    distinct fingerprint hashes, max_df cap applied before expansion.
+    Posting key = 60-bit md5 prefix (_hex60), matching the Spark side's
+    shuffle-key narrowing exactly."""
     return f"""
 WITH {_winnow_ctes(gram_k, window)},
 posts AS (
-  SELECT DISTINCT doc_id, h FROM fps
+  SELECT DISTINCT doc_id, {_hex60("h")} AS h FROM fps
 ),
 df_cap AS (
   SELECT h FROM posts GROUP BY h HAVING count(*) <= {max_df}
@@ -6147,11 +6149,16 @@ def winnow_span_report(
 ) -> str:
     """Twin of text_analysis.winnow_span_report: winnow_pairs plus the
     per-document extent of the shared fingerprints (n_shared counts
-    DISTINCT hashes; extents range over every matched position pair)."""
+    DISTINCT hashes; extents range over every matched position pair).
+    Posting key = 60-bit md5 prefix (_hex60), matching the Spark side's
+    shuffle-key narrowing exactly."""
     return f"""
 WITH {_winnow_ctes(gram_k, window)},
+fps60 AS (
+  SELECT doc_id, pos, {_hex60("h")} AS h FROM fps
+),
 posts AS (
-  SELECT DISTINCT doc_id, h FROM fps
+  SELECT DISTINCT doc_id, h FROM fps60
 ),
 df_cap AS (
   SELECT h FROM posts GROUP BY h HAVING count(*) <= {max_df}
@@ -6159,9 +6166,9 @@ df_cap AS (
 pr AS (
   SELECT a.h, a.doc_id AS id_a, b.doc_id AS id_b,
          a.pos AS a_pos, b.pos AS b_pos
-  FROM fps a
+  FROM fps60 a
   JOIN df_cap c ON c.h = a.h
-  JOIN fps b ON b.h = a.h AND a.doc_id < b.doc_id
+  JOIN fps60 b ON b.h = a.h AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
   CAST(count(DISTINCT h) AS BIGINT) AS n_shared,
