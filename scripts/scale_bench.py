@@ -337,6 +337,18 @@ def zipf_queries():
         ("curate_corpus", qs["curate_corpus"]),
         ("quality_threshold_sweep", qs["quality_threshold_sweep"]),
         ("span_dedup", qs["span_dedup"]),
+        # r10: the realistic tier is the DEFAULT text-scale fixture —
+        # every remaining text-shaped row remeasured here (the r9
+        # doc_entropy episode proved the saturated fixed-vocab fixture
+        # can hide per-row plan defects behind a constant vocabulary)
+        ("text_stats", qs["text_stats"]),
+        ("doc_fingerprints", qs["doc_fingerprints"]),
+        ("watermark_documents", qs["watermark_documents"]),
+        ("c4_clean", qs["c4_clean"]),
+        ("quality_repetition", qs["quality_repetition"]),
+        ("char_lm_scores", qs["char_lm_scores"]),
+        ("memorization_verbatim", qs["memorization_verbatim"]),
+        ("memorization_seqmatch", qs["memorization_seqmatch"]),
     ]
 
 
