@@ -1762,12 +1762,12 @@ def _dsir_weights(spark, sf):
 
 
 def _lang_id_ext(spark, sf):
-    from model_audit_spark.functions.text import detect_lang_profile
+    from model_audit_spark.functions.text import with_lang_profile
 
     docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id", detect_lang_profile("text").alias("lang_ext")
-    )
+    return with_lang_profile(
+        docs.select("doc_id", "text"), "text", "lang_ext"
+    ).drop("text")
 
 
 def _dedup_exact(spark, sf):
@@ -2032,15 +2032,22 @@ def _corpus_drift(spark, sf):
     """PSI distribution shift of src0 vs the rest over fixed length and
     quality buckets (operators/drift.py)."""
     from model_audit_spark.operators.drift import psi_drift
-    from model_audit_spark.operators.text_analysis import doc_stat_columns
+    from model_audit_spark.operators.text_analysis import with_doc_stats
 
-    docs = _t(spark, sf, "documents")
-    stats = doc_stat_columns("text")
+    # staged fused quality column (with_doc_stats): the dict-expression
+    # form embedded the quality tree once per feature struct and
+    # psi_drift's explode multiplied it (12 tokenizer subtrees measured
+    # in the optimized plan)
+    docs = with_doc_stats(
+        _t(spark, sf, "documents").select("doc_id", "text", "source"),
+        "text",
+        names=["quality_score"],
+    )
     len_bucket = F.least(
         F.floor(F.length(F.coalesce(F.col("text"), F.lit(""))) / 200),
         F.lit(19),
     )
-    q_bucket = F.floor(stats["quality_score"] * 10)
+    q_bucket = F.floor(F.col("quality_score") * 10)
     return psi_drift(
         docs,
         F.col("source") == "src0",
@@ -2466,21 +2473,31 @@ def _streaming_drift(spark, sf):
         bucket_counts,
         psi_from_counts,
     )
-    from model_audit_spark.operators.text_analysis import doc_stat_columns
+    from model_audit_spark.operators.text_analysis import with_doc_stats
     from model_audit_spark.streaming import streaming_bucket_counts
 
-    stats = doc_stat_columns("text")
+    # staged fused quality column (with_doc_stats — stateless, legal on
+    # the stream side too): the dict-expression form re-inlined the
+    # quality tree per feature struct (the corpus_drift finding)
     buckets = {
         "len": F.least(
             F.floor(F.length(F.coalesce(F.col("text"), F.lit(""))) / 200),
             F.lit(19),
         ),
-        "quality": F.floor(stats["quality_score"] * 10),
+        "quality": F.floor(F.col("quality_score") * 10),
     }
+
+    def _staged(frame):
+        return with_doc_stats(
+            frame.select("doc_id", "text", "source"),
+            "text",
+            names=["quality_score"],
+        )
+
     path = f"{sf}/documents.parquet"
     docs = spark.read.parquet(path)
     baseline = bucket_counts(
-        docs.filter(F.col("source") == "src0"), buckets
+        _staged(docs.filter(F.col("source") == "src0")), buckets
     )
     name = _sink_view(spark, "drift_")
     ckpt = tempfile.mkdtemp(prefix="ma_ckpt_")
@@ -2489,7 +2506,7 @@ def _streaming_drift(spark, sf):
     schema = docs.schema
     # coalesce: a NULL source is NOT src0 and must stay on the stream
     # (B) side, exactly as the batch PSI's is_a=false branch counts it
-    stream = (
+    stream = _staged(
         spark.readStream.schema(schema)
         .parquet(stage)
         .filter(F.coalesce(F.col("source"), F.lit("")) != "src0")

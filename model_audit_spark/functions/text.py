@@ -211,6 +211,49 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+def with_lang_profile(
+    df: "DataFrame", text_col: str = "text", out_col: str = "lang_ext"
+) -> "DataFrame":
+    """Append detect_lang_profile's verdict as `out_col`, with the token
+    array STAGED as a named column first — the fused form for corpus
+    scans. The Column form embeds the word_tokens tree inside each of
+    the six per-profile filter lambdas, and Spark's subexpression
+    elimination skips lambda-bearing trees, so one verdict re-tokenized
+    the text 6-7x per row (12 tokenizer subtrees measured in the
+    lang_id_ext plan). Values identical to detect_lang_profile."""
+    if "_lp_t" in df.columns or out_col in df.columns:
+        raise ValueError(
+            f"with_lang_profile: input frame already has _lp_t/{out_col}"
+        )
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("_lp_t", word_tokens(c))
+    verdict = _lang_profile_verdict(c, F.col("_lp_t"))
+    return staged.withColumn(out_col, verdict).select(
+        *df.columns, out_col
+    )
+
+
+def _lang_profile_verdict(c: Column, toks: Column) -> Column:
+    """The detect_lang_profile decision tree over a provided token
+    array (ideally a named attribute — see with_lang_profile)."""
+    cjk = cjk_count(c)
+    total = F.greatest(F.length(c), F.lit(1))
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(ws))).alias("hits"),
+            F.lit(-rank).alias("neg_rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for rank, (lang, ws) in enumerate(LANG_PROFILES.items())
+    ]
+    best = F.array_max(F.array(*scored))
+    return (
+        F.when((cjk >= 10) | (cjk / total > 0.15), F.lit("zh"))
+        .when(best["hits"] == 0, F.lit("und"))
+        .otherwise(best["lang"])
+    )
+
+
 def detect_lang_profile(col: Column | str) -> Column:
     """Extended lang-ID: CJK heuristic first (F19 semantics), else argmax
     of stopword-profile hit counts over lowercase word tokens; 'und'
@@ -219,7 +262,12 @@ def detect_lang_profile(col: Column | str) -> Column:
     under any partitioning. Pure expression: one token array, one pass
     per profile, no shuffle, no UDF. NULL text behaves as empty (repo
     convention) — without the coalesce, size(NULL tokens) = -1 skips the
-    0-hit branch and NULL docs would claim the first profile."""
+    0-hit branch and NULL docs would claim the first profile.
+
+    NOTE: the token array is embedded in each profile's filter lambda,
+    and lambda-bearing trees are skipped by subexpression elimination —
+    corpus scans should use with_lang_profile (staged, identical
+    values) instead of this inline Column form."""
     c = F.coalesce(_c(col), F.lit(""))
     cjk = cjk_count(c)
     total = F.greatest(F.length(c), F.lit(1))

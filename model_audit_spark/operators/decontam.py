@@ -35,10 +35,18 @@ def eval_shingle_hashes(
     id_col: str = "doc_id",
     shingle_n: int = 5,
 ) -> DataFrame:
-    """(_h): distinct md5 hex of every word n-shingle in the eval corpus."""
+    """(_h): distinct md5 hex of every word n-shingle in the eval corpus.
+
+    explode_OUTER + null-drop, not plain explode: InferFiltersFromGenerate
+    adds size(sh) > 0 under a plain explode, and predicate pushdown then
+    substitutes the whole shingle tree into the pushed Filter — one extra
+    shingle build per row (measured in the optimized plan). The null
+    filter on the GENERATED attribute cannot be pushed below the
+    Generate, so the array is built once."""
     return (
         shingles_df(eval_df, text_col, id_col, shingle_n)
-        .select(F.explode("sh").alias("_s"))
+        .select(F.explode_outer("sh").alias("_s"))
+        .filter(F.col("_s").isNotNull())
         .select(F.md5("_s").alias("_h"))
         .distinct()
     )
@@ -62,9 +70,13 @@ def contamination(
     ev = eval_shingle_hashes(eval_df, text_col, id_col, shingle_n)
     if broadcast_eval:
         ev = F.broadcast(ev)
+    # explode_outer + null-drop: see eval_shingle_hashes (avoids the
+    # inferred size(sh) > 0 filter re-building the shingle array)
     long = shingles_df(train_df, text_col, id_col, shingle_n).select(
-        id_col, F.size("sh").cast("long").alias("n_sh"), F.explode("sh").alias("_s")
-    )
+        id_col,
+        F.size("sh").cast("long").alias("n_sh"),
+        F.explode_outer("sh").alias("_s"),
+    ).filter(F.col("_s").isNotNull())
     hashed = long.select(id_col, "n_sh", F.md5("_s").alias("_h"))
     return (
         hashed.join(ev, "_h")

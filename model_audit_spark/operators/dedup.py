@@ -336,7 +336,14 @@ def jaccard_verify(
         .join(cand_ids, "_id", "left_semi")
     )
     sizes = shing.select("_id", F.size("sh").alias("n_sh"))
-    expl = shing.select("_id", F.explode("sh").alias("s"))
+    # explode_outer + null-drop: a plain explode lets
+    # InferFiltersFromGenerate push a size(sh) > 0 filter whose alias
+    # substitution re-builds the shingle array per row for UNPERSISTED
+    # `shingles` callers (the incremental path); the null filter on the
+    # generated attribute cannot sink below the Generate
+    expl = shing.select(
+        "_id", F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
     # equi-join on (id, shingle) both sides -> |A ∩ B| per pair
     inter = (
         pairs.join(expl.withColumnRenamed("_id", "id_a"), "id_a")

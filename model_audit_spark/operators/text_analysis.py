@@ -688,8 +688,14 @@ def collocations(
     c_xy·N·1e6 needs c_xy·N < 9.2e12 — fine to ~1e9-token corpora per
     run; shard larger corpora or drop to DECIMAL(38) internally.
     """
+    # persist: the unigram and bigram aggregates BOTH read this relation
+    # (track without persist re-tokenized the corpus per consumer, and
+    # each consumer's inferred non-empty filter re-inlined the tokenizer
+    # into a pushed Filter — 3 heavy pushed filters in the r9 plan)
     toks = track(
-        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_w"))
+        df.select(
+            F.col(id_col), word_tokens(F.col(text_col)).alias("_w")
+        ).persist()
     )
     uni = toks.select(F.explode("_w").alias("w")).groupBy("w").agg(
         F.count("*").alias("c")
@@ -765,8 +771,12 @@ def vocab_drift(
                 word_tokens(F.coalesce(F.col(text_col), F.lit("")))
             ).alias("_w"),
         )
+        # explode_outer + null-drop: a plain explode makes
+        # InferFiltersFromGenerate push a size(_w) > 0 filter whose
+        # alias substitution re-builds the token array per row
         counts = (
-            toks.select(F.explode("_w").alias("term"))
+            toks.select(F.explode_outer("_w").alias("term"))
+            .filter(F.col("term").isNotNull())
             .groupBy("term")
             .agg(F.count("*").alias("df"))
         )
