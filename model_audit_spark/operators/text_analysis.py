@@ -684,9 +684,12 @@ def collocations(
     Scale: one tokenize pass feeds both the unigram and bigram counts
     (two map-side-combining aggregates over the same exploded
     relations); the unigram relation (|vocab| rows) joins back twice.
-    Top-k via TakeOrdered on (lift DESC, bigram ASC). BIGINT bound:
-    c_xy·N·1e6 needs c_xy·N < 9.2e12 — fine to ~1e9-token corpora per
-    run; shard larger corpora or drop to DECIMAL(38) internally.
+    Top-k via TakeOrdered on (lift DESC, bigram ASC). The lift product
+    runs in DECIMAL(38,0) (HUGEINT on the DuckDB twin): the old BIGINT
+    intermediate overflowed once c_xy·N passed ~9.2e12 — measured as an
+    ARITHMETIC_OVERFLOW at the 27M-token Heaps/Zipf 100× corpus. The
+    QUOTIENT (<= N·1e6/min_count) still fits BIGINT to ~9e12-token
+    corpora per run; shard beyond that.
     """
     # persist: the unigram and bigram aggregates BOTH read this relation
     # (track without persist re-tokenized the corpus per consumer, and
@@ -728,9 +731,15 @@ def collocations(
         "c_xy",
         "c_x",
         "c_y",
-        F.expr("c_xy * n_tokens * 1000000 DIV (c_x * c_y)").alias(
-            "lift_ppm"
-        ),
+        # DECIMAL(38) intermediates: c_xy·N·1e6 overflows BIGINT past
+        # ~1e13 of product (measured: ARITHMETIC_OVERFLOW at the 27M-token
+        # Heaps/Zipf 100x corpus); the QUOTIENT always fits BIGINT
+        # (lift <= N·1e6/min_count). DuckDB twin uses HUGEINT — both
+        # divisions are exact integral on positive operands.
+        F.expr(
+            "CAST(CAST(c_xy AS DECIMAL(38,0)) * n_tokens * 1000000"
+            " DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+        ).alias("lift_ppm"),
     )
     top = scored.orderBy(F.desc("lift_ppm"), F.asc("bigram")).limit(top_k)
     w = Window.orderBy(F.desc("lift_ppm"), F.asc("bigram"))

@@ -5605,7 +5605,8 @@ joined AS (
 ),
 scored AS (
   SELECT bigram, c_xy, c_x, c_y,
-    CAST(c_xy * n_tokens * 1000000 // (c_x * c_y) AS BIGINT) AS lift_ppm
+    CAST(CAST(c_xy AS HUGEINT) * n_tokens * 1000000
+         // (CAST(c_x AS HUGEINT) * c_y) AS BIGINT) AS lift_ppm
   FROM joined
 ),
 top AS (

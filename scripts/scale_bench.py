@@ -349,6 +349,20 @@ def zipf_queries():
         ("char_lm_scores", qs["char_lm_scores"]),
         ("memorization_verbatim", qs["memorization_verbatim"]),
         ("memorization_seqmatch", qs["memorization_seqmatch"]),
+        # r10 fusion-repaired operators (lambda-tree re-evaluation /
+        # inferred-filter pushdown fixes) — measured so the repairs
+        # carry evidence rows
+        ("lang_id_ext", qs["lang_id_ext"]),
+        ("contamination_check", qs["contamination_check"]),
+        ("vocab_drift", qs["vocab_drift"]),
+        ("collocations", qs["collocations"]),
+        ("dedup_incremental", qs["dedup_incremental"]),
+        # flagship reference-parity projections — realistic-tier rows
+        # so every text-shaped operator publishes zipf-vs-zipf
+        ("detect_documents", qs["detect_documents"]),
+        ("llmmap_features_documents", qs["llmmap_features_documents"]),
+        ("dli_bigrams_by_source", qs["dli_bigrams_by_source"]),
+        ("lang_distribution", qs["lang_distribution"]),
     ]
 
 
