@@ -3774,56 +3774,56 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
-    "doc_entropy",
-    "contrastive_triplets",
-    "embedding_contamination",
-    "knn_graph",
-    "knn_triangles",
-    "link_prediction_aa",
-    "watermark_documents",
-    "mixture_weights",
-    "q17_small_quantity",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q_events_cube",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_rolling",
-    "quality_calibrated",
-    "snapshot_diff",
-    "span_dedup",
-    "top_boilerplate_spans",
-    "zorder_events",
-    "bm25_search",
+    "collocations",
+    "ngram_novelty",
+    "paragraph_near_dups",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_clusters_incremental",
+    "dedup_incremental",
+    "dedup_threshold_sweep",
+    "dedup_recall_report",
+    "dedup_decisions",
+    "dup_graph_stats",
+    "pagerank_dupgraph",
+    "dedup_kcore",
+    "dedup_communities",
+    "community_modularity",
+    "community_source_nmi",
+    "cluster_retention",
+    "source_overlap",
+    "leakage_safe_splits",
+    "curate_corpus",
+    "quality_threshold_sweep",
+    "vocab_drift",
+    "winnow_fingerprints",
+    "winnow_span_report",
+    "c4_clean",
+    "char_lm_scores",
+    "contamination_check",
+    "effective_corpus_size",
+    "budget_select",
+    "lang_id_ext",
+    "quality_repetition",
+    "streaming_drift",
+    "text_stats",
+    "winnow_pairs",
     "corpus_drift",
-    "dsir_select",
-    "dsir_weights",
-    "embedding_principal",
-    "memorization_seqmatch",
-    "q10_returned_items",
-    "q12_ship_delay",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume",
-    "q19_disjunctive",
-    "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "q22_global_threshold",
-    "q3_top_unshipped",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q_salted_revenue",
-    "q_urgent_customers",
-    "q_window_orders",
-    "quota_sample",
-    "semantic_dedup",
+    "doc_entropy",
+    "quality_calibrated",
     "source_data_card",
-    "tfidf_keywords",
-    "boilerplate_templates",
-    "burstiness_profile",
-    "channel_attribution",
+    "watermark_documents",
+    "cluster_quality",
+    "cluster_topics",
+    "column_profile_lineitem",
+    "dedup_canonical",
+    "domain_classify",
+    "embedding_coverage",
+    "embedding_norm_outliers",
+    "epoch_shuffle",
+    "event_transitions",
+    "events_gapfill",
+    "events_hourly_anomalies",
 ]
 
 
