@@ -535,3 +535,68 @@ def test_norm_outliers_single_vector_scan(spark):
     assert plan.count("FileScan parquet") == 1
     assert "InMemoryTableScan" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_quality_sweep_single_tokenization(spark):
+    """The r10 fusion contract: quality_threshold_sweep's plan carries
+    exactly ONE word-tokenizer subtree. Two historical regressions are
+    pinned away — the dict-expression form re-embedded the tokenizer in
+    lambda trees (subexpression elimination skips LambdaVariables), and
+    the theta join's inferred isnotnull(q_micro) was pushed below the
+    staging with aliases substituted, re-inlining 7 subtrees (fixed by
+    the non-nullable coalesce)."""
+    df = entrymod.queries()["quality_threshold_sweep"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_extract_all") == 1, opt.count(
+        "regexp_extract_all"
+    )
+
+
+def test_char_lm_no_doc_bigram_exchange(spark):
+    """char_lm_scores' r10 rebuild: per-doc bigram counts are in-row
+    run lengths, so NO exchange keys on a bigram column — the old
+    groupBy(id, bigram) shape pushed ~100M combined rows at 100x. The
+    only aggregates key on the bigram alone (tiny LM table) or the doc
+    id alone (1 combined row per doc)."""
+    from model_audit_spark import persistence
+
+    persistence.release_all()
+    spark.catalog.clearCache()
+    df = entrymod.queries()["char_lm_scores"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    for l in final.splitlines():
+        if "Exchange hashpartitioning" in l and "bigram" in l:
+            assert "doc_id" not in l, l[:160]
+
+
+def test_no_pushed_filter_rebuilds_heavy_arrays(spark):
+    """InferFiltersFromGenerate defense (r10): a plain explode over an
+    inline-built array gets a size(arr) > 0 filter pushed below the
+    projection with aliases substituted — re-building the tokenizer/
+    shingle array once per row inside the Filter. The repaired
+    operators (jaccard_verify, contamination, vocab_drift, winnowing)
+    must stay free of Filters that embed a tokenize/zip subtree;
+    phrase_search is exempt (its one such Filter IS the query
+    predicate)."""
+    from model_audit_spark import persistence
+
+    for q in (
+        "contamination_check",
+        "dedup_incremental",
+        "vocab_drift",
+        "winnow_pairs",
+        "collocations",
+        "curate_corpus",
+    ):
+        df = entrymod.queries()[q](spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            l for l in opt.splitlines()
+            if "Filter" in l
+            and ("regexp_extract_all" in l or "arrays_zip" in l)
+        ]
+        assert not bad, (q, bad[0][:160])
+        persistence.release_all()
+        spark.catalog.clearCache()
