@@ -78,6 +78,12 @@ def c4_clean_stats(
     # functions/text.with_watermark_signals). Staged as named columns,
     # CollapseProject keeps each computed once per row in one
     # WholeStageCodegen — still one scan, one projection chain.
+    clash = [n for n in df.columns if n.startswith("_c4_")]
+    if clash:
+        raise ValueError(
+            "c4_clean_stats: input frame already has reserved "
+            f"column(s): {clash}"
+        )
     c = F.coalesce(F.col(text_col), F.lit(""))
     staged = (
         df.withColumn(

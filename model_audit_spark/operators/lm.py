@@ -23,13 +23,17 @@ classic source of last-digit hash flips. Bound: s9 ≤ n·36e9, so docs up
 to ~2.5e8 bigrams (≈250 MB of text) fit in BIGINT.
 
 Plan shape at scale:
-- Training: one scan -> per-row bigram multiset (sequence+transform, no
-  explode of raw chars) -> explode -> ONE hash aggregate keyed on the
-  bigram (map-side combine; vocabulary is bounded by charset², so the
-  aggregate output is tiny no matter the corpus size).
-- Scoring: per-(doc, bigram) counts (second scan + aggregate keyed
-  doc×bigram), then a BROADCAST join against the LM table (bounded size)
-  and a per-doc aggregate. No corpus-sized shuffle carries text.
+- Training: one scan -> per-row bigram array (sequence+transform over the
+  staged lowered text) -> explode_outer -> ONE hash aggregate keyed on
+  the bigram (map-side combine; vocabulary is bounded by charset², so
+  the aggregate output is tiny no matter the corpus size).
+- Scoring: the SAME occurrence explode (no per-doc counting, no sort —
+  Σ_b m_b·ln9(cnt_b) is computed as Σ over raw occurrences of ln9, which
+  is the identical integer sum), a BROADCAST hash join of each occurrence
+  against the LM table (bounded size, O(1) probe), and a per-doc hash
+  aggregate whose map-side combine emits ~1 row per doc per partition.
+  No corpus-sized exchange anywhere: the only shuffles carry the
+  charset²-bounded LM rows and the one-combined-row-per-doc partials.
 """
 
 from __future__ import annotations
@@ -73,11 +77,19 @@ def _bigrams_of_lowered(lc: Column) -> Column:
 def char_lm_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(bigram, cnt): corpus-wide char-bigram counts — the trained LM.
     The lowered text is staged as a named column so the bigram lambda
-    reads an attribute (see char_bigrams warning)."""
+    reads an attribute (see char_bigrams warning). explode_outer + an
+    explicit isNotNull on the GENERATED attribute instead of a plain
+    explode: InferFiltersFromGenerate would otherwise push a
+    size(arr) > 0 filter below the staging with the alias substituted,
+    re-building the bigram array once per row inside the Filter (the
+    r10 pushed-filter rebuild, applied here in r11)."""
     lc = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     return (
         df.select(lc.alias("_lc"))
-        .select(F.explode(_bigrams_of_lowered(F.col("_lc"))).alias("bigram"))
+        .select(
+            F.explode_outer(_bigrams_of_lowered(F.col("_lc"))).alias("bigram")
+        )
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -97,96 +109,68 @@ def char_lm_scores(
     pre-built ``lm`` (char_lm_table output) to score one corpus against
     another's model.
 
-    Plan shape (r10 rebuild, the doc_entropy run-length discipline):
-    per-doc (bigram, m) pairs are RUN LENGTHS over the doc's sorted
-    bigram array, computed in-row — the r1-r9 shape exploded every
-    bigram occurrence into a groupBy(id, bigram) exchange whose
-    map-side-combine output was still ~100M rows at the Heaps/Zipf
-    100x tier (measured 87.7 s; the fixed-vocab fixture hid it behind
-    a saturated charset). Now the corpus-sized relation never shuffles:
-    the runs explode is narrow, the LM join is broadcast, and the only
-    exchange is the final per-doc aggregate (~1 combined row per doc).
-    Training reuses the same persisted sorted-array relation (sum of
-    run lengths == occurrence count, bit-identical), saving the second
-    corpus scan + tokenization; the lowered text is staged as a named
-    column so the bigram lambda reads an attribute instead of
-    re-lowering the whole string per element (the O(n²) char_bigrams
-    warning — that alone was half the old wall). Values are
-    bit-identical to the old shape; the oracle twin is unchanged.
-    Measured at the Heaps/Zipf 100x tier: 87.7 -> 35.5 s
-    (exp 0.80 -> 0.63).
+    Plan shape (r11 rebuild — no sort, no per-doc counting at all):
+    Σ_b m_b·ln9(cnt_b) over a doc's distinct bigrams is the SAME integer
+    sum as Σ over the doc's raw bigram occurrences of ln9(cnt) — so the
+    per-doc multiset (the r10 array_sort + run-length machinery, and the
+    r1-r9 groupBy(id, bigram) exchange before it) is pure overhead. The
+    scoring leg now explodes raw occurrences, broadcast-hash-joins each
+    against the charset²-bounded LM (O(1) probe, no exchange), and lets
+    the per-doc hash aggregate's map-side combine collapse them (~1
+    combined row per doc per partition). Training reads the same
+    persisted (id, lowered-text) relation — text-sized, no derived
+    arrays — through the same occurrence explode. explode_outer keeps
+    empty docs as a NULL-bigram row (misses the join: n_bigrams = 0,
+    lm_score NULL) and starves InferFiltersFromGenerate (no pushed
+    size()>0 filter re-building the array per row); the training leg
+    filters isNotNull on the GENERATED attribute. The lowered text is
+    staged as a named column so the bigram lambda reads an attribute
+    instead of re-lowering the whole string per element (the O(n²)
+    char_bigrams warning). Values are bit-identical to the r10 shape;
+    the oracle twin is unchanged. Measured at the Heaps/Zipf 100x tier:
+    r10 sorted-run shape 37.2 s -> this shape (see SCALE.md row).
     """
     staged = df.select(
         F.col(id_col),
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lc"),
-    ).select(
-        F.col(id_col),
-        F.array_sort(_bigrams_of_lowered(F.col("_lc"))).alias("_a"),
     )
     if lm is None:
-        # both the training aggregate and the scoring join read the
-        # sorted-array relation; persist it ONCE (500k narrow rows at
-        # the 100x tier). Measured alternatives at 100x: persisting the
-        # ~100M-row exploded run relation instead 57.0 s; re-training
-        # from a raw second-scan explode (no persist) 83.8 s; this
-        # shape 35.5 s.
+        # training and scoring each run the occurrence explode over this
+        # relation; persist the TEXT once (re-reading parquet + re-
+        # lowering per leg measured 83.8 s vs 35.5 s persisted at 100x
+        # on the r10 shape; the explode itself is cheap streaming).
         staged = track(staged.persist())
-    a = F.col("_a")
-    n = F.size(a)
-    bounds = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == 1)
-        | (F.element_at(a, i) != F.element_at(a, i - 1)),
-    )
-    staged = staged.withColumn(
-        "_b",
-        F.when(n >= 1, bounds).otherwise(F.array().cast("array<int>")),
-    )
-    b = F.col("_b")
-    ends = F.concat(
-        F.slice(b, 2, F.greatest(F.size(b) - 1, F.lit(0))),
-        F.array(F.size(a) + 1),
-    )
-    runs = F.zip_with(
-        b,
-        ends,
-        lambda s, e: F.struct(
-            F.element_at(a, s).alias("bigram"),
-            (e - s).cast("long").alias("m"),
-        ),
-    )
-    # empty docs keep a row: b = [] makes `runs` a single
-    # (NULL, NULL) element (zip_with pads), which misses the LM join
-    # exactly like the old explode_outer NULL row — n_bigrams = 0,
-    # lm_score NULL.
-    doc_counts = staged.select(
-        F.col(id_col), F.explode_outer(runs).alias("_r")
-    ).select(
-        id_col,
-        F.col("_r.bigram").alias("bigram"),
-        F.col("_r.m").alias("m"),
+    occ = staged.select(
+        F.col(id_col),
+        F.explode_outer(_bigrams_of_lowered(F.col("_lc"))).alias("bigram"),
     )
     if lm is None:
         lm = (
-            doc_counts.filter(F.col("bigram").isNotNull())
+            occ.filter(F.col("bigram").isNotNull())
             .groupBy("bigram")
-            .agg(F.sum("m").cast("long").alias("cnt"))
+            .agg(F.count("*").cast("long").alias("cnt"))
         )
     lm = track(lm.persist())
     total = lm.agg(F.sum("cnt").alias("t"))  # 1 row
     ln9 = F.round(F.ln("cnt") * F.lit(1000000000.0), 0).cast("long")
     scored = (
-        doc_counts.join(F.broadcast(lm), "bigram", "left")
+        occ.join(
+            F.broadcast(lm.select("bigram", ln9.alias("_ln9"))),
+            "bigram",
+            "left",
+        )
         .groupBy(id_col)
         .agg(
-            # count model-covered bigrams only: unseen bigrams (possible
-            # when scoring against an external lm) carry no probability
-            # and are excluded from the mean; the explode_outer NULL row
-            # of empty docs never joins, so it is excluded the same way
+            # count model-covered occurrences only: unseen bigrams
+            # (possible when scoring against an external lm) carry no
+            # probability and are excluded from the mean; the
+            # explode_outer NULL row of empty docs never joins, so it
+            # is excluded the same way
             F.sum(
-                F.when(F.col("cnt").isNotNull(), F.col("m")).otherwise(0)
+                F.when(F.col("_ln9").isNotNull(), F.lit(1)).otherwise(0)
             ).cast("long").alias("n_bigrams"),
-            F.sum(F.col("m") * ln9).alias("_s9"),
+            F.sum(F.coalesce(F.col("_ln9"), F.lit(0))).cast("long")
+            .alias("_s9"),
         )
     )
     lnt9 = F.round(F.ln("t") * F.lit(1000000000.0), 0).cast("long")
@@ -253,11 +237,19 @@ def char_entropy_scores(
     )
     a = F.col("_a")
     n = F.size(a)
-    # run boundaries: 1-based positions where the sorted char changes
+    # run boundaries: 1-based positions where the sorted char changes.
+    # The predecessor index is clamped to 1 (i == 1 compares a[1] with
+    # itself, and the `i == 1` arm keeps the position regardless) so the
+    # predicate NEVER produces element_at(a, 0) — which always errors in
+    # Spark — instead of relying on Or short-circuit evaluation order,
+    # which the optimizer is free to rewrite.
     bounds = F.filter(
         F.sequence(F.lit(1), n),
         lambda i: (i == 1)
-        | (F.element_at(a, i) != F.element_at(a, i - 1)),
+        | (
+            F.element_at(a, i)
+            != F.element_at(a, F.greatest(i - 1, F.lit(1)))
+        ),
     )
     staged = staged.withColumn(
         "_b",

@@ -16,6 +16,13 @@ test fixture supplies it — and the scoring operators are:
 - levenshtein_similarity: 1 − lev(a,b)/max(|a|,|b|,1) — the Spark-native
   proxy (built-in, whole-stage codegen, SQL-oracle-checkable). Not
   bit-identical to SequenceMatcher; both are exposed.
+
+100 TB POLICY (SCALE.md "Memorization at scale"): levenshtein_similarity
+is the DEFAULT for cluster-scale sweeps — pure JVM expression, exp 0.36
+at the realistic 100x tier. sequence_match_scores is the PARITY/AUDIT
+mode: a per-pair Python difflib kernel (exp 0.73, ~5x the wall at 100x)
+whose value is bit-exact reference parity, priced accordingly — run it
+on the flagged subset a levenshtein sweep surfaces, not the full corpus.
 - verbatim_phrase_fraction: F25 exactly — phrase_len = min(8, n_words//4)
   or 3; non-overlapping windows at stride phrase_len; fraction of phrases
   contained verbatim in the response.

@@ -71,6 +71,12 @@ def repetition_stats(
     # and re-trimmed every row per reference (the watermark-fusion
     # defect). Staged as named columns, each producer is computed once
     # per row — still one scan, no shuffle added.
+    clash = [n for n in df.columns if n.startswith("_rs_")]
+    if clash:
+        raise ValueError(
+            "repetition_stats: input frame already has reserved "
+            f"column(s): {clash}"
+        )
     c = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.withColumns(
         {

@@ -639,6 +639,12 @@ def ngram_novelty(
     distinct grams — none observable at any tested scale).
 
     Returns (id, n_shingles, n_novel) — novelty = n_novel/n_shingles.
+    n_novel is PROBABILISTIC, not exact: "the same shingle" means "the
+    same 60-bit md5 prefix", so two distinct grams colliding in 60 bits
+    are counted as one (birthday bound above; the oracle twin truncates
+    identically). For an exact-key small-corpus run, group on the gram
+    string itself — the dedup module's shingles_df output is the exact
+    relation.
     """
     from model_audit_spark.operators.dedup import shingles_df
 
@@ -956,7 +962,13 @@ def winnow_pairs(
     distinct winnowing fingerprint HASHES — MOSS-style containment
     candidates: position-aware (a long verbatim run guarantees shared
     fingerprints) yet ~2/(window+1) the index size of stride-1 span
-    hashing.
+    hashing. n_shared is PROBABILISTIC, not exact: fingerprints are
+    compared by their 60-bit md5 prefix, so two distinct grams
+    colliding in 60 bits count as one shared hash (and can merge
+    max_df buckets); the oracle twin truncates identically, and the
+    birthday bound makes the effect unobservable below ~1e8 distinct
+    grams. Exact-key runs on small corpora: group winnow_selected's
+    full 32-hex `h` directly.
 
     Bucket-first, the same discipline as every candidate generator in
     this repo: distinct (doc, h) postings group by h, docs expand to
@@ -1052,7 +1064,11 @@ def winnow_span_report(
     aggregate keys on the JOINED (a_pos, b_pos) posting pairs — shared
     hashes appearing at several positions contribute each position to
     the extent while n_shared still counts DISTINCT hashes (matching
-    winnow_pairs exactly; pinned)."""
+    winnow_pairs exactly; pinned). Like winnow_pairs, n_shared and the
+    extents are PROBABILISTIC under the 60-bit md5-prefix key — a
+    collision merges two grams' postings (oracle twin truncates
+    identically; birthday-bound negligible below ~1e8 distinct
+    grams)."""
     # same 60-bit md5-prefix key narrowing as winnow_pairs (oracle
     # twin truncates identically)
     sel = winnow_selected(df, text_col, id_col, gram_k, window).select(

@@ -104,6 +104,25 @@ def test_char_lm_external_model(spark):
     assert rows[0].n_bigrams == 1
 
 
+def test_staging_guards_reject_reserved_columns(spark):
+    """c4_clean_stats / repetition_stats stage _c4_*/_rs_* helper
+    columns via withColumn; an input frame already carrying such a name
+    would be silently shadowed — both must refuse up front, matching
+    the with_doc_stats / with_watermark_signals guards (r10 advice)."""
+    from model_audit_spark.operators.quality import repetition_stats
+
+    df_c4 = spark.createDataFrame(
+        [(1, "t", "x")], "doc_id int, text string, _c4_lines string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        c4_clean_stats(df_c4)
+    df_rs = spark.createDataFrame(
+        [(1, "t", "x")], "doc_id int, text string, _rs_paras string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        repetition_stats(df_rs)
+
+
 def test_paragraph_dedup_skew_safe_form_agrees(spark):
     """Both physical formulations (window vs hash-agg + join) must agree
     on real data — the skew_safe form exists for hot-digest corpora."""
