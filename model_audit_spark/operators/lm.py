@@ -22,15 +22,17 @@ engines; crucially there is NO engine-side round() on a double, the
 classic source of last-digit hash flips. Bound: s9 ≤ n·36e9, so docs up
 to ~2.5e8 bigrams (≈250 MB of text) fit in BIGINT.
 
-Plan shape at scale:
-- Training: one scan -> per-row bigram array (sequence+transform over the
-  staged lowered text) -> explode_outer -> ONE hash aggregate keyed on
-  the bigram (map-side combine; vocabulary is bounded by charset², so
-  the aggregate output is tiny no matter the corpus size).
+Plan shape at scale (char_lm_scores):
+- One scan -> per-row INTEGER bigram-key array (split('') -> ascii
+  codepoints -> zip_with cp1·2^21+cp2; bijective over Unicode, so int
+  counts == string counts exactly), persisted once.
+- Training: explode_outer -> ONE hash aggregate keyed on the int
+  (map-side combine; vocabulary is bounded by charset², so the
+  aggregate output is tiny no matter the corpus size).
 - Scoring: the SAME occurrence explode (no per-doc counting, no sort —
   Σ_b m_b·ln9(cnt_b) is computed as Σ over raw occurrences of ln9, which
   is the identical integer sum), a BROADCAST hash join of each occurrence
-  against the LM table (bounded size, O(1) probe), and a per-doc hash
+  against the LM table (bounded size, O(1) int probe), and a per-doc hash
   aggregate whose map-side combine emits ~1 row per doc per partition.
   No corpus-sized exchange anywhere: the only shuffles carry the
   charset²-bounded LM rows and the one-combined-row-per-doc partials.
@@ -109,54 +111,90 @@ def char_lm_scores(
     pre-built ``lm`` (char_lm_table output) to score one corpus against
     another's model.
 
-    Plan shape (r11 rebuild — no sort, no per-doc counting at all):
+    Plan shape (r11 rebuild — integer bigram keys, no sort, no per-doc
+    counting at all):
     Σ_b m_b·ln9(cnt_b) over a doc's distinct bigrams is the SAME integer
     sum as Σ over the doc's raw bigram occurrences of ln9(cnt) — so the
     per-doc multiset (the r10 array_sort + run-length machinery, and the
-    r1-r9 groupBy(id, bigram) exchange before it) is pure overhead. The
-    scoring leg now explodes raw occurrences, broadcast-hash-joins each
-    against the charset²-bounded LM (O(1) probe, no exchange), and lets
-    the per-doc hash aggregate's map-side combine collapse them (~1
-    combined row per doc per partition). Training reads the same
-    persisted (id, lowered-text) relation — text-sized, no derived
-    arrays — through the same occurrence explode. explode_outer keeps
-    empty docs as a NULL-bigram row (misses the join: n_bigrams = 0,
-    lm_score NULL) and starves InferFiltersFromGenerate (no pushed
-    size()>0 filter re-building the array per row); the training leg
-    filters isNotNull on the GENERATED attribute. The lowered text is
-    staged as a named column so the bigram lambda reads an attribute
-    instead of re-lowering the whole string per element (the O(n²)
-    char_bigrams warning). Values are bit-identical to the r10 shape;
-    the oracle twin is unchanged. Measured at the Heaps/Zipf 100x tier:
-    r10 sorted-run shape 37.2 s -> this shape (see SCALE.md row).
+    r1-r9 groupBy(id, bigram) exchange before it) is pure overhead. And
+    the bigram needn't be a STRING: materializing ~224M two-char substr
+    objects measured 11.7 s a pass at the 100x tier, vs 4.3 s for
+    split('') -> ascii() -> zip_with integer keys cp1·2^21 + cp2 —
+    BIJECTIVE over all Unicode (max codepoint 0x10FFFF < 2^21), so
+    counts per key equal counts per bigram string exactly and the
+    oracle twin (which keys on the string) stays bit-identical with no
+    collision caveat. The persisted mid-relation is the (id, key-array)
+    frame — training explodes it into ONE hash aggregate keyed on the
+    int (map-side combine, charset²-bounded output), scoring explodes
+    it again through a BROADCAST hash join (O(1) int probe, no
+    exchange) into the per-doc aggregate whose map-side combine emits
+    ~1 row per doc per partition. No corpus-sized exchange anywhere.
+    explode_outer keeps empty docs as a NULL-key row (misses the join:
+    n_bigrams = 0, lm_score NULL) and starves InferFiltersFromGenerate
+    (no pushed size()>0 filter re-building the array per row); the
+    training leg filters isNotNull on the GENERATED attribute. _cps is
+    staged as a named column so the two zip_with slices read an
+    attribute, not two rebuilds of the lambda-bearing split+ascii tree
+    (subexpression elimination skips LambdaVariable trees). An external
+    `lm` (char_lm_table output, string bigrams — the public contract)
+    is mapped to int keys on its charset²-bounded model rows, never the
+    corpus. Values are bit-identical to the r10 shape; the oracle twin
+    is unchanged. Measured at the Heaps/Zipf 100x tier (splittable
+    fixture): 34.6 s (string-occurrence shape) -> see SCALE.md row.
     """
-    staged = df.select(
-        F.col(id_col),
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lc"),
+    lc = F.col("_lc")
+    cps = F.col("_cps")
+    n1 = F.greatest(F.size(cps) - 1, F.lit(0))
+    key = lambda a, b: a.cast("long") * F.lit(2097152) + b  # noqa: E731
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lc"),
+        )
+        .withColumn(
+            "_cps",
+            F.when(
+                F.length(lc) >= 2,
+                F.transform(F.split(lc, ""), lambda ch: F.ascii(ch)),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.slice(cps, 1, n1), F.slice(cps, 2, n1), key
+            ).alias("_k"),
+        )
     )
     if lm is None:
-        # training and scoring each run the occurrence explode over this
-        # relation; persist the TEXT once (re-reading parquet + re-
-        # lowering per leg measured 83.8 s vs 35.5 s persisted at 100x
-        # on the r10 shape; the explode itself is cheap streaming).
+        # training and scoring each explode this relation; persist the
+        # int key arrays ONCE (8 B/occurrence; the r10 shape persisted
+        # sorted STRING arrays, and re-building keys per leg would cost
+        # a full split+ascii pass each).
         staged = track(staged.persist())
-    occ = staged.select(
-        F.col(id_col),
-        F.explode_outer(_bigrams_of_lowered(F.col("_lc"))).alias("bigram"),
-    )
+    occ = staged.select(F.col(id_col), F.explode_outer("_k").alias("_bk"))
     if lm is None:
-        lm = (
-            occ.filter(F.col("bigram").isNotNull())
-            .groupBy("bigram")
+        lm_keys = (
+            occ.filter(F.col("_bk").isNotNull())
+            .groupBy("_bk")
             .agg(F.count("*").cast("long").alias("cnt"))
         )
-    lm = track(lm.persist())
-    total = lm.agg(F.sum("cnt").alias("t"))  # 1 row
+    else:
+        # public lm contract is (bigram STRING, cnt); int-key it on the
+        # charset²-bounded model rows
+        lm_keys = lm.select(
+            key(
+                F.ascii(F.substring("bigram", 1, 1)),
+                F.ascii(F.substring("bigram", 2, 1)),
+            ).alias("_bk"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    lm_keys = track(lm_keys.persist())
+    total = lm_keys.agg(F.sum("cnt").alias("t"))  # 1 row
     ln9 = F.round(F.ln("cnt") * F.lit(1000000000.0), 0).cast("long")
     scored = (
         occ.join(
-            F.broadcast(lm.select("bigram", ln9.alias("_ln9"))),
-            "bigram",
+            F.broadcast(lm_keys.select("_bk", ln9.alias("_ln9"))),
+            "_bk",
             "left",
         )
         .groupBy(id_col)

@@ -55,6 +55,59 @@ TABLES = [
     "orders", "lineitem", "events",
 ]
 
+# Generated documents/embeddings are written as a DIRECTORY of part
+# files, not one monolithic file. Measurement-fidelity finding (r11): a
+# single pyarrow write_table call puts all N rows in ONE parquet row
+# group (default row_group_size 1M >> any fixture), and a row group is
+# classically unsplittable across Spark tasks. Observed on the r9/r10
+# monolithic fixtures: cached mid-relations inherited the file's split
+# skew (25 of 26 cache partitions empty, one straggler carrying 100% of
+# the persisted rows — a serial tail on every cached-relation pass).
+# Measured effect of the fix on this Spark (4.1, whose vectorized
+# reader partially mitigates the raw-scan case): doc_entropy 12.2 ->
+# 9.1 s, char_lm_scores ~37 -> 34.6 s at 100x on the same code —
+# real, not 32x; the serial hazard is version-dependent, which is
+# exactly why the fixture must not rely on reader mitigation. A real
+# 100 TB corpus is thousands of files; the fixture must be splittable
+# the same way. 32 part files = the local[32] gate's parallelism;
+# bounded row groups keep each file splittable if it ever outgrows one
+# split. The production lesson stands: one giant single-row-group
+# parquet (like a gzip'd JSON) gates scan parallelism on reader
+# internals instead of the cluster size.
+N_PART_FILES = 32
+ROW_GROUP_ROWS = 8192
+
+
+def _write_dataset(table, dest: Path) -> None:
+    """Write an arrow table as dest/part-NNNN.parquet (N_PART_FILES
+    slices, bounded row groups). Replaces any previous single-file or
+    symlinked fixture at `dest`."""
+    import pyarrow.parquet as pq
+
+    if dest.is_symlink() or dest.is_file():
+        dest.unlink()
+    dest.mkdir(parents=True, exist_ok=True)
+    for old in dest.glob("*.parquet"):
+        old.unlink()
+    n = table.num_rows
+    per = max(1, -(-n // N_PART_FILES))
+    for i in range(N_PART_FILES):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(
+            table.slice(lo, min(per, n - lo)),
+            dest / f"part-{i:04d}.parquet",
+            row_group_size=ROW_GROUP_ROWS,
+        )
+
+
+def duck_path(sf_dir, table: str) -> str:
+    """DuckDB-readable path for a fixture table: single files read as-is,
+    part-file directories (this script's generated datasets) as a glob."""
+    p = Path(sf_dir) / f"{table}.parquet"
+    return f"{p}/*.parquet" if p.is_dir() else str(p)
+
 
 # ------------------------------------------------------------------ gen
 
@@ -165,7 +218,7 @@ def generate(mult: int) -> Path:
         ),
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     })
-    pq.write_table(docs, out / "documents.parquet")
+    _write_dataset(docs, out / "documents.parquet")
 
     # embeddings: per-label Gaussian fitted on sf0.1 (mean + per-dim std)
     base = con.sql(
@@ -196,7 +249,7 @@ def generate(mult: int) -> Path:
         ),
         "label": pa.array(labels, type=pa.int32()),
     })
-    pq.write_table(emb, out / "embeddings.parquet")
+    _write_dataset(emb, out / "embeddings.parquet")
 
     # the non-scaled dims ride along as symlinks so _t() loading works
     for t in TABLES:
@@ -296,7 +349,7 @@ def generate_zipf(mult: int) -> Path:
         ),
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     })
-    pq.write_table(docs, out / "documents.parquet")
+    _write_dataset(docs, out / "documents.parquet")
     # the zipf tier is text-only; non-document tables ride along as
     # symlinks so loaders that probe the directory keep working
     for t in TABLES + ["embeddings"]:
@@ -377,7 +430,7 @@ def phrase_prefilter_selectivity(doc_dir: str) -> float:
         return con.sql(
             f"select avg(case when contains(text, 'table') and "
             f"contains(text, 'hash') then 1.0 else 0.0 end) "
-            f"from '{doc_dir}/documents.parquet'"
+            f"from '{duck_path(doc_dir, 'documents')}'"
         ).fetchone()[0]
     finally:
         con.close()

@@ -553,11 +553,13 @@ def test_quality_sweep_single_tokenization(spark):
 
 
 def test_char_lm_no_doc_bigram_exchange(spark):
-    """char_lm_scores' r10 rebuild: per-doc bigram counts are in-row
-    run lengths, so NO exchange keys on a bigram column — the old
-    groupBy(id, bigram) shape pushed ~100M combined rows at 100x. The
-    only aggregates key on the bigram alone (tiny LM table) or the doc
-    id alone (1 combined row per doc)."""
+    """char_lm_scores' r10/r11 rebuilds: per-doc bigram counting is
+    gone entirely, so NO exchange keys on both the doc id and a bigram
+    key — the r1-r9 groupBy(id, bigram) shape pushed ~100M combined
+    rows at 100x. The only aggregates key on the int bigram key alone
+    (tiny LM table) or the doc id alone (1 combined row per doc). The
+    r11 shape keys bigrams as INTEGERS (_bk = cp1*2^21 + cp2); no
+    exchange may carry a string bigram column at all."""
     from model_audit_spark import persistence
 
     persistence.release_all()
@@ -567,7 +569,9 @@ def test_char_lm_no_doc_bigram_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     for l in final.splitlines():
-        if "Exchange hashpartitioning" in l and "bigram" in l:
+        if "Exchange hashpartitioning" in l and (
+            "bigram" in l or "_bk" in l
+        ):
             assert "doc_id" not in l, l[:160]
 
 

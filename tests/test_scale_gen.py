@@ -105,7 +105,7 @@ def test_relational_replication_preserves_semantics(sb):
 def test_document_generation_calibrated_and_deterministic(sb, tmp_path):
     out = sb.generate(2)
     con = duckdb.connect()
-    doc = f"'{out}/documents.parquet'"
+    doc = f"'{sb.duck_path(out, 'documents')}'"
     base = f"'{BASE}/documents.parquet'"
     n_base = con.sql(f"select count(*) from {base}").fetchone()[0]
     n_docs, n_dup = con.sql(
@@ -130,7 +130,7 @@ def test_document_generation_calibrated_and_deterministic(sb, tmp_path):
     assert extra == 0
 
     # embeddings: count, dim, labels drawn from the base label set
-    emb = f"'{out}/embeddings.parquet'"
+    emb = f"'{sb.duck_path(out, 'embeddings')}'"
     n_vec, dim = con.sql(
         f"select count(*), min(len(embedding)) from {emb}"
     ).fetchone()
@@ -148,10 +148,34 @@ def test_document_generation_calibrated_and_deterministic(sb, tmp_path):
     spec.loader.exec_module(again)
     out2 = again.generate(2)
     same = con.sql(
-        f"select count(*) from {doc} a join '{out2}/documents.parquet' b "
+        f"select count(*) from {doc} a join "
+        f"'{sb.duck_path(out2, 'documents')}' b "
         f"using (doc_id) where a.text = b.text"
     ).fetchone()[0]
     assert same == n_docs
+
+
+def test_generated_fixtures_are_scan_splittable(sb):
+    """r11 measurement-fidelity pin: a single pyarrow write_table call
+    puts all rows in ONE parquet row group, which is classically
+    unsplittable across Spark tasks — on the r9/r10 monolithic fixtures
+    the cached mid-relations inherited that skew (one straggler cache
+    partition carrying 100% of the persisted rows). Generated
+    documents/embeddings must be a directory of multiple part files
+    with bounded row groups, like any real corpus."""
+    import pyarrow.parquet as pq
+
+    out = sb.generate_zipf(1)
+    d = Path(out) / "documents.parquet"
+    assert d.is_dir()
+    parts = sorted(d.glob("*.parquet"))
+    assert len(parts) > 1, parts
+    for p in parts:
+        f = pq.ParquetFile(p)
+        for i in range(f.metadata.num_row_groups):
+            assert (
+                f.metadata.row_group(i).num_rows <= sb.ROW_GROUP_ROWS
+            )
 
 
 def test_zipf_generation_heaps_vocab_and_dup_contract(sb):
@@ -170,7 +194,7 @@ def test_zipf_generation_heaps_vocab_and_dup_contract(sb):
         return con.sql(
             f"select count(distinct w) from (select "
             f"unnest(string_split(text, ' ')) w from "
-            f"'{d}/documents.parquet')"
+            f"'{sb.duck_path(d, 'documents')}')"
         ).fetchone()[0]
 
     v1, v4 = vocab_size(out1), vocab_size(out4)
@@ -179,7 +203,7 @@ def test_zipf_generation_heaps_vocab_and_dup_contract(sb):
     assert v4 > 1.4 * v1, (v1, v4)
 
     # dup-injection contract preserved at the calibrated rate
-    doc = f"'{out4}/documents.parquet'"
+    doc = f"'{sb.duck_path(out4, 'documents')}'"
     base = f"'{BASE}/documents.parquet'"
     n_docs, n_dup = con.sql(
         f"select count(*), sum(case when text like '% dup' then 1 "
