@@ -606,6 +606,7 @@ def knn_graph(
     dim: int | None = None,
     seed: int = 42,
     target_occupancy: int = 32,
+    bucket_window: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over EVERY vector — the
     all-documents analogue of lsh_topk (one query) and the input relation
@@ -659,6 +660,28 @@ def knn_graph(
       sources) so an un-parameterized caller gets the measured-safe
       configuration; gate queries pass explicit literals to skip the
       count and keep their evidence hashes stable.
+    - The plane policy holds AVERAGE occupancy; it cannot hold the TAIL
+      on clustered data. A tight topic cluster lands on the same side
+      of most hyperplanes (the per-point noise is small against the
+      center's margin), so the whole cluster shares a handful of
+      buckets regardless of plane count — measured on the r11 skew
+      fixture (power-law cluster sizes, top cluster 21% of 200k
+      vectors): 13 policy planes = 8192 nominal buckets, yet max
+      occupancy 12,806 and 262M in-bucket pairs PER BAND (~80× the
+      balanced fixture); mean-centering before hashing does not help
+      (16,742 max — the cluster is tight around its own center, not
+      the origin). `bucket_window=W` is the bounded-cost mode for such
+      corpora: within each (band, bucket), points are ordered by one
+      extra seeded random projection (a 1-D locality order, the
+      SortingLSH idea — near neighbors project near) and a pair is
+      expanded only when the two in-bucket positions differ by ≤ W, so
+      pair work is ≤ 2W per row (linear) instead of occupancy². When
+      every bucket holds ≤ W+1 points the output is IDENTICAL to the
+      unbounded join, so balanced corpora pay only the extra window;
+      on hot buckets the miss risk is concentrated among same-cluster
+      near-ties, exactly the pairs a dedup/graph consumer cares least
+      about ranking exactly. Default None preserves the historical
+      unbounded shape (gate hashes stable).
     """
     if planes_per_band is None:
         planes_per_band = derive_n_planes(emb, target_occupancy)
@@ -687,30 +710,102 @@ def knn_graph(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    # bucket-local scoring: the exact cosine is computed inside the
-    # (band, bucket) self-join output while both vectors are co-located,
-    # so only n_bands × N wide rows ever shuffle; the pair relation is
-    # narrow (src, dst, cosine_sim) from here on. cosine_sim is a pure
-    # function of the pair, so the 3-column distinct dedupes cross-band
-    # collisions exactly.
-    sim = _dot(F.col("a._v"), F.col("b._v")) / (
-        F.col("a._nv") * F.col("b._nv")
-    )
-    scored = (
-        keyed.alias("a")
-        .join(
-            keyed.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") != F.col("b._id")),
+    if bucket_window is not None:
+        # SortingLSH bounded mode: order each bucket by one extra seeded
+        # projection (geometric 1-D locality — near neighbors project
+        # near), then pair each point with its `bucket_window`
+        # SUCCESSORS via a rowsBetween(1, W) frame. STRUCTURAL bound: a
+        # join on (band, bucket) with a |Δpos| <= W post-filter would
+        # still ENUMERATE occupancy² matched rows inside the join before
+        # filtering — the frame never materializes more than W neighbor
+        # structs per row, so hot-bucket pair work is N·W, not Σocc².
+        # Each unordered pair is produced once (successors only) and
+        # scored in the same projection while both vectors are
+        # co-located; both graph directions are emitted from the NARROW
+        # scored relation (cosine is symmetric). The window's
+        # (band, bucket) partitioning is the same clustering the
+        # unbounded self-join uses — one corpus-sized exchange either
+        # way.
+        from pyspark.sql import Window as _W
+
+        order_plane = random_hyperplanes(dim, 1, seed=seed + 9973)[0]
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(p) for p in order_plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .select(
-            F.col("a._id").alias("src"),
-            F.col("b._id").alias("dst"),
-            F.round(sim, 6).alias("cosine_sim"),
+        frame = (
+            _W.partitionBy("band", "bucket")
+            .orderBy(proj.asc(), F.col("_id").asc())
+            .rowsBetween(1, int(bucket_window))
         )
-        .distinct()
-    )
+        nbrs = F.collect_list(
+            F.struct(
+                F.col("_id").alias("nid"),
+                F.col("_v").alias("nv"),
+                F.col("_nv").alias("nn"),
+            )
+        ).over(frame)
+        half_sim = _dot(F.col("_v"), F.col("nb.nv")) / (
+            F.col("_nv") * F.col("nb.nn")
+        )
+        halves = (
+            keyed.withColumn("_nb", nbrs)
+            .select("_id", "_v", "_nv", F.explode("_nb").alias("nb"))
+            .select(
+                F.col("_id").alias("src"),
+                F.col("nb.nid").alias("dst"),
+                F.round(half_sim, 6).alias("cosine_sim"),
+            )
+        )
+        p = F.col("p")
+        scored = halves.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src"), F.col("dst"), F.col("cosine_sim")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("cosine_sim"),
+                    ),
+                )
+            ).alias("p")
+        ).select(
+            p["src"].alias("src"),
+            p["dst"].alias("dst"),
+            p["cosine_sim"].alias("cosine_sim"),
+        ).distinct()
+    else:
+        # bucket-local scoring: the exact cosine is computed inside the
+        # (band, bucket) self-join output while both vectors are
+        # co-located, so only n_bands × N wide rows ever shuffle; the
+        # pair relation is narrow (src, dst, cosine_sim) from here on.
+        # cosine_sim is a pure function of the pair, so the 3-column
+        # distinct dedupes cross-band collisions exactly.
+        sim = _dot(F.col("a._v"), F.col("b._v")) / (
+            F.col("a._nv") * F.col("b._nv")
+        )
+        scored = (
+            keyed.alias("a")
+            .join(
+                keyed.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") != F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("src"),
+                F.col("b._id").alias("dst"),
+                F.round(sim, 6).alias("cosine_sim"),
+            )
+            .distinct()
+        )
     w = Window.partitionBy("src").orderBy(
         F.desc("cosine_sim"), F.asc("dst")
     )

@@ -360,6 +360,118 @@ def generate_zipf(mult: int) -> Path:
     return out
 
 
+# Embedding realism (round-11 verdict task 5). The calibrated generator
+# above replicates the sf0.1 fixture's per-label Gaussians — 8 balanced,
+# well-separated blobs. Real embedding corpora are not balanced: topic
+# cluster sizes follow a power law (a few giant near-duplicate-rich
+# topics, a long tail of rare ones), which stresses ANN structures in a
+# way balanced blobs cannot — IVF centroid lists go imbalanced (the hot
+# list dominates probe cost) and origin-centered SRP-LSH buckets
+# concentrate (a tight off-origin cluster lands on the same side of
+# most hyperplanes, so the hot topic collapses into few buckets and
+# in-bucket pair scoring grows quadratically in the topic size, not the
+# corpus size). The skew generator produces that: SKEW_CLUSTERS
+# centers drawn from the base fixture's global Gaussian, cluster sizes
+# Zipf(SKEW_S) over rank, intra-cluster spread a SKEW_TIGHTNESS
+# fraction of the global std, label = cluster rank. Exponents over this
+# family must compare skew-vs-skew (gen-skew 1 for the small endpoint).
+SKEW_CLUSTERS = 64
+SKEW_S = 1.0
+SKEW_TIGHTNESS = 0.35
+
+
+def generate_emb_skew(mult: int) -> Path:
+    """Power-law-cluster embeddings at mult x sf0.1 volume under
+    SCALE_ROOT/skew/. documents + relational tables ride along as
+    symlinks so directory-probing loaders keep working."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    out = SCALE_ROOT / "skew" / f"sf{BASE_SF * mult:g}"
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    base = con.sql(
+        f"select embedding from '{BASE_SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    X = np.stack([r[0] for r in base])
+    mu, sd = X.mean(0), X.std(0)
+    n_base = con.sql(
+        f"select count(*) from '{BASE_SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    m = n_base * mult
+    rng = np.random.default_rng(SEED + 7)
+    centers = mu + rng.standard_normal((SKEW_CLUSTERS, len(mu))) * sd * 1.5
+    p = 1.0 / np.arange(1, SKEW_CLUSTERS + 1) ** SKEW_S
+    p /= p.sum()
+    labels = rng.choice(SKEW_CLUSTERS, size=m, p=p)
+    print(f"# skew gen: {m} vectors, {SKEW_CLUSTERS} clusters, "
+          f"top cluster {(labels == 0).mean():.2%}", file=sys.stderr)
+    vecs = (
+        centers[labels]
+        + rng.standard_normal((m, len(mu))) * sd * SKEW_TIGHTNESS
+    ).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(m), type=pa.int64()),
+        "embedding": pa.array(
+            [v for v in vecs.tolist()], type=pa.list_(pa.float32())
+        ),
+        "label": pa.array(labels.astype("int32")),
+    })
+    _write_dataset(emb, out / "embeddings.parquet")
+    for t in TABLES + ["documents"]:
+        link = out / f"{t}.parquet"
+        if not link.exists():
+            link.symlink_to(f"{BASE_SF_DIR}/{t}.parquet")
+    print(f"# wrote {out}", file=sys.stderr)
+    return out
+
+
+def skew_queries():
+    """The embedding-realism remeasure tier: the ANN/graph/decontam
+    operators whose cost model depends on bucket/list OCCUPANCY, which
+    balanced per-label Gaussians cannot stress."""
+    import math
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def knn_policy(spark, sf, bucket_window=None):
+        from model_audit_spark.operators.similarity import knn_graph
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        n = emb.count()
+        planes = max(6, math.ceil(math.log2(max(n / 31, 2))))
+        return knn_graph(
+            emb, k=5, n_bands=4, planes_per_band=planes, dim=64,
+            bucket_window=bucket_window,
+        )
+
+    def knn_capped(spark, sf):
+        # SortingLSH bounded mode (similarity.knn_graph bucket_window):
+        # the plane policy holds AVERAGE occupancy but a power-law topic
+        # cluster floods its buckets regardless of plane count (the
+        # whole cluster shares the sign of most hyperplanes) — W=128
+        # bounds pair work at N*W*bands while the unbounded join is
+        # quadratic in the hot-bucket occupancy.
+        return knn_policy(spark, sf, bucket_window=128)
+
+    return [
+        ("knn_graph[policy planes W=128]", knn_capped),
+        ("ann_ivf_topk", qs["ann_ivf_topk"]),
+        ("embedding_contamination", qs["embedding_contamination"]),
+        ("ann_pq_topk", qs["ann_pq_topk"]),
+        ("embedding_coverage", qs["embedding_coverage"]),
+        # the unbounded join LAST: on skewed clusters it is the
+        # documented blowup (measured: >40 min wall, >21 GB shuffle at
+        # 200k vectors — 262M in-bucket pairs per band by direct bucket
+        # census) — keep it in the tier so the finding carries a row,
+        # but let every bounded row land first
+        ("knn_graph[policy planes unbounded]", knn_policy),
+    ]
+
+
 def zipf_queries():
     """The fixture-realism remeasure tier: the two rows the r8 verdict
     flagged as fixture-distorted, plus dedup_minhash_pairs as the
@@ -634,6 +746,13 @@ def run(
             sel = phrase_prefilter_selectivity(d)
             print(f"# phrase pre-filter selectivity at {d}: {sel:.3f}",
                   file=sys.stderr)
+    elif tier_name == "skew":
+        # skew exponents compare skew-vs-skew (same rationale as zipf)
+        small_dir = str(SCALE_ROOT / "skew" / f"sf{BASE_SF:g}")
+        big_dir = str(SCALE_ROOT / "skew" / f"sf{BASE_SF * mult:g}")
+        for d, m in ((small_dir, 1), (big_dir, mult)):
+            if not Path(d, "embeddings.parquet").exists():
+                raise SystemExit(f"run `gen-skew {m}` first ({d} missing)")
     else:
         big_dir = str(SCALE_ROOT / f"sf{BASE_SF * mult:g}")
         probe = "events" if tier_name == "rel" else "documents"
@@ -642,6 +761,7 @@ def run(
     spark = get_spark(app_name="model-audit-scale-bench")
     tier = (relational_queries() if tier_name == "rel"
             else zipf_queries() if tier_name == "zipf"
+            else skew_queries() if tier_name == "skew"
             else heavy_queries(mult))
     if only:
         tier = [(n, fn) for n, fn in tier if n in only]
@@ -729,7 +849,8 @@ def run(
 
 
 def main() -> None:
-    cmds = ("gen", "run", "gen-rel", "run-rel", "gen-zipf", "run-zipf")
+    cmds = ("gen", "run", "gen-rel", "run-rel", "gen-zipf", "run-zipf",
+            "gen-skew", "run-skew")
     if len(sys.argv) < 3 or sys.argv[1] not in cmds:
         raise SystemExit(__doc__)
     mult = int(sys.argv[2])
@@ -739,12 +860,15 @@ def main() -> None:
         generate_relational(mult)
     elif sys.argv[1] == "gen-zipf":
         generate_zipf(mult)
+    elif sys.argv[1] == "gen-skew":
+        generate_emb_skew(mult)
     else:
         only = None
         for a in sys.argv[3:]:
             if a.startswith("--only="):
                 only = [s for s in a.split("=", 1)[1].split(",") if s]
-        tiers = {"run": "heavy", "run-rel": "rel", "run-zipf": "zipf"}
+        tiers = {"run": "heavy", "run-rel": "rel", "run-zipf": "zipf",
+                 "run-skew": "skew"}
         run(
             mult,
             "--json" in sys.argv,

@@ -294,6 +294,56 @@ def test_knn_graph_derives_planes_from_corpus_size(spark):
     assert a == b and len(a) > 0
 
 
+def test_knn_graph_bucket_window_equivalence_and_bound(spark):
+    """SortingLSH bounded mode (r11): with bucket_window >= every
+    bucket's occupancy the output is IDENTICAL to the unbounded
+    self-join (every in-bucket pair is within the frame); with a small
+    window on a pathological single-cluster corpus the candidate count
+    is bounded ~N*W*bands instead of occupancy^2, and the planted twin
+    is still found (it sorts adjacent in the projection order)."""
+    import random
+
+    from model_audit_spark.operators.similarity import knn_graph
+
+    rng = random.Random(3)
+    dim = 16
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    unbounded = sorted(
+        map(tuple, knn_graph(emb, k=3, planes_per_band=4, dim=dim).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            knn_graph(
+                emb, k=3, planes_per_band=4, dim=dim, bucket_window=64
+            ).collect(),
+        )
+    )
+    assert capped == unbounded and len(capped) > 0
+
+    # one tight cluster (every vector in one bucket per band, ~planted
+    # twins at 1e-6 noise): the windowed graph must still rank each
+    # point's twin first while enumerating far fewer candidate pairs
+    center = [rng.gauss(0, 1) for _ in range(dim)]
+    tight = []
+    for i in range(60):
+        base = [x + rng.gauss(0, 0.05) for x in center]
+        tight.append((2 * i, base))
+        tight.append((2 * i + 1, [x + rng.gauss(0, 1e-6) for x in base]))
+    temb = spark.createDataFrame(
+        tight, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    g = knn_graph(
+        temb, k=1, n_bands=2, planes_per_band=4, dim=dim, bucket_window=8
+    ).collect()
+    by_src = {r.src: r.dst for r in g if r.rank == 1}
+    twin_hits = sum(
+        1 for a, b in by_src.items() if b == (a ^ 1)
+    )
+    assert twin_hits >= int(0.9 * len(by_src)), (twin_hits, len(by_src))
+
+
 def test_span_dedup_detects_repeated_span(spark):
     from model_audit_spark.operators.dedup import span_dedup_stats
 

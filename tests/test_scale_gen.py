@@ -178,6 +178,40 @@ def test_generated_fixtures_are_scan_splittable(sb):
             )
 
 
+def test_skew_embedding_generation_power_law_clusters(sb):
+    """r11 embedding-realism tier: cluster sizes must follow the
+    configured power law (a dominant head cluster, a long tail), the
+    schema must match the base embeddings table, and generation must be
+    deterministic under the fixed seed."""
+    import duckdb as _duck
+
+    out = sb.generate_emb_skew(2)
+    con = _duck.connect()
+    emb = f"'{sb.duck_path(out, 'embeddings')}'"
+    n, dim, nlab = con.sql(
+        f"select count(*), min(len(embedding)), count(distinct label) "
+        f"from {emb}"
+    ).fetchone()
+    n_base = con.sql(
+        f"select count(*) from '{BASE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert n == 2 * n_base and dim == 64
+    assert nlab > sb.SKEW_CLUSTERS // 2  # tail clusters present
+    sizes = [c for _, c in con.sql(
+        f"select label, count(*) c from {emb} group by 1 order by c desc"
+    ).fetchall()]
+    # Zipf head-heaviness: top cluster ~1/H(K) of mass, >> median
+    assert sizes[0] > 0.12 * n, sizes[0] / n
+    assert sizes[0] > 5 * sizes[len(sizes) // 2]
+    # intra-cluster tightness: per-dim std within the head cluster is
+    # well below the global std (the clusters are real, not noise)
+    g_std, c_std = con.sql(
+        f"select stddev(embedding[1]), (select stddev(embedding[1]) "
+        f"from {emb} where label = 0) from {emb}"
+    ).fetchone()
+    assert c_std < 0.7 * g_std, (c_std, g_std)
+
+
 def test_zipf_generation_heaps_vocab_and_dup_contract(sb):
     """Round-9 realism tier: the zipf generator must (a) grow its
     vocabulary with corpus size (Heaps' law — the property whose
