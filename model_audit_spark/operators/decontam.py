@@ -123,6 +123,7 @@ def embedding_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Embedding-space decontamination: training vectors whose cosine to
     ANY eval vector crosses `threshold` (the semantic complement of the
@@ -149,6 +150,21 @@ def embedding_contamination(
     quadratic in-bucket growth) or raise `threshold` headroom; the
     dedup_recall_report/ann_recall_report gates are the measured
     recall reference for the derived policy.
+
+    `salt_buckets` (r11): on clustered corpora one hot topic floods a
+    single LSH bucket, and a plain equi-join on `bucket` sends that
+    WHOLE bucket's train×eval product to ONE reducer task — measured on
+    the r11 skew fixture (top cluster 21% of 200k vectors): a single
+    task burned 34 CPU-minutes evaluating the ~282M hot-bucket pairs
+    while 31 cores idled. The join key is therefore (bucket, salt):
+    train rows take salt = xxhash64(id) mod S, the SMALL eval side is
+    replicated across all S salts (eval×S rows — the bounded side by
+    contract), so the identical candidate pairs are enumerated — the
+    output is row-identical for every S, pinned by test — but the hot
+    bucket's work spreads across S tasks. Salting fixes the
+    SERIALIZATION layer only; the candidate COUNT on clustered data is
+    still Σ|train_b|·|eval_b| (use more planes or a higher threshold to
+    shrink it).
     """
     from model_audit_spark.operators.similarity import (
         as_double_array,
@@ -177,9 +193,14 @@ def embedding_contamination(
             .withColumn(out_n, _norm(F.col(out_v)))
         )
 
-    t = sig(train_emb, "train_id", "tv", "tn")
-    e = sig(eval_emb, "eval_id", "ev", "en")
-    cand = t.join(e, "bucket")
+    s = max(1, int(salt_buckets))
+    t = sig(train_emb, "train_id", "tv", "tn").withColumn(
+        "_salt", F.pmod(F.xxhash64("train_id"), F.lit(s)).cast("int")
+    )
+    e = sig(eval_emb, "eval_id", "ev", "en").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    )
+    cand = t.join(e, ["bucket", "_salt"])
     sim = _dot(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en"))
     scored = cand.select(
         "train_id", "eval_id", F.round(sim, 6).alias("cosine_sim")

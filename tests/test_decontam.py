@@ -119,3 +119,40 @@ def test_embedding_contamination_planted_leak(spark):
     # every flagged pair is genuinely train-vs-eval
     for train_id, (eval_id, _) in out.items():
         assert train_id % 5 != 0 and eval_id in eval_ids
+
+
+def test_embedding_contamination_salt_invariance(spark):
+    """The (bucket, salt) join enumerates the identical candidate pairs
+    for every salt_buckets value — salting spreads a hot bucket's work
+    across tasks, it must never change the output (r11; the skew tier
+    measured one task carrying a flooded bucket's full train x eval
+    product)."""
+    import random
+
+    from model_audit_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    rng = random.Random(23)
+    dim = 16
+    # one tight cluster so every vector shares a bucket (the hot case)
+    center = [rng.gauss(0, 1) for _ in range(dim)]
+    vecs = [
+        (i, [x + rng.gauss(0, 0.01) for x in center]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    tr = emb.filter("vec_id % 5 != 0")
+    ev = emb.filter("vec_id % 5 = 0")
+    outs = [
+        sorted(
+            map(
+                tuple,
+                embedding_contamination(
+                    tr, ev, threshold=0.9, n_planes=6, dim=dim,
+                    salt_buckets=sb,
+                ).collect(),
+            )
+        )
+        for sb in (1, 4, 16)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
