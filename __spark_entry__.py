@@ -1314,6 +1314,22 @@ def _knn_graph(spark, sf):
     )
 
 
+def _knn_graph_windowed(spark, sf):
+    """knn_graph's SortingLSH bounded mode (r11): bucket_window=4 with
+    coarse 4-plane buckets, so gate buckets genuinely exceed the window
+    and the frame-truncation semantics — in-bucket ordering by the
+    extra seeded projection, pairing only within 4 frame successors,
+    symmetric emission — are what the oracle hash certifies (a window
+    wider than every bucket would collapse to the plain knn_graph
+    twin)."""
+    from model_audit_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf, "embeddings")
+    return knn_graph(
+        emb, k=5, n_bands=4, planes_per_band=4, dim=64, bucket_window=4
+    )
+
+
 
 def _ivf_index(spark, sf):
     """Session-memoized gate-parameter IVF index (centroids +
@@ -4011,6 +4027,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _zorder_events,
         "budget_select": _budget_select,
         "knn_graph": _knn_graph,
+        "knn_graph_windowed": _knn_graph_windowed,
         "ann_ivf_topk": _ann_ivf_topk,
         "q17_small_quantity": _q17_small_quantity,
         "conversation_transcripts": _conversation_transcripts,
@@ -4218,6 +4235,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "ann_lsh_topk": ora.ann_lsh_topk(query_vec_id=0, k=10, n_planes=6),
         "knn_graph": ora.knn_graph(
             k=5, n_bands=4, planes_per_band=6, dim=64
+        ),
+        "knn_graph_windowed": ora.knn_graph_windowed(
+            k=5, n_bands=4, planes_per_band=4, dim=64, bucket_window=4
         ),
         "ann_ivf_topk": ora.ann_ivf_topk(
             query_vec_id=0, k=10, n_clusters=8, nprobe=3, dim=64

@@ -3206,6 +3206,92 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def knn_graph_windowed(
+    k: int = 5,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    bucket_window: int = 4,
+) -> str:
+    """Twin of similarity.knn_graph with bucket_window (r11 SortingLSH
+    bounded mode): within each (band, bucket), points are ordered by
+    the dot against ONE extra seeded hyperplane (seed 42 + 9973, the
+    Spark side's order plane) with vec_id tiebreak; an unordered pair
+    is a candidate iff 1 <= pos_b - pos_a <= W; both graph directions
+    are emitted (cosine is symmetric) before the distinct + top-k.
+    Ordering doubles: the projection is a 64-term dot — two distinct
+    vectors' projections differ generically far above ulp, same
+    accepted float-threshold class as the bucket sign bit."""
+    from model_audit_spark.operators.similarity import random_hyperplanes
+
+    rows = []
+    for b in range(n_bands):
+        planes = random_hyperplanes(dim, planes_per_band, seed=42 + b)
+        for i, p in enumerate(planes):
+            rows.append(
+                f"({b}, {i}, [" + ", ".join(repr(x) for x in p) + "])"
+            )
+    plane_rows = ", ".join(rows)
+    op = random_hyperplanes(dim, 1, seed=42 + 9973)[0]
+    order_plane = "[" + ", ".join(repr(x) for x in op) + "]"
+    return f"""
+WITH planes(band, pi, pv) AS (VALUES {plane_rows}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v[j] * pv[j])) > 0
+                   THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, band
+),
+pos AS (
+  SELECT s.vec_id, s.band, s.bucket,
+         row_number() OVER (
+           PARTITION BY s.band, s.bucket
+           ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                    j -> v.v[j] * ({order_plane}::DOUBLE[])[j])) ASC,
+                    s.vec_id ASC
+         ) AS p
+  FROM sigs s JOIN v ON v.vec_id = s.vec_id
+),
+half AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM pos a
+  JOIN pos b ON a.band = b.band AND a.bucket = b.bucket
+            AND b.p - a.p BETWEEN 1 AND {bucket_window}
+),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM half
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM half
+  )
+),
+scored AS (
+  SELECT c.src, c.dst,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), i -> sv.v[i] * dv.v[i]))
+      / (sqrt(list_sum(list_transform(sv.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(dv.v, x -> x * x)))),
+    6) AS cosine_sim
+  FROM cand c
+  JOIN v sv ON sv.vec_id = c.src
+  JOIN v dv ON dv.vec_id = c.dst
+),
+ranked AS (
+  SELECT src, dst, cosine_sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine_sim DESC, dst ASC) AS rank
+  FROM scored
+)
+SELECT src, dst, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def lang_id_ext() -> str:
     """Twin of functions.text.detect_lang_profile — stopword-profile
     lang-ID with the CJK tier first. The profile word lists are imported
