@@ -3790,56 +3790,56 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
-    "collocations",
-    "ngram_novelty",
-    "paragraph_near_dups",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_clusters_incremental",
-    "dedup_incremental",
-    "dedup_threshold_sweep",
+    "knn_graph_windowed",
+    "contrastive_triplets",
+    "embedding_contamination",
+    "knn_graph",
+    "dedup_minhash_signatures",
+    "dedup_containment",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
     "dedup_recall_report",
-    "dedup_decisions",
-    "dup_graph_stats",
-    "pagerank_dupgraph",
-    "dedup_kcore",
-    "dedup_communities",
-    "community_modularity",
-    "community_source_nmi",
-    "cluster_retention",
-    "source_overlap",
-    "leakage_safe_splits",
-    "curate_corpus",
-    "quality_threshold_sweep",
-    "vocab_drift",
-    "winnow_fingerprints",
-    "winnow_span_report",
+    "knn_triangles",
+    "link_prediction_aa",
     "c4_clean",
     "char_lm_scores",
-    "contamination_check",
-    "effective_corpus_size",
-    "budget_select",
-    "lang_id_ext",
-    "quality_repetition",
-    "streaming_drift",
-    "text_stats",
-    "winnow_pairs",
-    "corpus_drift",
     "doc_entropy",
-    "quality_calibrated",
-    "source_data_card",
-    "watermark_documents",
-    "cluster_quality",
-    "cluster_topics",
-    "column_profile_lineitem",
-    "dedup_canonical",
-    "domain_classify",
-    "embedding_coverage",
-    "embedding_norm_outliers",
-    "epoch_shuffle",
-    "event_transitions",
-    "events_gapfill",
-    "events_hourly_anomalies",
+    "ngram_novelty",
+    "quality_repetition",
+    "winnow_pairs",
+    "winnow_span_report",
+    "events_ks_drift",
+    "events_scd2",
+    "feature_correlations",
+    "heaps_vocab_growth",
+    "heavy_hitters",
+    "hybrid_search",
+    "ivf_append",
+    "k_anonymity",
+    "kmeans_clusters",
+    "l_diversity",
+    "lateness_profile",
+    "q11_important_parts",
+    "q16_supplier_count",
+    "q20_dominant_supplier",
+    "q2_min_acctbal_supplier",
+    "q9_product_profit",
+    "bpe_merges",
+    "bpe_segments",
+    "cache_keys",
+    "corpus_stats",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "detect_distribution",
+    "dli_bigrams_by_source",
+    "dli_features_by_source",
+    "embedding_pairs_exact",
+    "events_decayed",
+    "fingerprint_diff_buckets",
+    "lang_distribution",
+    "llmmap_fingerprints_by_source",
+    "media_decode",
+    "q_customers_no_orders",
 ]
 
 
