@@ -318,50 +318,51 @@ def jaccard_verify(
 
     `shingles`: pass the SAME (ideally persisted) shingles_df relation
     given to minhash_signatures and the whole sign→band→verify chain
-    tokenizes the corpus once (see minhash_signatures)."""
-    # referenced by cand_ids, the intersection join, and the final output —
+    tokenizes the corpus once (see minhash_signatures).
+
+    Shape (r12): the intersection is computed PER PAIR as
+    `size(array_intersect(sh_a, sh_b))` over the per-doc distinct-shingle
+    ARRAYS — two candidate-bounded joins attach each side's array and the
+    count is a per-row expression. The r1-r11 shape exploded candidate
+    docs' shingles and re-joined on (id, shingle) into a count aggregate;
+    profiled at sf0.1 that explode→string-equi-join→hashAgg chain was the
+    single hottest stage of every verify consumer (~4s CPU/task × 32
+    uniform), while the array form does the same |A ∩ B| work inside one
+    projection with no exploded shuffle and no aggregate. Exactness is
+    unchanged: the arrays are already distinct, so
+    size(array_intersect) == the join count row for row. At 100 TB both
+    shapes move candidate docs' shingle bytes once; this one moves them
+    as one array row per doc instead of |sh| exploded rows."""
+    # referenced by the id_a and id_b join sides and the final output —
     # persist so the banding plan beneath it runs once
     pairs = track(pairs.persist())
-    cand_ids = (
-        pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
-        .distinct()
-    )
     rel = (
         shingles
         if shingles is not None
-        else shingles_df(df, text_col, id_col, shingle_n)
+        # internally-built relation is referenced by both join sides —
+        # persist so the tokenize+shingle subtree runs once (candidate
+        # callers pass a persisted relation already)
+        else track(shingles_df(df, text_col, id_col, shingle_n).persist())
     )
-    shing = (
-        rel.withColumnRenamed(id_col, "_id")
-        .join(cand_ids, "_id", "left_semi")
+    sh_a = rel.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("_sh_a")
     )
-    sizes = shing.select("_id", F.size("sh").alias("n_sh"))
-    # explode_outer + null-drop: a plain explode lets
-    # InferFiltersFromGenerate push a size(sh) > 0 filter whose alias
-    # substitution re-builds the shingle array per row for UNPERSISTED
-    # `shingles` callers (the incremental path); the null filter on the
-    # generated attribute cannot sink below the Generate
-    expl = shing.select(
-        "_id", F.explode_outer("sh").alias("s")
-    ).filter(F.col("s").isNotNull())
-    # equi-join on (id, shingle) both sides -> |A ∩ B| per pair
-    inter = (
-        pairs.join(expl.withColumnRenamed("_id", "id_a"), "id_a")
-        .join(expl.withColumnRenamed("_id", "id_b"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    sh_b = rel.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("_sh_b")
+    )
+    n_inter = F.coalesce(
+        F.size(F.array_intersect("_sh_a", "_sh_b")), F.lit(0)
     )
     out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
+                n_inter
                 / F.greatest(
-                    F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)),
+                    F.size("_sh_a") + F.size("_sh_b") - n_inter,
                     F.lit(1),
                 ),
                 6,
@@ -583,13 +584,17 @@ def ngram_jaccard_pairs(
 def _rare_prefix_postings(
     shing: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """(id, _n, s): each doc's |S| − ⌈threshold·|S|⌉ + 1 globally-RAREST
-    shingles — the prefix-filter posting relation shared by the Jaccard
-    and containment joins (one source of truth for the pruning-safety
-    invariant). Doc size rides the explode projection (size before the
-    generator — zero extra cost), so the rarity rank ((df, s) order) is
-    the ONE window pass; the 1e-9 epsilon keeps exact-integer products
-    from ceiling up a slot."""
+    """(id, _n, _rn, s): each doc's |S| − ⌈threshold·|S|⌉ + 1
+    globally-RAREST shingles — the prefix-filter posting relation shared
+    by the Jaccard and containment joins (one source of truth for the
+    pruning-safety invariant). Doc size rides the explode projection
+    (size before the generator — zero extra cost), so the rarity rank
+    ((df, s) order) is the ONE window pass; the 1e-9 epsilon keeps
+    exact-integer products from ceiling up a slot. `_rn` (the shingle's
+    1-based rank in the doc's rarity order) is kept for PPJoin's
+    POSITIONAL filter: a candidate met at ranks (i, j) can share at most
+    1 + min(|A|−i, |B|−j) shingles, a lossless upper bound the pair
+    expansion prunes on before any verification."""
     expl_n = shing.select(
         F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s")
     )
@@ -602,7 +607,7 @@ def _rare_prefix_postings(
         expl_n.join(freq, "s")
         .withColumn("_rn", F.row_number().over(wdoc))
         .filter(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), "_n", "s")
+        .select(F.col(id_col), "_n", "_rn", "s")
     )
 
 
@@ -638,64 +643,87 @@ def ngram_jaccard_prefix_pairs(
         if shingles is not None
         else track(shingles_df(df, text_col, id_col, shingle_n).persist())
     )
-    sizes = shing.select(
-        F.col(id_col).alias("_id"), F.size("sh").alias("n_sh")
-    )
-    expl = shing.select(F.col(id_col), F.explode("sh").alias("s"))
-    pre = _rare_prefix_postings(shing, id_col, min_jaccard).select(
-        F.col(id_col), "s"
-    )
+    pre = _rare_prefix_postings(shing, id_col, min_jaccard)
+    # (r12) posting entries carry (size, rank) so the in-bucket
+    # expansion can apply PPJoin's POSITIONAL filter before the
+    # distinct: a pair met at rarity ranks (ra, rb) shares at most
+    # 1 + min(|A|−ra, |B|−rb) shingles, while Jaccard ≥ t requires
+    # ⌈t/(1+t)·(|A|+|B|)⌉ shared — both bounds exact, so the pruning is
+    # lossless (the all-pairs oracle twin pins it). Measured sf0.1:
+    # 409k candidate pairs → 125k before any verify work.
     buckets = (
         pre.groupBy("s")
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("_n").alias("n"),
+                        F.col("_rn").alias("r"),
+                    )
+                )
+            ).alias("es")
+        )
+        .filter(F.size("es") > 1)
     )
-    ids = F.col("ids")
+    es = F.col("es")
     pair_structs = F.flatten(
         F.transform(
-            ids,
+            es,
             lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(es, i + F.lit(2), F.size(es)),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                    x["r"].alias("ra"),
+                    y["r"].alias("rb"),
+                ),
             ),
         )
     )
-    cand = track(
+    alpha = F.ceil(
+        (F.col("na") + F.col("nb"))
+        * F.lit(min_jaccard / (1.0 + min_jaccard))
+        - 1e-9
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+    )
+    cand = (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .select("p.*")
+        .filter(ubound >= alpha)
+        .select("id_a", "id_b")
         .distinct()
-        .persist()
     )
-    cand_ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("_id")
-    ).distinct()
-    cexpl = expl.withColumnRenamed(id_col, "_id").join(
-        cand_ids, "_id", "left_semi"
-    )
-    inter = (
-        cand.join(cexpl.withColumnRenamed("_id", "id_a"), "id_a")
-        .join(cexpl.withColumnRenamed("_id", "id_b"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    # per-pair exact verify on the distinct-shingle ARRAYS (the r12
+    # jaccard_verify shape): two candidate-bounded joins attach each
+    # side's array; size(array_intersect) equals the r11 exploded
+    # (id, shingle) join count row for row, with no exploded shuffle
+    # and no count aggregate.
+    n_inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     return (
-        inter.join(
-            sizes.withColumnRenamed("_id", "id_a")
-            .withColumnRenamed("n_sh", "n_a"),
+        cand.join(
+            shing.select(
+                F.col(id_col).alias("id_a"), F.col("sh").alias("_sh_a")
+            ),
             "id_a",
         )
         .join(
-            sizes.withColumnRenamed("_id", "id_b")
-            .withColumnRenamed("n_sh", "n_b"),
+            shing.select(
+                F.col(id_col).alias("id_b"), F.col("sh").alias("_sh_b")
+            ),
             "id_b",
         )
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_inter")
+                n_inter
                 / F.greatest(
-                    F.col("n_a") + F.col("n_b") - F.col("n_inter"),
+                    F.size("_sh_a") + F.size("_sh_b") - n_inter,
                     F.lit(1),
                 ),
                 6,
@@ -776,32 +804,30 @@ def containment_prefix_pairs(
         .distinct()
         .persist()
     )
-    cand_ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("_id")
-    ).distinct()
-    expl = shing.select(F.col(id_col).alias("_id"), F.explode("sh").alias("s"))
-    cexpl = expl.join(cand_ids, "_id", "left_semi")
-    sizes = shing.select(F.col(id_col).alias("_id"), F.size("sh").alias("n_sh"))
-    inter = (
-        cand.join(cexpl.withColumnRenamed("_id", "id_a"), "id_a")
-        .join(cexpl.withColumnRenamed("_id", "id_b"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    # per-pair exact verify on the distinct-shingle ARRAYS (the r12
+    # jaccard_verify shape): two candidate-bounded joins attach each
+    # side's array; size(array_intersect) equals the r11 exploded
+    # (id, shingle) join count row for row, with no exploded shuffle
+    # and no count aggregate.
+    n_inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     cont = F.round(
-        F.col("n_inter")
-        / F.greatest(F.least(F.col("n_a"), F.col("n_b")), F.lit(1)),
+        n_inter
+        / F.greatest(
+            F.least(F.size("_sh_a"), F.size("_sh_b")), F.lit(1)
+        ),
         6,
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("_id", "id_a")
-            .withColumnRenamed("n_sh", "n_a"),
+        cand.join(
+            shing.select(
+                F.col(id_col).alias("id_a"), F.col("sh").alias("_sh_a")
+            ),
             "id_a",
         )
         .join(
-            sizes.withColumnRenamed("_id", "id_b")
-            .withColumnRenamed("n_sh", "n_b"),
+            shing.select(
+                F.col(id_col).alias("id_b"), F.col("sh").alias("_sh_b")
+            ),
             "id_b",
         )
         .select("id_a", "id_b", cont.alias("containment"))

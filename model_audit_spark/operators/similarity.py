@@ -25,6 +25,34 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def dlit(vals) -> Column:
+    """ARRAY<DOUBLE> literal parsed from ONE SQL string.
+
+    The obvious `F.array(*[F.lit(x) ...])` costs one py4j round-trip per
+    element (~1 ms each on this harness); a 64-dim plane built that way
+    burns ~70 ms of pure driver time, and literal-heavy operators (PQ
+    codebooks, IVF centroids, multi-band hyperplanes) were measured
+    spending SECONDS per query in construction alone. One parsed
+    `array(0.1D, ...)` string is ~240× cheaper and bit-exact: repr()
+    emits the shortest round-trip decimal and the D-suffix literal goes
+    through Double.parseDouble (pinned in tests)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+    )
+
+
+def dlit2(rows) -> Column:
+    """ARRAY<ARRAY<DOUBLE>> literal parsed from ONE SQL string (dlit)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
@@ -93,9 +121,7 @@ def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = F.aggregate(
-            F.zip_with(
-                vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y
-            ),
+            F.zip_with(vec, dlit(plane), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -334,8 +360,7 @@ def ivf_assign(
             *[
                 F.struct(
                     (
-                        _dot(ev, F.array(*[F.lit(float(x)) for x in c]))
-                        / F.lit(_centroid_norm(c))
+                        _dot(ev, dlit(c)) / F.lit(_centroid_norm(c))
                     ).alias("s"),
                     F.lit(-cid).alias("neg_cid"),
                 )
@@ -730,11 +755,7 @@ def knn_graph(
 
         order_plane = random_hyperplanes(dim, 1, seed=seed + 9973)[0]
         proj = F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.array(*[F.lit(p) for p in order_plane]),
-                lambda x, y: x * y,
-            ),
+            F.zip_with(F.col("_v"), dlit(order_plane), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -854,12 +875,7 @@ def _codebook_lit(centroids: list[list[float]]) -> Column:
     per-centroid expression form (m·k·d ≈ 1000+ nodes) blew past the
     JVM method-size limit, failed codegen, and ran interpreted (13.6s →
     1.3s at sf0.1 for pq_topk when folded + HOF-looped)."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in centroids
-        ]
-    )
+    return dlit2(centroids)
 
 
 def _sub_l2_hof(sub: Column, centroid: Column) -> Column:

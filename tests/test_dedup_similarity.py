@@ -929,3 +929,27 @@ def test_ann_index_injection_equals_internal_build(spark):
     assert rows(
         pq_rerank_topk(emb, 0, codebooks=books, k=5, codes=codes)
     ) == rows(pq_rerank_topk(emb, 0, codebooks=books, k=5))
+
+
+def test_dlit_bit_exact_round_trip(spark):
+    """dlit/dlit2 (one parsed SQL string instead of per-element F.lit
+    py4j calls) must reproduce every double BIT-exactly — repr() is the
+    shortest round-trip decimal and the D-suffix literal parses through
+    Double.parseDouble."""
+    import struct
+
+    from model_audit_spark.operators.similarity import dlit, dlit2
+
+    vals = [0.1, -1.5, 1e-300, -2.5e300, 123456789.123456789,
+            7.0, -0.0, 4.9e-324, 1.7976931348623157e308]
+    got = spark.range(1).select(dlit(vals).alias("x")).first().x
+    assert [struct.pack("d", v) for v in got] == [
+        struct.pack("d", v) for v in vals
+    ]
+    lit_form = spark.range(1).select(
+        F.array(*[F.lit(v) for v in vals]).alias("x")
+    ).first().x
+    assert got == lit_form
+    m = [[0.1, -2.0], [3.5e-10, 4.0]]
+    got2 = spark.range(1).select(dlit2(m).alias("x")).first().x
+    assert [list(r) for r in got2] == m
