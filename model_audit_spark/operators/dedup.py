@@ -1246,9 +1246,17 @@ def dedup_recall_report(
     sh_rel = track(
         shingles_df(df, text_col, id_col, shingle_n).persist()
     )
-    truth = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, min_jaccard, shingles=sh_rel
-    ).select("id_a", "id_b")
+    # truth feeds BOTH the hit-join and the n_truth spine — persist so
+    # the all-pairs posting expansion (the report's heaviest leg) runs
+    # once, not once per consumer (r12; the jaccard_verify persist
+    # discipline)
+    truth = track(
+        ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_n, min_jaccard, shingles=sh_rel
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, shingles=sh_rel
     )

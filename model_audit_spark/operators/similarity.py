@@ -1760,12 +1760,18 @@ def lloyd_kmeans(
       by the SHIFT). A cluster that loses every vector disappears —
       identically in both engines.
 
-    Each round is one broadcast cross join (k centroid rows), one
-    per-id argmin aggregate, one (cluster, dim)-keyed sum over the
+    Each round is one LITERAL argmin projection (centroids are k·dim
+    driver-side BIGINTs — the ivf_assign shape: collected once per
+    round, a bounded report-sized collect, then constant-folded into
+    the scoring expression) and one (cluster, dim)-keyed sum over the
     posexploded assignment (the only real shuffle, carrying
-    (cluster, dim, partial sum)), and a k·dim → k-row re-pack;
-    centroids are localCheckpoint'ed per round (the PageRank lesson:
-    unrolled lineage re-optimizes a growing tree). The SQL twin
+    (cluster, dim, partial sum)). The r1-r11 shape materialized a k-row
+    centroid DataFrame per round (localCheckpoint + broadcast cross
+    join) — at sf0.1 those per-round checkpoint/broadcast jobs were
+    ~2/3 of the query's wall with 0.2 s of real work (profiled, r12);
+    the collect+literal form does the same integer math on the same
+    rows, and the final round's centroid update (never consumed — the
+    output is the last ASSIGNMENT) is skipped outright. The SQL twin
     unrolls the same rounds as MATERIALIZED CTEs.
     """
     q = quantize_micro(vectors, vec_col, id_col).persist()
@@ -1782,35 +1788,51 @@ def lloyd_kmeans(
         16,
         10,
     ).cast("long")
-    wi = Window.orderBy("_draw", id_col)
-    cent = (
+    init_rows = (
         q.withColumn("_draw", draw)
         .orderBy("_draw", id_col)
         .limit(k)
-        .withColumn(
-            "cluster", F.row_number().over(wi).cast("long") - 1
-        )
-        .select("cluster", F.col("x6").alias("c6"))
-        .localCheckpoint()
+        .select("x6")
+        .collect()
     )
+    # [(cluster_id, [dim longs])] — cluster ids are draw-order indexes,
+    # exactly the row_number() - 1 of the r11 shape
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r.x6)) for i, r in enumerate(init_rows)
+    ]
+
+    def _llit(vals: list[int]):
+        # ARRAY<BIGINT> literal via one parsed SQL string (the dlit
+        # rationale; L-suffix pins BIGINT)
+        return F.expr(
+            "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+        )
+
     assign = None
-    for _ in range(iterations):
-        scored = q.crossJoin(F.broadcast(cent)).select(
-            id_col,
-            "cluster",
-            F.aggregate(
-                F.zip_with(
-                    "x6", "c6", lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, d: acc + d,
-            ).alias("dist"),
+    for it in range(iterations):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("x6"),
+                            _llit(c6),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(cid).cast("long").alias("cluster"),
+                )
+                for cid, c6 in cents
+            ]
         )
-        assign = (
-            scored.groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
-            .select(id_col, F.col("_m.cluster").alias("cluster"))
+        assign = q.select(
+            F.col(id_col),
+            F.array_min(entries).getField("cluster").alias("cluster"),
         )
+        if it == iterations - 1:
+            break
         sums = (
             assign.join(q, id_col)
             .select("cluster", F.posexplode("x6").alias("dim", "val"))
@@ -1820,7 +1842,7 @@ def lloyd_kmeans(
                 F.count("*").alias("n"),
             )
         )
-        cent = (
+        cent_rows = (
             sums.groupBy("cluster")
             .agg(
                 F.transform(
@@ -1832,8 +1854,10 @@ def lloyd_kmeans(
                     lambda t: t["m"],
                 ).alias("c6")
             )
-            .localCheckpoint()
+            .orderBy("cluster")
+            .collect()
         )
+        cents = [(int(r.cluster), list(r.c6)) for r in cent_rows]
     out = assign.localCheckpoint()
     q.unpersist()
     return out
