@@ -3790,56 +3790,56 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
-    "knn_graph_windowed",
-    "contrastive_triplets",
-    "embedding_contamination",
-    "knn_graph",
-    "dedup_minhash_signatures",
+    "ann_ivf_sq8",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "ann_param_sweep",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "ann_recall_report",
+    "embedding_near_dups",
+    "semantic_dedup",
+    "cluster_quality",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_clusters_incremental",
+    "dedup_incremental",
     "dedup_containment",
     "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
     "dedup_recall_report",
+    "dedup_decisions",
+    "dup_graph_stats",
     "knn_triangles",
-    "link_prediction_aa",
-    "c4_clean",
-    "char_lm_scores",
-    "doc_entropy",
-    "ngram_novelty",
-    "quality_repetition",
-    "winnow_pairs",
-    "winnow_span_report",
-    "events_ks_drift",
-    "events_scd2",
-    "feature_correlations",
-    "heaps_vocab_growth",
-    "heavy_hitters",
-    "hybrid_search",
+    "pagerank_dupgraph",
+    "dedup_kcore",
+    "dedup_communities",
+    "community_modularity",
+    "community_source_nmi",
+    "cluster_retention",
+    "source_overlap",
+    "leakage_safe_splits",
+    "curate_corpus",
+    "cluster_topics",
+    "effective_corpus_size",
+    "paragraph_near_dups",
+    "contrastive_triplets",
+    "embedding_contamination",
     "ivf_append",
-    "k_anonymity",
     "kmeans_clusters",
-    "l_diversity",
-    "lateness_profile",
-    "q11_important_parts",
-    "q16_supplier_count",
-    "q20_dominant_supplier",
-    "q2_min_acctbal_supplier",
-    "q9_product_profit",
-    "bpe_merges",
-    "bpe_segments",
-    "cache_keys",
-    "corpus_stats",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "detect_distribution",
-    "dli_bigrams_by_source",
-    "dli_features_by_source",
-    "embedding_pairs_exact",
-    "events_decayed",
-    "fingerprint_diff_buckets",
-    "lang_distribution",
-    "llmmap_fingerprints_by_source",
-    "media_decode",
-    "q_customers_no_orders",
+    "knn_graph",
+    "knn_graph_windowed",
+    "link_prediction_aa",
+    "q_events_hourly",
+    "q_topk_customers",
+    "session_paths",
+    "style_count_distribution",
+    "style_scores_long",
+    "vocab_coverage",
+    "zipf_slope",
+    "audit_consistency_rate",
+    "audit_verdict_sources",
 ]
 
 

@@ -67,7 +67,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     try:
         for _ in range(max_iter):
@@ -89,9 +89,12 @@ def connected_components(
                         "_changed"
                     ),
                 )
-                # eager localCheckpoint = materialize AND truncate lineage;
-                # the convergence count below then reads the checkpoint
-                .localCheckpoint(eager=True)
+                # LAZY localCheckpoint truncates the plan immediately; the
+                # convergence count below is the round's ONE action and
+                # materializes the checkpoint as a side effect (r12 — the
+                # pagerank/label_prop discipline; the eager form paid a
+                # separate blocking checkpoint job per round)
+                .localCheckpoint(eager=False)
             )
             changed = new_labels.filter("_changed").count()
             labels = new_labels.drop("_changed")

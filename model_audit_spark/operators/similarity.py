@@ -117,16 +117,36 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42):
 
 
 def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-packed random-hyperplane signature (sign of dot per plane)."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(vec, dlit(plane), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(0).cast("long")
-    return sig
+    """Bit-packed random-hyperplane signature (sign of dot per plane).
+
+    Constant construction cost (r12): ONE constant-folded 2-D literal
+    (dlit2) and a transform-with-index + aggregate whose loop lives in
+    the HOF evaluator — the previous per-plane Python loop cost ~25
+    py4j round-trips PER PLANE (a 52-plane knn_graph build spent
+    seconds of pure driver time here). Bit-identical output: the
+    per-plane dot keeps the same zip_with/aggregate fold, and the
+    signature is the same left-to-right integer sum from 0L with
+    1L<<i per set bit (shiftleft == the old 1 << i literals)."""
+    return F.aggregate(
+        F.transform(
+            dlit2(planes),
+            lambda p, i: F.when(
+                F.aggregate(
+                    F.zip_with(vec, p, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i
+                ),
+            )
+            .otherwise(0)
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_topk(
@@ -355,17 +375,23 @@ def ivf_assign(
     centroid. At 100 TB: write the result bucketed by `cluster` — that
     materialized layout IS the inverted file."""
     ev = as_double_array(vec_col)
+    # constant construction cost (r12): one folded 2-D centroid literal
+    # + a parallel norm literal, argmax via transform-with-index — the
+    # unrolled per-centroid Python loop cost ~30 py4j round-trips per
+    # centroid (semantic_dedup derives n_clusters = ceil(sqrt(N)) and
+    # was spending most of its 6 s construction here). Bit-identical:
+    # same zip_with/aggregate dot fold, same norm doubles (dlit repr
+    # round-trip), same (s, neg_cid) argmax tie-break.
+    cn = dlit([_centroid_norm(c) for c in centroids])
     best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        _dot(ev, dlit(c)) / F.lit(_centroid_norm(c))
-                    ).alias("s"),
-                    F.lit(-cid).alias("neg_cid"),
-                )
-                for cid, c in enumerate(centroids)
-            ]
+        F.transform(
+            dlit2(centroids),
+            lambda c, i: F.struct(
+                (
+                    _dot(ev, c) / F.element_at(cn, i + F.lit(1))
+                ).alias("s"),
+                (-i).alias("neg_cid"),
+            ),
         )
     )
     return emb.select(
@@ -1808,24 +1834,39 @@ def lloyd_kmeans(
             "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
         )
 
+    def _llit2(rows: list[list[int]]):
+        # ARRAY<ARRAY<BIGINT>> literal, one parsed string (dlit2 shape)
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in r) + ")"
+                for r in rows
+            )
+            + ")"
+        )
+
     assign = None
     for it in range(iterations):
-        entries = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("x6"),
-                            _llit(c6),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, d: acc + d,
-                    ).alias("dist"),
-                    F.lit(cid).cast("long").alias("cluster"),
-                )
-                for cid, c6 in cents
-            ]
+        # argmin via transform-with-index over ONE folded 2-D literal
+        # (constant py4j cost per round — the unrolled per-centroid
+        # struct loop cost ~25 py4j calls per centroid per round);
+        # cluster ids ride a parallel BIGINT literal because clusters
+        # can disappear (ids are not contiguous). array_min compares
+        # (dist, cluster) values, not positions — identical tie-break.
+        cb = _llit2([c6 for _, c6 in cents])
+        cids = _llit([cid for cid, _ in cents])
+        entries = F.transform(
+            cb,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("x6"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("dist"),
+                F.element_at(cids, i + F.lit(1)).alias("cluster"),
+            ),
         )
         assign = q.select(
             F.col(id_col),
