@@ -1435,14 +1435,31 @@ def _dup_verified(docs, min_jaccard: float = 0.5):
     queries (bench.py, scripts/check_oracle.py) transparently rebuilds.
     Explicit release: persistence.release_all(). Contract: `docs` must
     be the unfiltered documents table — the memo key is its file set,
-    so two different projections of the same files would share."""
-    shing = _dup_shingles(docs)
-    sigs = minhash_signatures(docs, "text", "doc_id", shingles=shing)
-    pairs = minhash_band_pairs(sigs, "doc_id")
-    return jaccard_verify(
-        docs, pairs, "text", "doc_id",
-        min_jaccard=min_jaccard, shingles=shing,
+    so two different projections of the same files would share.
+
+    r12: the VERIFIED pair relation itself is memoized too (keyed
+    (files, min_jaccard), released by the same release_all hook) — a
+    query whose plan references the dup graph twice in one action
+    (community_modularity joins the edge relation AND the
+    label-propagation labels built from it) previously ran the
+    sign->band->verify chain twice per evaluation, and a session batch
+    running several dup-graph queries rebuilt it per query."""
+    from model_audit_spark import persistence
+
+    key = (
+        "dup_verified", tuple(sorted(docs.inputFiles())), min_jaccard
     )
+
+    def build():
+        shing = _dup_shingles(docs)
+        sigs = minhash_signatures(docs, "text", "doc_id", shingles=shing)
+        pairs = minhash_band_pairs(sigs, "doc_id")
+        return jaccard_verify(
+            docs, pairs, "text", "doc_id",
+            min_jaccard=min_jaccard, shingles=shing,
+        )
+
+    return persistence.memo(key, build)
 
 
 def _dup_communities_rel(docs):
@@ -1513,7 +1530,8 @@ def _pagerank_dupgraph(spark, sf):
     from model_audit_spark.operators.cluster import pagerank
 
     docs = _t(spark, sf, "documents")
-    verified = _dup_verified(docs).select("id_a", "id_b").persist()
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    # the memoized verified relation is already persisted (r12)
     edges = verified.unionByName(
         verified.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
@@ -2977,26 +2995,37 @@ def _weighted_sample_es(spark, sf):
 
 
 def _bpe_merges(spark, sf):
-    """Distributed BPE merge learning (Sennrich 2016): 8 merges over the
-    corpus word-frequency relation — pair counts, in-DAG argmax, greedy
-    left-to-right rewrite per step (operators/bpe.py). The oracle
-    unrolls every step as CTEs with an island-parity rewrite, so the
-    iterative tokenizer-training loop is hash-certified."""
-    from model_audit_spark.operators.bpe import learn_bpe_merges
+    """BPE merge learning (Sennrich 2016): 8 merges over the corpus
+    word-frequency relation (operators/bpe.py). r12: runs the
+    collected-chain learner — ONE distributed corpus pass + the
+    driver-side incremental learner over the Heaps-bounded vocabulary
+    (the bpe_merges64 shape; the in-DAG per-step chain cost 44 driver
+    jobs of AQE stage materialization for vocabulary-sized data and
+    keeps its pinned-equality pytest coverage). Output is identical —
+    the same unrolled-CTE island-parity oracle hash-certifies the
+    learned chain step for step."""
+    from model_audit_spark.operators.bpe import learn_bpe_merges_collected
 
     docs = _t(spark, sf, "documents")
-    return learn_bpe_merges(docs, n_merges=8)
+    return learn_bpe_merges_collected(docs, n_merges=8, memo_key=sf)
 
 
 def _bpe_segments(spark, sf):
     """The application half of BPE: how the 8 learned merges segment the
-    200 most frequent corpus words, with per-word fertility
-    (bpe.bpe_vocab_segments) — same unrolled-CTE oracle chain, final
-    vocabulary state."""
-    from model_audit_spark.operators.bpe import bpe_vocab_segments
+    200 most frequent corpus words, with per-word fertility — same
+    unrolled-CTE oracle chain, final vocabulary state. r12: the
+    collected-chain shape (bpe.bpe_vocab_segments_collected) — the
+    chain is learned driver-side (memo-shared with bpe_merges in a
+    session batch) and applied as 8 literal apply_merge folds in one
+    projection; output identical (equality pinned in tests)."""
+    from model_audit_spark.operators.bpe import (
+        bpe_vocab_segments_collected,
+    )
 
     docs = _t(spark, sf, "documents")
-    return bpe_vocab_segments(docs, n_merges=8, top_k=200)
+    return bpe_vocab_segments_collected(
+        docs, n_merges=8, top_k=200, memo_key=sf
+    )
 
 
 def _bpe_merges64(spark, sf):
@@ -3177,7 +3206,8 @@ def _dedup_clusters_incremental(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    verified = _dup_verified(docs).select("id_a", "id_b").persist()
+    verified = _dup_verified(docs).select("id_a", "id_b")
+    # the memoized verified relation is already persisted (r12)
     is_old = lambda c: F.col(c) % 10 != 0  # noqa: E731
     old_pairs = verified.filter(is_old("id_a") & is_old("id_b"))
     assignment = cluster_documents(
@@ -3790,6 +3820,8 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
+    "bpe_merges64",
+    "bpe_fertility64",
     "ann_ivf_sq8",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
@@ -3824,6 +3856,8 @@ _CHECK_WINDOW = [
     "cluster_topics",
     "effective_corpus_size",
     "paragraph_near_dups",
+    "bpe_merges",
+    "bpe_segments",
     "contrastive_triplets",
     "embedding_contamination",
     "ivf_append",
@@ -3836,10 +3870,6 @@ _CHECK_WINDOW = [
     "session_paths",
     "style_count_distribution",
     "style_scores_long",
-    "vocab_coverage",
-    "zipf_slope",
-    "audit_consistency_rate",
-    "audit_verdict_sources",
 ]
 
 

@@ -51,6 +51,7 @@ __all__ = [
     "learn_bpe_merges_driver",
     "learn_bpe_merges_collected",
     "bpe_vocab_segments",
+    "bpe_vocab_segments_collected",
     "bpe_fertility",
     "bpe_fertility_collected",
 ]
@@ -236,6 +237,53 @@ def bpe_vocab_segments(
         "freq",
         F.array_join("seq", " ").alias("segments"),
         F.size("seq").cast("int").alias("n_subwords"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("freq"), F.asc("word")
+        ).limit(int(top_k))
+    return out
+
+
+def bpe_vocab_segments_collected(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    top_k: int | None = None,
+    memo_key=None,
+) -> DataFrame:
+    """bpe_vocab_segments in the collected-chain shape (r12): the merge
+    chain is learned driver-side over the collapsed vocabulary
+    (_collected_chain — ONE corpus pass; memo-shared with
+    learn_bpe_merges_collected when `memo_key` matches), then applied
+    as n_merges LITERAL apply_merge folds in one projection — no
+    per-step broadcast joins, no per-step checkpoints, no per-step AQE
+    stage materialization. Output is identical to bpe_vocab_segments:
+    the learned chain is pinned equal across all three learner shapes,
+    and composing the same ordered rewrites over the same initial
+    character sequences is exactly what the in-DAG chain's per-step
+    vocab rewrite computes (equality pinned in tests; the same
+    unrolled-CTE oracle twin hash-certifies both)."""
+    from model_audit_spark.persistence import track
+
+    # ONE corpus pass: the persisted word-frequency relation feeds the
+    # learner's collect AND the segmentation projection
+    wf = track(word_freqs(df, text_col).persist())
+    merges, _, _, _ = _collected_chain(
+        df, n_merges, text_col, min_pair_count, memo_key, wf=wf
+    )
+    vocab = wf.select(
+        "word", F.split(F.col("word"), "").alias("seq"), "freq"
+    )
+    seq = F.col("seq")
+    for _step, left, right, _cnt in merges:
+        seq = apply_merge(seq, F.lit(left), F.lit(right))
+    out = vocab.select(
+        "word",
+        "freq",
+        F.array_join(seq, " ").alias("segments"),
+        F.size(seq).cast("int").alias("n_subwords"),
     )
     if top_k is not None:
         out = out.orderBy(
@@ -451,6 +499,7 @@ def _collected_chain(
     text_col: str,
     min_pair_count: int,
     memo_key=None,
+    wf: DataFrame | None = None,
 ) -> tuple[list[tuple], int, int, int]:
     """Distributed corpus collapse + bounded-relation driver learner.
 
@@ -469,7 +518,9 @@ def _collected_chain(
     learn_bpe_merges_collected already ran in the same session batch;
     release_all() (the bench isolation hook) clears it."""
     def build():
-        rows = word_freqs(df, text_col).collect()
+        rows = (
+            wf if wf is not None else word_freqs(df, text_col)
+        ).collect()
         return _learn_merges_py(
             [(r["word"], r["freq"]) for r in rows],
             n_merges,

@@ -364,3 +364,40 @@ def test_incremental_learner_property_random_corpora():
                 seqs[w] = out
         freq = dict(vocab)
         assert tot_sub == sum(len(s) * freq[w] for w, s in seqs.items())
+
+
+def test_collected_segments_equals_in_dag_segments(spark):
+    """bpe_vocab_segments_collected (r12: driver-learned chain applied
+    as literal apply_merge folds) must emit IDENTICAL rows to the
+    in-DAG bpe_vocab_segments — tie-heavy corpus, with and without
+    top_k (the gate query's configuration)."""
+    from model_audit_spark.operators.bpe import (
+        bpe_vocab_segments,
+        bpe_vocab_segments_collected,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat " * 3 + f"tail{i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dag = {
+        tuple(r)
+        for r in bpe_vocab_segments(df, n_merges=8).collect()
+    }
+    col = {
+        tuple(r)
+        for r in bpe_vocab_segments_collected(df, n_merges=8).collect()
+    }
+    assert col == dag
+    dag_k = [
+        tuple(r)
+        for r in bpe_vocab_segments(df, n_merges=8, top_k=5).collect()
+    ]
+    col_k = [
+        tuple(r)
+        for r in bpe_vocab_segments_collected(
+            df, n_merges=8, top_k=5
+        ).collect()
+    ]
+    assert col_k == dag_k
