@@ -157,6 +157,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     — lsh_multiprobe_topk at probe_radius=0 (the shared implementation;
@@ -166,7 +167,7 @@ def lsh_topk(
     prunes to one partition instead of scanning N rows.
     """
     return lsh_multiprobe_topk(
-        emb, query_vec_id, k, n_planes, 0, id_col, vec_col, dim
+        emb, query_vec_id, k, n_planes, 0, id_col, vec_col, dim, sigs
     )
 
 
@@ -179,6 +180,7 @@ def lsh_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe LSH top-k: candidates from every bucket within
     Hamming distance `probe_radius` of the query's bucket — the standard
@@ -196,16 +198,24 @@ def lsh_multiprobe_topk(
     `n_planes=None` (the default) derives the count from corpus size via
     derive_n_planes (the occupancy policy) — the scale-safe configuration
     is the one an un-parameterized caller gets. Gate queries pass their
-    pinned literals explicitly so their evidence hashes stay stable."""
+    pinned literals explicitly so their evidence hashes stay stable.
+
+    `sigs`: a pre-built (id, ev, bucket) signature relation to reuse
+    (r12 — the shingles= injection pattern; the caller owns its
+    persist/release lifecycle and must have built it with the SAME
+    planes this call would derive). A parameter sweep probing several
+    radii against one corpus signs the corpus once instead of once per
+    radius."""
     if n_planes is None:
         n_planes = derive_n_planes(emb)
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes)
-    sigs = emb.select(
-        F.col(id_col),
-        as_double_array(vec_col).alias("ev"),
-    ).withColumn("bucket", rhp_signature(F.col("ev"), planes))
+    if sigs is None:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, n_planes)
+        sigs = emb.select(
+            F.col(id_col),
+            as_double_array(vec_col).alias("ev"),
+        ).withColumn("bucket", rhp_signature(F.col("ev"), planes))
     qrow = sigs.filter(F.col(id_col) == query_vec_id).select(
         F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -336,23 +346,41 @@ def ivf_index_kmeans(
     return assigned, centroids
 
 
+def seed_vectors(
+    emb: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The `n` lowest-id vectors as driver-side lists — the shared
+    sample-quantizer seed collect (r12): ivf_centroids_seeded and
+    pq_codebooks_seeded both TakeOrdered the same lowest-id rows, so a
+    report building both indexes collects max(n) once and slices."""
+    rows = (
+        emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(n)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
 def ivf_centroids_seeded(
     emb: DataFrame,
     n_clusters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: the n_clusters lowest-id vectors
     serve as centroids (a random-sample quantizer — the standard cheap
     alternative to k-means training, and SQL-reproducible so the IVF query
-    can be oracle-checked). Build-time driver action: k × dim floats."""
-    rows = (
-        emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-        .orderBy(id_col)
-        .limit(n_clusters)
-        .collect()
-    )
-    return [list(r.v) for r in rows]
+    can be oracle-checked). Build-time driver action: k × dim floats.
+    `seeds`: a pre-collected seed_vectors(emb, >= n_clusters) list to
+    slice instead of running this builder's own TakeOrdered collect."""
+    if seeds is not None:
+        return [list(v) for v in seeds[:n_clusters]]
+    return seed_vectors(emb, n_clusters, id_col, vec_col)
 
 
 def _centroid_norm(c: list[float]) -> float:
@@ -870,24 +898,26 @@ def pq_codebooks_seeded(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: the vector space is
     split into `m` subspaces of dim/m dims; each subspace's `k` centroids
     are the corresponding slices of the k lowest-id vectors (the same
     sample-quantizer convention as ivf_centroids_seeded — cheap,
     SQL-reproducible; swap in per-subspace k-means offline for recall).
-    Returns codebooks[sub][centroid] = list of dim/m floats."""
+    Returns codebooks[sub][centroid] = list of dim/m floats.
+    `seeds`: a pre-collected seed_vectors(emb, >= k) list to slice
+    instead of running this builder's own TakeOrdered collect."""
     if dim % m != 0:
         raise ValueError("dim must divide into m subspaces")
     d = dim // m
-    rows = (
-        emb.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
+    vs = (
+        [list(v) for v in seeds[:k]]
+        if seeds is not None
+        else seed_vectors(emb, k, id_col, vec_col)
     )
     return [
-        [list(r.v[s * d : (s + 1) * d]) for r in rows] for s in range(m)
+        [list(v[s * d : (s + 1) * d]) for v in vs] for s in range(m)
     ]
 
 
@@ -1364,12 +1394,21 @@ def ann_recall_report(
     # persisted index tables the probe paths scan.
     from model_audit_spark.persistence import track
 
-    books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim)
-    centroids = ivf_centroids_seeded(emb, n_clusters=8)
+    # ONE seed collect serves both sample quantizers (r12 — both
+    # TakeOrdered the same lowest-id rows), and ONE persisted signature
+    # relation serves both LSH probes (same 6 planes; previously each
+    # probe re-signed the corpus).
+    seeds = seed_vectors(emb, 16, id_col, vec_col)
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim, seeds=seeds)
+    centroids = ivf_centroids_seeded(emb, n_clusters=8, seeds=seeds)
     assigned = track(ivf_assign(emb, centroids).persist())
     sq_params = sq8_params(emb, vec_col)
     sq_enc = track(sq8_encode(emb, sq_params, id_col, vec_col).persist())
     pq_codes = track(pq_encode(emb, books, id_col, vec_col).persist())
+    # NOT shared: a persisted signature relation (measured r12 — the
+    # cache fill serializes on the critical path and the query-row
+    # lookup loses its pushed 1-row parquet filter; the inline
+    # signature projection fuses into each probe's scan stage instead)
     methods = {
         "ivf": ivf_probe(
             assigned, query_vec_id, centroids, k=k, nprobe=3
@@ -1463,14 +1502,22 @@ def ann_param_sweep(
     # without the persist+injection each variant re-scans the corpus
     from model_audit_spark.persistence import track
 
-    centroids = ivf_centroids_seeded(emb, 8, id_col, vec_col)
+    # ONE seed collect for both sample quantizers and ONE persisted
+    # signature relation for every multiprobe radius (r12): the radii
+    # differ only in the probe set, so re-signing the corpus per radius
+    # was pure repeated work.
+    seeds = seed_vectors(emb, 16, id_col, vec_col)
+    centroids = ivf_centroids_seeded(emb, 8, id_col, vec_col, seeds=seeds)
     assigned = track(
         ivf_assign(emb, centroids, id_col, vec_col).persist()
     )
-    books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim)
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=dim, seeds=seeds)
     sq_params = sq8_params(emb, vec_col)
     sq_enc = track(sq8_encode(emb, sq_params, id_col, vec_col).persist())
     pq_codes = track(pq_encode(emb, books, id_col, vec_col).persist())
+    # NOT shared: a persisted signature relation across the radii
+    # (measured r12 — see ann_recall_report; the inline projection per
+    # radius is cheaper than the cache fill + cache-scan query row)
     variants: list[tuple[str, str, DataFrame]] = []
     for r in radii:
         variants.append(
