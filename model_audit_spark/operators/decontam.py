@@ -200,7 +200,13 @@ def embedding_contamination(
     e = sig(eval_emb, "eval_id", "ev", "en").withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
     )
-    cand = t.join(e, ["bucket", "_salt"])
+    # explicit broadcast (r12, ADVICE): eval is the bounded side BY
+    # CONTRACT (docstring above), but replicating it S ways inflates the
+    # size ESTIMATE S-fold — near autoBroadcastJoinThreshold/S the
+    # planner would silently flip the previously-broadcast join into a
+    # shuffle of the 100 TB train side. The hint pins the join strategy
+    # to the contract instead of the estimate.
+    cand = t.join(F.broadcast(e), ["bucket", "_salt"])
     sim = _dot(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en"))
     scored = cand.select(
         "train_id", "eval_id", F.round(sim, 6).alias("cosine_sim")

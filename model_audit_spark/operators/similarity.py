@@ -813,9 +813,17 @@ def knn_graph(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        # quantized sort key (r12, ADVICE): floor(proj·1e9 + 0.5) — the
+        # repo's portable half-up — so an order projection that rounds
+        # differently in the last ulp across engines cannot reorder the
+        # bucket (a reorder changes which pairs fall inside the window);
+        # near-ties collapse to EQUAL keys and fall back to the vec_id
+        # tiebreak deterministically on both sides. floor is monotone,
+        # so non-tied order is unchanged.
+        qproj = F.floor(proj * F.lit(1e9) + F.lit(0.5))
         frame = (
             _W.partitionBy("band", "bucket")
-            .orderBy(proj.asc(), F.col("_id").asc())
+            .orderBy(qproj.asc(), F.col("_id").asc())
             .rowsBetween(1, int(bucket_window))
         )
         nbrs = F.collect_list(

@@ -3219,9 +3219,10 @@ def knn_graph_windowed(
     Spark side's order plane) with vec_id tiebreak; an unordered pair
     is a candidate iff 1 <= pos_b - pos_a <= W; both graph directions
     are emitted (cosine is symmetric) before the distinct + top-k.
-    Ordering doubles: the projection is a 64-term dot — two distinct
-    vectors' projections differ generically far above ulp, same
-    accepted float-threshold class as the bucket sign bit."""
+    Ordering doubles (r12, ADVICE): the sort key is the QUANTIZED
+    projection floor(proj*1e9 + 0.5) — the portable half-up — on both
+    engines, so a last-ulp cross-engine difference cannot reorder a
+    bucket; near-ties collapse to equal keys and break on vec_id."""
     from model_audit_spark.operators.similarity import random_hyperplanes
 
     rows = []
@@ -3251,8 +3252,9 @@ pos AS (
   SELECT s.vec_id, s.band, s.bucket,
          row_number() OVER (
            PARTITION BY s.band, s.bucket
-           ORDER BY list_sum(list_transform(range(1, {dim} + 1),
-                    j -> v.v[j] * ({order_plane}::DOUBLE[])[j])) ASC,
+           ORDER BY floor(list_sum(list_transform(range(1, {dim} + 1),
+                    j -> v.v[j] * ({order_plane}::DOUBLE[])[j]))
+                    * 1e9 + 0.5) ASC,
                     s.vec_id ASC
          ) AS p
   FROM sigs s JOIN v ON v.vec_id = s.vec_id

@@ -343,6 +343,25 @@ def test_knn_graph_bucket_window_equivalence_and_bound(spark):
     )
     assert twin_hits >= int(0.9 * len(by_src)), (twin_hits, len(by_src))
 
+    # the BOUND itself (r12, ADVICE): with k larger than any possible
+    # per-src candidate count the rank filter is non-binding, so the
+    # output IS the distinct scored-candidate relation. Windowed
+    # candidates are structurally <= 2*N*W*bands directed pairs; the
+    # unbounded join on the same single-cluster corpus enumerates
+    # occupancy^2 — a regression that silently re-enumerates the full
+    # bucket (e.g. the frame degenerating to the plain join) now fails
+    # here instead of only showing up as a wall-clock cliff.
+    n_pts, w_, bands_ = len(tight), 8, 2
+    win_all = knn_graph(
+        temb, k=10**6, n_bands=bands_, planes_per_band=4, dim=dim,
+        bucket_window=w_,
+    ).count()
+    unb_all = knn_graph(
+        temb, k=10**6, n_bands=bands_, planes_per_band=4, dim=dim
+    ).count()
+    assert win_all <= 2 * n_pts * w_ * bands_, (win_all, n_pts)
+    assert win_all < unb_all / 2, (win_all, unb_all)
+
 
 def test_span_dedup_detects_repeated_span(spark):
     from model_audit_spark.operators.dedup import span_dedup_stats
