@@ -176,14 +176,22 @@ def test_dup_verified_session_holds_one_shingle_relation(spark, tmp_path):
     # (an absolute ==0 was flaky against collector timing)
     n0 = _n_persistent_rdds(spark)
     entry._dup_verified(docs).count()
+    # r12: the first call memoizes the shingle relation AND the
+    # verified pair relation (keyed (files, min_jaccard))
     m1 = persistence.memo_size()
+    assert m1 == 2
     t1 = persistence.tracked_count()
     entry._dup_verified(docs, min_jaccard=0.3).count()
-    # second query reused the memoized shingle relation: no new memo entry
-    assert persistence.memo_size() == m1 == 1
-    # jaccard_verify's per-call pair persist is tracked (so releasable),
-    # but the corpus-sized shingle relation was NOT duplicated
-    assert persistence.tracked_count() == t1 + 1
+    # the second threshold memoizes its own VERIFIED relation but
+    # reuses the one corpus-sized shingle relation
+    assert persistence.memo_size() == m1 + 1
+    shingle_keys = [
+        k for k in persistence._memo if k and k[0] == "dup_shingles"
+    ]
+    assert len(shingle_keys) == 1
+    # the new verified relation (and its verify-internal pair persist)
+    # is tracked, so release_all can drop it
+    assert persistence.tracked_count() > t1
     persistence.release_all()
     # everything THIS test pinned is gone; pre-existing checkpoint
     # debris may also have been GC'd meanwhile, hence <=
