@@ -26,9 +26,12 @@ the rewrite; fully lazy, composes into larger plans) and the
 driver-argmax loop (_merge_chain_driver — the winning pair returns to
 the driver, the rewrite is a literal projection, checkpoints every few
 steps; ~2x faster per step, the shape for production merge counts).
-Each step's vocabulary localCheckpoints lazily, so Catalyst sees a
-bounded plan while the per-step jobs collapse into the final
-materialization (the pagerank discipline, cluster.py).
+Each step's vocabulary localCheckpoints so Catalyst sees a bounded
+plan. In the in-DAG chain the checkpoints are EAGER (r12): the step
+broadcast racing the scheduler over an un-materialized lazy checkpoint
+is a live JVM deadlock (persistence.lazy_checkpoint_scope documents the
+lock ordering); the driver-argmax loop keeps lazy checkpoints because
+its per-step `.first()` is the single-threaded materializing action.
 
 Determinism: pair counts are exact integers; the argmax's
 (count desc, left asc, right asc) tuple is unique; the left-to-right
@@ -130,9 +133,17 @@ def _merge_chain(
 ) -> tuple[list[DataFrame], DataFrame]:
     """Run the merge loop; return (per-step 1-row merge relations, final
     vocabulary relation (word, seq, freq))."""
+    # EAGER checkpoints throughout this in-DAG chain (r12): each step
+    # broadcasts best1 — a subtree over the previous vocabulary — and a
+    # broadcast-exchange thread computing an UN-materialized lazy
+    # checkpoint deadlocks against the DAG scheduler (the pagerank
+    # deadlock, persistence.lazy_checkpoint_scope). Eager materializes
+    # each step's vocab from the driver thread before any broadcast can
+    # touch it. The bench/gate paths use the collected learner; this
+    # chain is the fully-lazy-composition variant.
     vocab = word_freqs(df, text_col).select(
         "word", F.split(F.col("word"), "").alias("seq"), "freq"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
     merge_rows = []
     for step_no in range(1, n_merges + 1):
@@ -192,7 +203,7 @@ def _merge_chain(
                 ).alias("seq"),
                 "freq",
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     return merge_rows, vocab
 

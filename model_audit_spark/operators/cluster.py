@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from model_audit_spark.persistence import track
+from model_audit_spark.persistence import lazy_checkpoint_scope, track
 
 __all__ = ["connected_components", "cluster_documents"]
 
@@ -63,11 +63,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # The INITIAL label relation checkpoints EAGERLY: round 1's
+    # convergence count references it from BOTH join legs, and two AQE
+    # stage threads racing to materialize the same un-materialized lazy
+    # checkpoint is the scheduler deadlock documented at
+    # persistence.lazy_checkpoint_scope. Every LATER round is safe lazy:
+    # that round's count() is the single action that materializes its
+    # own checkpoint before the next round's plan references it — so
+    # the loop keeps AQE (whose coalescing measurably helps the tiny
+    # per-round count jobs; the AQE-off form was A/B'd ~1s slower on
+    # the CC-family queries at sf0.1).
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     try:
         for _ in range(max_iter):
@@ -91,9 +101,7 @@ def connected_components(
                 )
                 # LAZY localCheckpoint truncates the plan immediately; the
                 # convergence count below is the round's ONE action and
-                # materializes the checkpoint as a side effect (r12 — the
-                # pagerank/label_prop discipline; the eager form paid a
-                # separate blocking checkpoint job per round)
+                # materializes the checkpoint as a side effect
                 .localCheckpoint(eager=False)
             )
             changed = new_labels.filter("_changed").count()
@@ -506,8 +514,10 @@ def pagerank(
     The dangling-node SET is static across rounds, so degrees are joined
     ONCE into a checkpointed (node, outdeg) relation and `pr` carries
     `outdeg` forward — each round is then one (src-keyed) join edges⋈pr,
-    one dst-keyed aggregate, and a scalar dangling aggregate read
-    straight off the previous round's checkpointed pr (no per-round
+    one dst-keyed aggregate, and ONE collected BIGINT scalar (the
+    dangling mass, folded into the round expression as a literal — r12:
+    the broadcast form deadlocked the scheduler against the
+    broadcast-exchange thread over the lazy checkpoint; no per-round
     pr⋈out_deg join, no per-round persist/unpersist pair — the r2/r3
     shape spent a third of its wall-clock there). Each round's pr is
     localCheckpoint'ed so the analyzed plan stays one round deep
@@ -528,52 +538,67 @@ def pagerank(
     out_deg = e.groupBy(F.col("_u").alias("_du")).agg(
         F.count("*").alias("outdeg")
     )
-    node_info = (
-        nodes.select(F.col(id_col).alias("_n"))
-        .join(out_deg, F.col("_n") == F.col("_du"), "left")
-        .select("_n", "outdeg")
-        .localCheckpoint()
-    )
-    pr = node_info.select(
-        "_n", "outdeg",
-        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
-    ).localCheckpoint(eager=False)
-    for it in range(iterations):
-        dang = pr.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("d")
+    # AQE-off scope (persistence.lazy_checkpoint_scope): the round plans
+    # compile without eager stage-materialization jobs, and the one
+    # per-round action below (the dangling-mass collect) is a
+    # single-threaded job that materializes the previous round's lazy
+    # checkpoint BEFORE anything else references it. The old shape
+    # crossJoin(F.broadcast(dang)) was the live deadlock caught under
+    # jstack this round: the broadcast-exchange thread computing `dang`
+    # raced the DAG scheduler over pr's un-materialized checkpoint
+    # (RDDCheckpointData vs RDD lock ordering).
+    with lazy_checkpoint_scope(nodes.sparkSession):
+        node_info = (
+            nodes.select(F.col(id_col).alias("_n"))
+            .join(out_deg, F.col("_n") == F.col("_du"), "left")
+            .select("_n", "outdeg")
+            .localCheckpoint()
         )
-        contrib = (
-            e.join(
-                pr.filter(F.col("outdeg").isNotNull()).select(
-                    F.col("_n").alias("_u2"),
-                    F.expr("pr DIV outdeg").alias("share"),
-                ),
-                F.col("_u") == F.col("_u2"),
+        pr = node_info.select(
+            "_n", "outdeg",
+            F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
+        ).localCheckpoint(eager=False)
+        for it in range(iterations):
+            # dangling mass is ONE BIGINT scalar per round — collect it
+            # (report-sized, the lloyd_kmeans precedent) and fold
+            # d DIV n_nodes into a literal: the broadcast exchange and
+            # the cross join disappear from every round, and the exact
+            # integer math is unchanged (Python // == SQL DIV for the
+            # non-negative mass sums).
+            d = pr.filter(F.col("outdeg").isNull()).agg(
+                F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("d")
+            ).collect()[0]["d"]
+            dang_share = int(d) // n_nodes
+            contrib = (
+                e.join(
+                    pr.filter(F.col("outdeg").isNotNull()).select(
+                        F.col("_n").alias("_u2"),
+                        F.expr("pr DIV outdeg").alias("share"),
+                    ),
+                    F.col("_u") == F.col("_u2"),
+                )
+                .groupBy(F.col("_v").alias("_n"))
+                .agg(F.sum("share").cast("long").alias("c"))
             )
-            .groupBy(F.col("_v").alias("_n"))
-            .agg(F.sum("share").cast("long").alias("c"))
-        )
-        pr = (
-            node_info.join(contrib, "_n", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "_n", "outdeg",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(c, 0) + d DIV "
-                        f"{n_nodes})) DIV 100"
-                    )
-                ).cast("long").alias("pr"),
+            pr = (
+                node_info.join(contrib, "_n", "left")
+                .select(
+                    "_n", "outdeg",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(c, 0) + "
+                            f"{dang_share}L)) DIV 100"
+                        )
+                    ).cast("long").alias("pr"),
+                )
+                # intermediate rounds checkpoint LAZILY: Catalyst still
+                # sees a one-round-deep plan per round, and the final
+                # round stays eager so e can be unpersisted before
+                # returning (a lazy tail would re-evaluate an expensive
+                # caller edges relation 3×).
+                .localCheckpoint(eager=(it == iterations - 1))
             )
-            # intermediate rounds checkpoint LAZILY: Catalyst still sees a
-            # one-round-deep plan per round (the LogicalRDD leaf is cut
-            # immediately), but the per-round eager jobs collapse into the
-            # final round's single eager materialization — which must stay
-            # eager so e can be unpersisted before returning (a lazy tail
-            # would re-evaluate an expensive caller edges relation 3×).
-            .localCheckpoint(eager=(it == iterations - 1))
-        )
     e.unpersist()
     return pr.select(F.col("_n").alias(id_col), "pr")
 
@@ -679,38 +704,44 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
-    base = nodes.select(F.col(id_col).alias("_n")).localCheckpoint()
-    lab = base.select("_n", F.col("_n").alias("lbl")).localCheckpoint(
-        eager=False
-    )
-    for it in range(rounds):
-        counts = (
-            e.join(
-                lab.select(F.col("_n").alias("_v2"), "lbl"),
-                F.col("_v") == F.col("_v2"),
-            )
-            .groupBy(F.col("_u"), F.col("lbl"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    # AQE-off scope: intermediate rounds compile WITHOUT eager stage
+    # materialization, so the final round's eager checkpoint is the ONE
+    # job that computes the whole chained lineage single-threaded —
+    # both the checkpoint-race fix and the per-round-jobs fix (see
+    # persistence.lazy_checkpoint_scope).
+    with lazy_checkpoint_scope(nodes.sparkSession):
+        base = nodes.select(F.col(id_col).alias("_n")).localCheckpoint()
+        lab = base.select("_n", F.col("_n").alias("lbl")).localCheckpoint(
+            eager=False
         )
-        winner = (
-            counts.groupBy("_u")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"),
-                        F.col("lbl").alias("l"),
-                    )
-                ).alias("w")
+        for it in range(rounds):
+            counts = (
+                e.join(
+                    lab.select(F.col("_n").alias("_v2"), "lbl"),
+                    F.col("_v") == F.col("_v2"),
+                )
+                .groupBy(F.col("_u"), F.col("lbl"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .select(F.col("_u").alias("_wn"), F.col("w.l").alias("wl"))
-        )
-        lab = (
-            base.join(winner, F.col("_n") == F.col("_wn"), "left")
-            .select(
-                "_n", F.coalesce(F.col("wl"), F.col("_n")).alias("lbl")
+            winner = (
+                counts.groupBy("_u")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"),
+                            F.col("lbl").alias("l"),
+                        )
+                    ).alias("w")
+                )
+                .select(F.col("_u").alias("_wn"), F.col("w.l").alias("wl"))
             )
-            .localCheckpoint(eager=(it == rounds - 1))
-        )
+            lab = (
+                base.join(winner, F.col("_n") == F.col("_wn"), "left")
+                .select(
+                    "_n", F.coalesce(F.col("wl"), F.col("_n")).alias("lbl")
+                )
+                .localCheckpoint(eager=(it == rounds - 1))
+            )
     e.unpersist()
     return lab.select(
         F.col("_n").alias(id_col), F.col("lbl").alias("community")
@@ -766,13 +797,6 @@ def k_core(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
     base = nodes.select(F.col(id_col).alias("_n"))
-    surv = (
-        e.select("_u")
-        .unionByName(e.select(F.col("_v").alias("_u")))
-        .distinct()
-        .withColumnRenamed("_u", "_n")
-        .localCheckpoint(eager=False)
-    )
 
     def _induced_deg(s: DataFrame) -> DataFrame:
         return (
@@ -788,18 +812,31 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    for it in range(rounds):
+    # AQE-off scope: the peel compiles with zero construction jobs; the
+    # last round's eager checkpoint materializes all 8 rounds as ONE
+    # single-threaded job (checkpoint-race fix + per-round-jobs fix —
+    # see persistence.lazy_checkpoint_scope).
+    with lazy_checkpoint_scope(nodes.sparkSession):
         surv = (
-            _induced_deg(surv)
-            .filter(F.col("deg") >= k)
-            .select("_u")
+            e.select("_u")
+            .unionByName(e.select(F.col("_v").alias("_u")))
+            .distinct()
             .withColumnRenamed("_u", "_n")
-            .localCheckpoint(eager=(it == rounds - 1))
+            .localCheckpoint(eager=False)
         )
-    # Materialize the final-degree relation (survivor-sized) BEFORE
-    # releasing `e` — lazily it would re-derive the caller's edge chain
-    # (the full minhash verify at the gate) from source at action time.
-    final_deg = _induced_deg(surv).localCheckpoint()
+        for it in range(rounds):
+            surv = (
+                _induced_deg(surv)
+                .filter(F.col("deg") >= k)
+                .select("_u")
+                .withColumnRenamed("_u", "_n")
+                .localCheckpoint(eager=(it == rounds - 1))
+            )
+        # Materialize the final-degree relation (survivor-sized) BEFORE
+        # releasing `e` — lazily it would re-derive the caller's edge
+        # chain (the full minhash verify at the gate) from source at
+        # action time.
+        final_deg = _induced_deg(surv).localCheckpoint()
     out = (
         base.join(
             surv.select(F.col("_n").alias("_in")),

@@ -1855,6 +1855,8 @@ def lloyd_kmeans(
     output is the last ASSIGNMENT) is skipped outright. The SQL twin
     unrolls the same rounds as MATERIALIZED CTEs.
     """
+    from model_audit_spark.persistence import lazy_checkpoint_scope
+
     q = quantize_micro(vectors, vec_col, id_col).persist()
     draw = F.conv(
         F.substring(
@@ -1869,92 +1871,101 @@ def lloyd_kmeans(
         16,
         10,
     ).cast("long")
-    init_rows = (
-        q.withColumn("_draw", draw)
-        .orderBy("_draw", id_col)
-        .limit(k)
-        .select("x6")
-        .collect()
-    )
-    # [(cluster_id, [dim longs])] — cluster ids are draw-order indexes,
-    # exactly the row_number() - 1 of the r11 shape
-    cents: list[tuple[int, list[int]]] = [
-        (i, list(r.x6)) for i, r in enumerate(init_rows)
-    ]
-
-    def _llit(vals: list[int]):
-        # ARRAY<BIGINT> literal via one parsed SQL string (the dlit
-        # rationale; L-suffix pins BIGINT)
-        return F.expr(
-            "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
-        )
-
-    def _llit2(rows: list[list[int]]):
-        # ARRAY<ARRAY<BIGINT>> literal, one parsed string (dlit2 shape)
-        return F.expr(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{int(v)}L" for v in r) + ")"
-                for r in rows
-            )
-            + ")"
-        )
-
-    assign = None
-    for it in range(iterations):
-        # argmin via transform-with-index over ONE folded 2-D literal
-        # (constant py4j cost per round — the unrolled per-centroid
-        # struct loop cost ~25 py4j calls per centroid per round);
-        # cluster ids ride a parallel BIGINT literal because clusters
-        # can disappear (ids are not contiguous). array_min compares
-        # (dist, cluster) values, not positions — identical tie-break.
-        cb = _llit2([c6 for _, c6 in cents])
-        cids = _llit([cid for cid, _ in cents])
-        entries = F.transform(
-            cb,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("x6"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, d: acc + d,
-                ).alias("dist"),
-                F.element_at(cids, i + F.lit(1)).alias("cluster"),
-            ),
-        )
-        assign = q.select(
-            F.col(id_col),
-            F.array_min(entries).getField("cluster").alias("cluster"),
-        )
-        if it == iterations - 1:
-            break
-        sums = (
-            assign.join(q, id_col)
-            .select("cluster", F.posexplode("x6").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(
-                F.sum("val").alias("s"),
-                F.count("*").alias("n"),
-            )
-        )
-        cent_rows = (
-            sums.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("dim", F.expr("s DIV n").alias("m"))
-                        )
-                    ),
-                    lambda t: t["m"],
-                ).alias("c6")
-            )
-            .orderBy("cluster")
+    # AQE-off scope for the whole round loop: each per-round collect is
+    # then ONE single-threaded job instead of several AQE
+    # stage-materialization jobs (persistence.lazy_checkpoint_scope —
+    # here purely the job-count half of that rationale; the loop carries
+    # no lazy checkpoints). Results are AQE-invariant.
+    with lazy_checkpoint_scope(vectors.sparkSession):
+        init_rows = (
+            q.withColumn("_draw", draw)
+            .orderBy("_draw", id_col)
+            .limit(k)
+            .select("x6")
             .collect()
         )
-        cents = [(int(r.cluster), list(r.c6)) for r in cent_rows]
-    out = assign.localCheckpoint()
+        # [(cluster_id, [dim longs])] — cluster ids are draw-order
+        # indexes, exactly the row_number() - 1 of the r11 shape
+        cents: list[tuple[int, list[int]]] = [
+            (i, list(r.x6)) for i, r in enumerate(init_rows)
+        ]
+
+        def _llit(vals: list[int]):
+            # ARRAY<BIGINT> literal via one parsed SQL string (the dlit
+            # rationale; L-suffix pins BIGINT)
+            return F.expr(
+                "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+            )
+
+        def _llit2(rows: list[list[int]]):
+            # ARRAY<ARRAY<BIGINT>> literal, one parsed string (dlit2)
+            return F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{int(v)}L" for v in r) + ")"
+                    for r in rows
+                )
+                + ")"
+            )
+
+        assign = None
+        for it in range(iterations):
+            # argmin via transform-with-index over ONE folded 2-D
+            # literal (constant py4j cost per round — the unrolled
+            # per-centroid struct loop cost ~25 py4j calls per centroid
+            # per round); cluster ids ride a parallel BIGINT literal
+            # because clusters can disappear (ids are not contiguous).
+            # array_min compares (dist, cluster) values, not positions
+            # — identical tie-break.
+            cb = _llit2([c6 for _, c6 in cents])
+            cids = _llit([cid for cid, _ in cents])
+            entries = F.transform(
+                cb,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("x6"), c, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.element_at(cids, i + F.lit(1)).alias("cluster"),
+                ),
+            )
+            assign = q.select(
+                F.col(id_col),
+                F.array_min(entries).getField("cluster").alias("cluster"),
+            )
+            if it == iterations - 1:
+                break
+            sums = (
+                assign.join(q, id_col)
+                .select("cluster", F.posexplode("x6").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum("val").alias("s"),
+                    F.count("*").alias("n"),
+                )
+            )
+            cent_rows = (
+                sums.groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "dim", F.expr("s DIV n").alias("m")
+                                )
+                            )
+                        ),
+                        lambda t: t["m"],
+                    ).alias("c6")
+                )
+                .orderBy("cluster")
+                .collect()
+            )
+            cents = [(int(r.cluster), list(r.c6)) for r in cent_rows]
+        out = assign.localCheckpoint()
     q.unpersist()
     return out
 

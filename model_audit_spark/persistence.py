@@ -36,7 +36,8 @@ evict unrelated users' blocks on a shared cluster.
 
 from __future__ import annotations
 
-from typing import Callable, Hashable
+from contextlib import contextmanager
+from typing import Callable, Hashable, Iterator
 
 from pyspark.sql import DataFrame
 
@@ -100,6 +101,44 @@ def memo_obj(key: Hashable, builder: Callable[[], object]) -> object:
     v = builder()
     _obj_memo[key] = v
     return v
+
+
+@contextmanager
+def lazy_checkpoint_scope(spark) -> Iterator[None]:
+    """Compile a lazy-localCheckpoint iteration under AQE-off.
+
+    Why this exists (r12, observed live under jstack): a lazily
+    checkpointed RDD that is MATERIALIZED concurrently from two JVM
+    threads deadlocks — ``RDDCheckpointData.checkpointRDD`` holds the
+    checkpoint-data monitor while asking for the RDD's ``partitions``
+    lock, and ``DAGScheduler.getCacheLocs`` holds the RDD lock while
+    asking for the checkpoint-data monitor (the stuck pair was
+    ``dag-scheduler-event-loop`` vs ``broadcast-exchange-588`` inside
+    pagerank's round build). Under AQE every ``localCheckpoint`` call
+    triggers eager, MULTI-THREADED stage materialization of the round
+    plan (the ``.rdd`` conversion), so each round of an iterative
+    operator races broadcast/stage threads against the scheduler over
+    the previous round's un-materialized checkpoint.
+
+    Inside this scope AQE is off, so ``.rdd`` conversion is pure
+    compilation: zero jobs during construction, and the loop's final
+    EAGER checkpoint materializes the whole chained lineage as ONE
+    single-threaded job (checkpoint recursion then marks every earlier
+    round from that one driver thread — no concurrent materialization
+    left anywhere). The same change collapses the per-round AQE
+    stage-materialization jobs (~50-100 per graph query measured at
+    sf0.1) into that one job. Results are AQE-invariant; loop shuffles
+    fall back to ``spark.sql.shuffle.partitions``, which this repo
+    derives from the core budget (session.py) — scale-adaptive, not a
+    local-mode constant. The session value is restored on exit even if
+    the loop raises."""
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
 
 
 def track_view(spark, name: str) -> str:

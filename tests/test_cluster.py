@@ -486,3 +486,69 @@ def test_partition_label_nmi_aligned_and_independent(spark):
         [(i, "s") for i in range(1, 5)], "doc_id long, source string"
     )
     assert partition_label_nmi(one, onecat).collect()[0].nmi is None
+
+
+def test_iterative_loops_compile_without_eager_round_jobs(spark):
+    """r12 deadlock-fix contract (persistence.lazy_checkpoint_scope):
+    the LP / k-core / pagerank loops compile their rounds under AQE-off,
+    so construction launches a small BOUNDED number of jobs (the eager
+    base/final checkpoints and pagerank's per-round 1-row collects) —
+    not the 3-5 AQE stage-materialization jobs per round whose
+    concurrent lazy-checkpoint materialization deadlocked the scheduler
+    against a broadcast-exchange thread (caught live under jstack).
+    The AQE session conf must also be restored afterwards."""
+    from model_audit_spark.operators.cluster import (
+        k_core,
+        label_propagation,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 9) for b in range(1, 9) if a != b],
+        "src long, dst long",
+    )
+    nodes = spark.range(1, 9).select(F.col("id").alias("node"))
+    tracker = spark.sparkContext.statusTracker()
+
+    def new_jobs(build):
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        df = build()
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        return df, len(after - before)
+
+    lp, n = new_jobs(
+        lambda: label_propagation(nodes, edges, rounds=4, id_col="node")
+    )
+    # base eager + final-round eager (+ slack for Spark-internal jobs)
+    assert n <= 4, f"label_propagation construction ran {n} jobs"
+    assert lp.count() == 8
+
+    kc, n = new_jobs(lambda: k_core(nodes, edges, k=2, rounds=8))
+    # final-round eager + final_deg eager (+ slack)
+    assert n <= 4, f"k_core construction ran {n} jobs"
+    assert kc.count() == 8
+
+    prd, n = new_jobs(lambda: pagerank(nodes, edges, iterations=3))
+    # nodes.count (AQE, outside the scope) + node_info eager + 3
+    # dangling collects + final eager, with slack for Spark-internal
+    # jobs — the pre-fix shape ran 3-5 AQE materialization jobs per
+    # round on top of these
+    assert n <= 11, f"pagerank construction ran {n} jobs"
+    assert prd.count() == 8
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_lazy_checkpoint_scope_restores_conf_on_error(spark):
+    from model_audit_spark.persistence import lazy_checkpoint_scope
+
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        with lazy_checkpoint_scope(spark):
+            assert (
+                spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
