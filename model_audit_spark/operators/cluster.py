@@ -535,6 +535,9 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
+    # fill the edge cache under the session conf (AQE for the
+    # corpus-sized upstream chain) before the AQE-off loop scope
+    e.count()
     out_deg = e.groupBy(F.col("_u").alias("_du")).agg(
         F.count("*").alias("outdeg")
     )
@@ -704,6 +707,12 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
+    # Materialize the edge cache UNDER THE SESSION CONF before entering
+    # the AQE-off scope: the caller's edge chain (at the gate, the full
+    # corpus-sized minhash verify) keeps AQE's skew-join/broadcast
+    # handling; the scope below then governs only the graph-bounded
+    # loop rounds, which scan the cached blocks.
+    e.count()
     # AQE-off scope: intermediate rounds compile WITHOUT eager stage
     # materialization, so the final round's eager checkpoint is the ONE
     # job that computes the whole chained lineage single-threaded —
@@ -796,6 +805,9 @@ def k_core(
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).persist()
+    # fill the edge cache under the session conf (AQE for the
+    # corpus-sized upstream chain) before the AQE-off loop scope
+    e.count()
     base = nodes.select(F.col(id_col).alias("_n"))
 
     def _induced_deg(s: DataFrame) -> DataFrame:

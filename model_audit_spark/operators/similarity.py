@@ -1874,9 +1874,12 @@ def lloyd_kmeans(
     # AQE-off scope for the whole round loop: each per-round collect is
     # then ONE single-threaded job instead of several AQE
     # stage-materialization jobs (persistence.lazy_checkpoint_scope —
-    # here purely the job-count half of that rationale; the loop carries
-    # no lazy checkpoints). Results are AQE-invariant.
-    with lazy_checkpoint_scope(vectors.sparkSession):
+    # here purely the job-count half of that rationale; the loop
+    # carries no lazy checkpoints, so broadcasts stay enabled for the
+    # sums join). Results are AQE-invariant.
+    with lazy_checkpoint_scope(
+        vectors.sparkSession, disable_broadcast=False
+    ):
         init_rows = (
             q.withColumn("_draw", draw)
             .orderBy("_draw", id_col)

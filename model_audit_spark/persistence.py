@@ -104,8 +104,11 @@ def memo_obj(key: Hashable, builder: Callable[[], object]) -> object:
 
 
 @contextmanager
-def lazy_checkpoint_scope(spark) -> Iterator[None]:
-    """Compile a lazy-localCheckpoint iteration under AQE-off.
+def lazy_checkpoint_scope(
+    spark, disable_broadcast: bool = True
+) -> Iterator[None]:
+    """Compile a lazy-localCheckpoint iteration under AQE-off (and, by
+    default, auto-broadcast-off).
 
     Why this exists (r12, observed live under jstack): a lazily
     checkpointed RDD that is MATERIALIZED concurrently from two JVM
@@ -120,25 +123,45 @@ def lazy_checkpoint_scope(spark) -> Iterator[None]:
     operator races broadcast/stage threads against the scheduler over
     the previous round's un-materialized checkpoint.
 
-    Inside this scope AQE is off, so ``.rdd`` conversion is pure
-    compilation: zero jobs during construction, and the loop's final
-    EAGER checkpoint materializes the whole chained lineage as ONE
-    single-threaded job (checkpoint recursion then marks every earlier
-    round from that one driver thread — no concurrent materialization
-    left anywhere). The same change collapses the per-round AQE
-    stage-materialization jobs (~50-100 per graph query measured at
-    sf0.1) into that one job. Results are AQE-invariant; loop shuffles
-    fall back to ``spark.sql.shuffle.partitions``, which this repo
-    derives from the core budget (session.py) — scale-adaptive, not a
-    local-mode constant. The session value is restored on exit even if
-    the loop raises."""
+    Inside this scope AQE is off AND (by default) auto-broadcast is off
+    (``spark.sql.autoBroadcastJoinThreshold=-1``). Both matter: with
+    AQE off, ``.rdd`` conversion skips the eager stage materialization,
+    but a STATIC plan containing a BroadcastHashJoin still runs its
+    broadcast job at ``.rdd`` time on a broadcast-exchange thread
+    (measured: 1 job per broadcast even AQE-off) — and if that subtree
+    contains an un-materialized lazy checkpoint, the race above is
+    right back. With both off, ``.rdd`` is pure compilation: ZERO jobs
+    during construction (measured), no broadcast threads in the loop's
+    plans at all, and the loop's final EAGER checkpoint materializes
+    the whole chained lineage as ONE job driven single-threaded
+    (checkpoint recursion then marks every earlier round from that one
+    thread — no concurrent materialization left anywhere). The same
+    change collapses the per-round AQE stage-materialization jobs
+    (~50-100 per graph query measured at sf0.1) into that one job.
+
+    Results are invariant to both settings; loop shuffles fall back to
+    ``spark.sql.shuffle.partitions``, which this repo derives from the
+    core budget (session.py) — scale-adaptive, not a local-mode
+    constant. Loop joins are graph-bounded, where sort-merge is the
+    right 100 TB default anyway; callers keep AQE's skew/broadcast
+    handling for the corpus-sized upstream by materializing their
+    persisted edge relation BEFORE entering the scope (the loop then
+    scans cached blocks). ``disable_broadcast=False`` is for loops with
+    NO lazy checkpoints (lloyd_kmeans: per-round driver collects) that
+    only want the job-count half. Session values are restored on exit
+    even if the loop raises."""
     conf = spark.conf
     old = conf.get("spark.sql.adaptive.enabled", "true")
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     conf.set("spark.sql.adaptive.enabled", "false")
+    if disable_broadcast:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         yield
     finally:
         conf.set("spark.sql.adaptive.enabled", old)
+        if disable_broadcast:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
 def track_view(spark, name: str) -> str:

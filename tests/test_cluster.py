@@ -519,13 +519,16 @@ def test_iterative_loops_compile_without_eager_round_jobs(spark):
     lp, n = new_jobs(
         lambda: label_propagation(nodes, edges, rounds=4, id_col="node")
     )
-    # base eager + final-round eager (+ slack for Spark-internal jobs)
-    assert n <= 4, f"label_propagation construction ran {n} jobs"
+    # edge-cache warm count (AQE, ~3 jobs) + base eager + final-round
+    # eager (+ slack) — the pre-fix shape ran 3-5 AQE materialization
+    # jobs per round ON TOP of these
+    assert n <= 8, f"label_propagation construction ran {n} jobs"
     assert lp.count() == 8
 
     kc, n = new_jobs(lambda: k_core(nodes, edges, k=2, rounds=8))
-    # final-round eager + final_deg eager (+ slack)
-    assert n <= 4, f"k_core construction ran {n} jobs"
+    # edge-cache warm count + final-round eager + final_deg eager
+    # (+ slack)
+    assert n <= 8, f"k_core construction ran {n} jobs"
     assert kc.count() == 8
 
     prd, n = new_jobs(lambda: pagerank(nodes, edges, iterations=3))
@@ -533,7 +536,7 @@ def test_iterative_loops_compile_without_eager_round_jobs(spark):
     # dangling collects + final eager, with slack for Spark-internal
     # jobs — the pre-fix shape ran 3-5 AQE materialization jobs per
     # round on top of these
-    assert n <= 11, f"pagerank construction ran {n} jobs"
+    assert n <= 14, f"pagerank construction ran {n} jobs"
     assert prd.count() == 8
 
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
