@@ -1585,6 +1585,26 @@ def _embedding_contamination(spark, sf):
     return embedding_contamination(tr, ev, threshold=0.4, n_planes=8, dim=64)
 
 
+def _embedding_contamination_windowed(spark, sf):
+    """embedding_contamination's bounded-candidate SortingLSH mode (r13,
+    the carried r11 scale item): bucket_window=8 with coarse 4-plane
+    buckets, so gate buckets genuinely exceed the window at every
+    driver SF and the frame-truncation semantics — interleaved
+    train+eval ordering by the extra seeded quantized projection,
+    pairing each train row only with the eval rows inside its ±8-row
+    frame — are what the oracle hash certifies (a window wider than
+    every bucket would collapse to the unbounded twin; with 4 planes
+    the sf0.1 gate output is 10 rows vs 53 unbounded)."""
+    from model_audit_spark.operators.decontam import embedding_contamination
+
+    emb = _t(spark, sf, "embeddings")
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    ev = emb.filter(F.col("vec_id") % 5 == 0)
+    return embedding_contamination(
+        tr, ev, threshold=0.4, n_planes=4, dim=64, bucket_window=8
+    )
+
+
 def _bm25_search(spark, sf):
     from model_audit_spark.operators.search import bm25_search
 
@@ -4066,6 +4086,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "contrastive_triplets": _contrastive_triplets,
         "embedding_contamination": _embedding_contamination,
+        "embedding_contamination_windowed": _embedding_contamination_windowed,
         "quality_calibrated": _quality_calibrated,
         "span_dedup": _span_dedup,
         "q_events_funnel": _q_events_funnel,
@@ -4218,6 +4239,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         "events_gapfill": ora.events_gapfill(grain_sec=3600),
         "embedding_contamination": ora.embedding_contamination(
             threshold=0.4, n_planes=8, dim=64, eval_mod=5
+        ),
+        "embedding_contamination_windowed": (
+            ora.embedding_contamination_windowed(
+                threshold=0.4, n_planes=4, dim=64, eval_mod=5,
+                bucket_window=8,
+            )
         ),
         "quality_calibrated": ora.quality_calibrated(keep_frac=0.5),
         "span_dedup": ora.span_dedup(span_tokens=20),

@@ -263,6 +263,7 @@ def bpe_vocab_segments_collected(
     min_pair_count: int = 2,
     top_k: int | None = None,
     memo_key=None,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """bpe_vocab_segments in the collected-chain shape (r12): the merge
     chain is learned driver-side over the collapsed vocabulary
@@ -275,12 +276,30 @@ def bpe_vocab_segments_collected(
     and composing the same ordered rewrites over the same initial
     character sequences is exactly what the in-DAG chain's per-step
     vocab rewrite computes (equality pinned in tests; the same
-    unrolled-CTE oracle twin hash-certifies both)."""
-    from model_audit_spark.persistence import track
-
+    unrolled-CTE oracle twin hash-certifies both). Vocabulary-size
+    gated like learn_bpe_merges_collected (r13): above
+    `collect_max_rows` the chain is learned by the distributed
+    driver-argmax loop and its final vocabulary IS the segmentation —
+    identical output either path."""
     # ONE corpus pass: the persisted word-frequency relation feeds the
-    # learner's collect AND the segmentation projection
-    wf = track(word_freqs(df, text_col).persist())
+    # gating count, the learner's collect (or the fallback loop) AND
+    # the segmentation projection
+    wf, fits = _gated_wf(df, text_col, collect_max_rows)
+    if not fits:
+        _merges, vocab = _merge_chain_driver(
+            df, n_merges, text_col, min_pair_count, wf=wf
+        )
+        out = vocab.select(
+            "word",
+            "freq",
+            F.array_join("seq", " ").alias("segments"),
+            F.size("seq").cast("int").alias("n_subwords"),
+        )
+        if top_k is not None:
+            out = out.orderBy(
+                F.desc("freq"), F.asc("word")
+            ).limit(int(top_k))
+        return out
     merges, _, _, _ = _collected_chain(
         df, n_merges, text_col, min_pair_count, memo_key, wf=wf
     )
@@ -313,6 +332,7 @@ def _merge_chain_driver(
     min_pair_count: int,
     ckpt_every: int = 6,
     vocab_partitions: int | None = None,
+    wf: DataFrame | None = None,
 ) -> tuple[list[tuple], DataFrame]:
     """Driver-argmax merge loop (r5): per step, the winning pair comes
     back to the driver as ONE row (the same O(rounds) tiny-action
@@ -334,8 +354,15 @@ def _merge_chain_driver(
     `vocab_partitions` coalesces the vocabulary relation once after the
     corpus-sized word-count aggregate — on a toy fixture 1 partition
     kills per-step scheduling overhead; at real scale leave None (the
-    vocabulary keeps the aggregate's AQE-coalesced layout)."""
-    vocab = word_freqs(df, text_col).select(
+    vocabulary keeps the aggregate's AQE-coalesced layout).
+
+    `wf`: an already-built (word, freq) relation (typically the
+    persisted one the vocabulary-size gate counted) so the fallback
+    path reuses its cached blocks instead of re-aggregating the
+    corpus."""
+    vocab = (
+        wf if wf is not None else word_freqs(df, text_col)
+    ).select(
         "word", F.split(F.col("word"), "").alias("seq"), "freq"
     )
     if vocab_partitions:
@@ -504,6 +531,43 @@ def _learn_merges_py(
     return merges, len(seqs), total_freq, total_subwords
 
 
+def _collect_max_rows(override: int | None = None) -> int:
+    """Vocabulary-row ceiling for the collected-chain learner (r13,
+    VERDICT #4). Above this, the collected shape would pull an
+    unbounded relation to the driver — at 100 TB of noisy text the
+    "Heaps-bounded" vocabulary can plausibly reach 1e8+ rows and OOM
+    the driver — so the public *_collected entry points COUNT the
+    word-frequency relation first and fall back to the distributed
+    driver-argmax loop (1 row per step to the driver) when it exceeds
+    this. Default 20M rows ≈ a few GB of driver working set for the
+    Python learner (collect + char-seq index); override per call or
+    via $SPARK_GRAFT_BPE_COLLECT_MAX for bigger drivers."""
+    if override is not None:
+        return int(override)
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_BPE_COLLECT_MAX", str(20_000_000))
+    )
+
+
+def _gated_wf(
+    df: DataFrame,
+    text_col: str,
+    collect_max_rows: int | None,
+    wf: DataFrame | None = None,
+) -> tuple[DataFrame, bool]:
+    """(persisted word-frequency relation, fits_driver): the shared
+    vocabulary-size gate. ONE corpus pass: the persist is filled by the
+    gating count(), and both the collected learner's collect() and any
+    fallback loop then scan cached vocabulary-sized blocks."""
+    from model_audit_spark.persistence import track
+
+    if wf is None:
+        wf = track(word_freqs(df, text_col).persist())
+    return wf, wf.count() <= _collect_max_rows(collect_max_rows)
+
+
 def _collected_chain(
     df: DataFrame,
     n_merges: int,
@@ -554,17 +618,29 @@ def learn_bpe_merges_collected(
     text_col: str = "text",
     min_pair_count: int = 2,
     memo_key=None,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """learn_bpe_merges at production merge counts, collected-vocabulary
     shape: identical output to the in-DAG and driver-argmax variants
     (equality pinned in tests; the same SQL twin hash-certifies all
     three), one distributed corpus pass + a driver-side incremental
-    learner over the Heaps-bounded vocabulary. Use this when the
-    vocabulary relation fits the driver (it does until ~1e8 distinct
-    words); learn_bpe_merges_driver remains the distributed per-step
-    loop beyond that."""
+    learner over the Heaps-bounded vocabulary.
+
+    r13 (VERDICT #4): the "fits the driver" decision is now MEASURED,
+    not assumed — the word-frequency relation is persisted and counted
+    first, and above `collect_max_rows` (default 20M, see
+    _collect_max_rows) the query falls back to the distributed
+    driver-argmax loop (learn_bpe_merges_driver's shape, reusing the
+    counted relation's cached blocks; 1 row per merge step to the
+    driver) instead of collecting an unbounded vocabulary."""
+    wf, fits = _gated_wf(df, text_col, collect_max_rows)
+    if not fits:
+        merges, _ = _merge_chain_driver(
+            df, n_merges, text_col, min_pair_count, wf=wf
+        )
+        return df.sparkSession.createDataFrame(merges, MERGE_SCHEMA)
     merges, _, _, _ = _collected_chain(
-        df, n_merges, text_col, min_pair_count, memo_key
+        df, n_merges, text_col, min_pair_count, memo_key, wf=wf
     )
     return df.sparkSession.createDataFrame(merges, MERGE_SCHEMA)
 
@@ -575,6 +651,7 @@ def bpe_fertility_collected(
     text_col: str = "text",
     min_pair_count: int = 2,
     memo_key=None,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """bpe_fertility in the collected-vocabulary shape — same one-row
     final-state certificate, computed from the SAME learned chain as
@@ -582,9 +659,38 @@ def bpe_fertility_collected(
     deterministic function of (table, n_merges); re-learning it was the
     r5 perf finding). The division/round runs through the same Spark
     expression as the distributed variant so rounding is
-    engine-identical."""
+    engine-identical. Vocabulary-size gated like
+    learn_bpe_merges_collected (r13): above `collect_max_rows` the
+    certificate computes through the distributed driver-argmax loop
+    over the counted relation's cached blocks — identical output
+    (the final aggregate IS bpe_fertility's)."""
+    wf, fits = _gated_wf(df, text_col, collect_max_rows)
+    if not fits:
+        merges_l, vocab = _merge_chain_driver(
+            df, n_merges, text_col, min_pair_count, wf=wf
+        )
+        return (
+            vocab.agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("freq").cast("long").alias("total_freq"),
+                F.sum(F.size("seq") * F.col("freq"))
+                .cast("long")
+                .alias("total_subwords"),
+            )
+            .select(
+                F.lit(len(merges_l)).cast("int").alias("n_merges_done"),
+                "n_words",
+                "total_freq",
+                "total_subwords",
+                F.round(
+                    F.col("total_subwords")
+                    / F.greatest(F.col("total_freq"), F.lit(1)),
+                    6,
+                ).alias("mean_fertility"),
+            )
+        )
     merges, n_words, total_freq, total_subwords = _collected_chain(
-        df, n_merges, text_col, min_pair_count, memo_key
+        df, n_merges, text_col, min_pair_count, memo_key, wf=wf
     )
     if n_words == 0:
         # empty corpus: match the distributed shape exactly — SQL

@@ -124,6 +124,7 @@ def embedding_contamination(
     vec_col: str = "embedding",
     dim: int | None = None,
     salt_buckets: int = 16,
+    bucket_window: int | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: training vectors whose cosine to
     ANY eval vector crosses `threshold` (the semantic complement of the
@@ -165,10 +166,34 @@ def embedding_contamination(
     SERIALIZATION layer only; the candidate COUNT on clustered data is
     still Σ|train_b|·|eval_b| (use more planes or a higher threshold to
     shrink it).
+
+    `bucket_window=W` (r13, VERDICT #1) is the bounded-CANDIDATE mode
+    for clustered corpora — the knn_graph SortingLSH discipline applied
+    across the two sets (the r11 skew sweep measured the unbounded
+    candidate layer super-linear: exp 1.15, 385 s at 200k train
+    vectors, because candidate work tracks Σ|train_b|·|eval_b|).
+    Within each LSH bucket, train AND eval rows are ordered TOGETHER
+    by one extra seeded random projection (quantized
+    floor(proj·1e9+0.5) — the portable half-up — with (is_eval, id)
+    tiebreak), and each train row is paired only with the eval rows
+    inside a ±W frame around it in that interleaved order — its
+    nearest eval neighbors in the 1-D locality sense. The pairing is
+    knn_graph's collect_list-over-frame shape (the when() inside the
+    collect skips train rows, so the frame buffers ≤ 2W eval structs
+    per row): candidate work is ≤ 2W·|train+eval| (linear in the
+    corpus) at ANY cluster shape, there is no pair join at all — so
+    no hot-reducer product and no salt needed. When every bucket holds
+    ≤ W+1 rows total the output is IDENTICAL to the unbounded mode
+    (the frame then spans the whole bucket); inside a flooded bucket
+    the miss risk concentrates among same-cluster near-ties — and the
+    report's worst-match semantics only need ONE above-threshold
+    neighbor to flag a train vector. Default None preserves the
+    historical unbounded shape (gate hashes stable).
     """
     from model_audit_spark.operators.similarity import (
         as_double_array,
         derive_n_planes,
+        dlit,
         random_hyperplanes,
         rhp_signature,
         _dot,
@@ -193,20 +218,117 @@ def embedding_contamination(
             .withColumn(out_n, _norm(F.col(out_v)))
         )
 
-    s = max(1, int(salt_buckets))
-    t = sig(train_emb, "train_id", "tv", "tn").withColumn(
-        "_salt", F.pmod(F.xxhash64("train_id"), F.lit(s)).cast("int")
-    )
-    e = sig(eval_emb, "eval_id", "ev", "en").withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    )
-    # explicit broadcast (r12, ADVICE): eval is the bounded side BY
-    # CONTRACT (docstring above), but replicating it S ways inflates the
-    # size ESTIMATE S-fold — near autoBroadcastJoinThreshold/S the
-    # planner would silently flip the previously-broadcast join into a
-    # shuffle of the 100 TB train side. The hint pins the join strategy
-    # to the contract instead of the estimate.
-    cand = t.join(F.broadcast(e), ["bucket", "_salt"])
+    if bucket_window is not None:
+        # bounded-candidate SortingLSH mode — see docstring. One extra
+        # seeded projection (same seed offset as knn_graph's order
+        # plane), quantized so a last-ulp cross-engine double
+        # difference cannot reorder a bucket.
+        w_n = int(bucket_window)
+        order_plane = random_hyperplanes(dim, 1, seed=42 + 9973)[0]
+
+        def qkey(vcol):
+            proj = F.aggregate(
+                F.zip_with(vcol, dlit(order_plane), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return F.floor(proj * F.lit(1e9) + F.lit(0.5))
+
+        # union the RAW sides first, then sign/project ONCE over the
+        # union: one signature+norm+qkey projection instead of two.
+        # NO Filter node ever sits on this union — a post-window filter
+        # on the per-branch literal side flag tripped Catalyst's
+        # Union constraint/pushdown rewrite into an
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the qkey lambda's
+        # pruned input (Spark 4.1); the train selection below rides a
+        # when()-guarded explode instead (eval rows explode an empty
+        # array and simply vanish).
+        raw = train_emb.select(
+            F.col(id_col).alias("uid"),
+            as_double_array(vec_col).alias("uv"),
+            F.lit(0).alias("is_eval"),
+        ).unionByName(
+            eval_emb.select(
+                F.col(id_col).alias("uid"),
+                as_double_array(vec_col).alias("uv"),
+                F.lit(1).alias("is_eval"),
+            )
+        )
+        u = raw.select(
+            "uid",
+            "uv",
+            "is_eval",
+            rhp_signature(F.col("uv"), planes).alias("bucket"),
+            _norm(F.col("uv")).alias("un"),
+            qkey(F.col("uv")).alias("qk"),
+        )
+        # knn_graph's frame pattern, cross-set: collect the EVAL
+        # neighbors within ±W frame positions of each row in the
+        # bucket's locality order (collect_list skips the NULLs the
+        # when() emits for train rows, so the frame buffer holds at
+        # most 2W eval structs per row), then explode on train rows —
+        # eval rows explode an empty list and drop out. STRUCTURAL
+        # bound: ≤ 2W candidates per train row, never occupancy², and
+        # — unlike a position-table join — no join at all, so there is
+        # no surface for Catalyst's cross-relation constraint
+        # transplant (a join after this window hit
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND binding the qkey lambda's
+        # union-side input on Spark 4.1).
+        frame = (
+            Window.partitionBy("bucket")
+            .orderBy(
+                F.col("qk").asc(), F.col("is_eval").asc(),
+                F.col("uid").asc(),
+            )
+            .rowsBetween(-w_n, w_n)
+        )
+        nbrs = F.collect_list(
+            F.when(
+                F.col("is_eval") == 1,
+                F.struct(
+                    F.col("uid").alias("eid"),
+                    F.col("uv").alias("ev"),
+                    F.col("un").alias("en"),
+                ),
+            )
+        ).over(frame)
+        cand = (
+            # when() without otherwise: eval rows get a NULL neighbor
+            # array, and explode(NULL) emits no rows — the train
+            # selection needs no Filter node anywhere on the union
+            u.withColumn(
+                "_nb", F.when(F.col("is_eval") == 0, nbrs)
+            )
+            .select(
+                F.col("uid").alias("train_id"),
+                F.col("uv").alias("tv"),
+                F.col("un").alias("tn"),
+                F.explode("_nb").alias("nb"),
+            )
+            .select(
+                "train_id",
+                "tv",
+                "tn",
+                F.col("nb.eid").alias("eval_id"),
+                F.col("nb.ev").alias("ev"),
+                F.col("nb.en").alias("en"),
+            )
+        )
+    else:
+        s = max(1, int(salt_buckets))
+        t = sig(train_emb, "train_id", "tv", "tn").withColumn(
+            "_salt", F.pmod(F.xxhash64("train_id"), F.lit(s)).cast("int")
+        )
+        e = sig(eval_emb, "eval_id", "ev", "en").withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        )
+        # explicit broadcast (r12, ADVICE): eval is the bounded side BY
+        # CONTRACT (docstring above), but replicating it S ways inflates
+        # the size ESTIMATE S-fold — near autoBroadcastJoinThreshold/S
+        # the planner would silently flip the previously-broadcast join
+        # into a shuffle of the 100 TB train side. The hint pins the
+        # join strategy to the contract instead of the estimate.
+        cand = t.join(F.broadcast(e), ["bucket", "_salt"])
     sim = _dot(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en"))
     scored = cand.select(
         "train_id", "eval_id", F.round(sim, 6).alias("cosine_sim")

@@ -3705,6 +3705,81 @@ SELECT train_id, eval_id, cosine_sim FROM ranked WHERE rn = 1
 """
 
 
+def embedding_contamination_windowed(
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int = 64,
+    eval_mod: int = 5,
+    bucket_window: int = 8,
+) -> str:
+    """Twin of decontam.embedding_contamination with bucket_window (r13
+    bounded-candidate SortingLSH mode): train AND eval rows of each LSH
+    bucket are ordered TOGETHER by the quantized projection against the
+    extra seeded hyperplane (seed 42 + 9973, floor(proj*1e9 + 0.5) —
+    the portable half-up, so a last-ulp cross-engine difference cannot
+    reorder a bucket) with (is_eval, vec_id) tiebreak; a (train, eval)
+    pair is a candidate iff |pos_t - pos_e| <= W in that interleaved
+    order — exactly the Spark side's collect_list-over-±W-rows frame
+    (the frame gathers eval neighbors only, so frame membership IS the
+    position-distance test). Downstream identical to the unbounded
+    twin: threshold filter, worst-match row per contaminated train
+    vector."""
+    from model_audit_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes)
+    rows = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in p) + "])"
+        for i, p in enumerate(planes)
+    )
+    op = random_hyperplanes(dim, 1, seed=42 + 9973)[0]
+    order_plane = "[" + ", ".join(repr(x) for x in op) + "]"
+    return f"""
+WITH planes(pi, pv) AS (VALUES {rows}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                        j -> v[j] * pv[j])) > 0
+                   THEN (1::BIGINT << pi) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id
+),
+pos AS (
+  SELECT vec_id, v, bucket,
+         CASE WHEN vec_id % {eval_mod} = 0 THEN 1 ELSE 0 END AS is_eval,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY floor(list_sum(list_transform(range(1, {dim} + 1),
+                    j -> v[j] * ({order_plane}::DOUBLE[])[j]))
+                    * 1e9 + 0.5) ASC,
+                    CASE WHEN vec_id % {eval_mod} = 0 THEN 1 ELSE 0 END ASC,
+                    vec_id ASC
+         ) AS p
+  FROM sigs
+),
+cand AS (
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+    round(
+      list_sum(list_transform(range(1, {dim} + 1), i -> t.v[i] * e.v[i]))
+      / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(e.v, x -> x * x)))),
+    6) AS cosine_sim
+  FROM pos t JOIN pos e ON t.bucket = e.bucket
+            AND abs(t.p - e.p) <= {bucket_window}
+  WHERE t.is_eval = 0 AND e.is_eval = 1
+),
+ranked AS (
+  SELECT train_id, eval_id, cosine_sim,
+         row_number() OVER (PARTITION BY train_id
+                            ORDER BY cosine_sim DESC, eval_id ASC) AS rn
+  FROM cand WHERE cosine_sim >= {threshold}
+)
+SELECT train_id, eval_id, cosine_sim FROM ranked WHERE rn = 1
+"""
+
+
 def quality_calibrated(keep_frac: float = 0.5) -> str:
     """Twin of text_analysis.quality_calibrated — per-source percentile
     rank of the quality score with the (quality desc, doc_id) tiebreak."""

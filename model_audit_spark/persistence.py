@@ -36,6 +36,7 @@ evict unrelated users' blocks on a shared cluster.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Callable, Hashable, Iterator
 
@@ -45,6 +46,16 @@ _tracked: list[DataFrame] = []
 _memo: dict[Hashable, DataFrame] = {}
 _obj_memo: dict[Hashable, object] = {}
 _tracked_views: list[tuple[object, str]] = []
+
+# Serializes lazy_checkpoint_scope entries (r13, VERDICT #8): two
+# overlapping scopes — nested in one thread or concurrent across
+# threads — would otherwise corrupt the save/restore of the session
+# confs (scope B would save scope A's temporary values as "old" and
+# restore them permanently). RLock + depth: nested scopes in one
+# thread are no-ops beyond the outermost; scopes on OTHER threads
+# block until the first exits.
+_scope_lock = threading.RLock()
+_scope_depth = 0
 
 
 def _is_live(df: DataFrame) -> bool:
@@ -103,6 +114,47 @@ def memo_obj(key: Hashable, builder: Callable[[], object]) -> object:
     return v
 
 
+def fill_caches_concurrently(
+    dfs: list[DataFrame],
+    labels: list[str] | None = None,
+    max_workers: int = 5,
+) -> None:
+    """Materialize several INDEPENDENT persisted relations' caches
+    concurrently (r13, guide §2.6 "overlap independent jobs"): one
+    count() per relation, submitted from a small thread pool, so the
+    FIFO scheduler backfills executors freed by one leg's straggler
+    tail with the next leg's tasks instead of running the legs'
+    AQE stage waves strictly leg-after-leg through a union plan.
+
+    Correctness-neutral: count() only fills the caches the final plan
+    then scans. Contract: the relations must not share an UNFILLED lazy
+    checkpoint (the single-materializer deadlock contract documented in
+    lazy_checkpoint_scope), and any relation they ALL scan should be
+    filled BEFORE this call — concurrent legs racing a cold shared
+    cache each recompute it into the same blocks (correct, wasted CPU).
+    Job descriptions are thread-local, so each leg labels its own jobs
+    in the UI. Exceptions propagate (first failure wins)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not dfs:
+        return
+    sc = dfs[0].sparkSession.sparkContext
+
+    def _fill(i: int) -> None:
+        if labels:
+            sc.setJobDescription(labels[i])
+        try:
+            dfs[i].count()
+        finally:
+            if labels:
+                sc.setJobDescription(None)
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(dfs))
+    ) as pool:
+        list(pool.map(_fill, range(len(dfs))))
+
+
 @contextmanager
 def lazy_checkpoint_scope(
     spark, disable_broadcast: bool = True
@@ -149,19 +201,55 @@ def lazy_checkpoint_scope(
     scans cached blocks). ``disable_broadcast=False`` is for loops with
     NO lazy checkpoints (lloyd_kmeans: per-round driver collects) that
     only want the job-count half. Session values are restored on exit
-    even if the loop raises."""
+    even if the loop raises.
+
+    Concurrency contract (r13, VERDICT #8): the AQE/broadcast flips are
+    SESSION-GLOBAL — Spark has no per-thread SQLConf — so a query that
+    another thread compiles while a scope is active compiles with AQE
+    and auto-broadcast off. That is a PERFORMANCE effect only: both
+    settings are semantics-preserving (results identical, pinned by
+    test_concurrent_compile_inside_scope_is_correct), and once built, a
+    DataFrame keeps its own plan — the scope's exit restore does not
+    retroactively change it. Overlapping scope ENTRIES are the
+    dangerous case (save/restore corruption: the inner scope would
+    save the outer's temporary values and restore them permanently) —
+    serialized by a module RLock + depth counter: nested scopes in one
+    thread only set/restore at the outermost level; a scope entered
+    from another thread blocks until the active one exits. Harnesses
+    that run queries strictly serially (bench.py, check_oracle.py, the
+    driver's gate) never observe any of this."""
+    global _scope_depth
     conf = spark.conf
-    old = conf.get("spark.sql.adaptive.enabled", "true")
-    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    if disable_broadcast:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _scope_lock.acquire()
+    _scope_depth += 1
     try:
+        if _scope_depth == 1:
+            old = conf.get("spark.sql.adaptive.enabled", "true")
+            old_bc = conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10MB"
+            )
+            conf.set("spark.sql.adaptive.enabled", "false")
+            if disable_broadcast:
+                conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        elif disable_broadcast and (
+            conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+        ):
+            # a nested scope asking for MORE isolation than the
+            # outermost (broadcasts still on) must fail loudly rather
+            # than silently keep broadcasts — the deadlock the scope
+            # exists to prevent would be back
+            raise RuntimeError(
+                "nested lazy_checkpoint_scope(disable_broadcast=True) "
+                "inside a broadcast-keeping scope"
+            )
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", old)
-        if disable_broadcast:
-            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        if _scope_depth == 1:
+            conf.set("spark.sql.adaptive.enabled", old)
+            if disable_broadcast:
+                conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        _scope_depth -= 1
+        _scope_lock.release()
 
 
 def track_view(spark, name: str) -> str:

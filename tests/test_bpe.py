@@ -401,3 +401,74 @@ def test_collected_segments_equals_in_dag_segments(spark):
         ).collect()
     ]
     assert col_k == dag_k
+
+
+def test_vocab_gate_forces_distributed_fallback(spark):
+    """r13 (VERDICT #4): the collected learner is GATED on the measured
+    vocabulary row count — with collect_max_rows below the corpus
+    vocabulary, every *_collected entry point must route through the
+    distributed driver-argmax loop (no unbounded driver collect) and
+    emit IDENTICAL output to the collected path."""
+    from model_audit_spark import persistence
+    from model_audit_spark.operators.bpe import (
+        bpe_fertility_collected,
+        bpe_vocab_segments_collected,
+        learn_bpe_merges_collected,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat " * 2 + f"tail{i % 5}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    merges_fast = [
+        tuple(r)
+        for r in learn_bpe_merges_collected(df, n_merges=10).collect()
+    ]
+    persistence.release_all()
+    merges_fb = [
+        tuple(r)
+        for r in learn_bpe_merges_collected(
+            df, n_merges=10, collect_max_rows=1
+        ).collect()
+    ]
+    assert merges_fb == merges_fast and len(merges_fb) == 10
+
+    persistence.release_all()
+    fert_fast = tuple(
+        bpe_fertility_collected(df, n_merges=10).collect()[0]
+    )
+    persistence.release_all()
+    fert_fb = tuple(
+        bpe_fertility_collected(
+            df, n_merges=10, collect_max_rows=1
+        ).collect()[0]
+    )
+    assert fert_fb == fert_fast
+
+    persistence.release_all()
+    seg_fast = sorted(
+        tuple(r)
+        for r in bpe_vocab_segments_collected(df, n_merges=6).collect()
+    )
+    persistence.release_all()
+    seg_fb = sorted(
+        tuple(r)
+        for r in bpe_vocab_segments_collected(
+            df, n_merges=6, collect_max_rows=1
+        ).collect()
+    )
+    assert seg_fb == seg_fast
+    persistence.release_all()
+
+
+def test_vocab_gate_env_override(monkeypatch):
+    """$SPARK_GRAFT_BPE_COLLECT_MAX reconfigures the default ceiling;
+    an explicit argument wins over the env."""
+    from model_audit_spark.operators.bpe import _collect_max_rows
+
+    assert _collect_max_rows() == 20_000_000
+    monkeypatch.setenv("SPARK_GRAFT_BPE_COLLECT_MAX", "123")
+    assert _collect_max_rows() == 123
+    assert _collect_max_rows(7) == 7

@@ -156,3 +156,64 @@ def test_embedding_contamination_salt_invariance(spark):
         for sb in (1, 4, 16)
     ]
     assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+
+def test_embedding_contamination_windowed_bound_and_equivalence(spark):
+    """r13 bounded-candidate mode (VERDICT #1): on a single tight
+    cluster (every vector in one LSH bucket — the hot case the r11 skew
+    sweep measured super-linear), bucket_window=W must (a) emit only
+    genuine train-vs-eval pairs, (b) STILL find a planted near-copy
+    whose eval twin is its 1-D locality neighbor, and (c) match the
+    unbounded mode exactly when W covers the whole bucket (frame spans
+    the bucket, so truncation is vacuous)."""
+    import random
+
+    from model_audit_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    center = [rng.gauss(0, 1) for _ in range(dim)]
+    vecs = [
+        (i, [x + rng.gauss(0, 0.05) for x in center]) for i in range(60)
+    ]
+    # plant: train vector 101 is a near-copy of eval vector 10
+    base = dict(vecs)[10]
+    vecs.append((101, [x + rng.gauss(0, 1e-7) for x in base]))
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    tr = emb.filter("vec_id % 5 != 0")
+    ev = emb.filter("vec_id % 5 = 0")
+
+    win = {
+        r.train_id: (r.eval_id, r.cosine_sim)
+        for r in embedding_contamination(
+            tr, ev, threshold=0.99, n_planes=4, dim=dim, bucket_window=3
+        ).collect()
+    }
+    # (a) sides are honored
+    for train_id, (eval_id, _) in win.items():
+        assert train_id % 5 != 0 and eval_id % 5 == 0
+    # (b) the planted near-copy is adjacent to its twin in projection
+    # order (cosine ~1 => near-identical projection), so even W=3 keeps it
+    assert 101 in win and win[101][0] == 10 and win[101][1] >= 0.999999
+
+    unb = sorted(
+        map(
+            tuple,
+            embedding_contamination(
+                tr, ev, threshold=0.9, n_planes=4, dim=dim
+            ).collect(),
+        )
+    )
+    wide = sorted(
+        map(
+            tuple,
+            embedding_contamination(
+                tr, ev, threshold=0.9, n_planes=4, dim=dim,
+                bucket_window=len(vecs),
+            ).collect(),
+        )
+    )
+    # (c) non-binding window == unbounded, and the hot case is non-empty
+    assert wide == unb and len(unb) > 0

@@ -196,3 +196,108 @@ def test_dup_verified_session_holds_one_shingle_relation(spark, tmp_path):
     # everything THIS test pinned is gone; pre-existing checkpoint
     # debris may also have been GC'd meanwhile, hence <=
     assert _n_persistent_rdds(spark) <= n0
+
+
+def test_nested_lazy_checkpoint_scope_restores_once(spark):
+    """r13 (VERDICT #8): overlapping scopes no longer corrupt the
+    save/restore — a nested scope is a no-op beyond the outermost, so
+    the session conf comes back to the PRE-OUTER value, not to the
+    inner scope's snapshot of the outer's temporary value."""
+    from model_audit_spark.persistence import lazy_checkpoint_scope
+
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    before_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # pin the threshold explicitly: an UNSET conf reads back through
+    # Spark's default renderer ("10485760b" vs the "10MB" the scope
+    # saves), which is value-identical but string-different
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_bc)
+    with lazy_checkpoint_scope(spark):
+        with lazy_checkpoint_scope(spark):
+            assert (
+                spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            )
+        # still inside the outer scope after the inner exits
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            == "-1"
+        )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        == before_bc
+    )
+
+
+def test_nested_scope_demanding_more_isolation_fails_loudly(spark):
+    """A broadcast-disabling scope nested inside a broadcast-KEEPING
+    scope cannot be honored (the outer already saved the session state)
+    — it must raise, not silently leave broadcasts on."""
+    from model_audit_spark.persistence import lazy_checkpoint_scope
+
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    with pytest.raises(RuntimeError, match="nested"):
+        with lazy_checkpoint_scope(spark, disable_broadcast=False):
+            with lazy_checkpoint_scope(spark, disable_broadcast=True):
+                pass  # pragma: no cover
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_concurrent_compile_inside_scope_is_correct(spark):
+    """r13 (VERDICT #8) concurrency contract: a query another thread
+    builds+runs while a scope is active sees AQE/broadcast off — a
+    performance effect only; the results are identical. Also pins that
+    a scope entered from a second thread BLOCKS until the first exits
+    (no interleaved save/restore)."""
+    import threading
+    import time as _time
+
+    from model_audit_spark.persistence import lazy_checkpoint_scope
+
+    big = spark.range(200).withColumn("k", F.col("id") % 10)
+    small = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    expected = sorted(
+        big.join(small, "k").select("id", "v").collect()
+    )
+
+    inside = threading.Event()
+    release = threading.Event()
+    errors: list[Exception] = []
+
+    def hold_scope():
+        try:
+            with lazy_checkpoint_scope(spark):
+                inside.set()
+                release.wait(timeout=30)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=hold_scope)
+    t.start()
+    assert inside.wait(timeout=30)
+    try:
+        # concurrent compile + run from this thread, mid-scope: the
+        # plan compiles without AQE/broadcast, the rows are identical
+        got = sorted(big.join(small, "k").select("id", "v").collect())
+        assert got == expected
+        # a second scope from this thread must BLOCK while the first
+        # is active (lock held), not overlap
+        entered = []
+
+        def second_scope():
+            with lazy_checkpoint_scope(spark):
+                entered.append(_time.time())
+
+        t2 = threading.Thread(target=second_scope)
+        t2.start()
+        _time.sleep(0.3)
+        assert not entered, "second scope entered while first active"
+    finally:
+        release.set()
+        t.join(timeout=30)
+        t2.join(timeout=30)
+    assert entered, "second scope never ran after the first exited"
+    assert not errors
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
