@@ -427,6 +427,101 @@ def generate_emb_skew(mult: int) -> Path:
     return out
 
 
+# Events realism (round-12 verdict task 6). The driver fixture's
+# per-user activity is near-uniform (45-99 events/user at sf0.1) —
+# real event logs are not: activity follows a power law (a few
+# bots/power users carry a large share), which stresses every
+# per-user window/aggregate in a way uniform activity cannot — the
+# sessionize/transition windows' hot partition carries the top user's
+# entire history (window functions get NO AQE skew-split: skew-join
+# handling applies to joins only, guide §2.5), and funnel/retention
+# per-user state concentrates the same way. Activity is
+# Zipf(SKEW_EVENTS_S) over user rank with the user count scaling with
+# volume (mean activity stays ~67), the 30-day span FIXED (traffic
+# grows, the window doesn't), uniform event-type mix and value/props
+# ranges matching the base fixture. Exponents over this family must
+# compare skew-vs-skew (gen-skew-events 1 for the small endpoint).
+SKEW_EVENTS_S = 1.1
+
+
+def generate_events_skew(mult: int) -> Path:
+    """Zipf-activity events at mult x sf0.1 volume under
+    SCALE_ROOT/skew_events/. Non-event tables ride along as symlinks so
+    directory-probing loaders keep working."""
+    import numpy as np
+    import pyarrow as pa
+
+    out = SCALE_ROOT / "skew_events" / f"sf{BASE_SF * mult:g}"
+    out.mkdir(parents=True, exist_ok=True)
+    m = 100_000 * mult
+    n_users = 1_500 * mult
+    rng = np.random.default_rng(SEED + 11)
+    p = 1.0 / np.arange(1, n_users + 1) ** SKEW_EVENTS_S
+    p /= p.sum()
+    users = rng.choice(n_users, size=m, p=p)
+    top_share = (users == 0).mean()
+    print(f"# skew-events gen: {m} events, {n_users} users, "
+          f"top user {top_share:.2%} of events", file=sys.stderr)
+    # 30-day span in microseconds, arrival-ordered ids like the fixture
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts_us = np.sort(rng.integers(0, span_us, size=m))
+    etypes = np.array(["view", "click", "purchase", "signup", "error"])
+    ev = pa.table({
+        "event_id": pa.array(range(m), type=pa.int64()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us")).cast(
+            pa.timestamp("us")
+        ),
+        "user_id": pa.array(users, type=pa.int64()),
+        "event_type": pa.array(etypes[rng.integers(0, 5, size=m)]),
+        "value": pa.array(
+            np.round(rng.uniform(0, 560, size=m), 2), type=pa.float64()
+        ),
+        "props": pa.array(
+            [f'{{"k": {k}}}' for k in rng.integers(0, 100, size=m)]
+        ),
+    })
+    # shift onto the fixture's 2024-01-01 epoch
+    base_us = int(
+        (pa.scalar("2024-01-01 00:00:00").cast(pa.timestamp("us"))).value
+    )
+    ev = ev.set_column(
+        1, "ts",
+        pa.array(ts_us + base_us, type=pa.timestamp("us")),
+    )
+    _write_dataset(ev, out / "events.parquet")
+    for t in [x for x in TABLES if x != "events"] + [
+        "documents", "embeddings",
+    ]:
+        link = out / f"{t}.parquet"
+        if not link.exists():
+            link.symlink_to(f"{BASE_SF_DIR}/{t}.parquet")
+    print(f"# wrote {out}", file=sys.stderr)
+    return out
+
+
+def skew_events_queries():
+    """The events-realism remeasure tier: every per-user
+    window/aggregate family member — sessionize (session_window),
+    funnel (per-user ordered match), retention (cohort join),
+    event_transitions (lead window), session_paths (collect_list
+    window), interarrival_profile (lag window + exact percentiles),
+    heavy_hitters (the CMS top-k built FOR skewed keys) and the
+    hourly rollup as the keyed-aggregate control row."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    return [
+        ("q_events_sessionize", qs["q_events_sessionize"]),
+        ("q_events_funnel", qs["q_events_funnel"]),
+        ("q_events_retention", qs["q_events_retention"]),
+        ("event_transitions", qs["event_transitions"]),
+        ("session_paths", qs["session_paths"]),
+        ("interarrival_profile", qs["interarrival_profile"]),
+        ("heavy_hitters", qs["heavy_hitters"]),
+        ("q_events_hourly", qs["q_events_hourly"]),
+    ]
+
+
 def skew_queries():
     """The embedding-realism remeasure tier: the ANN/graph/decontam
     operators whose cost model depends on bucket/list OCCUPANCY, which
@@ -457,9 +552,29 @@ def skew_queries():
         # quadratic in the hot-bucket occupancy.
         return knn_policy(spark, sf, bucket_window=128)
 
+    def contamination_windowed(spark, sf):
+        # r13 bounded-candidate mode (decontam bucket_window): the gate
+        # split + parameters with W=128 — candidate work is ≤ 2W eval
+        # neighbors per train row at ANY cluster shape (the unbounded
+        # row below tracks Σ|train_b|·|eval_b|, super-linear on
+        # power-law clusters: r11 measured exp 1.15, 385 s at 200k).
+        from pyspark.sql import functions as F
+
+        from model_audit_spark.operators.decontam import (
+            embedding_contamination,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        tr = emb.filter(F.col("vec_id") % 5 != 0)
+        ev = emb.filter(F.col("vec_id") % 5 == 0)
+        return embedding_contamination(
+            tr, ev, threshold=0.4, n_planes=8, dim=64, bucket_window=128
+        )
+
     return [
         ("knn_graph[policy planes W=128]", knn_capped),
         ("ann_ivf_topk", qs["ann_ivf_topk"]),
+        ("embedding_contamination[W=128]", contamination_windowed),
         ("embedding_contamination", qs["embedding_contamination"]),
         ("ann_pq_topk", qs["ann_pq_topk"]),
         ("embedding_coverage", qs["embedding_coverage"]),
@@ -753,6 +868,16 @@ def run(
         for d, m in ((small_dir, 1), (big_dir, mult)):
             if not Path(d, "embeddings.parquet").exists():
                 raise SystemExit(f"run `gen-skew {m}` first ({d} missing)")
+    elif tier_name == "skew_events":
+        small_dir = str(SCALE_ROOT / "skew_events" / f"sf{BASE_SF:g}")
+        big_dir = str(
+            SCALE_ROOT / "skew_events" / f"sf{BASE_SF * mult:g}"
+        )
+        for d, m in ((small_dir, 1), (big_dir, mult)):
+            if not Path(d, "events.parquet").exists():
+                raise SystemExit(
+                    f"run `gen-skew-events {m}` first ({d} missing)"
+                )
     else:
         big_dir = str(SCALE_ROOT / f"sf{BASE_SF * mult:g}")
         probe = "events" if tier_name == "rel" else "documents"
@@ -762,6 +887,7 @@ def run(
     tier = (relational_queries() if tier_name == "rel"
             else zipf_queries() if tier_name == "zipf"
             else skew_queries() if tier_name == "skew"
+            else skew_events_queries() if tier_name == "skew_events"
             else heavy_queries(mult))
     if only:
         tier = [(n, fn) for n, fn in tier if n in only]
@@ -850,7 +976,8 @@ def run(
 
 def main() -> None:
     cmds = ("gen", "run", "gen-rel", "run-rel", "gen-zipf", "run-zipf",
-            "gen-skew", "run-skew")
+            "gen-skew", "run-skew", "gen-skew-events",
+            "run-skew-events")
     if len(sys.argv) < 3 or sys.argv[1] not in cmds:
         raise SystemExit(__doc__)
     mult = int(sys.argv[2])
@@ -862,13 +989,15 @@ def main() -> None:
         generate_zipf(mult)
     elif sys.argv[1] == "gen-skew":
         generate_emb_skew(mult)
+    elif sys.argv[1] == "gen-skew-events":
+        generate_events_skew(mult)
     else:
         only = None
         for a in sys.argv[3:]:
             if a.startswith("--only="):
                 only = [s for s in a.split("=", 1)[1].split(",") if s]
         tiers = {"run": "heavy", "run-rel": "rel", "run-zipf": "zipf",
-                 "run-skew": "skew"}
+                 "run-skew": "skew", "run-skew-events": "skew_events"}
         run(
             mult,
             "--json" in sys.argv,
