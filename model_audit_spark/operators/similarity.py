@@ -41,9 +41,10 @@ def dlit(vals) -> Column:
     )
 
 
-def dlit2(rows) -> Column:
-    """ARRAY<ARRAY<DOUBLE>> literal parsed from ONE SQL string (dlit)."""
-    return F.expr(
+def _dlit2_sql(rows) -> str:
+    """SQL text of an ARRAY<ARRAY<DOUBLE>> literal (dlit's repr()/D
+    discipline) — for embedding in larger one-string expressions."""
+    return (
         "array("
         + ",".join(
             "array(" + ",".join(f"{float(v)!r}D" for v in r) + ")"
@@ -51,6 +52,11 @@ def dlit2(rows) -> Column:
         )
         + ")"
     )
+
+
+def dlit2(rows) -> Column:
+    """ARRAY<ARRAY<DOUBLE>> literal parsed from ONE SQL string (dlit)."""
+    return F.expr(_dlit2_sql(rows))
 
 
 def _norm(a: Column) -> Column:
@@ -929,50 +935,46 @@ def pq_codebooks_seeded(
     ]
 
 
-def _codebook_lit(centroids: list[list[float]]) -> Column:
-    """Literal array<array<double>> for one subspace's centroids.
+def _sub_l2_sql(sub_sql: str) -> str:
+    """SQL text of the squared L2 between a subvector expression and a
+    codebook lambda variable `cb`: zip_with + aggregate, the loop lives
+    inside the HOF evaluator. Summation order is element order,
+    identical to an unrolled t1+t2+... chain (and 0.0 + t == t exactly
+    for the non-negative squared terms).
 
-    All children are literals, so ConstantFolding collapses the
-    CreateArray tree into ONE Literal — the generated code carries a
-    constant reference, not k·d expression nodes. This is what keeps the
-    PQ projections inside whole-stage codegen: the unrolled
-    per-centroid expression form (m·k·d ≈ 1000+ nodes) blew past the
-    JVM method-size limit, failed codegen, and ran interpreted (13.6s →
-    1.3s at sf0.1 for pq_topk when folded + HOF-looped)."""
-    return dlit2(centroids)
-
-
-def _sub_l2_hof(sub: Column, centroid: Column) -> Column:
-    """Squared L2 between two equal-length arrays via zip_with +
-    aggregate — a fixed-size expression whose loop lives inside the
-    HOF evaluator, not the generated method body. Summation order is
-    element order, identical to an unrolled t1+t2+... chain (and
-    0.0 + t == t exactly for the non-negative squared terms), so results
-    are bit-identical to the previous unrolled-literal formulation."""
-    return F.aggregate(
-        F.zip_with(sub, centroid, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    TEXT, not Column (r13, guide §1.2 step 2): the DSL form of the PQ
+    projections cost ~2400 py4j round-trips per pq_rerank construction
+    (each HOF lambda is a chain of per-operator calls; measured
+    ~3.9 s/build under the default call-site capture, ~1.9 s with it
+    off) — composing the WHOLE per-subspace expression as one parsed
+    string makes construction a single round-trip per subspace.
+    Parsed and DSL forms analyze to the SAME Catalyst expression
+    (pinned by test_pq_sql_text_equals_dsl_construction via
+    sameResult + collect equality), so results are bit-identical."""
+    return (
+        f"aggregate(zip_with({sub_sql}, cb, (x, y) -> (x - y) * (x - y))"
+        ", 0.0D, (acc, t) -> acc + t)"
     )
 
 
-def _argmin_entries(sub: Column, centroids: list[list[float]]) -> Column:
-    """(dist, idx) structs for one subvector against one subspace's
-    codebook — a per-call closure so the loop variable is bound safely."""
-    return F.transform(
-        _codebook_lit(centroids),
-        lambda cb, i: F.struct(
-            F.round(_sub_l2_hof(sub, cb), 9).alias("dist"),
-            i.alias("idx"),
-        ),
+def _argmin_code_sql(sub_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text of one subspace's nearest-centroid index: (dist, idx)
+    structs over the folded codebook literal, array_min, ties to the
+    LOWEST index — the exact parsed twin of the previous DSL
+    transform/struct/array_min chain."""
+    return (
+        f"array_min(transform({_dlit2_sql(centroids)}, (cb, i) -> "
+        f"struct(round({_sub_l2_sql(sub_sql)}, 9) AS dist, i AS idx)"
+        ")).idx"
     )
 
 
-def _dist_table(sub: Column, centroids: list[list[float]]) -> Column:
-    """Per-centroid squared distances for one subspace (ADC table row)."""
-    return F.transform(
-        _codebook_lit(centroids),
-        lambda cb: F.round(_sub_l2_hof(sub, cb), 9),
+def _dist_table_sql(sub_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text of one subspace's per-centroid squared distances (ADC
+    table row) — the parsed twin of the previous DSL transform chain."""
+    return (
+        f"transform({_dlit2_sql(centroids)}, cb -> "
+        f"round({_sub_l2_sql(sub_sql)}, 9))"
     )
 
 
@@ -996,15 +998,19 @@ def pq_encode(
     d = len(codebooks[0][0])
     v = as_double_array(vec_col)
     base = emb.select(F.col(id_col), v.alias("_v"))
-    cols = []
-    for s in range(m):
-        sub = F.slice(F.col("_v"), s * d + 1, d)
-        # argmin over k centroids: array of structs (dist, idx) →
-        # array_min; ties break to the LOWEST index, deterministic
-        entries = _argmin_entries(sub, codebooks[s])
-        cols.append(
-            F.array_min(entries).getField("idx").alias(f"code_{s}")
-        )
+    # argmin over k centroids: array of structs (dist, idx) →
+    # array_min; ties break to the LOWEST index, deterministic. One
+    # parsed string per subspace (r13, see _sub_l2_sql) — the codebook
+    # literal stays ONE folded constant, which keeps the generated code
+    # inside whole-stage codegen (the unrolled per-centroid expression
+    # form blew past the JVM method-size limit: 13.6s → 1.3s at sf0.1
+    # when folded + HOF-looped, r12 _codebook_lit finding).
+    cols = [
+        F.expr(
+            _argmin_code_sql(f"slice(_v, {s * d + 1}, {d})", codebooks[s])
+        ).alias(f"code_{s}")
+        for s in range(m)
+    ]
     return base.select(F.col(id_col), *cols)
 
 
@@ -1035,19 +1041,24 @@ def pq_topk(
         as_double_array(vec_col).alias("qv")
     )
     # distance table: per subspace, transform over the constant-folded
-    # codebook literal against the query's subvector (1-row relation)
-    tables = []
-    for s in range(m):
-        qsub = F.slice(F.col("qv"), s * d + 1, d)
-        tables.append(
-            _dist_table(qsub, codebooks[s]).alias(f"t_{s}")
-        )
+    # codebook literal against the query's subvector (1-row relation).
+    # One parsed string per subspace, and the m-term ADC sum as one
+    # parsed left-associative chain (r13, see _sub_l2_sql) — identical
+    # expressions to the previous DSL loops at a fraction of the py4j
+    # construction cost.
+    tables = [
+        F.expr(
+            _dist_table_sql(f"slice(qv, {s * d + 1}, {d})", codebooks[s])
+        ).alias(f"t_{s}")
+        for s in range(m)
+    ]
     qt = q.select(*tables)
     joined = enc.crossJoin(F.broadcast(qt))
-    dist = None
-    for s in range(m):
-        term = F.element_at(F.col(f"t_{s}"), F.col(f"code_{s}") + 1)
-        dist = term if dist is None else dist + term
+    dist = F.expr(
+        " + ".join(
+            f"element_at(t_{s}, code_{s} + 1)" for s in range(m)
+        )
+    )
     return (
         joined.select(
             F.col(id_col), F.round(dist, 6).alias("adc_dist")

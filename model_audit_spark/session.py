@@ -42,6 +42,18 @@ def get_spark(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g")
         )
+        # r13 (guide §1.2 step 2 — driver-side per-query work): Spark 4
+        # wraps EVERY PySpark DataFrame/Column API call in a call-site
+        # capture for richer error context — a conf read + a
+        # PySparkCurrentOrigin.set + .clear (3 extra py4j round-trips,
+        # ~1.5 ms each on this harness) plus a Python stack walk, PER
+        # CALL. On construction-heavy plans this dominates driver time:
+        # measured same-session A/B, pq_rerank_topk construction
+        # 3.0-3.8 s -> 1.7-2.2 s, lsh_multiprobe_topk 1.2-1.5 s ->
+        # 0.49 s. Cost is error-message call-site metadata only — plans,
+        # results and hashes are identical. Overridable via extra_conf
+        # for debugging sessions.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -972,3 +972,96 @@ def test_dlit_bit_exact_round_trip(spark):
     m = [[0.1, -2.0], [3.5e-10, 4.0]]
     got2 = spark.range(1).select(dlit2(m).alias("x")).first().x
     assert [list(r) for r in got2] == m
+
+
+def test_pq_sql_text_equals_dsl_construction(spark):
+    """r13: the PQ projections build as ONE parsed SQL string per
+    subspace (py4j construction cost) — the parsed form must analyze to
+    the SAME Catalyst plan as the previous DSL transform/struct/
+    array_min chains (sameResult canonicalizes expression ids), and
+    collect identically. A drift in the parsed text (fold order, round
+    scale, index base) fails here before it can touch an oracle hash."""
+    from model_audit_spark.operators.similarity import (
+        as_double_array,
+        dlit2,
+        pq_codebooks_seeded,
+        pq_encode,
+        pq_topk,
+        seed_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = seed_vectors(emb, 16)
+    books = pq_codebooks_seeded(emb, m=8, k=16, dim=64, seeds=seeds)
+    m, d = 8, 8
+
+    def sub_l2_dsl(sub, cb):
+        return F.aggregate(
+            F.zip_with(sub, cb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def argmin_entries(sub, book):
+        return F.transform(
+            dlit2(book),
+            lambda cb, i: F.struct(
+                F.round(sub_l2_dsl(sub, cb), 9).alias("dist"),
+                i.alias("idx"),
+            ),
+        )
+
+    # the r12 DSL form of pq_encode, verbatim
+    base = emb.select(
+        F.col("vec_id"), as_double_array("embedding").alias("_v")
+    )
+    dsl_cols = []
+    for s in range(m):
+        sub = F.slice(F.col("_v"), s * d + 1, d)
+        entries = argmin_entries(sub, books[s])
+        dsl_cols.append(
+            F.array_min(entries).getField("idx").alias(f"code_{s}")
+        )
+    dsl_enc = base.select(F.col("vec_id"), *dsl_cols)
+    new_enc = pq_encode(emb, books)
+    assert new_enc._jdf.queryExecution().analyzed().sameResult(
+        dsl_enc._jdf.queryExecution().analyzed()
+    )
+    assert sorted(map(tuple, new_enc.collect())) == sorted(
+        map(tuple, dsl_enc.collect())
+    )
+
+    # pq_topk's parsed distance table + ADC sum against the DSL form
+    codes = new_enc
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qv")
+    )
+    def dist_table(sub, book):
+        return F.transform(
+            dlit2(book), lambda cb: F.round(sub_l2_dsl(sub, cb), 9)
+        )
+
+    tables = []
+    for s in range(m):
+        qsub = F.slice(F.col("qv"), s * d + 1, d)
+        tables.append(dist_table(qsub, books[s]).alias(f"t_{s}"))
+    qt = q.select(*tables)
+    joined = codes.crossJoin(F.broadcast(qt))
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.col(f"t_{s}"), F.col(f"code_{s}") + 1)
+        dist = term if dist is None else dist + term
+    dsl_topk = (
+        joined.select(
+            F.col("vec_id"), F.round(dist, 6).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+    new_topk = pq_topk(emb, 0, books, 10, codes=codes)
+    assert new_topk._jdf.queryExecution().analyzed().sameResult(
+        dsl_topk._jdf.queryExecution().analyzed()
+    )
+    assert [tuple(r) for r in new_topk.collect()] == [
+        tuple(r) for r in dsl_topk.collect()
+    ]
