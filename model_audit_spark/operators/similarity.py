@@ -1424,6 +1424,16 @@ def ann_recall_report(
     sq_params = sq8_params(emb, vec_col)
     sq_enc = track(sq8_encode(emb, sq_params, id_col, vec_col).persist())
     pq_codes = track(pq_encode(emb, books, id_col, vec_col).persist())
+    # fill the three independent index caches CONCURRENTLY (r13, guide
+    # §2.6): inside the report's single action their fills serialize
+    # behind whichever probe leg's stage wave reaches them first
+    from model_audit_spark.persistence import fill_caches_concurrently
+
+    fill_caches_concurrently(
+        [assigned, sq_enc, pq_codes],
+        labels=["ann_recall: ivf_assign", "ann_recall: sq8_encode",
+                "ann_recall: pq_encode"],
+    )
     # NOT shared: a persisted signature relation (measured r12 — the
     # cache fill serializes on the critical path and the query-row
     # lookup loses its pushed 1-row parquet filter; the inline
@@ -1534,6 +1544,15 @@ def ann_param_sweep(
     sq_params = sq8_params(emb, vec_col)
     sq_enc = track(sq8_encode(emb, sq_params, id_col, vec_col).persist())
     pq_codes = track(pq_encode(emb, books, id_col, vec_col).persist())
+    # concurrent index-cache fills (r13, guide §2.6 — see
+    # ann_recall_report)
+    from model_audit_spark.persistence import fill_caches_concurrently
+
+    fill_caches_concurrently(
+        [assigned, sq_enc, pq_codes],
+        labels=["ann_sweep: ivf_assign", "ann_sweep: sq8_encode",
+                "ann_sweep: pq_encode"],
+    )
     # NOT shared: a persisted signature relation across the radii
     # (measured r12 — see ann_recall_report; the inline projection per
     # radius is cheaper than the cache fill + cache-scan query row)
