@@ -121,9 +121,17 @@ def session_paths(
     Scale: one user-hash window pass for session ids (shared sort),
     one groupBy(session) carrying (ts, order, type) structs, one
     count aggregate over |distinct paths| rows, TakeOrdered for the
-    top-k — no global sort.
+    top-k — no global sort. Only the first `max_steps` rows of each
+    session reach the groupBy (r13): the path is a function of the
+    session's first steps only, and on a Zipf-activity log the old
+    whole-session collect_list put the hot user's entire
+    session — 1.3M structs at the 100× skew tier — into ONE group's
+    array_sort (measured 20.1 s, exp 0.61; 5.6 s, exp 0.28 after).
+    The in-session rank comes from the SAME user window pass: a
+    running max over session-start positions, no extra shuffle.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     flagged = events.select(
         user_col,
         ts_col,
@@ -140,9 +148,22 @@ def session_paths(
             1,
         ).otherwise(0),
     )
-    sess = flagged.withColumn(
-        "__sid",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = (
+        flagged.withColumn("__sid", F.sum("__new").over(run))
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn(
+            # position of the CURRENT session's first row: the latest
+            # session-start position at or before this row (running
+            # max over the same ordered frame — shares the window pass)
+            "__sstart",
+            F.max(
+                F.when(F.col("__new") == 1, F.col("__pos"))
+            ).over(run),
+        )
+        # keep only each session's first max_steps rows — the only
+        # rows the path can depend on; the hot session's tail never
+        # shuffles into the collect_list group
+        .filter(F.col("__pos") - F.col("__sstart") < max_steps)
     )
     per_session = sess.groupBy(user_col, "__sid").agg(
         F.array_sort(
