@@ -36,15 +36,36 @@ def method_comparisons(
     group_col: str = "model_id",
     text_col: str = "response",
 ) -> DataFrame:
-    """llmmap + dli comparison rows for every unordered model pair."""
-    fp = fingerprint_vectors(responses, group_col, text_col)
-    llmmap = cosine_compare(fp, group_col).select(
-        "model_a", "model_b", F.lit("llmmap").alias("method"),
-        "similarity", "is_derived", "threshold", "confidence",
+    """llmmap + dli comparison rows for every unordered model pair.
+
+    r13 (guide §2.6): the two method legs are independent end to end
+    (llmmap: fingerprint vectors + cosine; dli: behavioral features) —
+    submitted as one union plan their stage waves ran leg-after-leg, so
+    each leg's pair-row relation is persisted and cache-filled from a
+    thread pool; the union then scans caches. Output identical (the
+    persisted relations ARE the legs); released by
+    persistence.release_all like every tracked relation."""
+    from model_audit_spark.persistence import (
+        fill_caches_concurrently,
+        track,
     )
-    dli = behavior_compare(responses, group_col, text_col).select(
-        "model_a", "model_b", F.lit("dli").alias("method"),
-        "similarity", "is_derived", "threshold", "confidence",
+
+    fp = fingerprint_vectors(responses, group_col, text_col)
+    llmmap = track(
+        cosine_compare(fp, group_col).select(
+            "model_a", "model_b", F.lit("llmmap").alias("method"),
+            "similarity", "is_derived", "threshold", "confidence",
+        ).persist()
+    )
+    dli = track(
+        behavior_compare(responses, group_col, text_col).select(
+            "model_a", "model_b", F.lit("dli").alias("method"),
+            "similarity", "is_derived", "threshold", "confidence",
+        ).persist()
+    )
+    fill_caches_concurrently(
+        [llmmap, dli],
+        labels=["method_comparisons: llmmap", "method_comparisons: dli"],
     )
     return llmmap.unionByName(dli)
 
