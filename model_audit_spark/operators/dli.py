@@ -226,10 +226,19 @@ def behavior_compare(
     The distribution and feature aggregates are tiny (groups × top-100 /
     groups × 8) but sit on top of a full corpus scan; both are referenced
     from two sides of the pair join, so persist them — otherwise Spark
-    re-runs the corpus scan per reference (2-4 extra scans at 100 TB)."""
+    re-runs the corpus scan per reference (2-4 extra scans at 100 TB).
+    The two relations are independent corpus passes, so their cache
+    fills run CONCURRENTLY (r13, guide §2.6) instead of leg-after-leg
+    inside the final action's stage waves."""
+    from model_audit_spark.persistence import fill_caches_concurrently
+
     dist = bigram_distribution(df, group_col, text_col).persist()
     js = js_divergence_pairs(dist, group_col)
     feats = behavior_features(df, group_col, text_col).persist()
+    fill_caches_concurrently(
+        [dist, feats],
+        labels=["behavior_compare: bigrams", "behavior_compare: features"],
+    )
     fa = feats.select(
         F.col(group_col).alias("model_a"),
         *[F.col(f).alias(f"a_{f}") for f in DLI_FEATURES],
