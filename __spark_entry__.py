@@ -3840,8 +3840,9 @@ def _burstiness_profile(spark, sf):
 # fractional df cap touch the similarity/winnow closures) head the
 # window; opportunistic refreshes fill the remaining slots.
 _CHECK_WINDOW = [
-    "bpe_merges64",
-    "bpe_fertility64",
+    "embedding_contamination_windowed",
+    "audit_verdict_sources",
+    "dli_compare_sources",
     "ann_ivf_sq8",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
@@ -3850,46 +3851,45 @@ _CHECK_WINDOW = [
     "ann_pq_rerank",
     "ann_pq_topk",
     "ann_recall_report",
-    "embedding_near_dups",
-    "semantic_dedup",
+    "bpe_merges64",
+    "bpe_fertility64",
+    "bpe_merges",
+    "bpe_segments",
     "cluster_quality",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_clusters_incremental",
-    "dedup_incremental",
+    "cluster_topics",
     "dedup_containment",
     "dedup_jaccard_prefix",
-    "dedup_threshold_sweep",
     "dedup_recall_report",
-    "dedup_decisions",
-    "dup_graph_stats",
     "knn_triangles",
     "pagerank_dupgraph",
     "dedup_kcore",
     "dedup_communities",
     "community_modularity",
     "community_source_nmi",
-    "cluster_retention",
-    "source_overlap",
-    "leakage_safe_splits",
-    "curate_corpus",
-    "cluster_topics",
-    "effective_corpus_size",
-    "paragraph_near_dups",
-    "bpe_merges",
-    "bpe_segments",
     "contrastive_triplets",
     "embedding_contamination",
+    "embedding_near_dups",
     "ivf_append",
     "kmeans_clusters",
     "knn_graph",
     "knn_graph_windowed",
     "link_prediction_aa",
-    "q_events_hourly",
-    "q_topk_customers",
+    "semantic_dedup",
     "session_paths",
-    "style_count_distribution",
-    "style_scores_long",
+    "vocab_coverage",
+    "zipf_slope",
+    "audit_consistency_rate",
+    "benchmark_accuracy",
+    "benchmark_accuracy_by_class",
+    "benchmark_detect",
+    "cka_labels",
+    "claimed_families",
+    "corpus_sample",
+    "dedup_exact",
+    "detect_documents",
+    "doc_fingerprints",
+    "events_rollup_cascade",
+    "interarrival_profile",
 ]
 
 
