@@ -81,7 +81,10 @@ def main() -> None:
                 )
                 q.awaitTermination(300)
                 wall = time.time() - t0
-                prog = [json.loads(x) for x in q.recentProgress]
+                prog = [
+                    x if isinstance(x, dict) else json.loads(str(x))
+                    for x in q.recentProgress
+                ]
                 batches = [
                     x for x in prog if x.get("numInputRows", 0) >= 0
                 ]
